@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline operators: token
+  * counting, shingling, MinHash signatures, SimHash, fingerprints, quality
+  * scores, language-ID. Everything is built from Spark's codegen'd builtin
+  * + higher-order functions (no Scala UDFs): at 100 TB these run inside
+  * whole-stage codegen over the scan, with no encoder round-trips, and are
+  * embarrassingly parallel (per-row, no shuffle).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. `\s+` split; empty tokens from leading space removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: runs of letters, digits, or single
+    * non-space punctuation — the usual "word-and-punct" pre-tokenizer shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Word k-shingles: array of space-joined k-grams of the token array.
+    * Docs shorter than k tokens get their whole text as the single shingle.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n <= k, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(0), n - k), i =>
+          concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64(shingle, seed) over the doc's shingles. One pass, no
+    * shuffle; signature length is the accuracy/size tradeoff (Broder '97).
+    */
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    val hashes = (0 until numHashes).map { seed =>
+      array_min(transform(shingles, sh => xxhash64(sh, lit(seed))))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: `bands` values, each hashing
+    * `rowsPerBand` consecutive signature slots. Near-dup candidates = docs
+    * sharing any band key (banding theorem: P[candidate] = 1-(1-s^r)^b).
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",",
+        transform(slice(signature, b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string"))))
+    }: _*)
+
+  /** 64-bit SimHash over whitespace tokens (Charikar '02): per bit, sum +1
+    * for tokens whose xxhash64 has the bit set, -1 otherwise; bit set iff
+    * the sum is positive. Computed as 64 folds over the token-hash array.
+    */
+  def simHash(text: Column): Column = {
+    val tokHashes = transform(tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val mask = shiftleft(lit(1L), b)
+      val vote = aggregate(tokHashes, lit(0L), (acc, h) =>
+        acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, mask).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling (polynomial) document fingerprint over tokens:
+    * fp = fold(tokens, 0, (acc, t) -> (acc * 31 + h(t)) mod p) with h(t) =
+    * xxhash64(t) mod 1e9+7 and p = 2^31-1 — modular so the fold never
+    * overflows Long under ANSI arithmetic, order-sensitive by design
+    * (a rolling hash, not a bag hash).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      pmod(acc * 31L + pmod(xxhash64(t), lit(1000000007L)), lit(2147483647L)))
+
+  /** Punctuation character count / ratio, stopword ratio, and a composite
+    * quality score in [0,1] — the standard cheap pre-filter stack for LLM
+    * training data (cf. C4/Gopher rules: length bounds, symbol ratios,
+    * stopword presence).
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(punctCount(text).cast("double") / length(text).cast("double"))
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length band + sane mean token length
+    * + low punctuation. Deliberately simple arithmetic so it is
+    * oracle-expressible and pushdown-friendly as a filter.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lenOk   = when(nChars.between(50, 20000), 1.0).otherwise(0.0)
+    val tokOk   = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    round((lenOk + tokOk + punctOk) / 3.0, 4)
+  }
+
+  /** Character-class profile based language-ID heuristic. Real corpora get
+    * n-gram models; the synthetic fixture is word soup, so the heuristic is
+    * a deterministic scorer over script + terminal-vowel statistics that a
+    * spec pins with known vectors. Returns one of a fixed label set.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val t = lower(text)
+    val cjk     = regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]"))
+    val umlaut  = regexp_count(t, lit("[äöüß]"))
+    val enEs    = regexp_count(t, lit("\\b(el|la|los|las|una|del|que|es)\\b"))
+    val en      = regexp_count(t, lit("\\b(the|and|of|to|is|that)\\b"))
+    when(cjk > 0, "zh")
+      .when(umlaut > 0, "de")
+      .when(enEs > en, "es")
+      .when(en > 0, "en")
+      .otherwise("und")
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Time-series / event queries over the `events` fixture: tumbling-window
+  * aggregation (batch twin of the streaming op), sessionization, as-of
+  * join. The streaming variants (watermarks, late data, state) live in
+  * graft.streaming and are pinned by golden specs; these batch twins are
+  * oracle-checked so the *semantics* (bucketing, gap rules, as-of matching)
+  * are independently verified.
+  *
+  * NOTE events.ts is nanosecond-precision in parquet; Spark truncates to
+  * µs. Oracle queries only ever use date_trunc'd values (FIXTURES.md).
+  */
+object EventQueries extends QueryModule {
+
+  private val qTumbling = Q(
+    "q_window_tumbling",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type")),
+    Some("""SELECT CAST(time_bucket(INTERVAL 10 MINUTE, ts) AS TIMESTAMP) AS w_start,
+             event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+           FROM events
+           GROUP BY time_bucket(INTERVAL 10 MINUTE, ts), event_type
+           ORDER BY w_start, event_type"""))
+
+  private val qHourly = Q(
+    "q_window_hourly_users",
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("hour")),
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             count(DISTINCT user_id) AS uniq_users, count(*) AS n_events
+           FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour"""))
+
+  // As-of join: each purchase matched to the user's most recent prior (or
+  // simultaneous) signup — implemented with the union+window trick (no
+  // pairwise join at all; one shuffle on user_id). Oracle is the ANSI
+  // greatest-prior-timestamp formulation.
+  private val qAsOf = Q(
+    "q_join_asof",
+    (s, d) => {
+      // Second-truncated event times on both engines: events.ts is ns in
+      // parquet, µs in Spark — raw comparisons would disagree at sub-µs.
+      val ev = Tables.events(s, d).withColumn("tss", date_trunc("second", col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tss"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("tss"))
+      AsOfJoin.nearestPrior(
+          purchases, signups,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "tss", rightTime = "tss")
+        .select(col("event_id"), col("asof_ts").as("matched_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id,
+             CAST(max(date_trunc('second', s.ts)) AS TIMESTAMP) AS matched_ts
+           FROM events p LEFT JOIN events s
+             ON s.user_id = p.user_id AND s.event_type = 'signup'
+                AND date_trunc('second', s.ts) <= date_trunc('second', p.ts)
+           WHERE p.event_type = 'purchase'
+           GROUP BY p.event_id ORDER BY p.event_id"""))
+
+  // Sessionization (batch gaps-and-islands): new session when the gap to
+  // the previous event of the same user exceeds 5 minutes. The batch twin
+  // of session_window; oracle is the classic lag+cumsum SQL.
+  private val qSessionize = Q(
+    "q_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("tss"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .withColumn("prev_ts", lag(col("tss"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("tss")) - unix_timestamp(col("prev_ts")) > 300, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("sess_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("tss")).as("sess_start"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+    Some("""WITH g0 AS (
+             SELECT user_id, event_id,
+               CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss
+             FROM events),
+           g1 AS (
+             SELECT user_id, event_id, tss,
+               CASE WHEN lag(tss, 1) OVER w IS NULL
+                      OR CAST(epoch(tss) AS BIGINT) - CAST(epoch(lag(tss, 1) OVER w) AS BIGINT) > 300
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM g0
+             WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+           g2 AS (
+             SELECT user_id, tss,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             FROM g1)
+           SELECT user_id, sess_id, count(*) AS n_events, min(tss) AS sess_start
+           FROM g2 GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))
+
+  // Stream-static join shape (batch twin): events enriched with a
+  // broadcast dimension derived from customer.
+  private val qEnrich = Q(
+    "q_event_enrich",
+    (s, d) => Tables.events(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("user_id") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type")),
+    Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+             round(sum(value), 4) AS sum_value
+           FROM events JOIN customer ON user_id = c_custkey
+           GROUP BY c_mktsegment, event_type
+           ORDER BY c_mktsegment, event_type"""))
+
+  // Stateful-dedup batch twin: first event per (user_id, event_type).
+  private val qDedupFirst = Q(
+    "q_event_dedup_first",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(date_trunc("second", col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, event_id FROM (
+             SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY date_trunc('second', ts), event_id) AS rn
+             FROM events) t
+           WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  override def queries: Seq[Q] = Seq(
+    qTumbling, qHourly, qAsOf, qSessionize, qEnrich, qDedupFirst)
+}

@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Declared queries over the multimodal surface (binary payload columns +
+  * stubbed decode — see graft.operators.Multimodal).
+  */
+object MultimodalQueries extends QueryModule {
+
+  private val qMeta = Q(
+    "q_multimodal_meta",
+    (s, d) => Multimodal.mediaMeta(s, d),
+    Some("""SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+             md5(text) AS digest,
+             CAST(doc_id % 1920 + 1 AS INT) AS width,
+             CAST(doc_id % 1080 + 1 AS INT) AS height
+           FROM documents ORDER BY media_id"""))
+
+  // Decode/feature-extract path (stubbed decoder): rows-only check +
+  // MultimodalSpec pins determinism and batch shape.
+  private val qFeatures = Q(
+    "q_multimodal_features",
+    (s, d) => Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
+      .toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("digest"),
+        round(element_at(col("feat"), 1), 6).as("feat0"))
+      .orderBy(col("media_id")))
+
+  override def queries: Seq[Q] = Seq(qMeta, qFeatures)
+}

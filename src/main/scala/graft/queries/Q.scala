@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine query: a Spark DataFrame builder plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL over
+  * the same parquet tables. Queries without an oracle get the driver's
+  * weaker rows-only check and are pinned by ScalaTest specs instead.
+  *
+  * Determinism contract (FIXTURES.md canonicalization): every query ends in
+  * an ORDER BY on a unique key set, doubles are rounded (4 decimals; 2 for
+  * large-magnitude sums where double summation-order noise could flip the
+  * 4th decimal), and the Spark output column names match the oracle's
+  * aliases exactly (the driver sorts columns by name before hashing).
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+trait QueryModule {
+  def queries: Seq[Q]
+}

@@ -1,0 +1,414 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational surface: scans, projection, filtering, joins,
+  * aggregation (SURVEY.md §2 Part B). Every query here has a DuckDB oracle.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins (region/nation/supplier/customer at TPC-H ratios) are
+  *    explicitly `broadcast()` so no shuffle of the fact side happens;
+  *  - fact-fact joins use plain equi-joins → sort-merge with AQE skew
+  *    handling, never driver-side collection;
+  *  - aggregates are groupBy().agg(...) → partial (map-side) + final hash
+  *    aggregation for free.
+  */
+object Relational extends QueryModule {
+
+  // ---- scans + basic aggregation -----------------------------------------
+
+  private val qScanAgg = Q(
+    "q_scan_agg",
+    (s, d) => Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty")),
+    Some("SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem"))
+
+  // TPC-H Q1 shape: the canonical partial+final hash aggregate.
+  private val q1 = Q(
+    "q1_agg",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---- projection / filter ------------------------------------------------
+
+  private val qProject = Q(
+    "q_project_net",
+    (s, d) => Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1 - l_discount), 4) AS net
+           FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private val qFilter = Q(
+    "q_filter_in_between",
+    (s, d) => Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "P") &&
+        col("o_totalprice").between(1000, 200000))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price")),
+    Some("""SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+           FROM orders
+           WHERE o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 1000 AND 200000"""))
+
+  private val qFilterLike = Q(
+    "q_filter_like",
+    (s, d) => Tables.part(s, d)
+      .filter(col("p_name").like("%old%") || col("p_type").startsWith("PROMO"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, p_name, p_type FROM part
+           WHERE p_name LIKE '%old%' OR p_type LIKE 'PROMO%'
+           ORDER BY p_partkey"""))
+
+  // Null-safe predicate (<=> / IS NOT DISTINCT FROM) over a derived nullable.
+  private val qNullSafe = Q(
+    "q_filter_nullsafe",
+    (s, d) => Tables.orders(s, d)
+      .withColumn("prio5", when(col("o_orderpriority") === "5-LOW", col("o_orderpriority")))
+      .filter(col("prio5") <=> lit(null: String))
+      .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT count(*) AS cnt FROM (
+             SELECT CASE WHEN o_orderpriority = '5-LOW' THEN o_orderpriority END AS prio5
+             FROM orders) t
+           WHERE prio5 IS NOT DISTINCT FROM NULL"""))
+
+  // ---- joins --------------------------------------------------------------
+
+  private val qJoinInner = Q(
+    "q_join_inner",
+    (s, d) => Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  private val qJoinLeft = Q(
+    "q_join_left",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  private val qJoinFull = Q(
+    "q_join_full",
+    (s, d) => {
+      val hi = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_hi"))
+      val lo = Tables.orders(s, d).filter(col("o_totalprice") <= 150000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_lo"))
+      hi.withColumnRenamed("o_custkey", "k1")
+        .join(lo.withColumnRenamed("o_custkey", "k2"), col("k1") === col("k2"), "full_outer")
+        .select(
+          coalesce(col("k1"), col("k2")).as("custkey"),
+          coalesce(col("n_hi"), lit(0L)).as("n_hi"),
+          coalesce(col("n_lo"), lit(0L)).as("n_lo"))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT coalesce(k1, k2) AS custkey,
+             coalesce(n_hi, 0) AS n_hi, coalesce(n_lo, 0) AS n_lo
+           FROM (SELECT o_custkey AS k1, count(*) AS n_hi FROM orders
+                 WHERE o_totalprice > 150000 GROUP BY o_custkey) hi
+           FULL JOIN (SELECT o_custkey AS k2, count(*) AS n_lo FROM orders
+                 WHERE o_totalprice <= 150000 GROUP BY o_custkey) lo
+           ON k1 = k2
+           ORDER BY custkey"""))
+
+  private val qJoinSemi = Q(
+    "q_join_semi",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_orders")),
+    Some("""SELECT count(*) AS n_with_orders FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders)"""))
+
+  private val qJoinAnti = Q(
+    "q_join_anti",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+           ORDER BY c_custkey"""))
+
+  private val qJoinTheta = Q(
+    "q_join_theta",
+    (s, d) => {
+      val p1 = Tables.part(s, d).select(col("p_partkey").as("k1"),
+        col("p_brand").as("b1"), col("p_size").as("s1"))
+      val p2 = Tables.part(s, d).select(col("p_partkey").as("k2"),
+        col("p_brand").as("b2"), col("p_size").as("s2"))
+      p1.join(p2, col("b1") === col("b2") && col("s1") < col("s2"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some("""SELECT count(*) AS n_pairs
+           FROM part p1 JOIN part p2
+           ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size"""))
+
+  private val qJoinRange = Q(
+    "q_join_range",
+    (s, d) => {
+      val o1 = Tables.orders(s, d).select(col("o_orderkey").as("k1"),
+        col("o_custkey").as("c1"), col("o_orderdate").as("d1"))
+      val o2 = Tables.orders(s, d).select(col("o_orderkey").as("k2"),
+        col("o_custkey").as("c2"), col("o_orderdate").as("d2"))
+      o1.join(o2,
+          col("c1") === col("c2") && col("k1") =!= col("k2") &&
+          col("d2") >= col("d1") &&
+          col("d2") < col("d1") + expr("INTERVAL 30 DAYS"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some("""SELECT count(*) AS n_pairs
+           FROM orders o1 JOIN orders o2
+           ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey <> o2.o_orderkey
+           AND o2.o_orderdate >= o1.o_orderdate
+           AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY"""))
+
+  private val qJoinCross = Q(
+    "q_join_cross",
+    (s, d) => Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .agg(count(lit(1)).as("n_pairs")),
+    Some("SELECT count(*) AS n_pairs FROM region CROSS JOIN nation"))
+
+  // ---- multi-table TPC-H classics (headline bench queries) ---------------
+
+  private val q3 = Q(
+    "q3_shipping_priority",
+    (s, d) => {
+      val cust = broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1999-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM customer, orders, lineitem
+           WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             AND l_orderkey = o_orderkey
+             AND o_orderdate < TIMESTAMP '1999-03-15'
+             AND l_shipdate > TIMESTAMP '1997-03-15'
+           GROUP BY l_orderkey, o_orderdate
+           ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  private val q5 = Q(
+    "q5_local_supplier_volume",
+    (s, d) => {
+      val region = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      val nation = broadcast(Tables.nation(s, d))
+      val supplier = broadcast(Tables.supplier(s, d))
+      val cust = Tables.customer(s, d)
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supplier,
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM customer, orders, lineitem, supplier, nation, region
+           WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'ASIA'
+           GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  // ---- aggregation long tail ---------------------------------------------
+
+  private val qDistinct = Q(
+    "q_agg_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp")),
+    Some("""SELECT count(DISTINCT l_partkey) AS nd_part,
+             count(DISTINCT l_suppkey) AS nd_supp FROM lineitem"""))
+
+  // Approximate distinct (HLL++): no oracle — pinned by spec tolerance band.
+  private val qApproxDistinct = Q(
+    "q_agg_approx_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("apx_part")))
+
+  private val qRollup = Q(
+    "q_agg_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"), col("g_rf"), col("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls")),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls
+           FROM lineitem
+           GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           ORDER BY g_rf, g_ls, rf, ls"""))
+
+  private val qCube = Q(
+    "q_agg_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pr"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+        col("cnt"), col("sum_price"), col("g_st"), col("g_pr"))
+      .orderBy(col("g_st"), col("g_pr"), col("st"), col("pr")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             coalesce(o_orderpriority, 'ALL') AS pr,
+             count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price,
+             CAST(grouping(o_orderstatus) AS INT) AS g_st,
+             CAST(grouping(o_orderpriority) AS INT) AS g_pr
+           FROM orders
+           GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           ORDER BY g_st, g_pr, st, pr"""))
+
+  // Conditional aggregation — the reference's status fold (A14) reshaped:
+  // per customer, counts of 'F'/'O' orders → derived status label.
+  private val qCondAgg = Q(
+    "q_agg_conditional",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"))
+      .withColumn("status",
+        when(col("n_f") === 0, "ALL_OPEN")
+          .when(col("n_o") === 0, "ALL_FINISHED")
+          .otherwise("MIXED"))
+      .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+             CASE WHEN sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 0 THEN 'ALL_OPEN'
+                  WHEN sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) = 0 THEN 'ALL_FINISHED'
+                  ELSE 'MIXED' END AS status
+           FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  // bool_and fold — the reference's directory-checksum semantics (A10):
+  // verified ⇔ every member verified AND member count > 0.
+  private val qBoolAgg = Q(
+    "q_agg_bool",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        expr("bool_and(l_discount > 0)").as("all_discounted"),
+        expr("bool_or(l_tax > 0.05)").as("any_high_tax"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_orderkey")),
+    Some("""SELECT l_orderkey,
+             bool_and(l_discount > 0) AS all_discounted,
+             bool_or(l_tax > 0.05) AS any_high_tax,
+             count(*) AS n_items
+           FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  private val qStats = Q(
+    "q_agg_stats",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+             round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             round(min(l_extendedprice), 2) AS min_price,
+             round(max(l_extendedprice), 2) AS max_price
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---- subqueries (Catalyst decorrelation at work) ------------------------
+
+  private val qSubqueryScalar = Q(
+    "q_subquery_scalar",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT count(*) AS n_above FROM orders
+               WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""")
+    },
+    Some("""SELECT count(*) AS n_above FROM orders
+           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"""))
+
+  private val qSubqueryExists = Q(
+    "q_subquery_exists",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT count(*) AS n_cust FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 100000)""")
+    },
+    Some("""SELECT count(*) AS n_cust FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 100000)"""))
+
+  override def queries: Seq[Q] = Seq(
+    qScanAgg, q1, qProject, qFilter, qFilterLike, qNullSafe,
+    qJoinInner, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
+    qJoinTheta, qJoinRange, qJoinCross, q3, q5,
+    qDistinct, qApproxDistinct, qRollup, qCube, qCondAgg, qBoolAgg, qStats,
+    qSubqueryScalar, qSubqueryExists)
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text analysis + deduplication over the `documents` fixture — the
+  * LLM-training-data pipeline surface (SURVEY.md §2 Part B extensions).
+  *
+  * Scale posture: every per-doc derivation is a codegen'd projection over
+  * the scan (no shuffle); dedup group-bys shuffle only (hash, doc_id) pairs
+  * (bytes per row, not the documents themselves); pairwise joins are always
+  * blocked/bucketed (LSH bands, simhash buckets, n_chars blocks) so the
+  * candidate set is ~linear, never the O(n²) cross join.
+  */
+object TextQueries extends QueryModule {
+
+  // ---- text statistics ----------------------------------------------------
+
+  private val qTextStats = Q(
+    "q_text_stats",
+    (s, d) => Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeishTokenCount(col("text")).as("n_bpeish"),
+        round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, n_chars,
+             len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+             round(CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE)
+                    / len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) END, 4) AS mean_tok_len,
+             round(CASE WHEN len(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text) END, 4) AS punct_ratio
+           FROM documents ORDER BY doc_id"""))
+
+  private val qQuality = Q(
+    "q_quality_score",
+    (s, d) => Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        qualityScore(col("text"), col("n_chars")).as("quality"))
+      .orderBy(col("doc_id")))
+
+  private val qQualityFilter = Q(
+    "q_quality_filter",
+    (s, d) => Tables.documents(s, d)
+      .filter(col("n_chars").between(100, 10000) &&
+        col("lang").isin("en", "es", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"), col("source")),
+    Some("""SELECT lang, source, count(*) AS n_docs,
+             round(avg(n_chars), 4) AS avg_chars
+           FROM documents
+           WHERE n_chars BETWEEN 100 AND 10000 AND lang IN ('en','es','de')
+           GROUP BY lang, source ORDER BY lang, source"""))
+
+  // Language-ID heuristic (no oracle; pinned by LangIdSpec known vectors).
+  private val qLangId = Q(
+    "q_langid",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        langIdHeuristic(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id")))
+
+  // Document fingerprint (rolling hash; Spark-native xxhash64 → no oracle).
+  private val qFingerprint = Q(
+    "q_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")))
+
+  // ---- deduplication family ----------------------------------------------
+
+  // Exact dedup: hash-groupBy on sha256(text), keep min doc_id. Only the
+  // 32-byte digest + id shuffles — at 100 TB the text never moves.
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("h")),
+    Some("""SELECT sha256(text) AS h, min(doc_id) AS keeper,
+             count(*) AS n_copies
+           FROM documents GROUP BY sha256(text) ORDER BY h"""))
+
+  // Survivors after exact dedup (the actual pipeline output shape).
+  private val qDedupExactSurvivors = Q(
+    "q_dedup_exact_survivors",
+    (s, d) => {
+      val keep = Tables.documents(s, d)
+        .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      keep.join(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+           WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+           ORDER BY doc_id"""))
+
+  // N-gram (3-shingle) Jaccard near-dup, blocked by length buckets (width
+  // 64) with one-sided adjacency — near-dups land in the same or adjacent
+  // bucket, candidates stay ~linear. Oracle-free (higher-order fold order
+  // differs in DuckDB), pinned by DedupSpec planted-pair tests.
+  private val qDedupJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") / 64).cast("long").as("b"),
+          array_distinct(wordShingles(col("text"), 3)).as("sh"))
+      // side A emits {b-1, b, b+1}; side B emits b once → every pair within
+      // one bucket meets exactly once under the id_a < id_b orientation.
+      val a = docs.select(col("doc_id").as("id_a"),
+          explode(array(col("b") - 1, col("b"), col("b") + 1)).as("blk"),
+          col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("b").as("blk_b"),
+        col("sh").as("sh_b"))
+      a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni",
+          size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .withColumn("jaccard",
+          when(col("uni") === 0, 0.0)
+            .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
+  // MinHash + LSH banding near-dup: signature → band keys → explode →
+  // bucket self-join → verified by true shingle-Jaccard. The standard
+  // scale path: shuffle is on (bandKey) only; O(n·bands) rows.
+  private val qDedupMinhash = Q(
+    "q_dedup_minhash_lsh",
+    (s, d) => {
+      val numHashes = 32; val bands = 8; val rpb = 4
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
+        .withColumn("sig", minHashSignature(col("sh"), numHashes))
+        .withColumn("bandKey", explode(lshBandKeys(col("sig"), bands, rpb)))
+      val a = docs.select(col("bandKey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("bandKey").as("bk2"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("bandKey") === col("bk2") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .withColumn("jaccard",
+          when(col("uni") === 0, 0.0)
+            .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
+  // SimHash near-dup: 64-bit sketch, candidates = equal 16-bit sub-band
+  // (4 bands → hamming ≤ 3 guaranteed caught in ≥1 band), verify hamming.
+  private val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), simHash(col("text")).as("sh64"))
+      val banded = docs.select(col("doc_id"), col("sh64"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+          .as("bk"))
+        .select(col("doc_id"), col("sh64"), col("bk.band"), col("bk.key"))
+      val a = banded.select(col("band"), col("key"), col("doc_id").as("id_a"), col("sh64").as("h_a"))
+      val bb = banded.select(col("band").as("band2"), col("key").as("key2"),
+        col("doc_id").as("id_b"), col("sh64").as("h_b"))
+      a.join(bb, col("band") === col("band2") && col("key") === col("key2") &&
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), hamming64(col("h_a"), col("h_b")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
+  override def queries: Seq[Q] = Seq(
+    qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
+    qDedupExact, qDedupExactSurvivors, qDedupJaccard, qDedupMinhash,
+    qDedupSimhash)
+}

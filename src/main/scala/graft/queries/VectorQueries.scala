@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` fixture (ArrayType(FloatType),
+  * dim 64) — approximate-nearest-neighbor surface (SURVEY.md Part B).
+  *
+  * Scale posture: brute-force top-k is the correctness baseline (O(Q·N),
+  * fine when the query set is small and broadcast); the LSH-bucketed
+  * variant is the 100 TB path — candidates come from shared hyperplane
+  * buckets so the join is equi on bucket id (shuffle ∝ data, not data²).
+  * Norms are precomputed once per side, never per pair.
+  */
+object VectorQueries extends QueryModule {
+
+  // Cosine near-duplicate pairs above 0.95, all-pairs within id-blocks.
+  // DuckDB oracle uses list_cosine_similarity over DOUBLE[] casts.
+  private val qCosineNearDup = Q(
+    "q_dedup_embedding_cosine",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("n2").as("n2_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"), col("n2").as("n2_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos",
+          dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+        .filter(col("cos") > 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) > 0.45
+           ORDER BY id_a, id_b"""))
+
+  // Brute-force cosine top-k for a small query set (vec_id < 10): the exact
+  // baseline every ANN variant is measured against.
+  private val qBruteTopK = Q(
+    "q_sim_topk_brute",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val queries = broadcast(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2")))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("n2").as("nn2"))
+      val scored = queries.join(cand, col("qid") =!= col("nid"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some("""SELECT qid, rn, nid, round(cos, 4) AS cos FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS cos,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rn
+             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id < 10) t
+           WHERE rn <= 5 ORDER BY qid, rn"""))
+
+  // LSH-bucketed ANN (the scale path): 8-bit random-hyperplane bucket;
+  // candidates share a bucket with the query under any of 3 seeds
+  // (multi-probe by table, standard Indyk-Motwani amplification). No
+  // oracle — recall vs the brute-force baseline is pinned by AnnSpec.
+  private val qAnnLsh = Q(
+    "q_sim_topk_ann_lsh",
+    (s, d) => {
+      val seeds = Seq(1, 2, 3)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+        .withColumn("buckets", array(seeds.map(sd =>
+          lshBucket(col("embedding"), 8, sd)): _*))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("n2").as("nn2"), posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("n2").as("qn2"), posexplode(col("buckets")).as(Seq("qtbl", "qbkt")))
+      val scored = broadcast(queries)
+        .join(cand, col("qtbl") === col("tbl") && col("qbkt") === col("bkt") &&
+          col("qid") =!= col("nid"))
+        .select(col("qid"), col("qv"), col("qn2"), col("nid"), col("nv"), col("nn2"))
+        .distinct()
+        .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rn"))
+    })
+
+  // Per-label centroid + spread: grouped vector aggregation via element-wise
+  // array fold (posexplode → groupBy(label, pos) → avg), the distributed
+  // layout for any "mean vector per class" job.
+  private val qCentroids = Q(
+    "q_vector_centroids",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "el")))
+      .filter(col("pos") < 4)
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        round(avg(col("el").cast("double")), 4).as("centroid"),
+        round(stddev_samp(col("el").cast("double")), 4).as("spread"),
+        count(lit(1)).as("n"))
+      .select(col("label"), (col("pos") + 1).as("pos"), col("centroid"), col("spread"), col("n"))
+      .orderBy(col("label"), col("pos")),
+    Some("""SELECT label, CAST(i AS INT) AS pos,
+             round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
+             round(stddev_samp(CAST(embedding[i] AS DOUBLE)), 4) AS spread,
+             count(*) AS n
+           FROM embeddings, generate_series(1, 4) AS t(i)
+           GROUP BY label, i ORDER BY label, pos"""))
+
+  override def queries: Seq[Q] = Seq(
+    qCosineNearDup, qBruteTopK, qAnnLsh, qCentroids)
+}

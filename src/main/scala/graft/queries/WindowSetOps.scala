@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window functions, global sort / limit / top-k, set operations
+  * (SURVEY.md §2 Part B). Window partitions are customer-grained so at
+  * 100 TB the state per partition stays bounded (orders-per-customer), and
+  * ordering keys always include a unique tiebreaker so ranks are
+  * deterministic across engines.
+  */
+object WindowSetOps extends QueryModule {
+
+  // Deterministic ordering: totalprice DESC then orderkey.
+  private val wCust = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  private val qWinRank = Q(
+    "q_win_rank",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(wCust).as("rn"),
+        rank().over(wCust).as("rnk"),
+        dense_rank().over(wCust).as("drnk"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey,
+             row_number() OVER w AS rn, rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+           ORDER BY o_orderkey"""))
+
+  private val qWinNtile = Q(
+    "q_win_ntile",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+           FROM orders ORDER BY o_orderkey"""))
+
+  private val wCustByDate = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  private val qWinLagLead = Q(
+    "q_win_lag_lead",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_orderdate"), 1).over(wCustByDate).as("prev_date"),
+        lead(col("o_orderdate"), 1).over(wCustByDate).as("next_date"),
+        first(col("o_orderdate")).over(wCustByDate).as("first_date"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey,
+             lag(o_orderdate, 1) OVER w AS prev_date,
+             lead(o_orderdate, 1) OVER w AS next_date,
+             first_value(o_orderdate) OVER w AS first_date
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           ORDER BY o_orderkey"""))
+
+  // Running sum with an explicit ROWS frame.
+  private val qWinFrame = Q(
+    "q_win_frame",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(
+          wCustByDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+           FROM orders ORDER BY o_orderkey"""))
+
+  // Top-k per group: the scalable pattern (no global sort of the fact table;
+  // per-partition heap via window + filter).
+  private val qWinTopK = Q(
+    "q_win_topk",
+    (s, d) => Tables.orders(s, d)
+      .withColumn("rn", row_number().over(wCust))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rn")),
+    Some("""SELECT o_custkey, o_orderkey, rn, round(o_totalprice, 2) AS price
+           FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                 FROM orders) t
+           WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  // ---- sort / limit -------------------------------------------------------
+
+  private val qSortMulti = Q(
+    "q_sort_multi",
+    (s, d) => Tables.orders(s, d)
+      .orderBy(
+        asc_nulls_first("o_orderstatus"),
+        desc("o_totalprice"),
+        asc("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+      .limit(100),
+    Some("""SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           FROM orders
+           ORDER BY o_orderstatus ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC
+           LIMIT 100"""))
+
+  // Global top-k: TakeOrderedAndProject, not a full sort.
+  private val qLimitTopK = Q(
+    "q_limit_topk",
+    (s, d) => Tables.lineitem(s, d)
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .limit(10),
+    Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+           FROM lineitem
+           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+           LIMIT 10"""))
+
+  // ---- set operations -----------------------------------------------------
+
+  private val qUnionAll = Q(
+    "q_set_union_all",
+    (s, d) => {
+      val a = Tables.customer(s, d).filter(col("c_mktsegment") === "FURNITURE")
+        .select(col("c_custkey"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      a.unionAll(b).agg(count(lit(1)).as("cnt"))
+    },
+    Some("""SELECT count(*) AS cnt FROM (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+             UNION ALL
+             SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t"""))
+
+  private val qUnionDistinct = Q(
+    "q_set_union_distinct",
+    (s, d) => {
+      val a = Tables.customer(s, d).filter(col("c_mktsegment") === "FURNITURE")
+        .select(col("c_custkey"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      a.union(b).distinct().agg(count(lit(1)).as("cnt"))
+    },
+    Some("""SELECT count(*) AS cnt FROM (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+             UNION
+             SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t"""))
+
+  private val qIntersect = Q(
+    "q_set_intersect",
+    (s, d) => {
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      f.intersect(o).orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           ORDER BY o_custkey"""))
+
+  private val qExcept = Q(
+    "q_set_except",
+    (s, d) => {
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      f.except(o).orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           ORDER BY o_custkey"""))
+
+  override def queries: Seq[Q] = Seq(
+    qWinRank, qWinNtile, qWinLagLead, qWinFrame, qWinTopK,
+    qSortMulti, qLimitTopK,
+    qUnionAll, qUnionDistinct, qIntersect, qExcept)
+}
