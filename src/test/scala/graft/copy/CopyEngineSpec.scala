@@ -1,0 +1,138 @@
+package graft.copy
+
+import java.io.IOException
+import java.nio.file.{Files, Path => JPath}
+import org.apache.hadoop.conf.Configuration
+import graft.SparkSpec
+
+/** Ports the reference copy-dataflow suite
+  * (reference/service/HdfsCopyServiceTest.java:52-236) against local
+  * filesystems (file://): byte fidelity, nested trees, checksum on/off,
+  * forced mismatch, missing source, empty dir.
+  */
+class CopyEngineSpec extends SparkSpec {
+
+  private val conf = new Configuration()
+  private def engine = new CopyEngine(spark)
+
+  private def write(dir: JPath, name: String, content: Array[Byte]): JPath = {
+    val p = dir.resolve(name)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content)
+    p
+  }
+  private def bytes(n: Int): Array[Byte] = Array.tabulate(n)(i => (i * 7 % 251).toByte)
+
+  test("missing source fails with the reference's message") {
+    val src = tmpDir("src").resolve("nope.bin")
+    val dst = tmpDir("dst").resolve("out.bin")
+    val e = intercept[IOException] {
+      engine.copyPath(conf, src.toString, dst.toString, None)
+    }
+    e.getMessage shouldBe s"Source path does not exist: $src"
+  }
+
+  test("single file copies byte-identically with checksum verified") {
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    val payload = bytes(200000)
+    val src = write(srcDir, "data.bin", payload)
+    val dst = dstDir.resolve("sub/data.bin")
+    val r = engine.copyPath(conf, src.toString, dst.toString, None)
+    r.bytesCopied shouldBe payload.length
+    r.checksumVerified shouldBe true
+    Files.readAllBytes(dst) shouldBe payload
+  }
+
+  test("throttled copy still byte-identical and takes visible time") {
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    // 3 MiB at 1 MB/s → ≥ ~2s
+    val payload = bytes(3 * 1024 * 1024)
+    val src = write(srcDir, "big.bin", payload)
+    val dst = dstDir.resolve("big.bin")
+    val t0 = System.nanoTime()
+    val r = engine.copyPath(conf, src.toString, dst.toString, Some(1))
+    val ms = (System.nanoTime() - t0) / 1000000
+    r.bytesCopied shouldBe payload.length
+    Files.readAllBytes(dst) shouldBe payload
+    ms should be > 1500L
+  }
+
+  test("directory copy mirrors nested structure") {
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    val a = bytes(1000); val b = bytes(2000); val c = bytes(50)
+    write(srcDir, "root/a.bin", a)
+    write(srcDir, "root/sub1/b.bin", b)
+    write(srcDir, "root/sub1/sub2/c.bin", c)
+    Files.createDirectories(srcDir.resolve("root/emptydir"))
+    val dst = dstDir.resolve("mirror")
+    val r = engine.copyPath(conf, srcDir.resolve("root").toString, dst.toString, None)
+    r.bytesCopied shouldBe (a.length + b.length + c.length)
+    r.checksumVerified shouldBe true
+    Files.readAllBytes(dst.resolve("a.bin")) shouldBe a
+    Files.readAllBytes(dst.resolve("sub1/b.bin")) shouldBe b
+    Files.readAllBytes(dst.resolve("sub1/sub2/c.bin")) shouldBe c
+    Files.isDirectory(dst.resolve("emptydir")) shouldBe true
+  }
+
+  test("empty directory copies zero bytes and is NOT verified") {
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    Files.createDirectories(srcDir.resolve("empty"))
+    val r = engine.copyPath(conf, srcDir.resolve("empty").toString,
+      dstDir.resolve("empty").toString, None)
+    r.bytesCopied shouldBe 0L
+    r.checksumVerified shouldBe false
+  }
+
+  test("checksum disabled → copies fine, verified=false") {
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    val payload = bytes(5000)
+    val src = write(srcDir, "d.bin", payload)
+    val dst = dstDir.resolve("d.bin")
+    val e = new CopyEngine(spark, checksumEnabled = false)
+    val r = e.copyPath(conf, src.toString, dst.toString, None)
+    r.bytesCopied shouldBe payload.length
+    r.checksumVerified shouldBe false
+    Files.readAllBytes(dst) shouldBe payload
+  }
+
+  test("forced checksum mismatch fails with the reference's message and leaves the bad file") {
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    val payload = bytes(1000)
+    val src = write(srcDir, "t.bin", payload)
+    val dst = dstDir.resolve("t.bin")
+    val tampering = new CopyEngine(spark, checksumEnabled = true,
+      postWriteHook = Some(p => {
+        val f = new java.io.File(new java.net.URI(
+          if (p.startsWith("file:")) p else s"file://$p").getPath)
+        val out = new java.io.FileOutputStream(f, true)
+        out.write(0x42); out.close()
+      }))
+    val e = intercept[IOException] {
+      tampering.copyPath(conf, src.toString, dst.toString, None)
+    }
+    e.getMessage should startWith(s"Checksum mismatch for $dst: source=")
+    e.getMessage should include(", local=")
+    // bad file deliberately left in place (reference parity)
+    Files.size(dst) shouldBe payload.length + 1
+  }
+
+  test("directory with one bad file fails the whole item") {
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    write(srcDir, "root/ok.bin", bytes(100))
+    write(srcDir, "root/bad.bin", bytes(100))
+    val tampering = new CopyEngine(spark, checksumEnabled = true,
+      postWriteHook = Some(p => {
+        if (p.endsWith("bad.bin")) {
+          val f = new java.io.File(new java.net.URI(
+            if (p.startsWith("file:")) p else s"file://$p").getPath)
+          val out = new java.io.FileOutputStream(f, true)
+          out.write(0x42); out.close()
+        }
+      }))
+    val e = intercept[IOException] {
+      tampering.copyPath(conf, srcDir.resolve("root").toString,
+        dstDir.resolve("root").toString, None)
+    }
+    e.getMessage should include("Checksum mismatch for")
+  }
+}
