@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Runnable streaming surface: replays the events fixture through a file
+  * source (`readStream.parquet` with maxFilesPerTrigger — the A7 throttled-
+  * ingest analog), applies the watermarked tumbling-window aggregation, and
+  * writes the result to a parquet sink with a checkpoint:
+  *
+  *   sbt "runMain graft.streaming.StreamMain <eventsDir> <outDir>"
+  *
+  * Prints one line per micro-batch and a final row count.
+  */
+object StreamMain {
+  def main(args: Array[String]): Unit = {
+    val Array(eventsDir, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-stream")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // File-source replay. The fixture stores ts as ns (read as Long under
+    // nanosAsLong) — normalize to TimestampType exactly like Tables.events.
+    val schema = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // throttled ingest (A7 analog)
+      .parquet(eventsDir)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+
+    val windowed = StreamingOps.windowedCounts(events, "10 minutes", "10 minutes")
+
+    val q = windowed.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val n = spark.read.parquet(s"$outDir/data").count()
+    println(s"""{"sink_rows":$n,"state":"finished"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface (SURVEY.md §2 Part B "Streaming").
+  *
+  * Every operator is a DataFrame→DataFrame transform, so the identical
+  * logical plan runs over `readStream` sources in production and over
+  * `MemoryStream` in the specs. Event time is the `ts` column; all
+  * stateful ops take an explicit watermark delay — at 100 TB/day the
+  * watermark is what bounds state size, so no stateful operator here is
+  * constructible without one.
+  */
+object StreamingOps {
+
+  /** Tumbling or sliding event-time window aggregation with watermark. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String,
+      windowLen: String, slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col("ts"), windowLen, s)
+      case None => window(col("ts"), windowLen)
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Session windows (gap-based) per user. */
+  def sessionCounts(events: DataFrame, watermarkDelay: String,
+      gap: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("user_id"), col("n"))
+
+  /** Stateful exact-once dedup on event_id within the watermark horizon —
+    * state is bounded by the horizon instead of growing forever.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Stream-static enrichment join: a broadcastable static dimension joined
+    * to the stream — no stream-side shuffle, no state.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left_outer")
+
+  // --- arbitrary stateful processing: the reference's task-status fold as
+  // --- a stream (A14-as-stream, SURVEY.md §2 Part A #A14)
+
+  /** One item-level status transition arriving on the stream. */
+  case class ItemUpdate(requestId: String, itemIdx: Int, nItems: Int,
+      status: String) // COMPLETED | FAILED
+
+  /** Folded task-level view, emitted whenever a task's items all land or
+    * the task times out with stragglers (reference semantics: failed==0 ⇒
+    * COMPLETED, completed==0 ⇒ FAILED, else PARTIALLY_FAILED).
+    */
+  case class TaskStatus(requestId: String, completed: Int, failed: Int,
+      nItems: Int, status: String)
+
+  // Public + primitive-only state: the state encoder generates Java that
+  // calls these accessors (a `private` class is package-private in bytecode
+  // and invisible to the generated code), and bitmask Longs encode item
+  // outcomes for up to 64 items per request (the batch fold has no bound).
+  case class TaskProgress(nItems: Int, completedMask: Long, failedMask: Long)
+
+  /** flatMapGroupsWithState fold of item updates → final task statuses.
+    * With timeoutMs > 0, a processing-time timeout marks abandoned tasks
+    * FAILED-on-timeout (note: pending timeouts make the engine schedule
+    * continuous empty micro-batches — that's how processing-time timers
+    * fire); timeoutMs ≤ 0 disables timers. State is dropped either way,
+    * so it stays O(in-flight tasks).
+    */
+  def taskStatusStream(updates: Dataset[ItemUpdate],
+      timeoutMs: Long = 60000): Dataset[TaskStatus] = {
+    import updates.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    updates
+      .groupByKey(_.requestId)
+      .flatMapGroupsWithState[TaskProgress, TaskStatus](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        timeoutConf) {
+        (requestId: String, rows: Iterator[ItemUpdate],
+         state: GroupState[TaskProgress]) =>
+          if (state.hasTimedOut) {
+            val p = state.get
+            state.remove()
+            Iterator.single(fold(requestId, p, timedOut = true))
+          } else {
+            var p = state.getOption.getOrElse(TaskProgress(0, 0L, 0L))
+            rows.foreach { u =>
+              val bit = 1L << (u.itemIdx & 63)
+              p = p.copy(
+                nItems = math.max(p.nItems, u.nItems),
+                completedMask =
+                  if (u.status == "COMPLETED") p.completedMask | bit else p.completedMask,
+                failedMask =
+                  if (u.status == "FAILED") p.failedMask | bit else p.failedMask)
+            }
+            if (p.nItems > 0 &&
+                java.lang.Long.bitCount(p.completedMask | p.failedMask) >= p.nItems) {
+              state.remove()
+              Iterator.single(fold(requestId, p, timedOut = false))
+            } else {
+              state.update(p)
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  private def fold(requestId: String, p: TaskProgress, timedOut: Boolean): TaskStatus = {
+    val c = java.lang.Long.bitCount(p.completedMask)
+    val f = java.lang.Long.bitCount(p.failedMask & ~p.completedMask)
+    val status =
+      if (timedOut && c + f < p.nItems) "FAILED"
+      else if (f == 0) "COMPLETED"
+      else if (c == 0) "FAILED"
+      else "PARTIALLY_FAILED"
+    TaskStatus(requestId, c, f, p.nItems, status)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+
+  test("nearestPrior matches the greatest right time <= left time per key") {
+    val sp = spark; import sp.implicits._
+    val probes = Seq(
+      (1L, 10L, ts("10:00:00")),
+      (2L, 10L, ts("10:05:00")),
+      (3L, 20L, ts("10:00:00")),   // no signup for user 20 before
+      (4L, 30L, ts("09:00:00")))   // signup exactly at probe time → match
+      .toDF("event_id", "user_id", "ts")
+    val refs = Seq(
+      (10L, ts("09:30:00")),
+      (10L, ts("10:02:00")),
+      (10L, ts("11:00:00")),       // after both probes, never matched
+      (20L, ts("10:30:00")),       // after user 20's probe
+      (30L, ts("09:00:00")))
+      .toDF("user_id", "ts")
+    val out = AsOfJoin.nearestPrior(probes, refs, "user_id", "user_id", "ts", "ts")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(3))))
+    out.toSeq shouldBe Seq(
+      (1L, Some(ts("09:30:00"))),
+      (2L, Some(ts("10:02:00"))),
+      (3L, None),
+      (4L, Some(ts("09:00:00"))))
+  }
+}

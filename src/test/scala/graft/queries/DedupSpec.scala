@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+/** Pins the oracle-free dedup family: MinHash/LSH on planted near-dups,
+  * SimHash distance behavior, and cross-checks between the candidate
+  * generators on the real fixture.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  private val nearDup = ((1 to 59).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+  private val unrelated = (100 to 160).map(i => s"other$i").mkString(" ")
+
+  test("identical texts get identical minhash signatures; near-dups agree on most slots") {
+    val df = docsDf((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+      .withColumn("sig", minHashSignature(array_distinct(wordShingles(col("text"), 3)), 32))
+    val sigs = df.orderBy("doc_id").collect().map(_.getSeq[Long](2))
+    sigs(0) shouldBe sigs(1)
+    val agree = sigs(0).zip(sigs(2)).count { case (a, b) => a == b }
+    agree should be >= 24 // ~3/58 shingles differ → most slots agree
+    val agreeUnrelated = sigs(0).zip(sigs(3)).count { case (a, b) => a == b }
+    agreeUnrelated should be <= 4
+  }
+
+  test("LSH banding pairs planted near-dups, not unrelated docs") {
+    val df = docsDf((1L, base), (2L, nearDup), (3L, unrelated))
+      .withColumn("sig", minHashSignature(array_distinct(wordShingles(col("text"), 3)), 32))
+      .withColumn("bandKey", explode(lshBandKeys(col("sig"), 8, 4)))
+    val a = df.select(col("doc_id").as("id_a"), col("bandKey"))
+    val b = df.select(col("doc_id").as("id_b"), col("bandKey").as("bk2"))
+    val pairs = a.join(b, col("bandKey") === col("bk2") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("simhash: identical → distance 0; near-dup close; unrelated far") {
+    val df = docsDf((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+      .withColumn("sh", simHash(col("text")))
+    val h = df.orderBy("doc_id").collect().map(_.getLong(2))
+    java.lang.Long.bitCount(h(0) ^ h(1)) shouldBe 0
+    java.lang.Long.bitCount(h(0) ^ h(2)) should be <= 12
+    java.lang.Long.bitCount(h(0) ^ h(3)) should be >= 20
+  }
+
+  test("minhash-LSH candidates cover the high-jaccard pairs found by exact blocking (fixture)") {
+    val jacc = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    jacc should not be empty
+    val covered = jacc.count(mh.contains)
+    covered.toDouble / jacc.size should be >= 0.9
+  }
+
+  test("exact dedup keeps the minimum doc_id per hash group") {
+    val dup = docsDf((7L, base), (3L, base), (9L, unrelated))
+    val keep = dup.groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+      .orderBy("keeper").collect().map(_.getLong(1)).toSeq
+    keep shouldBe Seq(3L, 9L)
+  }
+}

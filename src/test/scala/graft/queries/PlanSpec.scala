@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Plan-shape assertions (SURVEY.md §4.2 / §5.2 #5): the optimizations we
+  * rely on for 100 TB must actually appear in the physical plan — predicate
+  * pushdown into the parquet scan, column pruning, broadcast joins for
+  * dims, map-side partial aggregation, top-k without a global sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed down to the parquet scan") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 30 && col("l_returnflag") === "A")
+      .select(col("l_orderkey"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString
+    scan should include("PushedFilters")
+    scan should include("GreaterThan(l_quantity,30.0)")
+    // plan strings truncate long filter lists; the prefix is stable
+    scan should include("EqualTo(l_returnfl")
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val df = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString
+    scan should include("ReadSchema")
+    scan should include("l_orderkey")
+    scan should not include "l_extendedprice"
+    scan should not include "l_shipdate"
+  }
+
+  test("dimension joins broadcast (q_join_inner, q5)") {
+    val p1 = planOf(graft.SparkEntry.queries("q_join_inner")(spark, sfDir))
+    p1 should include("BroadcastHashJoin")
+    val p5 = planOf(graft.SparkEntry.queries("q5_local_supplier_volume")(spark, sfDir))
+    p5 should include("BroadcastHashJoin")
+  }
+
+  test("aggregation is partial + final hash aggregate (q1)") {
+    val p = planOf(graft.SparkEntry.queries("q1_agg")(spark, sfDir))
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+    p should include("partial_sum")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = planOf(graft.SparkEntry.queries("q_limit_topk")(spark, sfDir))
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("whole-stage codegen covers the scan→project pipeline") {
+    val p = planOf(Tables.lineitem(spark, sfDir)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net")))
+    // codegen'd stages render as "*(n)" in the plan string
+    p should include("*(1)")
+  }
+
+  test("as-of join plans a single shuffle (no pairwise join)") {
+    val p = planOf(graft.SparkEntry.queries("q_join_asof")(spark, sfDir))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("Window")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Pins the oracle-free text/vector operators: language-ID known vectors,
+  * fingerprint properties, ANN recall vs the brute-force baseline, approx
+  * distinct tolerance, Spark-native hash determinism.
+  */
+class TextVectorSpec extends SparkSpec {
+
+  test("language-ID heuristic: known vectors") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog is near that tree"),
+      (2L, "el perro es la casa del pueblo que canta"),
+      (3L, "straße mit schöner übung für alle"),
+      (4L, "这是 一个 测试 文档"),
+      (5L, "zzz qqq rrr www")).toDF("id", "text")
+      .select(col("id"), langIdHeuristic(col("text")).as("lang"))
+    df.orderBy("id").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("en", "es", "de", "zh", "und")
+  }
+
+  test("fingerprint: deterministic, order-sensitive, bounded") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha"), (4L, "")).toDF("id", "text")
+      .select(col("id"), fingerprint(col("text")).as("fp"))
+    val fps = df.orderBy("id").collect().map(_.getLong(1))
+    fps(0) shouldBe fps(1)           // deterministic
+    fps(0) should not be fps(2)      // rolling (order matters)
+    fps(3) shouldBe 0L               // empty text → identity
+    all(fps) should (be >= 0L and be < 2147483647L)
+  }
+
+  test("ANN LSH top-k achieves usable recall vs brute force on the fixture") {
+    val brute = graft.SparkEntry.queries("q_sim_topk_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = graft.SparkEntry.queries("q_sim_topk_ann_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    brute should not be empty
+    val recall = brute.count(ann.contains).toDouble / brute.size
+    recall should be >= 0.4 // 3 tables × 8-bit buckets on near-uniform
+                            // synthetic vectors; raise with more tables
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("id", "a", "b")
+      .select(col("id"), round(VectorFunctions.cosine(col("a"), col("b")), 6).as("cos"))
+    df.orderBy("id").collect().map(_.getDouble(1)).toSeq shouldBe Seq(1.0, 0.0, 0.0)
+  }
+
+  test("approx_count_distinct within its 1% error band on lineitem") {
+    val exact = graft.Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val approx = graft.SparkEntry.queries("q_agg_approx_distinct")(spark, sfDir)
+      .collect()(0).getLong(0)
+    math.abs(approx - exact).toDouble / exact should be <= 0.05
+  }
+
+  test("Spark-native hashes are stable across runs (pinned vectors)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq("graft").toDF("s").select(
+      hash(col("s")).as("murmur3"),
+      xxhash64(col("s")).as("xx"),
+      crc32(col("s").cast("binary")).as("crc"))
+    val r1 = df.collect()(0)
+    val r2 = df.collect()(0)
+    r1 shouldBe r2
+    // murmur3/xxhash64 seeds are fixed in Spark — values are contractual
+    r1.getLong(2) shouldBe 31255620L // CRC32 of "graft" (public algorithm)
+  }
+}

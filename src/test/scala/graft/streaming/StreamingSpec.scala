@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import StreamingOps._
+
+/** Golden tests for the streaming operators: MemoryStream feeds with
+  * controlled event times; watermark/late-data/session/dedup semantics have
+  * no DuckDB oracle (SURVEY.md §5.2 #3), so expected outputs are asserted
+  * literally here.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def runBatches[T](query: org.apache.spark.sql.DataFrame,
+      sink: String): Unit = {
+    val q = query.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling window with watermark drops late data beyond the horizon") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = windowedCounts(input.toDF(), "5 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: events in [00:00,00:10) and [00:10,00:20)
+    input.addData(
+      Ev(1, ts(1), 10, "click", 1.0),
+      Ev(2, ts(4), 10, "click", 2.0),
+      Ev(3, ts(12), 11, "click", 3.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark far ahead → closes both windows
+    input.addData(Ev(4, ts(40), 10, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the long-closed first window → dropped
+    input.addData(Ev(5, ts(2), 10, "click", 100.0))
+    q.processAllAvailable()
+    // close the third window too so we can see nothing extra appeared
+    input.addData(Ev(6, ts(59), 10, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql(
+      "SELECT w_start, n, sum_value FROM tumbling ORDER BY w_start").collect()
+    rows.map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe Seq(
+      (ts(0), 2L, 3.0),   // late event 5 NOT counted (would be 3 rows / 103.0)
+      (ts(10), 1L, 3.0),
+      (ts(40), 1L, 1.0))  // closed when event 6 pushed the watermark past 00:50
+  }
+
+  test("sliding windows assign events to overlapping windows") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = windowedCounts(input.toDF(), "5 minutes", "10 minutes", Some("5 minutes"))
+    val q = out.writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Ev(1, ts(7), 10, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(2, ts(45), 10, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT w_start FROM sliding ORDER BY w_start").collect()
+    // event at 00:07 belongs to [00:00,00:10) and [00:05,00:15)
+    rows.map(_.getTimestamp(0)).toSeq shouldBe Seq(ts(0), ts(5))
+  }
+
+  test("session window merges events within the gap, splits across it") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = sessionCounts(input.toDF(), "5 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Ev(1, ts(0), 10, "a", 0), Ev(2, ts(2), 10, "a", 0),  // one session
+      Ev(3, ts(20), 10, "a", 0),                            // second session
+      Ev(4, ts(1), 20, "a", 0))                             // other user
+    q.processAllAvailable()
+    input.addData(Ev(5, ts(59), 99, "a", 0)) // advance watermark, close all
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, n FROM sessions ORDER BY user_id, n").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq(
+      (10L, 1L), (10L, 2L), (20L, 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-deliveries") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = dedupWithinWatermark(input.toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Ev(1, ts(1), 10, "a", 1.0),
+      Ev(1, ts(1, 30), 10, "a", 1.0), // duplicate delivery, same id
+      Ev(2, ts(2), 10, "a", 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(1, ts(3), 10, "a", 1.0)) // dup again within horizon
+    q.processAllAvailable()
+    q.stop()
+    spark.sql("SELECT count(*) FROM dedup").collect()(0).getLong(0) shouldBe 2L
+  }
+
+  test("stream-static join enriches from a broadcast dimension") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "GOLD"), (20L, "SILVER")).toDF("cust_id", "tier")
+    val input = MemoryStream[Ev]
+    val out = enrich(input.toDF(), dim, "user_id", "cust_id")
+      .select(col("event_id"), col("tier"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Ev(1, ts(1), 10, "a", 0), Ev(2, ts(2), 30, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT event_id, tier FROM enriched ORDER BY event_id").collect()
+    rows.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq shouldBe Seq(
+      (1L, Some("GOLD")), (2L, None))
+  }
+
+  test("task-status fold as a stream: COMPLETED / PARTIALLY_FAILED emitted when all items land") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ItemUpdate]
+    val out = taskStatusStream(input.toDS(), timeoutMs = 0) // timers off: they
+    // schedule continuous empty micro-batches, nondeterministic under test
+    val q = out.toDF().writeStream.format("memory").queryName("taskstatus")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      ItemUpdate("t1", 0, 2, "COMPLETED"),
+      ItemUpdate("t2", 0, 2, "COMPLETED"))
+    q.processAllAvailable()
+    // t1 not yet complete → nothing emitted for it
+    spark.sql("SELECT count(*) FROM taskstatus").collect()(0).getLong(0) shouldBe 0L
+    input.addData(
+      ItemUpdate("t1", 1, 2, "COMPLETED"),
+      ItemUpdate("t2", 1, 2, "FAILED"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT requestId, completed, failed, status FROM taskstatus ORDER BY requestId").collect()
+    rows.map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq shouldBe Seq(
+      ("t1", 2, 0, "COMPLETED"), ("t2", 1, 1, "PARTIALLY_FAILED"))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}
