@@ -24,28 +24,27 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** Word k-shingles: array of space-joined k-grams of the token array.
-    * Docs shorter than k tokens get their whole text as the single shingle.
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
+  /** DISTINCT word k-shingles (space-joined k-grams of the whitespace
+    * tokens; docs shorter than k tokens yield their whole text as the one
+    * shingle). Native one-pass expression — see graft.plans.WordShingles.
     */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    when(n <= k, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(sequence(lit(0), n - k), i =>
-          concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  def wordShingles(text: Column, k: Int): Column =
+    native(graft.plans.WordShingles(exprOf(text), k))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64(shingle, seed) over the doc's shingles. One pass, no
-    * shuffle; signature length is the accuracy/size tradeoff (Broder '97).
+    * minimum seeded 64-bit hash over the doc's shingles (Broder '97).
+    * Native single-pass expression (graft.plans.MinHashSig): one scan of
+    * the shingle array with a K-wide running min, vs K array scans in the
+    * higher-order formulation. No shuffle; signature length is the
+    * accuracy/size tradeoff.
     */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    val hashes = (0 until numHashes).map { seed =>
-      array_min(transform(shingles, sh => xxhash64(sh, lit(seed))))
-    }
-    array(hashes: _*)
-  }
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    native(graft.plans.MinHashSig(exprOf(shingles), numHashes))
 
   /** LSH band keys from a MinHash signature: `bands` values, each hashing
     * `rowsPerBand` consecutive signature slots. Near-dup candidates = docs
@@ -59,19 +58,13 @@ object TextFunctions {
     }: _*)
 
   /** 64-bit SimHash over whitespace tokens (Charikar '02): per bit, sum +1
-    * for tokens whose xxhash64 has the bit set, -1 otherwise; bit set iff
-    * the sum is positive. Computed as 64 folds over the token-hash array.
+    * for tokens whose 64-bit hash has the bit set, -1 otherwise; bit set
+    * iff the sum is positive. Native one-pass expression
+    * (graft.plans.SimHash64) — the 64-fold higher-order formulation
+    * rescanned the token array per bit.
     */
-  def simHash(text: Column): Column = {
-    val tokHashes = transform(tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val mask = shiftleft(lit(1L), b)
-      val vote = aggregate(tokHashes, lit(0L), (acc, h) =>
-        acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
-      when(vote > 0, mask).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simHash(text: Column): Column =
+    native(graft.plans.SimHash64(exprOf(tokens(text))))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

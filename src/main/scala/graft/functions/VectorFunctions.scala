@@ -18,11 +18,18 @@ object VectorFunctions {
   private def foldSum(zipped: Column): Column =
     aggregate(zipped, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Dot product via the native codegen'd expression (graft.plans
+    * .FloatVecDot): identical semantics to the higher-order fold
+    * (sequential double sum), ~100× less per-pair overhead inside
+    * all-pairs similarity joins.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.FloatVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
-  def normSq(a: Column): Column =
-    foldSum(transform(a, x => x.cast("double") * x.cast("double")))
+  def normSq(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 

@@ -21,7 +21,7 @@ class DedupSpec extends SparkSpec {
 
   test("identical texts get identical minhash signatures; near-dups agree on most slots") {
     val df = docsDf((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
-      .withColumn("sig", minHashSignature(array_distinct(wordShingles(col("text"), 3)), 32))
+      .withColumn("sig", minHashSignature(wordShingles(col("text"), 3), 32))
     val sigs = df.orderBy("doc_id").collect().map(_.getSeq[Long](2))
     sigs(0) shouldBe sigs(1)
     val agree = sigs(0).zip(sigs(2)).count { case (a, b) => a == b }
@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpec {
 
   test("LSH banding pairs planted near-dups, not unrelated docs") {
     val df = docsDf((1L, base), (2L, nearDup), (3L, unrelated))
-      .withColumn("sig", minHashSignature(array_distinct(wordShingles(col("text"), 3)), 32))
+      .withColumn("sig", minHashSignature(wordShingles(col("text"), 3), 32))
       .withColumn("bandKey", explode(lshBandKeys(col("sig"), 8, 4)))
     val a = df.select(col("doc_id").as("id_a"), col("bandKey"))
     val b = df.select(col("doc_id").as("id_b"), col("bandKey").as("bk2"))

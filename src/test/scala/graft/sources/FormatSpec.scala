@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Sources/sinks coverage (SURVEY.md §2 Part B "Sources / sinks"):
+  * CSV/JSON/parquet round-trips (inferred + explicit schema), partitioned
+  * writes with partition pruning on read-back, and the binaryFile scan
+  * (the whole-file ingestion path the copy engine's verification uses).
+  */
+class FormatSpec extends SparkSpec {
+
+  private def sample = Tables.lineitem(spark, sfDir)
+    .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+    .limit(500)
+
+  test("csv round-trip preserves values (header + explicit schema read)") {
+    val dir = tmpDir("csv").toString + "/data"
+    val src = sample
+    src.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(src.schema).csv(dir)
+    back.count() shouldBe src.count()
+    val a = src.agg(sum("l_quantity"), sum("l_orderkey")).collect()(0)
+    val b = back.agg(sum("l_quantity"), sum("l_orderkey")).collect()(0)
+    b shouldBe a
+  }
+
+  test("csv schema inference parses numerics and headers") {
+    val dir = tmpDir("csv2").toString + "/data"
+    sample.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    back.schema("l_quantity").dataType.typeName shouldBe "double"
+    back.schema("l_orderkey").dataType.typeName should (be("long") or be("integer"))
+  }
+
+  test("json round-trip preserves values") {
+    val dir = tmpDir("json").toString + "/data"
+    val src = sample
+    src.write.json(dir)
+    val back = spark.read.schema(src.schema).json(dir)
+    val a = src.agg(sum("l_quantity"), count(lit(1))).collect()(0)
+    val b = back.agg(sum("l_quantity"), count(lit(1))).collect()(0)
+    b shouldBe a
+  }
+
+  test("partitioned parquet write prunes partitions on filtered read") {
+    val dir = tmpDir("part").toString + "/data"
+    Tables.orders(spark, sfDir)
+      .withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("status") === "F")
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").count()
+    back.count() shouldBe expected
+    // partition pruning visible in the scan
+    val scan = back.queryExecution.executedPlan.collectLeaves().mkString
+    scan should include("PartitionFilters")
+    scan should include("status")
+  }
+
+  test("binaryFile scan reads whole files with path+length+content, recursively") {
+    val dir = tmpDir("bin")
+    val sub = dir.resolve("a/b"); java.nio.file.Files.createDirectories(sub)
+    val payload = Array.tabulate(10000)(i => (i % 251).toByte)
+    java.nio.file.Files.write(sub.resolve("x.bin"), payload)
+    java.nio.file.Files.write(dir.resolve("y.bin"), payload.take(100))
+
+    val df = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir.toString)
+      .select(col("path"), col("length"), md5(col("content")).as("digest"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.length shouldBe 2
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectedDigest = md.digest(payload).map("%02x".format(_)).mkString
+    rows.find(_._1.endsWith("x.bin")).get._2 shouldBe 10000L
+    rows.find(_._1.endsWith("x.bin")).get._3 shouldBe expectedDigest
+  }
+
+  test("parquet write round-trip of a query result is value-identical") {
+    val dir = tmpDir("pq").toString + "/data"
+    val src = graft.SparkEntry.queries("q1_agg")(spark, sfDir)
+    src.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+      .orderBy("l_returnflag", "l_linestatus")
+    back.collect() shouldBe src.collect()
+  }
+}
