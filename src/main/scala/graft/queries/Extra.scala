@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TableDigest
+
+/** Long-tail operators rounding out SURVEY.md §2 Part B: exact + approx
+  * percentiles, GROUPING SETS, map-typed JSON access, and the custom typed
+  * UDAF (order-insensitive table digest).
+  */
+object Extra extends QueryModule {
+
+  private val qPercentile = Q(
+    "q_agg_percentile",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_extendedprice, array(0.25, 0.75))")(0), 4).as("p25_price"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // Approximate percentile — no oracle (t-digest vs interpolation), pinned
+  // by a tolerance spec against the exact value.
+  private val qApproxPercentile = Q(
+    "q_agg_approx_percentile",
+    (s, d) => Tables.lineitem(s, d)
+      .agg(round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4)
+        .as("p50_approx")))
+
+  private val qGroupingSets = Q(
+    "q_agg_grouping_sets",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              ORDER BY rf, ls""")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY rf, ls"""))
+
+  // Map-typed JSON parsing: from_json → MapType, key access + key count.
+  private val qJsonMap = Q(
+    "q_json_map",
+    (s, d) => Tables.events(s, d)
+      .select(
+        col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")).as("m"))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "k").cast("long").as("k_val"),
+        size(map_keys(col("m"))).as("n_keys"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             CAST(len(json_keys(props)) AS INT) AS n_keys
+           FROM events ORDER BY event_id"""))
+
+  // Custom typed UDAF: order-insensitive digest of the lineitem table over
+  // a canonical row rendering. Spark-native hashing → rows-only check;
+  // invariance properties pinned by TableDigestSpec.
+  private val qTableDigest = Q(
+    "q_table_digest",
+    (s, d) => Tables.lineitem(s, d)
+      .select(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), round(col("l_quantity"), 4),
+        round(col("l_extendedprice"), 4)).as("row"))
+      .agg(TableDigest.digest(col("row")).as("digest")))
+
+  override def queries: Seq[Q] = Seq(
+    qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest)
+}
