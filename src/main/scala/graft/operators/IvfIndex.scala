@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the vector
+  * space by a small set of coarse centroids; at query time probe only the
+  * `nProbe` nearest cells. The other standard ANN scale path next to LSH
+  * bucketing (cf. IVF in FAISS / the original Sivic-Zisserman video-google
+  * scheme — public literature).
+  *
+  * Centroid selection here is deterministic reservoir-free sampling (every
+  * (n/k)-th vector by id) + one Lloyd refinement step, all as DataFrame
+  * ops — no mllib dependency, no driver-side iteration over vectors. The
+  * centroid table is tiny (k × dim) and broadcast; assignment is a
+  * broadcast join + argmin, so the big side never shuffles. At 100 TB:
+  * cells ≈ √n keeps |cell| ≈ √n, probe cost nProbe·√n per query.
+  */
+object IvfIndex {
+
+  /** Assign each vector to its nearest centroid cell.
+    * Returns (vec_id, embedding, n2, cell).
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cell"))
+    vectors
+      .join(broadcast(centroids), lit(true))
+      .withColumn("dist",
+        col("n2") + col("cn2") - lit(2.0) * dot(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
+  }
+
+  /** Deterministic coarse centroids: every (n/k)-th vector by id rank,
+    * refined by one Lloyd step (mean of assigned vectors per cell).
+    */
+  def centroids(spark: SparkSession, vectors: DataFrame, k: Int): DataFrame = {
+    val n = vectors.count()
+    val stride = math.max(1L, n / k)
+    val seeds = vectors
+      .withColumn("rk", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .filter(col("rk") % stride === 0).limit(k)
+      .select((col("rk") / stride).cast("int").as("cell"),
+        col("embedding").as("cvec"), col("n2").as("cn2"))
+
+    // one Lloyd refinement: mean of members per cell, element-wise
+    val assigned = assign(vectors, seeds)
+    val refined = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("cvec"))
+    refined.select(col("cell"), col("cvec"), normSq(col("cvec")).as("cn2"))
+  }
+
+  /** Top-k cosine neighbors for `queries` probing `nProbe` cells. */
+  def topK(queriesDf: DataFrame, indexed: DataFrame, cents: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    // nearest nProbe cells per query
+    val wq = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cell"))
+    val probes = queriesDf
+      .join(broadcast(cents), lit(true))
+      .withColumn("dist",
+        col("qn2") + col("cn2") - lit(2.0) * dot(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn2"), col("cell"))
+
+    val scored = probes
+      .join(indexed.select(col("cell").as("icell"), col("vec_id").as("nid"),
+          col("embedding").as("nv"), col("n2").as("nn2")),
+        col("cell") === col("icell") && col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      .select(col("qid"), col("nid"), col("cos")).distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rn"))
+  }
+}

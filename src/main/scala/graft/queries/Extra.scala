@@ -81,6 +81,28 @@ object Extra extends QueryModule {
         round(col("l_extendedprice"), 4)).as("row"))
       .agg(TableDigest.digest(col("row")).as("digest")))
 
+  // Format round-trip as a declared oracle row (SURVEY Part B sources):
+  // lineitem numerics → csv → read back with explicit schema → aggregate;
+  // the oracle aggregates the original parquet, so the check proves the
+  // round-trip lost nothing.
+  private val qCsvRoundtrip = Q(
+    "q_csv_roundtrip",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("csvrt").toString + "/li"
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      src.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema(src.schema).csv(tmp)
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+    Some("""SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+           FROM lineitem"""))
+
   override def queries: Seq[Q] = Seq(
-    qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest)
+    qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
+    qCsvRoundtrip)
 }

@@ -105,6 +105,21 @@ object VectorQueries extends QueryModule {
         .orderBy(col("qid"), col("rn"))
     })
 
+  // IVF ANN (the other standard scale path, next to LSH): coarse-quantize
+  // into √n cells, probe the 3 nearest cells per query. No oracle — recall
+  // vs brute force pinned by spec.
+  private val qIvf = Q(
+    "q_sim_topk_ivf",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val cents = graft.operators.IvfIndex.centroids(s, e, 16)
+      val indexed = graft.operators.IvfIndex.assign(e, cents)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2"))
+      graft.operators.IvfIndex.topK(queries, indexed, cents, k = 5, nProbe = 3)
+    })
+
   // Per-label centroid + spread: grouped vector aggregation via element-wise
   // array fold (posexplode → groupBy(label, pos) → avg), the distributed
   // layout for any "mean vector per class" job.
@@ -128,5 +143,5 @@ object VectorQueries extends QueryModule {
            GROUP BY label, i ORDER BY label, pos"""))
 
   override def queries: Seq[Q] = Seq(
-    qCosineNearDup, qBruteTopK, qAnnLsh, qCentroids)
+    qCosineNearDup, qBruteTopK, qAnnLsh, qIvf, qCentroids)
 }

@@ -48,6 +48,18 @@ class TextVectorSpec extends SparkSpec {
                             // synthetic vectors; raise with more tables
   }
 
+  test("IVF top-k achieves usable recall vs brute force on the fixture") {
+    val brute = graft.SparkEntry.queries("q_sim_topk_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.SparkEntry.queries("q_sim_topk_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    brute should not be empty
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    recall should be >= 0.3 // 3/16 cells probed on near-uniform vectors —
+                            // the partition-pruning structure is what's
+                            // under test, not the synthetic-data recall
+  }
+
   test("cosine: self-similarity 1, orthogonal 0") {
     val sp = spark; import sp.implicits._
     val df = Seq(
