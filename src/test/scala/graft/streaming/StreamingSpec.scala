@@ -158,5 +158,28 @@ class StreamingSpec extends SparkSpec {
       ("t1", 2, 0, "COMPLETED"), ("t2", 1, 1, "PARTIALLY_FAILED"))
   }
 
+  test("foreachBatch writes the task-status ledger to parquet") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ledger = java.nio.file.Files.createTempDirectory("ledger").toString + "/data"
+    val input = MemoryStream[ItemUpdate]
+    val out = taskStatusStream(input.toDS(), timeoutMs = 0)
+    val q = out.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(ledger)
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    input.addData(
+      ItemUpdate("t1", 0, 1, "COMPLETED"),
+      ItemUpdate("t2", 0, 1, "FAILED"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(ledger)
+      .orderBy("requestId").collect()
+      .map(r => (r.getString(0), r.getString(4)))
+    rows.toSeq shouldBe Seq(("t1", "COMPLETED"), ("t2", "FAILED"))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
