@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT + codegen + parquet-footer caches, so the first
+    // timed query doesn't absorb JVM startup (it skewed ~3-4 s onto
+    // whichever query the map iterated first).
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("q_scan_agg").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -17,7 +17,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational, WindowSetOps, ScalarFuncs, EventQueries,
-    TextQueries, VectorQueries, MultimodalQueries, Extra)
+    TextQueries, VectorQueries, MultimodalQueries, Extra, TypedQueries)
 
   private val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)
