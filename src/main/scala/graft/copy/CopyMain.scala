@@ -6,17 +6,60 @@ import org.apache.spark.sql.SparkSession
   * API (submit → 202 id → poll → final task state), as a runnable main:
   *
   *   sbt "runMain graft.copy.CopyMain <src> <dest> [bandwidthMbPerSec]"
+  *   sbt "runMain graft.copy.CopyMain --request req.json"
   *
-  * Prints the submit id, then polls until the task finishes and prints the
-  * per-item results exactly in the reference's status vocabulary.
+  * The --request form takes the reference's exact JSON body shape
+  * ({"namespace", "items":[{"hdfsPath","localPath"}], "bandwidth"}) and
+  * its exact error normalization: malformed JSON → {"error":"Invalid
+  * request body"} (reference/controller/GlobalExceptionHandler.java:16-27),
+  * validation messages from the service verbatim.
   */
 object CopyMain {
+
+  /** Parse the reference's request JSON. Throws on malformed input. */
+  def parseRequest(json: String): CopyRequest = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    if (root == null || !root.isObject)
+      throw new IllegalArgumentException("not a JSON object")
+    val ns = if (root.hasNonNull("namespace")) root.get("namespace").asText() else null
+    val items = if (root.has("items") && root.get("items").isArray) {
+      val it = root.get("items").elements()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[CopyItem]
+      while (it.hasNext) {
+        val n = it.next()
+        buf += CopyItem(
+          if (n.hasNonNull("hdfsPath")) n.get("hdfsPath").asText() else null,
+          if (n.hasNonNull("localPath")) n.get("localPath").asText() else null)
+      }
+      buf.toSeq
+    } else null
+    val bw = if (root.hasNonNull("bandwidth")) Some(root.get("bandwidth").asInt()) else None
+    CopyRequest(ns, items, bw)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: CopyMain <src> <dest> [bandwidthMbPerSec]")
+      System.err.println("usage: CopyMain <src> <dest> [bandwidthMbPerSec] | --request <file.json>")
       sys.exit(2)
     }
-    val bw = if (args.length > 2) Some(args(2).toInt) else None
+    val request: Either[String, CopyRequest] =
+      if (args(0) == "--request") {
+        try Right(parseRequest(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(args(1)))))
+        catch { case _: Exception => Left("Invalid request body") }
+      } else Right(CopyRequest("default",
+        Seq(CopyItem(args(0), args(1))),
+        if (args.length > 2) Some(args(2).toInt) else None))
+    request match {
+      case Left(err) =>
+        println(s"""{"error":"$err"}""")
+        sys.exit(1)
+      case Right(req) => run(req)
+    }
+  }
+
+  private def run(req: CopyRequest): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-copy")
@@ -26,7 +69,7 @@ object CopyMain {
 
     val svc = new CopyTaskService(new CopyEngine(spark),
       new FsFactory(sys.env.getOrElse("GRAFT_CONF_BASEDIR", "/etc/hadoop-namespaces")))
-    svc.submit(CopyRequest("default", Seq(CopyItem(args(0), args(1))), bw)) match {
+    svc.submit(req) match {
       case Left(err) =>
         println(s"""{"error":"$err"}""")
         sys.exit(1)

@@ -261,6 +261,65 @@ object Relational extends QueryModule {
              AND r_name = 'ASIA'
            GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
+  private val q6 = Q(
+    "q6_forecast_revenue",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"""))
+
+  private val q10 = Q(
+    "q10_returned_items",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20),
+    Some("""SELECT c_custkey, c_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem, orders, customer, nation
+           WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+             AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+           GROUP BY c_custkey, c_name, n_name
+           ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  private val q18 = Q(
+    "q18_large_volume_customer",
+    (s, d) => {
+      val bigOrders = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      Tables.orders(s, d)
+        .join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             round(t.sum_qty, 2) AS sum_qty
+           FROM orders
+           JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+                 GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
+             ON o_orderkey = t.l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY price DESC, o_orderkey LIMIT 100"""))
+
   // ---- aggregation long tail ---------------------------------------------
 
   private val qDistinct = Q(
@@ -408,7 +467,7 @@ object Relational extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qScanAgg, q1, qProject, qFilter, qFilterLike, qNullSafe,
     qJoinInner, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
-    qJoinTheta, qJoinRange, qJoinCross, q3, q5,
+    qJoinTheta, qJoinRange, qJoinCross, q3, q5, q6, q10, q18,
     qDistinct, qApproxDistinct, qRollup, qCube, qCondAgg, qBoolAgg, qStats,
     qSubqueryScalar, qSubqueryExists)
 }
