@@ -158,6 +158,29 @@ class StreamingSpec extends SparkSpec {
       ("t1", 2, 0, "COMPLETED"), ("t2", 1, 1, "PARTIALLY_FAILED"))
   }
 
+  test("complete output mode re-emits the full aggregate each batch") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // complete mode: no watermark needed, full result table each trigger
+    val out = input.toDF().groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = out.writeStream.format("memory").queryName("complete_agg")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(Ev(1, ts(1), 10, "a", 0), Ev(2, ts(2), 10, "b", 0))
+    q.processAllAvailable()
+    spark.sql("SELECT * FROM complete_agg ORDER BY event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("a", 1L), ("b", 1L))
+    input.addData(Ev(3, ts(3), 10, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+    spark.sql("SELECT * FROM complete_agg ORDER BY event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("a", 2L), ("b", 1L))
+  }
+
   test("foreachBatch writes the task-status ledger to parquet") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
