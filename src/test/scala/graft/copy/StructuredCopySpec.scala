@@ -1,0 +1,57 @@
+package graft.copy
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class StructuredCopySpec extends SparkSpec {
+
+  test("parquet → parquet copy digests identically") {
+    val dst = tmpDir("sc1").toString + "/out"
+    val r = StructuredCopy.run(spark, StructuredCopy.Spec(
+      s"$sfDir/orders.parquet", "parquet", dst, "parquet"))
+    r.rows shouldBe Tables.orders(spark, sfDir).count()
+    r.digestMatch shouldBe true
+  }
+
+  test("parquet → partitioned parquet with transform keeps the digest of the transformed frame") {
+    val dst = tmpDir("sc2").toString + "/out"
+    val r = StructuredCopy.run(spark, StructuredCopy.Spec(
+      s"$sfDir/orders.parquet", "parquet", dst, "parquet",
+      partitionBy = Seq("o_orderstatus"),
+      transform = df => df.filter(col("o_totalprice") > 50000)))
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 50000).count()
+    r.rows shouldBe expected
+    r.digestMatch shouldBe true
+  }
+
+  test("parquet → csv conversion digests identically over stringly columns") {
+    val dst = tmpDir("sc3").toString + "/out"
+    // numeric columns only: csv re-parses to the same values with an
+    // explicit-read in StructuredCopy.read via inferSchema
+    val r = StructuredCopy.run(spark, StructuredCopy.Spec(
+      s"$sfDir/region.parquet", "parquet", dst, "csv",
+      options = Map("header" -> "true", "inferSchema" -> "true")))
+    r.rows shouldBe 5
+    r.digestMatch shouldBe true
+  }
+
+  test("digest mismatch is detected when rows are lost in flight") {
+    val dst = tmpDir("sc4").toString + "/out"
+    // a "lossy" transform stands in for in-flight corruption: the digest
+    // is taken over the transformed source, then rows are dropped before
+    // the write by re-running with a different frame at the destination
+    val r = StructuredCopy.run(spark, StructuredCopy.Spec(
+      s"$sfDir/region.parquet", "parquet", dst, "parquet"))
+    r.digestMatch shouldBe true
+    // overwrite dest with a truncated copy → re-digest directly
+    spark.read.parquet(dst).limit(3).write.mode("overwrite").parquet(dst + "2")
+    val canonical = (p: String) => {
+      val df = spark.read.parquet(p)
+      df.select(concat_ws("",
+        df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit(" "))): _*).as("row"))
+        .agg(graft.functions.TableDigest.digest(col("row"))).collect()(0).getString(0)
+    }
+    canonical(dst) should not be canonical(dst + "2")
+  }
+}
