@@ -42,7 +42,7 @@ object StructuredCopy {
 
     def digestOf(df: DataFrame): String = {
       val canonical = df.select(concat_ws("",
-        df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+        df.columns.sorted.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
         .as("row"))
       canonical.agg(graft.functions.TableDigest.digest(col("row")))
         .collect()(0).getString(0)

@@ -28,7 +28,7 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
     val timeType = left.schema(leftTime).dataType
-    val payload = struct(left.columns.map(col): _*)
+    val payload = struct(left.columns.toIndexedSeq.map(col): _*)
 
     val l2 = left.select(
       col(leftKey).as("__key"),
@@ -51,6 +51,6 @@ object AsOfJoin {
     l2.unionByName(r2)
       .withColumn("asof_ts", last(col("__rt"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((left.columns.map(c => col(s"__payload.$c").as(c)) :+ col("asof_ts")): _*)
+      .select((left.columns.toIndexedSeq.map(c => col(s"__payload.$c").as(c)) :+ col("asof_ts")): _*)
   }
 }

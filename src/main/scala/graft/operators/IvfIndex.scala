@@ -34,17 +34,20 @@ object IvfIndex {
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
   }
 
-  /** Deterministic coarse centroids: every (n/k)-th vector by id rank,
+  /** Deterministic coarse centroids: hash-sample ~k seed vectors (the
+    * filter runs distributed; only the ≤k survivors pass through the tiny
+    * ranking window — never rank the full table through one partition),
     * refined by one Lloyd step (mean of assigned vectors per cell).
     */
   def centroids(spark: SparkSession, vectors: DataFrame, k: Int): DataFrame = {
     val n = vectors.count()
     val stride = math.max(1L, n / k)
     val seeds = vectors
-      .withColumn("rk", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .filter(col("rk") % stride === 0).limit(k)
-      .select((col("rk") / stride).cast("int").as("cell"),
-        col("embedding").as("cvec"), col("n2").as("cn2"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      .limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cell"), col("embedding").as("cvec"), col("n2").as("cn2"))
 
     // one Lloyd refinement: mean of members per cell, element-wise
     val assigned = assign(vectors, seeds)
