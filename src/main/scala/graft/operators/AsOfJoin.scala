@@ -27,7 +27,15 @@ object AsOfJoin {
       right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
+    // Only "asof_ts" truly collides with the output (internal __ names are
+    // shadowed inside the payload struct and restored afterwards); the
+    // check is case-insensitive to match Spark's default resolution.
+    require(!left.columns.exists(_.equalsIgnoreCase("asof_ts")),
+      "left side must not already have an 'asof_ts' column")
     val timeType = left.schema(leftTime).dataType
+    require(right.schema(rightTime).dataType == timeType,
+      s"as-of time columns must share one type, got $timeType vs " +
+        right.schema(rightTime).dataType)
     val payload = struct(left.columns.toIndexedSeq.map(col): _*)
 
     val l2 = left.select(
@@ -37,12 +45,16 @@ object AsOfJoin {
       lit(null).cast(timeType).as("__rt"),
       payload.as("__payload"))
     val payloadType = l2.schema("__payload").dataType
-    val r2 = right.select(
-      col(rightKey).as("__key"),
-      col(rightTime).as("__time"),
-      lit(0).as("__side"),
-      col(rightTime).cast(timeType).as("__rt"),
-      lit(null).cast(payloadType).as("__payload"))
+    // ANSI semantics: a NULL key matches nothing — drop null-key right rows
+    // (null-key left rows stay and get asof_ts = null, like a left join).
+    val r2 = right
+      .filter(col(rightKey).isNotNull)
+      .select(
+        col(rightKey).as("__key"),
+        col(rightTime).as("__time"),
+        lit(0).as("__side"),
+        col(rightTime).as("__rt"),
+        lit(null).cast(payloadType).as("__payload"))
 
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__time"), col("__side"))

@@ -31,4 +31,30 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, None),
       (4L, Some(ts("09:00:00"))))
   }
+
+  test("NULL keys never match (ANSI semantics), null-key left rows survive unmatched") {
+    val sp = spark; import sp.implicits._
+    val probes = Seq(
+      (1L, Option(10L), ts("10:00:00")),
+      (2L, Option.empty[Long], ts("10:00:00"))) // null key probe
+      .toDF("event_id", "user_id", "ts")
+    val refs = Seq(
+      (Option(10L), ts("09:00:00")),
+      (Option.empty[Long], ts("09:30:00")))     // null key ref: matches nothing
+      .toDF("user_id", "ts")
+    val out = AsOfJoin.nearestPrior(probes, refs, "user_id", "user_id", "ts", "ts")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(3))))
+    out.toSeq shouldBe Seq(
+      (1L, Some(ts("09:00:00"))),
+      (2L, None))
+  }
+
+  test("mismatched time types are rejected instead of silently cast") {
+    val sp = spark; import sp.implicits._
+    val l = Seq((1L, 10L, 100)).toDF("event_id", "user_id", "ts") // int time
+    val r = Seq((10L, 99.5)).toDF("user_id", "ts")                // double time
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.nearestPrior(l, r, "user_id", "user_id", "ts", "ts")
+  }
 }
