@@ -24,8 +24,10 @@ object Tables {
     // so the whole engine sees one timestamp type.
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // floor division via pmod (plain `div` truncates toward zero, which
+      // would round pre-epoch timestamps the wrong way)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
     else df
   }
 

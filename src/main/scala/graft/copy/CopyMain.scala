@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   */
 object CopyMain {
 
+  /** JSON string literal (quotes + escapes) for CLI output — paths and
+    * error messages may contain quotes/backslashes.
+    */
+  private def j(v: String): String =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .writeValueAsString(v)
+
   /** Parse the reference's request JSON. Throws on malformed input. */
   def parseRequest(json: String): CopyRequest = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -82,10 +89,10 @@ object CopyMain {
           task = svc.getTask(id).get
         }
         task.items.foreach { i =>
-          println(s"""{"source":"${i.sourcePath}","dest":"${i.destPath}","status":"${i.status}",""" +
+          println(s"""{"source":${j(i.sourcePath)},"dest":${j(i.destPath)},"status":"${i.status}",""" +
             s""""bytesCopied":${i.bytesCopied},"durationMs":${i.durationMs},""" +
             s""""speed":"${i.speed}","checksumVerified":${i.checksumVerified}""" +
-            (if (i.errorMessage != null) s""","error":"${i.errorMessage}"""" else "") + "}")
+            (if (i.errorMessage != null) s""","error":${j(i.errorMessage)}""" else "") + "}")
         }
         println(s"""{"requestId":"$id","status":"${task.status}"}""")
         svc.shutdown()

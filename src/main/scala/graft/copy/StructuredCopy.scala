@@ -40,8 +40,11 @@ object StructuredCopy {
     (if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*)
      else writer).save(spec.dstPath)
 
+    // \u0001 field separator + \u0000 null sentinel: with no separator,
+    // ("1","23") and ("12","3") would render identically and corruption
+    // could digest as a match.
     def digestOf(df: DataFrame): String = {
-      val canonical = df.select(concat_ws("",
+      val canonical = df.select(concat_ws("\u0001",
         df.columns.sorted.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
         .as("row"))
       canonical.agg(graft.functions.TableDigest.digest(col("row")))
@@ -50,6 +53,7 @@ object StructuredCopy {
     val back = read(spark, spec.dstPath, spec.dstFormat, spec.options)
     val srcD = digestOf(src)
     val dstD = digestOf(back)
-    Result(back.count(), srcD == dstD, srcD, dstD)
+    // row count is the digest's trailing component - no extra dest scan
+    Result(dstD.split("-").last.toLong, srcD == dstD, srcD, dstD)
   }
 }

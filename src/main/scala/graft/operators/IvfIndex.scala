@@ -44,7 +44,8 @@ object IvfIndex {
     val stride = math.max(1L, n / k)
     val seeds = vectors
       .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-      .limit(k)
+      .orderBy(col("vec_id")) // deterministic TakeOrdered — bare limit()
+      .limit(k)               // takes whichever rows arrive first
       .withColumn("cell",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("cell"), col("embedding").as("cvec"), col("n2").as("cn2"))

@@ -86,10 +86,11 @@ object Multimodal {
       // A real decoder would be initialized once here, per partition.
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { m =>
+        val payload = if (m.payload == null) Array.emptyByteArray else m.payload
         digest.reset()
-        val hex = digest.digest(m.payload).map("%02x".format(_)).mkString
-        MediaFeatures(m.media_id, m.modality, m.payload.length.toLong, hex,
-          FakeDecoder.decode(m.payload))
+        val hex = digest.digest(payload).map("%02x".format(_)).mkString
+        MediaFeatures(m.media_id, m.modality, payload.length.toLong, hex,
+          FakeDecoder.decode(payload))
       }
     }
   }

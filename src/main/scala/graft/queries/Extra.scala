@@ -88,7 +88,9 @@ object Extra extends QueryModule {
   private val qCsvRoundtrip = Q(
     "q_csv_roundtrip",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("csvrt").toString + "/li"
+      // fixed per-fixture path (overwrite mode) — a fresh temp dir per
+      // invocation would leak a full CSV extract on every Bench/Verify run
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csvrt_${d.hashCode.abs}/li"
       val src = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       src.write.mode("overwrite").option("header", "true").csv(tmp)

@@ -16,7 +16,8 @@ import graft.functions.VectorFunctions._
   */
 object VectorQueries extends QueryModule {
 
-  // Cosine near-duplicate pairs above 0.95, all-pairs within id-blocks.
+  // Cosine near-duplicate pairs above 0.45 (the fixture's synthetic
+  // vectors max out near 0.51 — a 0.95 threshold would be vacuous).
   // DuckDB oracle uses list_cosine_similarity over DOUBLE[] casts.
   private val qCosineNearDup = Q(
     "q_dedup_embedding_cosine",

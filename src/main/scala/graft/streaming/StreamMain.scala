@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object StreamMain {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: StreamMain <eventsDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(eventsDir, outDir) = args.take(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")

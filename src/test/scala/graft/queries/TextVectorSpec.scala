@@ -60,6 +60,17 @@ class TextVectorSpec extends SparkSpec {
                             // under test, not the synthetic-data recall
   }
 
+  test("float_vec_dot: length mismatch and null elements propagate as NULL") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (2L, Array(1.0f), Array(3.0f, 4.0f))).toDF("id", "a", "b")
+      .select(col("id"), graft.functions.VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    df(0).getDouble(1) shouldBe 11.0
+    df(1).isNullAt(1) shouldBe true
+  }
+
   test("cosine: self-similarity 1, orthogonal 0") {
     val sp = spark; import sp.implicits._
     val df = Seq(
