@@ -169,6 +169,25 @@ object ScalarFuncs extends QueryModule {
              round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_el
            FROM embeddings ORDER BY vec_id"""))
 
+  // Array membership / sorting / dedup / rendering over token arrays.
+  private val qArrayOps = Q(
+    "q_array_ops",
+    (s, d) => Tables.part(s, d)
+      .withColumn("words", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        array_contains(col("words"), "cold").as("has_cold"),
+        size(array_distinct(col("words"))).as("n_uniq"),
+        concat_ws(",", array_sort(col("words"))).as("sorted_words"),
+        element_at(col("words"), -1).as("last_word"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+             list_contains(string_split(p_name, ' '), 'cold') AS has_cold,
+             CAST(len(list_distinct(string_split(p_name, ' '))) AS INT) AS n_uniq,
+             array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+             string_split(p_name, ' ')[-1] AS last_word
+           FROM part ORDER BY p_partkey"""))
+
   // Generator / explode: posexplode with deterministic (vec_id, pos) key.
   private val qExplode = Q(
     "q_explode",
@@ -220,5 +239,5 @@ object ScalarFuncs extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qString, qDate, qMath, qCond, qHash, qHashSparkOnly,
-    qArray, qExplode, qJson, qSpeedFormat)
+    qArray, qArrayOps, qExplode, qJson, qSpeedFormat)
 }

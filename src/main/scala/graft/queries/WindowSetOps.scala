@@ -79,6 +79,24 @@ object WindowSetOps extends QueryModule {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
            FROM orders ORDER BY o_orderkey"""))
 
+  // RANGE frame: value-based window (all orders within 10k price below the
+  // current row's price, per status) — frame membership depends on values,
+  // not row positions, so ties get identical results on both engines.
+  private val qWinRangeFrame = Q(
+    "q_win_range_frame",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        count(lit(1)).over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("o_totalprice"))
+            .rangeBetween(-10000L, Window.currentRow)).as("n_in_band"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_orderstatus,
+             count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+           FROM orders ORDER BY o_orderkey"""))
+
   // Top-k per group: the scalable pattern (no global sort of the fact table;
   // per-partition heap via window + filter).
   private val qWinTopK = Q(
@@ -185,7 +203,7 @@ object WindowSetOps extends QueryModule {
            ORDER BY o_custkey"""))
 
   override def queries: Seq[Q] = Seq(
-    qWinRank, qWinNtile, qWinLagLead, qWinFrame, qWinTopK,
+    qWinRank, qWinNtile, qWinLagLead, qWinFrame, qWinRangeFrame, qWinTopK,
     qSortMulti, qLimitTopK,
     qUnionAll, qUnionDistinct, qIntersect, qExcept)
 }
