@@ -191,8 +191,16 @@ object TextQueries extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     })
 
+  // Cluster formation over the minhash near-dup pairs: connected
+  // components → one keeper per dup group (rows-only; pinned by
+  // DedupClustersSpec chains/keepers/end-to-end cases).
+  private val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, d) => graft.operators.DedupClusters.keepers(
+      qDedupMinhash.build(s, d).select(col("id_a"), col("id_b"))))
+
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
     qDedupExact, qDedupExactSurvivors, qDedupJaccard, qDedupMinhash,
-    qDedupSimhash)
+    qDedupSimhash, qDedupClusters)
 }

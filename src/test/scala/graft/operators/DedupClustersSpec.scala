@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupClustersSpec extends SparkSpec {
+
+  test("chains and separate components resolve to min-id clusters") {
+    val sp = spark; import sp.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, pair order mixed
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = DedupClusters.components(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    comp(1L) shouldBe 1L
+    comp(2L) shouldBe 1L
+    comp(3L) shouldBe 1L
+    comp(4L) shouldBe 1L
+    comp(10L) shouldBe 10L
+    comp(11L) shouldBe 10L
+  }
+
+  test("keepers: one canonical doc + member count per cluster") {
+    val sp = spark; import sp.implicits._
+    val pairs = Seq((5L, 7L), (7L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val k = DedupClusters.keepers(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    k.toSeq shouldBe Seq((5L, 5L, 3L), (20L, 20L, 2L))
+  }
+
+  test("end-to-end: minhash pairs on the fixture collapse into clusters") {
+    val pairs = graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfDir)
+      .select("id_a", "id_b")
+    val k = DedupClusters.keepers(pairs).collect()
+    // fixture has planted near-dup pairs; every cluster's keeper is its min
+    k.foreach { r => r.getLong(1) shouldBe r.getLong(0) }
+    // every doc appearing in a pair lands in exactly one cluster
+    val distinctDocs = pairs.select("id_a").union(pairs.select("id_b"))
+      .distinct().count()
+    k.map(_.getLong(2)).sum shouldBe distinctDocs
+  }
+}
