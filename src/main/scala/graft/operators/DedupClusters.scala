@@ -27,10 +27,13 @@ object DedupClusters {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
-      .cache()
-    // label = current component candidate (min id seen so far)
+      .localCheckpoint() // materialize once; iterations re-join it
+    // label = current component candidate (min id seen so far).
+    // localCheckpoint (eager) per iteration truncates lineage — without it
+    // iteration k's plan nests k join plans and planning itself blows up.
     var labels = edges.groupBy(col("u").as("doc_id"))
       .agg(least(min(col("v")), first(col("u"))).as("label"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -42,7 +45,7 @@ object DedupClusters {
       val next = labels.join(neighborLabels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
       labels = next
