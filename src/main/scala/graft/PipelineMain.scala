@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.DedupClusters
+
+/** End-to-end LLM training-data pipeline over a documents table — the
+  * engine's flagship composition, runnable:
+  *
+  *   sbt "runMain graft.PipelineMain <sfDir> <outDir>"
+  *
+  * Stages (each a declared operator elsewhere in the registry):
+  *   1. exact dedup      — sha256 hash-groupBy, keep min doc_id
+  *   2. near-dup dedup   — shingle MinHash → LSH bands → verified pairs →
+  *                         connected components → keep cluster keeper
+  *   3. quality filter   — length band + mean-token-length + punctuation
+  *   4. enrichment       — token counts, language-ID, fingerprint
+  *   5. write            — parquet partitioned by lang
+  *
+  * Prints one JSON line of per-stage counts. Nothing collects to the
+  * driver except those counters; every stage is the scale-shaped variant
+  * (see SCALE.md).
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_pipeline_out")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+
+    // 1. exact dedup (only the digest + id shuffle)
+    val exactKeep = docs
+      .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val afterExact = exactKeep.join(docs, "doc_id")
+    val nExact = afterExact.count()
+
+    // 2. near-dup dedup: minhash/LSH candidates → jaccard ≥ 0.8 →
+    //    components → drop everything but each cluster's keeper
+    val withShingles = afterExact
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+    val banded = withShingles
+      .withColumn("sig", minHashSignature(col("sh"), 32))
+      .withColumn("bandKey", explode(lshBandKeys(col("sig"), 8, 4)))
+      .select(col("bandKey"), col("doc_id"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.bandKey") === col("b.bandKey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    val verified = cand
+      .join(withShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("uni") > 0 &&
+        col("inter").cast("double") / col("uni").cast("double") >= 0.8)
+      .select("id_a", "id_b")
+    val dropNearDups = DedupClusters.components(verified)
+      .filter(col("doc_id") =!= col("cluster_id")) // keep keepers only
+      .select(col("doc_id"))
+    val afterNear = afterExact.join(dropNearDups, Seq("doc_id"), "left_anti")
+    val nNear = afterNear.count()
+
+    // 3. quality filter (pushdown-friendly column predicates)
+    val q = afterNear.filter(
+      col("n_chars").between(50, 20000) &&
+      meanTokenLen(col("text")).between(2.0, 12.0) &&
+      punctRatio(col("text")) <= 0.2)
+    val nQuality = q.count()
+
+    // 4. enrichment projections (no shuffle)
+    val enriched = q.select(
+      col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      langIdHeuristic(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fp"))
+
+    // 5. partitioned write
+    enriched.write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    val written = spark.read.parquet(outDir).count()
+
+    println(s"""{"input":$total,"after_exact_dedup":$nExact,""" +
+      s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
+      s""""written":$written,"out":"$outDir"}""")
+    spark.stop()
+  }
+}
