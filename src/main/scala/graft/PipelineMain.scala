@@ -40,45 +40,33 @@ object PipelineMain {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.count()
 
-    // 1. exact dedup (only the digest + id shuffle)
+    // 1. exact dedup (only the digest + id shuffle). Persisted: the stage
+    // output feeds the count, the shingle pipeline, the anti-join and the
+    // write — without persist the groupBy+join lineage would re-execute
+    // for each.
     val exactKeep = docs
       .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val afterExact = exactKeep.join(docs, "doc_id")
+    val afterExact = exactKeep.join(docs, "doc_id").persist()
     val nExact = afterExact.count()
 
-    // 2. near-dup dedup: minhash/LSH candidates → jaccard ≥ 0.8 →
-    //    components → drop everything but each cluster's keeper
+    // 2. near-dup dedup: the shared MinHash/LSH + Jaccard pipeline
+    //    (operators.NearDup — same parameters as q_dedup_minhash_lsh) →
+    //    connected components → drop everything but each cluster's keeper
     val withShingles = afterExact
       .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
-    val banded = withShingles
-      .withColumn("sig", minHashSignature(col("sh"), 32))
-      .withColumn("bandKey", explode(lshBandKeys(col("sig"), 8, 4)))
-      .select(col("bandKey"), col("doc_id"))
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.bandKey") === col("b.bandKey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    val verified = cand
-      .join(withShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("uni") > 0 &&
-        col("inter").cast("double") / col("uni").cast("double") >= 0.8)
+    val verified = graft.operators.NearDup.verifiedPairs(withShingles)
       .select("id_a", "id_b")
     val dropNearDups = DedupClusters.components(verified)
       .filter(col("doc_id") =!= col("cluster_id")) // keep keepers only
       .select(col("doc_id"))
     val afterNear = afterExact.join(dropNearDups, Seq("doc_id"), "left_anti")
+      .persist()
     val nNear = afterNear.count()
 
-    // 3. quality filter (pushdown-friendly column predicates)
-    val q = afterNear.filter(
-      col("n_chars").between(50, 20000) &&
-      meanTokenLen(col("text")).between(2.0, 12.0) &&
-      punctRatio(col("text")) <= 0.2)
+    // 3. quality filter — the same predicates as q_quality_score
+    val q = afterNear.filter(qualityOk(col("text"), col("n_chars")))
     val nQuality = q.count()
 
     // 4. enrichment projections (no shuffle)
@@ -91,10 +79,13 @@ object PipelineMain {
     // 5. partitioned write
     enriched.write.mode("overwrite").partitionBy("lang").parquet(outDir)
     val written = spark.read.parquet(outDir).count()
+    afterExact.unpersist(); afterNear.unpersist()
 
+    val outJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(outDir) // paths may contain quotes/backslashes
     println(s"""{"input":$total,"after_exact_dedup":$nExact,""" +
       s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
-      s""""written":$written,"out":"$outDir"}""")
+      s""""written":$written,"out":$outJson}""")
     spark.stop()
   }
 }

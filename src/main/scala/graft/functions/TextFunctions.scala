@@ -110,15 +110,27 @@ object TextFunctions {
           size(toks).cast("double"))
   }
 
+  /** The three quality predicates, shared by the score, the declared
+    * filter queries, and PipelineMain so thresholds can't diverge.
+    */
+  def lenOk(nChars: Column): Column   = nChars.between(50, 20000)
+  def tokOk(text: Column): Column     = meanTokenLen(text).between(2.0, 12.0)
+  def punctOk(text: Column): Column   = punctRatio(text) <= 0.2
+
+  /** All three predicates at once — the pipeline's keep/drop filter. */
+  def qualityOk(text: Column, nChars: Column): Column =
+    lenOk(nChars) && tokOk(text) && punctOk(text)
+
   /** Composite quality score in [0,1]: length band + sane mean token length
     * + low punctuation. Deliberately simple arithmetic so it is
     * oracle-expressible and pushdown-friendly as a filter.
     */
   def qualityScore(text: Column, nChars: Column): Column = {
-    val lenOk   = when(nChars.between(50, 20000), 1.0).otherwise(0.0)
-    val tokOk   = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
-    round((lenOk + tokOk + punctOk) / 3.0, 4)
+    val score =
+      when(lenOk(nChars), 1.0).otherwise(0.0) +
+      when(tokOk(text), 1.0).otherwise(0.0) +
+      when(punctOk(text), 1.0).otherwise(0.0)
+    round(score / 3.0, 4)
   }
 
   /** Character-class profile based language-ID heuristic. Real corpora get

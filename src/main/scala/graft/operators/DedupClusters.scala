@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   * canonical document per component — the step that turns "pairs" into an
   * actual deduplicated corpus.
   *
-  * Algorithm: iterative min-label propagation over the undirected pair
-  * graph (the standard large-graph connected-components formulation on
-  * DataFrames — alternating large-star/small-star style but simplified to
-  * symmetric min-neighbor joins). Each iteration is one shuffle on doc_id;
-  * converges in O(log n) iterations for typical near-dup graphs whose
-  * components are tiny (dup groups), so the loop count is small and bounded
-  * explicitly. No driver-side graph materialization — only the
-  * convergence check (a count of changed labels) touches the driver.
+  * Algorithm: min-label propagation with pointer jumping — each iteration
+  * (a) takes the min over neighbors' labels and (b) shortcuts through the
+  * label graph (label := label of label). The shortcut halves path lengths
+  * each round, so convergence is O(log diameter) rather than O(diameter):
+  * a 1000-doc near-dup chain resolves in ~10 iterations, not 1000. Each
+  * iteration is a bounded number of shuffles on doc_id, lineage is
+  * truncated per round (localCheckpoint) and superseded generations are
+  * unpersisted. Only the convergence counter touches the driver.
   */
 object DedupClusters {
 
@@ -37,28 +37,41 @@ object DedupClusters {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // propagate: each node takes min(own label, neighbors' labels)
+      // (a) propagate: each node takes min(own label, neighbors' labels)
       val neighborLabels = edges
         .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborLabels, Seq("doc_id"), "left_outer")
+      val stepped = labels.join(neighborLabels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // (b) pointer jump: label := label's label (labels only decrease)
+      val next = stepped.alias("s")
+        .join(stepped.select(col("doc_id").as("l2"), col("label").as("ll"))
+          .alias("t"), col("s.label") === col("l2"), "left_outer")
+        .select(col("s.doc_id").as("doc_id"),
+          least(col("s.label"), coalesce(col("ll"), col("s.label"))).as("label"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
+      labels.unpersist() // superseded generation
       labels = next
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** One row per cluster: canonical keeper (min doc_id) + member count. */
+  /** One row per cluster: canonical keeper + member count. The keeper IS
+    * the cluster_id (the component min labels itself) — kept as an
+    * explicit column because that identity is the API contract the
+    * end-to-end spec pins.
+    */
   def keepers(pairs: DataFrame, maxIter: Int = 10): DataFrame =
     components(pairs, maxIter)
       .groupBy(col("cluster_id"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_members"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("cluster_id").as("keeper"), col("n_members"))
       .orderBy(col("cluster_id"))
 }

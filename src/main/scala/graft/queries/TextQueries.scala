@@ -140,32 +140,10 @@ object TextQueries extends QueryModule {
   // scale path: shuffle is on (bandKey) only; O(n·bands) rows.
   private val qDedupMinhash = Q(
     "q_dedup_minhash_lsh",
-    (s, d) => {
-      val numHashes = 32; val bands = 8; val rpb = 4
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
-      val banded = docs
-        .withColumn("sig", minHashSignature(col("sh"), numHashes))
-        .withColumn("bandKey", explode(lshBandKeys(col("sig"), bands, rpb)))
-        .select(col("bandKey"), col("doc_id"))
-      // candidate id pairs first (only ids shuffle through the distinct),
-      // shingle arrays re-attached afterwards for verification
-      val a = banded.select(col("bandKey"), col("doc_id").as("id_a"))
-      val b = banded.select(col("bandKey").as("bk2"), col("doc_id").as("id_b"))
-      val cand = a.join(b, col("bandKey") === col("bk2") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      cand
-        .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-        .withColumn("jaccard",
-          when(col("uni") === 0, 0.0)
-            .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    })
+    (s, d) => graft.operators.NearDup.verifiedPairs(
+        Tables.documents(s, d)
+          .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")))
+      .orderBy(col("id_a"), col("id_b")))
 
   // SimHash near-dup: 64-bit sketch, candidates = equal 16-bit sub-band
   // (4 bands → hamming ≤ 3 guaranteed caught in ≥1 band), verify hamming.

@@ -19,6 +19,17 @@ class DedupClustersSpec extends SparkSpec {
     comp(11L) shouldBe 10L
   }
 
+  test("long chains converge within the default iteration budget (pointer jumping)") {
+    val sp = spark; import sp.implicits._
+    // a 41-node path: min-label-only propagation needs 40 rounds; with
+    // pointer jumping it must finish inside the default maxIter=10
+    val pairs = (1L until 41L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = DedupClusters.components(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    comp.length shouldBe 41
+    comp.foreach { case (_, label) => label shouldBe 1L }
+  }
+
   test("keepers: one canonical doc + member count per cluster") {
     val sp = spark; import sp.implicits._
     val pairs = Seq((5L, 7L), (7L, 9L), (20L, 21L)).toDF("id_a", "id_b")
