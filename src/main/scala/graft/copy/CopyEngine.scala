@@ -71,10 +71,14 @@ final class CopyEngine(
     CopyResult(r.bytes, r.verified)
   }
 
-  private def copyDirectory(conf: Configuration, fs: FileSystem, src: Path,
+  private def copyDirectory(conf: Configuration, fs: FileSystem, src0: Path,
       destPath: String, bw: Option[Int]): CopyResult = {
     import spark.implicits._
     val dstFs = new Path(destPath).getFileSystem(conf)
+    // Qualify the root: listings come back fully qualified, so a relative
+    // source path would never prefix-match and relPaths would silently
+    // nest the dest under the source's absolute path.
+    val src = fs.makeQualified(src0)
 
     // Recursive listing (files + dirs, relative paths). Listing rows are
     // tiny; even a 100 TB tree of 100 MB files is ~10^6 rows. Truly huge
@@ -125,9 +129,10 @@ final class CopyEngine(
   }
 
   /** Streaming DFS over listStatus — files AND directories with paths
-    * relative to `root`.
+    * relative to `root` (qualified first, so relative roots work).
     */
-  def listRecursive(fs: FileSystem, root: Path): Seq[FileMeta] = {
+  def listRecursive(fs: FileSystem, root0: Path): Seq[FileMeta] = {
+    val root = fs.makeQualified(root0)
     val rootUri = root.toUri.getPath
     def rel(p: Path): String = {
       val full = p.toUri.getPath

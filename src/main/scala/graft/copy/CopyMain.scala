@@ -19,9 +19,9 @@ object CopyMain {
   /** JSON string literal (quotes + escapes) for CLI output — paths and
     * error messages may contain quotes/backslashes.
     */
-  private def j(v: String): String =
+  private lazy val mapper =
     com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
-      .writeValueAsString(v)
+  private def j(v: String): String = mapper.writeValueAsString(v)
 
   /** Parse the reference's request JSON. Throws on malformed input. */
   def parseRequest(json: String): CopyRequest = {
@@ -41,7 +41,12 @@ object CopyMain {
       }
       buf.toSeq
     } else null
-    val bw = if (root.hasNonNull("bandwidth")) Some(root.get("bandwidth").asInt()) else None
+    val bw = if (root.hasNonNull("bandwidth")) {
+      val n = root.get("bandwidth")
+      if (!n.isIntegralNumber)
+        throw new IllegalArgumentException("bandwidth must be an integer")
+      Some(n.asInt())
+    } else None
     CopyRequest(ns, items, bw)
   }
 
@@ -55,9 +60,14 @@ object CopyMain {
         try Right(parseRequest(java.nio.file.Files.readString(
           java.nio.file.Paths.get(args(1)))))
         catch { case _: Exception => Left("Invalid request body") }
-      } else Right(CopyRequest("default",
-        Seq(CopyItem(args(0), args(1))),
-        if (args.length > 2) Some(args(2).toInt) else None))
+      } else {
+        val bw = if (args.length > 2) args(2).toIntOption else None
+        if (args.length > 2 && bw.isEmpty) {
+          System.err.println("usage: CopyMain <src> <dest> [bandwidthMbPerSec] | --request <file.json>")
+          sys.exit(2)
+        }
+        Right(CopyRequest("default", Seq(CopyItem(args(0), args(1))), bw))
+      }
     request match {
       case Left(err) =>
         println(s"""{"error":"$err"}""")

@@ -26,15 +26,21 @@ object StructuredCopy {
       srcDigest: String, dstDigest: String)
 
   def read(spark: SparkSession, path: String, format: String,
-      options: Map[String, String]): DataFrame =
-    spark.read.format(format).options(options).load(path)
+      options: Map[String, String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schema.fold(r)(r.schema).load(path)
+  }
 
   /** Run the copy; digest both sides over all columns of the TRANSFORMED
-    * schema, so the check covers exactly what was written.
+    * schema, so the check covers exactly what was written. The source is
+    * persisted for the duration (it is scanned by the write AND the digest
+    * — without persist that is two full source reads).
     */
   def run(spark: SparkSession, spec: Spec): Result = {
     import org.apache.spark.sql.functions._
     val src = spec.transform(read(spark, spec.srcPath, spec.srcFormat, spec.options))
+      .persist()
     val writer = src.write.format(spec.dstFormat).mode("overwrite")
       .options(spec.options)
     (if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*)
@@ -50,9 +56,14 @@ object StructuredCopy {
       canonical.agg(graft.functions.TableDigest.digest(col("row")))
         .collect()(0).getString(0)
     }
-    val back = read(spark, spec.dstPath, spec.dstFormat, spec.options)
+    // verify-read uses the written schema: partition-column type inference
+    // from directory names could otherwise re-type values (e.g. "007" → 7)
+    // and flag a false digest mismatch on a correct copy
+    val back = read(spark, spec.dstPath, spec.dstFormat, spec.options,
+      schema = Some(src.schema))
     val srcD = digestOf(src)
     val dstD = digestOf(back)
+    src.unpersist()
     // row count is the digest's trailing component - no extra dest scan
     Result(dstD.split("-").last.toLong, srcD == dstD, srcD, dstD)
   }

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.streaming.StreamMain <eventsDir> <outDir>"
   *
-  * Prints one line per micro-batch and a final row count.
+  * Prints one line per micro-batch and a final row count. Append-mode
+  * watermark semantics on a finite replay: windows newer than
+  * (max event time - watermark delay) are still open when input ends and
+  * are correctly withheld from the sink — the sink row count reflects
+  * CLOSED windows only (the streaming contract, not data loss).
   */
 object StreamMain {
   def main(args: Array[String]): Unit = {

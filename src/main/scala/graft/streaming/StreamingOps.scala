@@ -53,7 +53,10 @@ object StreamingOps {
     */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
       dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left_outer")
+    // side-qualified columns: with unqualified col(...) the join condition
+    // is ambiguous whenever both sides share the key name
+    events.join(broadcast(dim),
+      events.col(eventKey) === dim.col(dimKey), "left_outer")
 
   // --- arbitrary stateful processing: the reference's task-status fold as
   // --- a stream (A14-as-stream, SURVEY.md §2 Part A #A14)
@@ -81,6 +84,15 @@ object StreamingOps {
     * continuous empty micro-batches — that's how processing-time timers
     * fire); timeoutMs ≤ 0 disables timers. State is dropped either way,
     * so it stays O(in-flight tasks).
+    *
+    * Contract: item updates are assumed effectively-once per (requestId,
+    * itemIdx) — put dedupWithinWatermark upstream for at-least-once
+    * sources (a redelivery after the task folded would re-create state
+    * and could emit a second, contradictory status). Tasks with more than
+    * 64 items are rejected with an immediate FAILED("item count exceeds
+    * streaming fold bound") row (the bitmask state covers 64 items; the
+    * batch fold in CopyTaskService has no such bound) — silent index
+    * aliasing would misreport such tasks instead.
     */
   def taskStatusStream(updates: Dataset[ItemUpdate],
       timeoutMs: Long = 60000): Dataset[TaskStatus] = {
@@ -98,26 +110,40 @@ object StreamingOps {
           if (state.hasTimedOut) {
             val p = state.get
             state.remove()
-            Iterator.single(fold(requestId, p, timedOut = true))
+            if (p.nItems == -1) Iterator.empty // oversized tombstone expiring
+            else Iterator.single(fold(requestId, p, timedOut = true))
           } else {
             var p = state.getOption.getOrElse(TaskProgress(0, 0L, 0L))
-            rows.foreach { u =>
-              val bit = 1L << (u.itemIdx & 63)
-              p = p.copy(
-                nItems = math.max(p.nItems, u.nItems),
-                completedMask =
-                  if (u.status == "COMPLETED") p.completedMask | bit else p.completedMask,
-                failedMask =
-                  if (u.status == "FAILED") p.failedMask | bit else p.failedMask)
-            }
-            if (p.nItems > 0 &&
-                java.lang.Long.bitCount(p.completedMask | p.failedMask) >= p.nItems) {
-              state.remove()
-              Iterator.single(fold(requestId, p, timedOut = false))
-            } else {
-              state.update(p)
-              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            if (p.nItems == -1) {
+              // tombstone: task already rejected as oversized; swallow
+              // further updates without re-emitting
               Iterator.empty
+            } else {
+              var oversized = false
+              rows.foreach { u =>
+                if (u.nItems > 64 || u.itemIdx >= 64 || u.itemIdx < 0) oversized = true
+                val bit = 1L << (u.itemIdx & 63)
+                p = p.copy(
+                  nItems = math.max(p.nItems, u.nItems),
+                  completedMask =
+                    if (u.status == "COMPLETED") p.completedMask | bit else p.completedMask,
+                  failedMask =
+                    if (u.status == "FAILED") p.failedMask | bit else p.failedMask)
+              }
+              if (oversized) {
+                // reject explicitly instead of silently aliasing bit 64+
+                state.update(TaskProgress(-1, 0L, 0L))
+                if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+                Iterator.single(TaskStatus(requestId, 0, 0, p.nItems, "FAILED"))
+              } else if (p.nItems > 0 &&
+                  java.lang.Long.bitCount(p.completedMask | p.failedMask) >= p.nItems) {
+                state.remove()
+                Iterator.single(fold(requestId, p, timedOut = false))
+              } else {
+                state.update(p)
+                if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+                Iterator.empty
+              }
             }
           }
       }

@@ -116,6 +116,24 @@ class CopyEngineSpec extends SparkSpec {
     Files.size(dst) shouldBe payload.length + 1
   }
 
+  test("relative source directory mirrors correctly (qualified listing)") {
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath
+    val srcRel = java.nio.file.Files.createTempDirectory(cwd, "relsrc")
+    try {
+      val payload = bytes(500)
+      write(srcRel, "sub/x.bin", payload)
+      val rel = cwd.relativize(srcRel).toString
+      val dst = tmpDir("dst").resolve("mirror")
+      val r = engine.copyPath(conf, rel, dst.toString, None)
+      r.bytesCopied shouldBe payload.length
+      Files.readAllBytes(dst.resolve("sub/x.bin")) shouldBe payload
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(srcRel).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("directory with one bad file fails the whole item") {
     val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
     write(srcDir, "root/ok.bin", bytes(100))

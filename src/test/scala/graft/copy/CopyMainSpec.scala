@@ -28,6 +28,13 @@ class CopyMainSpec extends AnyFunSuite with Matchers {
     req2.namespace shouldBe null // service rejects with "namespace is required"
   }
 
+  test("non-integral bandwidth is a malformed body, not a silent zero") {
+    an[Exception] should be thrownBy CopyMain.parseRequest(
+      """{"namespace":"x","items":[{"hdfsPath":"/a","localPath":"/b"}],"bandwidth":"fast"}""")
+    an[Exception] should be thrownBy CopyMain.parseRequest(
+      """{"namespace":"x","items":[{"hdfsPath":"/a","localPath":"/b"}],"bandwidth":0.9}""")
+  }
+
   test("malformed JSON throws (CLI maps it to Invalid request body)") {
     an[Exception] should be thrownBy CopyMain.parseRequest("{not json")
     an[Exception] should be thrownBy CopyMain.parseRequest("[1,2]")

@@ -181,6 +181,23 @@ class StreamingSpec extends SparkSpec {
       Seq(("a", 2L), ("b", 1L))
   }
 
+  test("tasks beyond the 64-item fold bound are rejected explicitly, not aliased") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ItemUpdate]
+    val out = taskStatusStream(input.toDS(), timeoutMs = 0)
+    val q = out.toDF().writeStream.format("memory").queryName("oversized")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(ItemUpdate("big", 0, 65, "COMPLETED"))
+    q.processAllAvailable()
+    input.addData(ItemUpdate("big", 1, 65, "COMPLETED")) // tombstoned: no re-emit
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT requestId, status FROM oversized").collect()
+    rows.length shouldBe 1
+    rows(0).getString(1) shouldBe "FAILED"
+  }
+
   test("foreachBatch writes the task-status ledger to parquet") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
