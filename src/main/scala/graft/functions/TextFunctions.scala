@@ -49,13 +49,19 @@ object TextFunctions {
   /** LSH band keys from a MinHash signature: `bands` values, each hashing
     * `rowsPerBand` consecutive signature slots. Near-dup candidates = docs
     * sharing any band key (banding theorem: P[candidate] = 1-(1-s^r)^b).
+    * The signature must have ≥ bands×rowsPerBand slots — a short signature
+    * would make out-of-range bands slice empty arrays, giving EVERY doc an
+    * identical band key and an accidental all-pairs O(n²) join; callers
+    * that know the signature length must validate (NearDup does).
     */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
     array((0 until bands).map { b =>
       xxhash64(lit(b), concat_ws(",",
         transform(slice(signature, b * rowsPerBand + 1, rowsPerBand),
           x => x.cast("string"))))
     }: _*)
+  }
 
   /** 64-bit SimHash over whitespace tokens (Charikar '02): per bit, sum +1
     * for tokens whose 64-bit hash has the bit set, -1 otherwise; bit set

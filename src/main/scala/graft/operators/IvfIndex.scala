@@ -75,12 +75,18 @@ object IvfIndex {
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qv"), col("qn2"), col("cell"))
 
-    val scored = probes
-      .join(indexed.select(col("cell").as("icell"), col("vec_id").as("nid"),
-          col("embedding").as("nv"), col("n2").as("nn2")),
-        col("cell") === col("icell") && col("qid") =!= col("nid"))
+    // candidate ids first, vectors re-attached after the distinct (same
+    // payload-free-shuffle rationale as the LSH query)
+    val pairIds = probes.select(col("qid"), col("cell"))
+      .join(indexed.select(col("cell").as("icell"), col("vec_id").as("nid")),
+        col("cell") === col("icell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val scored = pairIds
+      .join(broadcast(queriesDf), "qid")
+      .join(indexed.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("n2").as("nn2")), "nid")
       .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
-      .select(col("qid"), col("nid"), col("cos")).distinct()
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))

@@ -27,6 +27,10 @@ object NearDup {
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
       threshold: Double = DefaultThreshold): DataFrame = {
+    require(numHashes >= bands * rowsPerBand,
+      s"signature too short: numHashes=$numHashes < bands*rowsPerBand=" +
+        s"${bands * rowsPerBand} (out-of-range bands would give every doc " +
+        "an identical key → accidental all-pairs join)")
     val banded = docs
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
       .withColumn("bandKey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))

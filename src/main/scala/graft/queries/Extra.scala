@@ -88,9 +88,12 @@ object Extra extends QueryModule {
   private val qCsvRoundtrip = Q(
     "q_csv_roundtrip",
     (s, d) => {
-      // fixed per-fixture path (overwrite mode) — a fresh temp dir per
-      // invocation would leak a full CSV extract on every Bench/Verify run
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csvrt_${d.hashCode.abs}/li"
+      // per-JVM fixed path (overwrite mode): a fresh temp dir per
+      // invocation would leak a CSV extract per run, and a purely
+      // fixture-keyed path would let two concurrent JVMs (Bench + Verify)
+      // race overwrite-vs-read on the same directory
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csvrt_" +
+        s"${d.hashCode.abs}_${ProcessHandle.current().pid()}/li"
       val src = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       src.write.mode("overwrite").option("header", "true").csv(tmp)

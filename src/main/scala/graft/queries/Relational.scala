@@ -8,8 +8,10 @@ import graft.Tables
   * aggregation (SURVEY.md §2 Part B). Every query here has a DuckDB oracle.
   *
   * Scale notes (100 TB posture):
-  *  - dimension joins (region/nation/supplier/customer at TPC-H ratios) are
-  *    explicitly `broadcast()` so no shuffle of the fact side happens;
+  *  - only FIXED-size dimensions (region=5, nation=25 rows at every SF) are
+  *    explicitly `broadcast()`; scale-proportional sides (customer,
+  *    supplier) are left to AQE, which broadcasts them while they fit and
+  *    falls back to shuffle joins when they don't;
   *  - fact-fact joins use plain equi-joins → sort-merge with AQE skew
   *    handling, never driver-side collection;
   *  - aggregates are groupBy().agg(...) → partial (map-side) + final hash
@@ -105,7 +107,8 @@ object Relational extends QueryModule {
   private val qJoinInner = Q(
     "q_join_inner",
     (s, d) => Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"), "inner")
+      // customer is scale-proportional: no broadcast hint, AQE decides
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("c_mktsegment")),
@@ -211,7 +214,7 @@ object Relational extends QueryModule {
   private val q3 = Q(
     "q3_shipping_priority",
     (s, d) => {
-      val cust = broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") < lit("1999-03-15").cast("timestamp"))
       val li = Tables.lineitem(s, d)
@@ -238,7 +241,7 @@ object Relational extends QueryModule {
     (s, d) => {
       val region = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
       val nation = broadcast(Tables.nation(s, d))
-      val supplier = broadcast(Tables.supplier(s, d))
+      val supplier = Tables.supplier(s, d) // scale-proportional: AQE decides
       val cust = Tables.customer(s, d)
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -281,7 +284,7 @@ object Relational extends QueryModule {
     (s, d) => Tables.lineitem(s, d)
       .filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -304,7 +307,7 @@ object Relational extends QueryModule {
         .filter(col("sum_qty") > 150)
       Tables.orders(s, d)
         .join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"),
           round(col("sum_qty"), 2).as("sum_qty"))

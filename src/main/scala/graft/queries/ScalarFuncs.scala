@@ -226,14 +226,18 @@ object ScalarFuncs extends QueryModule {
         col("o_orderkey"),
         (col("o_orderkey") % 5000).as("ms"),
         when((col("o_orderkey") % 5000) <= 0 || col("o_totalprice") <= 0, "N/A")
+          // round(...,2) BEFORE formatting: Java "%.2f" rounds ties HALF_UP
+          // while DuckDB printf rounds half-even — a dyadic speed value
+          // landing exactly on a thousandths tie would format differently.
+          // A pre-rounded 2-decimal double can't sit on a format-time tie.
           .otherwise(format_string("%.2f MB/s",
-            col("o_totalprice") / lit(1048576.0) / ((col("o_orderkey") % 5000) / lit(1000.0))))
+            round(col("o_totalprice") / lit(1048576.0) / ((col("o_orderkey") % 5000) / lit(1000.0)), 2)))
           .as("speed"))
       .orderBy(col("o_orderkey")),
     Some("""SELECT o_orderkey, o_orderkey % 5000 AS ms,
              CASE WHEN o_orderkey % 5000 <= 0 OR o_totalprice <= 0 THEN 'N/A'
                   ELSE printf('%.2f MB/s',
-                    o_totalprice / 1048576.0 / ((o_orderkey % 5000) / 1000.0))
+                    round(o_totalprice / 1048576.0 / ((o_orderkey % 5000) / 1000.0), 2))
              END AS speed
            FROM orders ORDER BY o_orderkey"""))
 

@@ -130,7 +130,7 @@ object TextQueries extends QueryModule {
         .withColumn("jaccard",
           when(col("uni") === 0, 0.0)
             .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
-        .filter(col("jaccard") >= 0.8)
+        .filter(col("jaccard") >= graft.operators.NearDup.DefaultThreshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     })

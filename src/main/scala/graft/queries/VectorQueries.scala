@@ -87,16 +87,23 @@ object VectorQueries extends QueryModule {
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
         .withColumn("buckets", array(seeds.map(sd =>
           lshBucket(col("embedding"), 4, sd)): _*))
-      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-          col("n2").as("nn2"), posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+      // candidate pairs carry only ids through the multi-table distinct;
+      // vectors re-attach afterwards (distinct over 64-float arrays would
+      // shuffle ~512 B of payload per duplicate collision)
+      val cand = e.select(col("vec_id").as("nid"),
+          posexplode(col("buckets")).as(Seq("tbl", "bkt")))
       val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("n2").as("qn2"), posexplode(col("buckets")).as(Seq("qtbl", "qbkt")))
-      val scored = broadcast(queries)
+        .select(col("vec_id").as("qid"),
+          posexplode(col("buckets")).as(Seq("qtbl", "qbkt")))
+      val pairIds = broadcast(queries)
         .join(cand, col("qtbl") === col("tbl") && col("qbkt") === col("bkt") &&
           col("qid") =!= col("nid"))
-        .select(col("qid"), col("qv"), col("qn2"), col("nid"), col("nv"), col("nn2"))
-        .distinct()
+        .select(col("qid"), col("nid")).distinct()
+      val scored = pairIds
+        .join(broadcast(e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("n2").as("qn2"))), "qid")
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("n2").as("nn2")), "nid")
         .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
       scored
@@ -127,8 +134,9 @@ object VectorQueries extends QueryModule {
   private val qCentroids = Q(
     "q_vector_centroids",
     (s, d) => Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "el")))
-      .filter(col("pos") < 4)
+      // slice BEFORE the generator: a post-explode filter would fan every
+      // row out to 64 elements and discard 60
+      .select(col("label"), posexplode(slice(col("embedding"), 1, 4)).as(Seq("pos", "el")))
       .groupBy(col("label"), col("pos"))
       .agg(
         round(avg(col("el").cast("double")), 4).as("centroid"),
