@@ -30,6 +30,24 @@ object EventQueries extends QueryModule {
            GROUP BY time_bucket(INTERVAL 10 MINUTE, ts), event_type
            ORDER BY w_start, event_type"""))
 
+  // Sliding windows as batch (10-minute windows sliding by 5): each event
+  // lands in two windows. DuckDB emulates the slide with two time_bucket
+  // origins UNIONed (offset 0 and -5 minutes).
+  private val qSliding = Q(
+    "q_window_sliding",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+      .orderBy(col("w_start")),
+    Some("""SELECT w_start, count(*) AS n FROM (
+             SELECT CAST(time_bucket(INTERVAL 10 MINUTE, ts) AS TIMESTAMP) AS w_start
+             FROM events
+             UNION ALL
+             SELECT CAST(time_bucket(INTERVAL 10 MINUTE, ts, INTERVAL 5 MINUTE) AS TIMESTAMP) AS w_start
+             FROM events) t
+           GROUP BY w_start ORDER BY w_start"""))
+
   private val qHourly = Q(
     "q_window_hourly_users",
     (s, d) => Tables.events(s, d)
@@ -149,5 +167,5 @@ object EventQueries extends QueryModule {
            WHERE rn = 1 ORDER BY user_id, event_type"""))
 
   override def queries: Seq[Q] = Seq(
-    qTumbling, qHourly, qAsOf, qSessionize, qEnrich, qDedupFirst)
+    qTumbling, qSliding, qHourly, qAsOf, qSessionize, qEnrich, qDedupFirst)
 }

@@ -79,6 +79,28 @@ object WindowSetOps extends QueryModule {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
            FROM orders ORDER BY o_orderkey"""))
 
+  // last_value with the full-partition frame (the default running frame
+  // makes last_value degenerate to the current row).
+  private val qWinLastValue = Q(
+    "q_win_last_value",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        last(col("o_orderdate")).over(
+          wCustByDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("latest_date"),
+        round(max(col("o_totalprice")).over(
+          wCustByDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 2)
+          .as("max_price"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey,
+             last_value(o_orderdate) OVER w AS latest_date,
+             round(max(o_totalprice) OVER w, 2) AS max_price
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           ORDER BY o_orderkey"""))
+
   // RANGE frame: value-based window (all orders within 10k price below the
   // current row's price, per status) — frame membership depends on values,
   // not row positions, so ties get identical results on both engines.
@@ -203,7 +225,8 @@ object WindowSetOps extends QueryModule {
            ORDER BY o_custkey"""))
 
   override def queries: Seq[Q] = Seq(
-    qWinRank, qWinNtile, qWinLagLead, qWinFrame, qWinRangeFrame, qWinTopK,
+    qWinRank, qWinNtile, qWinLagLead, qWinLastValue, qWinFrame,
+    qWinRangeFrame, qWinTopK,
     qSortMulti, qLimitTopK,
     qUnionAll, qUnionDistinct, qIntersect, qExcept)
 }
