@@ -22,14 +22,19 @@ object Tables {
     // raw Long (spark.sql.legacy.parquet.nanosAsLong — set in every session
     // we build). Normalize to TimestampType (µs, floor) right at the scan
     // so the whole engine sees one timestamp type.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (name == "events") normalizeNanosTs(df) else df
+  }
+
+  /** ns-Long `ts` → TimestampType (µs, floor). Shared by batch scans and
+    * the streaming replay path so both bucket identically pre-epoch.
+    */
+  def normalizeNanosTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // floor division via pmod (plain `div` truncates toward zero, which
       // would round pre-epoch timestamps the wrong way)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
     else df
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -122,6 +122,11 @@ final class CopyEngine(
 
     // O(#files) small rows back to the driver — payload bytes never move
     // through it.
+    // Parity note: the reference copies files sequentially and aborts the
+    // item at the FIRST failed/mismatched file, leaving later files
+    // uncopied; here all file tasks run to completion before the first
+    // error is thrown, so on-disk side effects diverge (extra files at the
+    // destination) even though the reported item status matches.
     val collected = results.collect()
     collected.find(_.error != null).foreach(r => throw new IOException(r.error))
     CopyResult(collected.map(_.bytes).sum,

@@ -31,6 +31,16 @@ object VectorFunctions {
 
   def normSq(a: Column): Column = dot(a, a)
 
+  /** Map-side nearest-centroid argmin over a driver-collected matrix
+    * (graft.plans.NearestCell) — zero-shuffle IVF cell assignment.
+    */
+  def nearestCell(vec: Column, cells: Array[Int],
+      cvecs: Array[Array[Float]], cn2s: Array[Double]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.NearestCell(
+      ColumnBridge.expression(vec), cells, cvecs, cn2s))
+  }
+
   def norm(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */

@@ -36,6 +36,12 @@ object AsOfJoin {
     require(right.schema(rightTime).dataType == timeType,
       s"as-of time columns must share one type, got $timeType vs " +
         right.schema(rightTime).dataType)
+    // Same for keys — an int-vs-long mismatch would otherwise surface as an
+    // opaque unionByName failure on the internal __key column.
+    val keyType = left.schema(leftKey).dataType
+    require(right.schema(rightKey).dataType == keyType,
+      s"as-of key columns must share one type, got $keyType vs " +
+        right.schema(rightKey).dataType)
     val payload = struct(left.columns.toIndexedSeq.map(col): _*)
 
     val l2 = left.select(

@@ -60,6 +60,11 @@ object DedupClusters {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"DedupClusters.components did not converge after $maxIter iterations; " +
+          "cluster labels may be split — raise maxIter (rounds needed is " +
+          "O(log diameter) under pointer jumping)")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -22,15 +22,22 @@ object IvfIndex {
 
   /** Assign each vector to its nearest centroid cell.
     * Returns (vec_id, embedding, n2, cell).
+    *
+    * The centroid table is tiny (k × dim) by construction, so it is
+    * collected once (O(k·dim) driver bytes) and shipped inside a native
+    * argmin expression — the corpus is assigned entirely map-side with NO
+    * exchange. The previous formulation (cross join + per-vector window)
+    * shuffled all n·k candidate rows, which at 100 TB with k ≈ √n is
+    * n·√n rows through the wire.
     */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cell"))
+    val rows = centroids.select(col("cell"), col("cvec"), col("cn2"))
+      .collect().sortBy(_.getInt(0))
+    val cells = rows.map(_.getInt(0))
+    val cvecs = rows.map(_.getSeq[Float](1).toArray)
+    val cn2s  = rows.map(_.getDouble(2))
     vectors
-      .join(broadcast(centroids), lit(true))
-      .withColumn("dist",
-        col("n2") + col("cn2") - lit(2.0) * dot(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .withColumn("cell", nearestCell(col("embedding"), cells, cvecs, cn2s))
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
   }
 

@@ -246,3 +246,71 @@ case class WordShingles(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
 }
+
+/** Map-side IVF cell assignment: argmin of squared L2 distance over a
+  * small driver-collected centroid matrix (`cells(i)`, `cvecs(i)`,
+  * `cn2s(i) = |c_i|²`). The row's own |v|² is constant across cells, so
+  * ranking by `cn2 − 2·dot(v, c)` is equivalent and cheaper. Ties break
+  * toward the lowest cell id (matching the previous window formulation's
+  * ORDER BY dist, cell).
+  *
+  * This keeps corpus→cell assignment entirely shuffle-free: the
+  * alternative (cross join against the centroid table + per-vector window
+  * or groupBy argmin) moves n·k or n rows through an exchange — the named
+  * scale-killer at 100 TB. The matrix rides inside the serialized
+  * expression (k × dim floats, a few hundred KB at most), the same way a
+  * broadcast literal would.
+  *
+  * CodegenFallback for the same reason as [[SimHash64]]: the cost IS the
+  * internal k×dim loop, executed once per row.
+  */
+case class NearestCell(
+    child: Expression,
+    cells: Array[Int],
+    cvecs: Array[Array[Float]],
+    cn2s: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) if cells.nonEmpty =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float> and a non-empty centroid set, got ${t.simpleString}")
+    }
+
+  // Dimension mismatch with every centroid, or a null element → NULL (the
+  // row is unassignable), mirroring FloatVecDot's corrupt-input posture.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var best = -1
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < cvecs.length) {
+      val cv = cvecs(c)
+      if (cv.length == dim) {
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          if (v.isNullAt(i)) return null
+          dot += v.getFloat(i).toDouble * cv(i).toDouble
+          i += 1
+        }
+        val d = cn2s(c) - 2.0 * dot
+        if (d < bestDist) { bestDist = d; best = c }
+      }
+      c += 1
+    }
+    if (best < 0) null else cells(best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCell =
+    copy(child = c)
+}

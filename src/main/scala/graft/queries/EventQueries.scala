@@ -125,8 +125,8 @@ object EventQueries extends QueryModule {
              WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
            g2 AS (
              SELECT user_id, tss,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
              FROM g1)
            SELECT user_id, sess_id, count(*) AS n_events, min(tss) AS sess_start
            FROM g2 GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))

@@ -128,6 +128,22 @@ object Relational extends QueryModule {
            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
            GROUP BY c_custkey ORDER BY c_custkey"""))
 
+  // Right outer — the mirror of q_join_left with probe/preserved sides
+  // swapped: every customer survives, order columns null where unmatched.
+  private val qJoinRight = Q(
+    "q_join_right",
+    (s, d) => Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_spend"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             round(sum(coalesce(o_totalprice, 0)), 2) AS total_spend
+           FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_custkey ORDER BY c_custkey"""))
+
   private val qJoinFull = Q(
     "q_join_full",
     (s, d) => {
@@ -401,8 +417,8 @@ object Relational extends QueryModule {
           .otherwise("MIXED"))
       .orderBy(col("o_custkey")),
     Some("""SELECT o_custkey,
-             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
              CASE WHEN sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 0 THEN 'ALL_OPEN'
                   WHEN sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) = 0 THEN 'ALL_FINISHED'
                   ELSE 'MIXED' END AS status
@@ -469,7 +485,7 @@ object Relational extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qScanAgg, q1, qProject, qFilter, qFilterLike, qNullSafe,
-    qJoinInner, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
+    qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinCross, q3, q5, q6, q10, q18,
     qDistinct, qApproxDistinct, qRollup, qCube, qCondAgg, qBoolAgg, qStats,
     qSubqueryScalar, qSubqueryExists)

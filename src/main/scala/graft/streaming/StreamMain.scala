@@ -40,10 +40,7 @@ object StreamMain {
       .schema(schema)
       .option("maxFilesPerTrigger", "1") // throttled ingest (A7 analog)
       .parquet(eventsDir)
-    val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val events = graft.Tables.normalizeNanosTs(raw)
 
     val windowed = StreamingOps.windowedCounts(events, "10 minutes", "10 minutes")
 

@@ -60,6 +60,21 @@ class PlanSpec extends SparkSpec {
     p should include("*(1)")
   }
 
+  test("IVF cell assignment is map-side: no exchange, no join in the plan") {
+    // The n·k candidate set must never shuffle (SCALE.md: "the corpus
+    // never shuffles" during assignment) — NearestCell computes the
+    // argmin per row over the driver-collected centroid matrix.
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", graft.functions.VectorFunctions.normSq(col("embedding")))
+    val cents = graft.operators.IvfIndex.centroids(spark, vecs, 8)
+    val p = planOf(graft.operators.IvfIndex.assign(vecs, cents))
+    p should not include "Exchange"
+    p should not include "Join"
+    p should not include "Window"
+    p should include("nearest_cell")
+  }
+
   test("as-of join plans a single shuffle (no pairwise join)") {
     val p = planOf(graft.SparkEntry.queries("q_join_asof")(spark, sfDir))
     p should not include "CartesianProduct"
