@@ -19,6 +19,13 @@ object VectorQueries extends QueryModule {
   // Cosine near-duplicate pairs above 0.45 (the fixture's synthetic
   // vectors max out near 0.51 — a 0.95 threshold would be vacuous).
   // DuckDB oracle uses list_cosine_similarity over DOUBLE[] casts.
+  //
+  // SCOPE: this is the EXACT oracle-baseline twin — deliberately all-pairs
+  // (O(n²), BroadcastNestedLoopJoin) so DuckDB can replay it verbatim, and
+  // only ever run at oracle scale. The production operator at corpus scale
+  // is q_dedup_embedding_lsh below: identical filter, candidates routed
+  // through hyperplane LSH buckets (shuffle ∝ data, not data²),
+  // recall-pinned against this baseline by spec.
   private val qCosineNearDup = Q(
     "q_dedup_embedding_cosine",
     (s, d) => {
@@ -40,6 +47,43 @@ object VectorQueries extends QueryModule {
            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])) > 0.45
            ORDER BY id_a, id_b"""))
+
+  // LSH-routed embedding near-dup (the 100 TB path for the query above):
+  // every vector lands in 8 × 4-bit hyperplane buckets; candidate pairs
+  // are bucket-equi-join collisions (ids only through the distinct), then
+  // exact cosine verification via the codegen'd FloatVecDot re-attach.
+  // No oracle (bucket membership is engine-defined); recall vs the exact
+  // baseline is pinned by spec.
+  private val qEmbeddingLsh = Q(
+    "q_dedup_embedding_lsh",
+    (s, d) => {
+      val seeds = Seq(1, 2, 3, 4, 5, 6, 7, 8)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+        .withColumn("buckets", array(seeds.map(sd =>
+          lshBucket(col("embedding"), 4, sd)): _*))
+      val binned = e.select(col("vec_id"),
+        posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+      val aSide = binned.select(col("vec_id").as("id_a"), col("tbl"), col("bkt"))
+      val bSide = binned.select(col("vec_id").as("id_b"),
+        col("tbl").as("tbl_b"), col("bkt").as("bkt_b"))
+      // equi keys (tbl, bkt) carry the join; id_a < id_b is a post-filter
+      // on the hash join, never a nested-loop condition
+      val pairIds = aSide.join(bSide,
+          col("tbl") === col("tbl_b") && col("bkt") === col("bkt_b") &&
+            col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val va = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+        col("n2").as("n2_a"))
+      val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+        col("n2").as("n2_b"))
+      pairIds.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos",
+          dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+        .filter(col("cos") > 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
 
   // Brute-force cosine top-k for a small query set (vec_id < 10): the exact
   // baseline every ANN variant is measured against.
@@ -152,5 +196,5 @@ object VectorQueries extends QueryModule {
            GROUP BY label, i ORDER BY label, pos"""))
 
   override def queries: Seq[Q] = Seq(
-    qCosineNearDup, qBruteTopK, qAnnLsh, qIvf, qCentroids)
+    qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qCentroids)
 }

@@ -32,13 +32,49 @@ object WindowSetOps extends QueryModule {
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
            ORDER BY o_orderkey"""))
 
+  /** Global ntile WITHOUT the single-partition window (`ntile(k) OVER
+    * (ORDER BY …)` moves the whole table through one task — the named
+    * scale-killer). Exact two-pass distributed ranking instead:
+    *
+    *   pass 1: bin rows by floor(price); per-bin counts → cumulative
+    *           offsets (a window over #bins rows — thousands, not n —
+    *           which is the legitimate "small result" global pass);
+    *   pass 2: row_number within each bin (partitioned window, bounded
+    *           state) + broadcast offset = exact global rank, then the
+    *           closed-form ntile bucket: the first n%k buckets get
+    *           ⌈n/k⌉ rows, the rest ⌊n/k⌋ — identical output to ntile().
+    */
   private val qWinNtile = Q(
     "q_win_ntile",
-    (s, d) => Tables.orders(s, d)
-      .select(
-        col("o_orderkey"),
-        ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
-      .orderBy(col("o_orderkey")),
+    (s, d) => {
+      val k = 4
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("bin", floor(col("o_totalprice")).cast("long"))
+      val binCounts = o.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      val wBins = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = binCounts
+        .withColumn("off", coalesce(sum(col("cnt")).over(wBins), lit(0L)))
+        .select(col("bin"), col("off"))
+      val total = binCounts.agg(sum(col("cnt")).as("n"))
+      val wInBin = Window.partitionBy(col("bin"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      o.withColumn("lrn", row_number().over(wInBin))
+        .join(broadcast(offsets), "bin")
+        .crossJoin(broadcast(total))
+        .withColumn("rn", col("off") + col("lrn"))
+        // q = ⌊n/k⌋, r = n mod k; rank ≤ (q+1)·r ⇒ bucket ⌈rn/(q+1)⌉,
+        // else r + ⌈(rn − (q+1)·r)/q⌉ — integer ceil via (x−1) div m + 1.
+        .withColumn("q", expr(s"n div $k"))
+        .withColumn("r", expr(s"n % $k"))
+        .withColumn("quartile",
+          when(col("rn") <= (col("q") + 1) * col("r"),
+            expr("(rn - 1) div (q + 1) + 1"))
+            .otherwise(expr("r + (rn - (q + 1) * r - 1) div q + 1"))
+            .cast("int"))
+        .select(col("o_orderkey"), col("quartile"))
+        .orderBy(col("o_orderkey"))
+    },
     Some("""SELECT o_orderkey,
              ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
            FROM orders ORDER BY o_orderkey"""))

@@ -75,6 +75,15 @@ class PlanSpec extends SparkSpec {
     p should include("nearest_cell")
   }
 
+  test("global ntile avoids the single-partition window") {
+    // q_win_ntile is two-pass distributed ranking: the only per-row window
+    // is partitioned by bin; the global cumulative pass runs over #bins
+    // rows, not n. No ntile() (single-task global window) in the plan.
+    val p = planOf(graft.SparkEntry.queries("q_win_ntile")(spark, sfDir))
+    p should not include "ntile("
+    p should include("windowspecdefinition(bin")
+  }
+
   test("as-of join plans a single shuffle (no pairwise join)") {
     val p = planOf(graft.SparkEntry.queries("q_join_asof")(spark, sfDir))
     p should not include "CartesianProduct"

@@ -48,6 +48,23 @@ class TextVectorSpec extends SparkSpec {
                             // synthetic vectors; raise with more tables
   }
 
+  test("embedding LSH near-dup: recall vs exact baseline, no nested-loop join") {
+    val exact = graft.SparkEntry.queries("q_dedup_embedding_cosine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshQ = graft.SparkEntry.queries("q_dedup_embedding_lsh")(spark, sfDir)
+    // the scale path must never plan an all-pairs join
+    val plan = lshQ.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    val lsh = lshQ.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty
+    // every LSH-surfaced pair is exact-verified, so zero false positives
+    lsh.diff(exact) shouldBe empty
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    recall should be >= 0.4 // near-uniform synthetic vectors are LSH's
+                            // worst case (cf. q_sim_topk_ann_lsh note)
+  }
+
   test("IVF top-k achieves usable recall vs brute force on the fixture") {
     val brute = graft.SparkEntry.queries("q_sim_topk_brute")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
