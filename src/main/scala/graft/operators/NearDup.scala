@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -44,6 +45,61 @@ object NearDup {
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0)
+          .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard set-similarity self-join via a PREFIX-FILTERED
+    * shingle inverted index (the SSJoin/AllPairs/PPJoin kernel — public
+    * literature). Each doc indexes only its p = ⌈(1−τ)·n⌉ + 1 rarest
+    * shingles under one global canonical order (ascending document
+    * frequency, ties by shingle value); any pair with Jaccard ≥ τ is
+    * guaranteed a collision inside both prefixes, while a stop-shingle
+    * shared by f docs — f² index pairs unfiltered, the quadratic
+    * scale-killer — appears in almost no doc's rare-prefix. Candidates
+    * carry ids only; full shingle arrays re-attach for exact
+    * verification.
+    *
+    * docs must have (doc_id, sh: array<string> of distinct shingles).
+    * Returns (id_a < id_b, jaccard rounded to 4 ≥ threshold).
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      threshold: Double = DefaultThreshold): DataFrame = {
+    // Run the prefix bound at τ' slightly below τ so pairs whose ROUNDED
+    // jaccard reaches the declared filter stay inside the guarantee.
+    val tau = threshold - 0.0001
+    val d = docs.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    // pass 1: global document frequency = the canonical shingle order
+    val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // pass 2: keep each doc's p rarest shingles. ⌈(1−τ)n⌉+1 dominates the
+    // tight n−⌈τn⌉+1 bound even under fp noise in the multiply (one spare
+    // indexed shingle per doc, never one short).
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = inv.join(dfreq, "shingle")
+      .withColumn("r", row_number().over(wDoc))
+      .filter(col("r") <= ceil(lit(1.0 - tau) * col("n")) + 1)
+      .select(col("shingle"), col("doc_id"), col("n"))
+    val a = prefix.select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
+    val b = prefix.select(col("shingle").as("sh_b"), col("doc_id").as("id_b"),
+      col("n").as("n_b"))
+    // length pruning: J ≥ τ ⇒ τ·|A| ≤ |B| ≤ |A|/τ (fp-safe margin)
+    val cand = a.join(b,
+        col("shingle") === col("sh_b") && col("id_a") < col("id_b") &&
+          col("n_b") >= lit(tau) * col("n_a") - lit(1e-9) &&
+          col("n_a") >= lit(tau) * col("n_b") - lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("n").as("n_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard",
         when(col("uni") === 0, 0.0)
           .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))

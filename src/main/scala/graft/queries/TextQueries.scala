@@ -105,35 +105,18 @@ object TextQueries extends QueryModule {
            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
            ORDER BY doc_id"""))
 
-  // N-gram (3-shingle) Jaccard near-dup via a shingle inverted index (the
-  // classic distributed set-similarity join, cf. Vernica/Carey/Li '10):
-  // explode shingles → equi-join on shingle → count co-occurrences =
-  // |A∩B| → |A∪B| from precomputed sizes. Candidates are exactly the pairs
-  // sharing ≥1 shingle, cost ∝ Σ df(shingle)² instead of the O(n²/buckets)
-  // of length-blocked array_intersect (255 s → ~2 s at sf0.1). At corpus
-  // scale, prefix filtering would cap hot-shingle fan-out. Oracle-free
-  // (fold order differs in DuckDB), pinned by DedupSpec planted pairs.
+  // N-gram (3-shingle) Jaccard near-dup via the PREFIX-FILTERED shingle
+  // inverted index in NearDup.jaccardPairs (SSJoin/AllPairs kernel): each
+  // doc indexes only its ⌈(1−τ)n⌉+1 rarest shingles, so hot-shingle df²
+  // fan-out — the quadratic scale-killer of the naive inverted index — is
+  // structurally capped. Oracle-free (fold order differs in DuckDB),
+  // pinned by DedupSpec planted pairs + hot-shingle case.
   private val qDedupJaccard = Q(
     "q_dedup_ngram_jaccard",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      val inv = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-      val a = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
-      val b = inv.select(col("shingle").as("sh_b"), col("doc_id").as("id_b"),
-        col("n").as("n_b"))
-      a.join(b, col("shingle") === col("sh_b") && col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
-        .withColumn("jaccard",
-          when(col("uni") === 0, 0.0)
-            .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
-        .filter(col("jaccard") >= graft.operators.NearDup.DefaultThreshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    })
+    (s, d) => graft.operators.NearDup.jaccardPairs(
+        Tables.documents(s, d)
+          .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")))
+      .orderBy(col("id_a"), col("id_b")))
 
   // MinHash + LSH banding near-dup: signature → band keys → explode →
   // bucket self-join → verified by true shingle-Jaccard. The standard

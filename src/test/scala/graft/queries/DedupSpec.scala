@@ -53,6 +53,35 @@ class DedupSpec extends SparkSpec {
     java.lang.Long.bitCount(h(0) ^ h(3)) should be >= 20
   }
 
+  test("prefix-filtered jaccard: planted pair found, hot shingle harmless, matches brute force") {
+    // 30 docs all sharing one hot shingle — the df² worst case an
+    // unfiltered inverted index fans out on — plus a planted near-dup
+    // pair whose only common ground with the rest is that hot shingle.
+    val hot = (1 to 30).map(i => (i.toLong,
+      "common common common " + (1 to 20).map(j => s"w${i}_$j").mkString(" ")))
+    val docs = docsDf((hot ++ Seq((100L, base), (101L, nearDup))): _*)
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .wordShingles(col("text"), 3).as("sh"))
+    val got = graft.operators.NearDup.jaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got should contain((100L, 101L))
+    // exact all-pairs truth over the same fixture: the prefix filter must
+    // lose nothing and add nothing
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter",
+        org.apache.spark.sql.functions.size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        org.apache.spark.sql.functions.size(col("sh_a"))
+          + org.apache.spark.sql.functions.size(col("sh_b")) - col("inter"))
+      .filter(round(col("inter").cast("double") / col("uni").cast("double"), 4)
+        >= graft.operators.NearDup.DefaultThreshold)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe truth
+  }
+
   test("minhash-LSH candidates cover the high-jaccard pairs found by exact blocking (fixture)") {
     val jacc = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
       .filter(col("jaccard") >= 0.9)
