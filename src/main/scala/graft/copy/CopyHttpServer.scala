@@ -1,0 +1,125 @@
+package graft.copy
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** The submit/status surface the HTTP facade needs — implemented by
+  * CopyTaskService; a seam so the facade's error normalization is
+  * testable against a failing service.
+  */
+trait CopyApi {
+  def submit(request: CopyRequest): Either[String, String]
+  def getTask(requestId: String): Option[CopyTaskState]
+}
+
+/** REST facade over the copy service — the reference's ONLY externally
+  * reachable surface (reference/controller/CopyController.java:20-45,
+  * GlobalExceptionHandler.java:16-27), on the dependency-free JDK HTTP
+  * server:
+  *
+  *   POST /api/v1/copy            → 202 {"requestId"} | 400 {"error": …}
+  *   GET  /api/v1/copy/{id}       → 200 task JSON | 404
+  *
+  * Error normalization matches the reference exactly: unparseable body →
+  * 400 "Invalid request body"; validation failures → 400 with the
+  * service's message; any unexpected exception → 500 "Internal server
+  * error". Port 0 binds an ephemeral port (tests).
+  */
+final class CopyHttpServer(service: CopyApi, port: Int = 8080) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/api/v1/copy", new Handler)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  private final class Handler extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      try route(ex)
+      catch {
+        // GlobalExceptionHandler.java:23-27: every unexpected failure
+        // normalizes to one opaque 500 body
+        case _: Throwable =>
+          respond(ex, 500, CopyJson.error("Internal server error"))
+      } finally ex.close()
+    }
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    path match {
+      case "/api/v1/copy" =>
+        if (method == "POST") handleSubmit(ex)
+        else respond(ex, 405, "")
+      case p if p.startsWith("/api/v1/copy/") =>
+        val id = p.stripPrefix("/api/v1/copy/")
+        if (id.contains("/")) respond(ex, 404, "")
+        else if (method == "GET") handleStatus(ex, id)
+        else respond(ex, 405, "")
+      case _ => respond(ex, 404, "")
+    }
+  }
+
+  private def handleSubmit(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val parsed =
+      try Right(CopyJson.parseRequest(body))
+      catch { case _: Exception => Left("Invalid request body") }
+    parsed match {
+      case Left(err) => respond(ex, 400, CopyJson.error(err))
+      case Right(req) =>
+        service.submit(req) match {
+          case Left(err) => respond(ex, 400, CopyJson.error(err))
+          case Right(id) => respond(ex, 202, CopyJson.requestId(id))
+        }
+    }
+  }
+
+  private def handleStatus(ex: HttpExchange, id: String): Unit =
+    service.getTask(id) match {
+      case Some(task) => respond(ex, 200, CopyJson.renderTask(task))
+      case None       => respond(ex, 404, "")
+    }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    if (bytes.nonEmpty)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+    // sendResponseHeaders treats length 0 as chunked; -1 means empty body
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      os.write(bytes)
+      os.close()
+    }
+  }
+}
+
+/** Runnable entry point: Spark session + copy service + HTTP listener.
+  *
+  *   sbt "runMain graft.copy.CopyServerMain [port]"
+  *
+  * GRAFT_CONF_BASEDIR selects the per-namespace Hadoop config root, same
+  * as CopyMain.
+  */
+object CopyServerMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.flatMap(_.toIntOption).getOrElse(8080)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-copy-server")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val svc = new CopyTaskService(new CopyEngine(spark),
+      new FsFactory(sys.env.getOrElse("GRAFT_CONF_BASEDIR", "/etc/hadoop-namespaces")))
+    val http = new CopyHttpServer(svc, port)
+    http.start()
+    println(s"""{"listening":${http.boundPort}}""")
+    Thread.currentThread().join() // serve until killed
+  }
+}

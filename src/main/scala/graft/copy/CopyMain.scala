@@ -23,32 +23,10 @@ object CopyMain {
     com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
   private def j(v: String): String = mapper.writeValueAsString(v)
 
-  /** Parse the reference's request JSON. Throws on malformed input. */
-  def parseRequest(json: String): CopyRequest = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(json)
-    if (root == null || !root.isObject)
-      throw new IllegalArgumentException("not a JSON object")
-    val ns = if (root.hasNonNull("namespace")) root.get("namespace").asText() else null
-    val items = if (root.has("items") && root.get("items").isArray) {
-      val it = root.get("items").elements()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[CopyItem]
-      while (it.hasNext) {
-        val n = it.next()
-        buf += CopyItem(
-          if (n.hasNonNull("hdfsPath")) n.get("hdfsPath").asText() else null,
-          if (n.hasNonNull("localPath")) n.get("localPath").asText() else null)
-      }
-      buf.toSeq
-    } else null
-    val bw = if (root.hasNonNull("bandwidth")) {
-      val n = root.get("bandwidth")
-      if (!n.isIntegralNumber)
-        throw new IllegalArgumentException("bandwidth must be an integer")
-      Some(n.asInt())
-    } else None
-    CopyRequest(ns, items, bw)
-  }
+  /** Parse the reference's request JSON. Throws on malformed input.
+    * (Shared with the HTTP facade — see CopyJson.)
+    */
+  def parseRequest(json: String): CopyRequest = CopyJson.parseRequest(json)
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {

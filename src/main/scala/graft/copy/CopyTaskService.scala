@@ -22,7 +22,7 @@ import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors, TimeU
 final class CopyTaskService(
     engine: CopyEngine,
     fsFactory: FsFactory,
-    threadPoolSize: Int = 10) {
+    threadPoolSize: Int = 10) extends CopyApi {
 
   private val tasks = new ConcurrentHashMap[String, CopyTaskState]()
   private val pool = Executors.newFixedThreadPool(threadPoolSize)
