@@ -39,7 +39,11 @@ final class CopyEngine(
     // test seam: runs after the dest write, before read-back verification
     // (the reference forces mismatches with a mocked FileSystem; we corrupt
     // the written file instead — same observable behavior).
-    postWriteHook: Option[String => Unit] = None) extends Serializable {
+    postWriteHook: Option[String => Unit] = None,
+    // at or above this many top-level subdirectories, the listing itself
+    // fans out as a Spark job (one task per subtree); below it the driver
+    // DFS is faster (no job-launch overhead)
+    distributedListingMinSubtrees: Int = 32) extends Serializable {
 
   import CopyEngine._
 
@@ -81,10 +85,11 @@ final class CopyEngine(
     val src = fs.makeQualified(src0)
 
     // Recursive listing (files + dirs, relative paths). Listing rows are
-    // tiny; even a 100 TB tree of 100 MB files is ~10^6 rows. Truly huge
-    // fan-out would move this into a distributed listing job over the
-    // top-level subtrees — the downstream stages are unchanged.
-    val metas = listRecursive(fs, src)
+    // tiny; even a 100 TB tree of 100 MB files is ~10^6 rows. Wide trees
+    // (many top-level subtrees) list as a distributed Spark job so the
+    // driver never serializes 10^8 listStatus calls; small trees keep the
+    // driver DFS fast path. Downstream stages are identical either way.
+    val metas = listItem(conf, fs, src)
     val (dirs, files) = metas.partition(_.isDir)
 
     // Mirror the directory skeleton (incl. empty dirs) before data flows.
@@ -135,16 +140,74 @@ final class CopyEngine(
 
   /** Streaming DFS over listStatus — files AND directories with paths
     * relative to `root` (qualified first, so relative roots work).
+    * Driver-side fast path for small trees.
     */
   def listRecursive(fs: FileSystem, root0: Path): Seq[FileMeta] = {
     val root = fs.makeQualified(root0)
-    val rootUri = root.toUri.getPath
-    def rel(p: Path): String = {
-      val full = p.toUri.getPath
-      full.stripPrefix(rootUri).stripPrefix("/")
-    }
+    walk(fs, root, root.toUri.getPath)
+  }
+
+  /** Pick driver DFS vs distributed listing for one copy item. */
+  private[copy] def listItem(conf: Configuration, fs: FileSystem,
+      src0: Path): Seq[FileMeta] = {
+    val src = fs.makeQualified(src0)
+    val top = fs.listStatus(src)
+    if (top.count(_.isDirectory) < distributedListingMinSubtrees)
+      listRecursive(fs, src)
+    else listDistributed(conf, src, top)
+  }
+
+  /** Distributed listing for wide trees: the root's immediate children
+    * are listed on the driver (one listStatus); each top-level SUBTREE
+    * then walks in its own Spark task. Per-task output is listing rows
+    * only — at 10^8 files that is what the driver would otherwise have
+    * produced serially through one NameNode-client loop. Results are
+    * identical to the driver DFS up to ordering (parents still precede
+    * their children within every subtree, and mkdirs is recursive, so
+    * the dir-skeleton pass is order-safe).
+    */
+  private def listDistributed(conf: Configuration, src: Path,
+      top: Array[org.apache.hadoop.fs.FileStatus]): Seq[FileMeta] = {
+    import spark.implicits._
+    val rootUri = src.toUri.getPath
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    val topMetas = top.map { st =>
+      if (st.isDirectory) FileMeta(st.getPath.toString, rel(st.getPath), isDir = true, 0L)
+      else FileMeta(st.getPath.toString, rel(st.getPath), isDir = false, st.getLen)
+    }.toSeq
+    val subtreeRoots = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val sconf = new SerializableConfiguration(conf)
+    val par = math.min(subtreeRoots.size,
+      math.max(1, spark.sparkContext.defaultParallelism * 2))
+    val sub = spark.createDataset(subtreeRoots)
+      .repartition(par)
+      .mapPartitions { it =>
+        val c = sconf.value
+        it.flatMap { rootStr =>
+          val p = new Path(rootStr)
+          CopyEngine.walk(p.getFileSystem(c), p, rootUri)
+        }
+      }
+      .collect().toSeq // listing rows only — payload bytes never move
+    topMetas ++ sub
+  }
+}
+
+object CopyEngine {
+  private val BufferSize = 64 * 1024 // reference/service/HdfsCopyService.java:25
+
+  /** DFS over listStatus starting at (but excluding) `start`, paths
+    * relative to `rootUri` — the MAIN copy root's URI path, so subtree
+    * walks compose into one listing. Runs on the driver (small trees) or
+    * inside executor tasks (distributed listing); must not touch
+    * SparkSession. Parents always precede their children in the output.
+    */
+  def walk(fs: FileSystem, start: Path, rootUri: String): Seq[FileMeta] = {
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
     val out = ArrayBuffer.empty[FileMeta]
-    val stack = scala.collection.mutable.Stack(root)
+    val stack = scala.collection.mutable.Stack(start)
     while (stack.nonEmpty) {
       val dir = stack.pop()
       fs.listStatus(dir).foreach { st =>
@@ -159,10 +222,6 @@ final class CopyEngine(
     }
     out.toSeq
   }
-}
-
-object CopyEngine {
-  private val BufferSize = 64 * 1024 // reference/service/HdfsCopyService.java:25
 
   /** Unwrap ChecksumFileSystem (e.g. LocalFileSystem's .crc sidecars): the
     * engine does its own end-to-end MD5, and the reference writes raw bytes

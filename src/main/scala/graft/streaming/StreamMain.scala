@@ -8,7 +8,12 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <eventsDir> <outDir>"
+  *   sbt "runMain graft.streaming.StreamMain <eventsDir> <outDir> [files=N|bytes=N]"
+  *
+  * The optional third argument picks the ingest throttle: files=N →
+  * maxFilesPerTrigger, bytes=N → maxBytesPerTrigger (both A7 analogs —
+  * the reference throttles bytes/sec on the copy stream; a file stream
+  * throttles admission per micro-batch). Default files=1.
   *
   * Prints one line per micro-batch and a final row count. Append-mode
   * watermark semantics on a finite replay: windows newer than
@@ -23,6 +28,14 @@ object StreamMain {
       sys.exit(2)
     }
     val Array(eventsDir, outDir) = args.take(2)
+    val (throttleOpt, throttleVal) = args.lift(2).getOrElse("files=1").split("=", 2) match {
+      case Array("files", n) => ("maxFilesPerTrigger", n)
+      case Array("bytes", n) => ("maxBytesPerTrigger", n)
+      case other =>
+        System.err.println(s"bad throttle '${other.mkString("=")}': use files=N or bytes=N")
+        sys.exit(2)
+        ("", "")
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-stream")
@@ -33,13 +46,24 @@ object StreamMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // The streaming file source needs a DIRECTORY; the fixture is a single
+    // parquet file — stage it into a temp dir when needed.
+    val srcDir = {
+      val f = new java.io.File(eventsDir)
+      if (f.isFile) {
+        val d = java.nio.file.Files.createTempDirectory("stream_src")
+        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+        d.toString
+      } else eventsDir
+    }
+
     // File-source replay. The fixture stores ts as ns (read as Long under
     // nanosAsLong) — normalize to TimestampType exactly like Tables.events.
-    val schema = spark.read.parquet(eventsDir).schema
+    val schema = spark.read.parquet(srcDir).schema
     val raw = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1") // throttled ingest (A7 analog)
-      .parquet(eventsDir)
+      .option(throttleOpt, throttleVal) // throttled ingest (A7 analog)
+      .parquet(srcDir)
     val events = graft.Tables.normalizeNanosTs(raw)
 
     val windowed = StreamingOps.windowedCounts(events, "10 minutes", "10 minutes")

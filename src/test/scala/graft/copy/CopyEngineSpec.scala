@@ -74,6 +74,36 @@ class CopyEngineSpec extends SparkSpec {
     Files.isDirectory(dst.resolve("emptydir")) shouldBe true
   }
 
+  test("distributed listing path: identical listing and identical copy for wide trees") {
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    // 4 top-level subtrees with nesting + a top-level file + an empty dir
+    val payloads = (for {
+      s <- 1 to 4; f <- 1 to 3
+    } yield s"sub$s/nest/f$f.bin" -> bytes(100 * s + f)).toMap
+    payloads.foreach { case (relp, data) => write(srcDir, s"root/$relp", data) }
+    val topFile = bytes(77)
+    write(srcDir, "root/top.bin", topFile)
+    Files.createDirectories(srcDir.resolve("root/sub1/emptydir"))
+
+    val root = new org.apache.hadoop.fs.Path(srcDir.resolve("root").toString)
+    val fs = root.getFileSystem(conf)
+    val driverList = engine.listRecursive(fs, root).toSet
+    // threshold 2 forces the Spark-job listing over the 4 subtrees
+    val wide = new CopyEngine(spark, distributedListingMinSubtrees = 2)
+    val distList = wide.listItem(conf, fs, root).toSet
+    distList shouldBe driverList
+
+    val dst = dstDir.resolve("mirror")
+    val r = wide.copyPath(conf, srcDir.resolve("root").toString, dst.toString, None)
+    r.bytesCopied shouldBe (payloads.values.map(_.length).sum + topFile.length)
+    r.checksumVerified shouldBe true
+    payloads.foreach { case (relp, data) =>
+      Files.readAllBytes(dst.resolve(relp)) shouldBe data
+    }
+    Files.readAllBytes(dst.resolve("top.bin")) shouldBe topFile
+    Files.isDirectory(dst.resolve("sub1/emptydir")) shouldBe true
+  }
+
   test("empty directory copies zero bytes and is NOT verified") {
     val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
     Files.createDirectories(srcDir.resolve("empty"))

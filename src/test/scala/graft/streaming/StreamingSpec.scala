@@ -27,6 +27,57 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("update mode emits refreshed window rows without waiting for the watermark") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = windowedCounts(input.toDF(), "10 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("upd")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(Ev(1, ts(1), 10, "click", 1.0), Ev(2, ts(3), 10, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Ev(3, ts(5), 11, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    // memory sink logs each emitted update: the still-OPEN window appears
+    // once per batch it changed in (append mode would show nothing yet)
+    val rows = spark.sql("SELECT w_start, n, sum_value FROM upd ORDER BY n").collect()
+    rows.map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe Seq(
+      (ts(0), 2L, 3.0),
+      (ts(0), 3L, 6.0))
+  }
+
+  test("file-source ingest throttles: maxFilesPerTrigger and maxBytesPerTrigger") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("events_files")
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, ts(i), i.toLong, "click", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    def run(opt: String, v: String): (Long, Int) = {
+      val name = s"ingest_$opt"
+      val q = spark.readStream.schema(schema).option(opt, v)
+        .parquet(dir.toString)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      (spark.sql(s"SELECT count(*) FROM $name").head().getLong(0), batches)
+    }
+    // files=1: one file per micro-batch → ≥3 non-empty batches, no loss
+    val (n1, b1) = run("maxFilesPerTrigger", "1")
+    n1 shouldBe 3L
+    b1 should be >= 3
+    // bytes=1: admission throttled to ~1 byte still admits one file per
+    // batch (minimum progress guarantee) → same shape, no loss
+    val (n2, b2) = run("maxBytesPerTrigger", "1")
+    n2 shouldBe 3L
+    b2 should be >= 3
+  }
+
   test("tumbling window with watermark drops late data beyond the horizon") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
