@@ -44,7 +44,29 @@ object TextQueries extends QueryModule {
         col("doc_id"),
         round(stopwordRatio(col("text")), 4).as("stop_ratio"),
         qualityScore(col("text"), col("n_chars")).as("quality"))
-      .orderBy(col("doc_id")))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+             SELECT doc_id, n_chars, text,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ltoks,
+               list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+             FROM documents),
+           m AS (
+             SELECT doc_id, n_chars, ltoks,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END AS mtl,
+               CASE WHEN len(text) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text) END AS pr
+             FROM t)
+           SELECT doc_id,
+             round(CASE WHEN len(ltoks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(ltoks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it',
+                  'that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE)
+                 / len(ltoks) END, 4) AS stop_ratio,
+             round((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END +
+                    CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END +
+                    CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+           FROM m ORDER BY doc_id"""))
 
   private val qQualityFilter = Q(
     "q_quality_filter",
@@ -109,14 +131,35 @@ object TextQueries extends QueryModule {
   // inverted index in NearDup.jaccardPairs (SSJoin/AllPairs kernel): each
   // doc indexes only its ⌈(1−τ)n⌉+1 rarest shingles, so hot-shingle df²
   // fan-out — the quadratic scale-killer of the naive inverted index — is
-  // structurally capped. Oracle-free (fold order differs in DuckDB),
-  // pinned by DedupSpec planted pairs + hot-shingle case.
+  // structurally capped. The oracle recomputes shingles + ALL-PAIRS
+  // jaccard in DuckDB (list comprehension + list_intersect), so a green
+  // row is an end-to-end proof the prefix filter loses no pair on the
+  // real fixture. DedupSpec pins planted pairs + the hot-shingle case.
   private val qDedupJaccard = Q(
     "q_dedup_ngram_jaccard",
     (s, d) => graft.operators.NearDup.jaccardPairs(
         Tables.documents(s, d)
           .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")))
-      .orderBy(col("id_a"), col("id_b")))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH t AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+             FROM documents),
+           s AS (
+             SELECT doc_id,
+               CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                        FOR i IN range(1, len(toks) - 1)]) END AS sh
+             FROM t),
+           p AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+             FROM s a JOIN s b ON a.doc_id < b.doc_id)
+           SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+           FROM p
+           WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8
+           ORDER BY id_a, id_b"""))
 
   // MinHash + LSH banding near-dup: signature → band keys → explode →
   // bucket self-join → verified by true shingle-Jaccard. The standard
