@@ -156,4 +156,17 @@ object TextFunctions {
       .when(en > 0, "en")
       .otherwise("und")
   }
+
+  /** PII patterns + scrub projection — per-row regexp, no shuffle. The
+    * patterns deliberately stick to syntax shared by Java regex and
+    * DuckDB's RE2 so the oracle replays them verbatim; matches are
+    * replaced left-to-right, emails before phone-like digit runs.
+    */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe: String = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(emailRe), lit("[EMAIL]")),
+      lit(phoneRe), lit("[PHONE]"))
 }

@@ -56,26 +56,18 @@ object VectorFunctions {
       diff * diff
     }))
 
-  /** Deterministic random-hyperplane (SimHash-style) LSH bucket id for a
-    * vector: `nBits` pseudo-random hyperplanes derived from xxhash64 of
-    * (seed, planeIdx, dimIdx); bucket bit b = sign(dot(v, plane_b)).
-    * Hyperplane components are in {-1, +1} (a Rademacher projection), which
-    * is a valid random-projection family and needs no stored plane matrix —
-    * crucial at 100 TB where the planes must be recomputable on every
-    * executor without a broadcast.
+  /** Deterministic random-hyperplane (SimHash-style) LSH bucket ids for a
+    * vector, all hash tables in one native pass (graft.plans.LshBuckets):
+    * per table, `nBits` Rademacher (±1) hyperplanes with signs derived
+    * from splitmix64 of (seed, dimIdx); bucket bit b = sign(dot(v,
+    * plane_b)). No stored plane matrix — planes are recomputable on every
+    * executor, crucial at 100 TB. Replaces an interpreted
+    * `aggregate`/`zip_with` fold per (table × bit) that dominated the ANN
+    * query cost.
     */
-  def lshBucket(vec: Column, nBits: Int, seed: Int): Column = {
-    // For each bit: fold over the vector with position, sign from xxhash64.
-    val bits = (0 until nBits).map { b =>
-      // aggregate over zipped (value, index)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          val h = xxhash64(lit(seed), lit(b), i)
-          when(pmod(h, lit(2)) === 0, x.cast("double")).otherwise(-x.cast("double"))
-        }),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0.0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  def lshBuckets(vec: Column, nBits: Int, seeds: Seq[Int]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.LshBuckets(
+      ColumnBridge.expression(vec), nBits, seeds.toArray))
   }
 }

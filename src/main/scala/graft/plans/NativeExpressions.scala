@@ -314,3 +314,78 @@ case class NearestCell(
   override protected def withNewChildInternal(c: Expression): NearestCell =
     copy(child = c)
 }
+
+/** All random-hyperplane LSH bucket ids for a vector in ONE pass:
+  * `seeds.length` tables × `nBits` Rademacher (±1) hyperplanes. Signs
+  * come from a splitmix64 finalizer (public-domain constant-mixing
+  * algorithm) of (seed, dimension index) — one 64-bit mix yields the
+  * sign bits of ALL planes of that table for that dimension, so the
+  * whole bucket array costs tables × dim integer mixes per row.
+  *
+  * Replaces a `transform/aggregate` higher-order chain that evaluated an
+  * interpreted lambda per (table × bit × dimension) element — the
+  * measured dominant cost of the LSH ANN queries. Like the HOF version,
+  * planes are derived from hashes on demand: no stored plane matrix, any
+  * executor can recompute them.
+  */
+case class LshBuckets(child: Expression, nBits: Int, seeds: Array[Int])
+    extends UnaryExpression with CodegenFallback {
+
+  require(nBits > 0 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) if seeds.nonEmpty =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float> and non-empty seeds, got ${t.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  private def mix(seed: Int, i: Int): Long = {
+    // splitmix64 finalizer over the packed (seed, index) pair
+    var z = (seed.toLong << 32) ^ (i.toLong & 0xFFFFFFFFL)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val out = new Array[Any](seeds.length)
+    var t = 0
+    while (t < seeds.length) {
+      val projs = new Array[Double](nBits)
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i)) return null
+        val x = v.getFloat(i).toDouble
+        val h = mix(seeds(t), i)
+        var b = 0
+        while (b < nBits) {
+          if (((h >>> b) & 1L) != 0L) projs(b) += x else projs(b) -= x
+          b += 1
+        }
+        i += 1
+      }
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        if (projs(b) >= 0.0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+}

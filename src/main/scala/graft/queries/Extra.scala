@@ -107,7 +107,29 @@ object Extra extends QueryModule {
              round(sum(l_extendedprice), 2) AS sum_price
            FROM lineitem"""))
 
+  // Deterministic stratified sampling — the data-mixing primitive of a
+  // training pipeline: per-stratum keep-rates decided by a multiplicative
+  // hash of the row key (Knuth constant), so the sample is reproducible
+  // on any engine and any cluster with ZERO coordination (no RNG state,
+  // no sort, pure map-side filter that pushes to the scan).
+  private val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, d) => Tables.customer(s, d)
+      .withColumn("h",
+        pmod(col("c_custkey").cast("long") * lit(2654435761L), lit(1000L)))
+      // 20% of BUILDING, 10% of everything else
+      .filter(col("h") < when(col("c_mktsegment") === "BUILDING", 200L).otherwise(100L))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_sampled"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, count(*) AS n_sampled,
+             round(avg(c_acctbal), 4) AS avg_bal
+           FROM customer
+           WHERE (CAST(c_custkey AS BIGINT) * 2654435761) % 1000 <
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 200 ELSE 100 END
+           GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
-    qCsvRoundtrip)
+    qCsvRoundtrip, qSampleStratified)
 }

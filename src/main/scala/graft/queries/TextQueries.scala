@@ -97,6 +97,45 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id")))
 
+  // Vocabulary building: global token frequency top-k — partial
+  // aggregation map-side, TakeOrdered for the top-k (no global sort).
+  // The counting primitive under any tokenizer-training / data-mixing
+  // frequency analysis.
+  private val qVocabTopK = Q(
+    "q_vocab_topk",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50),
+    Some("""SELECT token, count(*) AS freq FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0)) AS token
+             FROM documents) t
+           GROUP BY token ORDER BY freq DESC, token LIMIT 50"""))
+
+  // PII scrubbing: email + phone-like patterns counted and replaced in a
+  // pure per-row projection. The fixture is word soup (zero matches — the
+  // oracle proves regex parity and the no-op invariant scrub_len =
+  // n_chars); planted-PII behavior is pinned in TextVectorSpec.
+  private val qPiiScrub = Q(
+    "q_pii_scrub",
+    (s, d) => Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        length(scrubPii(col("text"))).cast("long").as("scrub_len"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_replace(regexp_replace(text, '$emailRe', '[EMAIL]', 'g'),
+                                     '$phoneRe', '[PHONE]', 'g')) AS BIGINT) AS scrub_len
+           FROM documents ORDER BY doc_id"""))
+
   // ---- deduplication family ----------------------------------------------
 
   // Exact dedup: hash-groupBy on sha256(text), keep min doc_id. Only the
@@ -205,6 +244,7 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
+    qVocabTopK, qPiiScrub,
     qDedupExact, qDedupExactSurvivors, qDedupJaccard, qDedupMinhash,
     qDedupSimhash, qDedupClusters)
 }

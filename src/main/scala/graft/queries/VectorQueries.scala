@@ -60,8 +60,7 @@ object VectorQueries extends QueryModule {
       val seeds = Seq(1, 2, 3, 4, 5, 6, 7, 8)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
-        .withColumn("buckets", array(seeds.map(sd =>
-          lshBucket(col("embedding"), 4, sd)): _*))
+        .withColumn("buckets", lshBuckets(col("embedding"), 4, seeds))
       val binned = e.select(col("vec_id"),
         posexplode(col("buckets")).as(Seq("tbl", "bkt")))
       val aSide = binned.select(col("vec_id").as("id_a"), col("tbl"), col("bkt"))
@@ -129,8 +128,7 @@ object VectorQueries extends QueryModule {
       val seeds = Seq(1, 2, 3, 4, 5, 6, 7, 8)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
-        .withColumn("buckets", array(seeds.map(sd =>
-          lshBucket(col("embedding"), 4, sd)): _*))
+        .withColumn("buckets", lshBuckets(col("embedding"), 4, seeds))
       // candidate pairs carry only ids through the multi-table distinct;
       // vectors re-attach afterwards (distinct over 64-float arrays would
       // shuffle ~512 B of payload per duplicate collision)

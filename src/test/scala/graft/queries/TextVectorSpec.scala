@@ -37,6 +37,21 @@ class TextVectorSpec extends SparkSpec {
     all(fps) should (be >= 0L and be < 2147483647L)
   }
 
+  test("PII scrub: planted emails and phone numbers are replaced, clean text untouched") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "contact me at alice.smith+spam@example-mail.co.uk for details"),
+      (2L, "call +1 (555) 123-4567 or 555 867 5309 now"),
+      (3L, "bob@corp.io and his line 0171-555-0123"),
+      (4L, "no personal data here at all")).toDF("id", "text")
+      .select(col("id"), scrubPii(col("text")).as("scrubbed"))
+    val out = df.orderBy("id").collect().map(_.getString(1)).toSeq
+    out(0) shouldBe "contact me at [EMAIL] for details"
+    out(1) shouldBe "call [PHONE] or [PHONE] now"
+    out(2) shouldBe "[EMAIL] and his line [PHONE]"
+    out(3) shouldBe "no personal data here at all"
+  }
+
   test("ANN LSH top-k achieves usable recall vs brute force on the fixture") {
     val brute = graft.SparkEntry.queries("q_sim_topk_brute")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
