@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   GraftExtensions.register(spark)                        (live session)
   *
   * Functions: float_vec_dot(a,b), simhash64(tokens),
-  * minhash_sig(shingles, k), word_shingles(text, k).
+  * minhash_sig(shingles, k), word_shingles(text, k),
+  * lsh_buckets(vec, nBits, seed...).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -40,7 +41,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "numHashes"))),
     ("word_shingles",
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) => WordShingles(args(0), intLit(args(1), "k"))))
+      (args: Seq[Expression]) => WordShingles(args(0), intLit(args(1), "k"))),
+    ("lsh_buckets",
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (args: Seq[Expression]) => LshBuckets(args(0), intLit(args(1), "nBits"),
+        args.drop(2).map(intLit(_, "seed")).toArray)))
 
   /** Register into an already-running session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
