@@ -147,6 +147,36 @@ object EventQueries extends QueryModule {
            GROUP BY c_mktsegment, event_type
            ORDER BY c_mktsegment, event_type"""))
 
+  // Interval-join batch twin (of StreamingOps.intervalJoin): purchases
+  // matched to same-user clicks in the 5 minutes leading up to them. The
+  // non-equi time conjunct rides the user_id equi key, so this plans as a
+  // hash/sort-merge join + filter — never a cartesian (same posture as
+  // q_join_range).
+  private val qIntervalJoin = Q(
+    "q_event_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("tss", date_trunc("second", col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("tss").as("pts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cuser"),
+          col("tss").as("cts"))
+      p.join(c, col("user_id") === col("cuser") &&
+          col("cts") >= col("pts") - expr("INTERVAL 5 MINUTES") &&
+          col("cts") <= col("pts"))
+        .groupBy(col("pid"))
+        .agg(count(lit(1)).as("n_clicks"), max(col("cts")).as("last_click"))
+        .orderBy(col("pid"))
+    },
+    Some("""SELECT p.event_id AS pid, count(*) AS n_clicks,
+             max(CAST(date_trunc('second', c.ts) AS TIMESTAMP)) AS last_click
+           FROM events p JOIN events c
+             ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND date_trunc('second', c.ts) >= date_trunc('second', p.ts) - INTERVAL 5 MINUTE
+             AND date_trunc('second', c.ts) <= date_trunc('second', p.ts)
+           WHERE p.event_type = 'purchase'
+           GROUP BY p.event_id ORDER BY pid"""))
+
   // Stateful-dedup batch twin: first event per (user_id, event_type).
   private val qDedupFirst = Q(
     "q_event_dedup_first",
@@ -167,5 +197,6 @@ object EventQueries extends QueryModule {
            WHERE rn = 1 ORDER BY user_id, event_type"""))
 
   override def queries: Seq[Q] = Seq(
-    qTumbling, qSliding, qHourly, qAsOf, qSessionize, qEnrich, qDedupFirst)
+    qTumbling, qSliding, qHourly, qAsOf, qSessionize, qEnrich,
+    qIntervalJoin, qDedupFirst)
 }

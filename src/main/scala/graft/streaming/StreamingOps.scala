@@ -58,6 +58,27 @@ object StreamingOps {
     events.join(broadcast(dim),
       events.col(eventKey) === dim.col(dimKey), "left_outer")
 
+  /** Stream-stream interval join: each left event matched to right events
+    * of the same key within [left.ts − before, left.ts + after]. BOTH
+    * sides carry a watermark and the join condition carries the time
+    * bound — that pair is what lets Spark expire buffered state (state ∝
+    * watermark horizon × arrival rate, never the stream length; without
+    * the time bound a stream-stream join is unbounded and Spark rejects
+    * it in append mode). Columns are prefixed l_/r_ to keep the output
+    * schema unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      watermarkDelay: String, before: String, after: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_ts", watermarkDelay)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_ts", watermarkDelay)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+  }
+
   // --- arbitrary stateful processing: the reference's task-status fold as
   // --- a stream (A14-as-stream, SURVEY.md §2 Part A #A14)
 

@@ -78,6 +78,32 @@ class StreamingSpec extends SparkSpec {
     b2 should be >= 3
   }
 
+  test("stream-stream interval join: matches inside the bound, drops outside, state watermark-bounded") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]    // right side
+    val purchases = MemoryStream[Ev] // left side
+    val joined = intervalJoin(purchases.toDF(), clicks.toDF(), "user_id",
+      watermarkDelay = "10 minutes", before = "5 minutes", after = "0 minutes")
+      .select(col("l_event_id").as("pid"), col("r_event_id").as("cid"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    // user 10: click 00:02 → purchase 00:05 (3 min gap, inside 5-min bound)
+    // user 11: click 00:01 → purchase 00:20 (19 min gap, outside)
+    clicks.addData(Ev(100, ts(2), 10, "click", 1.0), Ev(101, ts(1), 11, "click", 1.0))
+    purchases.addData(Ev(200, ts(5), 10, "purchase", 9.0), Ev(201, ts(20), 11, "purchase", 9.0))
+    q.processAllAvailable()
+    // user 12: click 00:59 → purchase 00:59:30 (inside); also pushes both
+    // watermarks forward so earlier join state flushes
+    clicks.addData(Ev(102, ts(59), 12, "click", 1.0))
+    purchases.addData(Ev(202, ts(59, 30), 12, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT pid, cid FROM ssj ORDER BY pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    rows shouldBe Seq((200L, 100L), (202L, 102L))
+  }
+
   test("tumbling window with watermark drops late data beyond the horizon") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
