@@ -136,6 +136,23 @@ object TextQueries extends QueryModule {
                                      '$phoneRe', '[PHONE]', 'g')) AS BIGINT) AS scrub_len
            FROM documents ORDER BY doc_id"""))
 
+  // Sequence packing summary: docs next-fit-packed into 512-token budget
+  // sequences (8 fixed hash partitions ⇒ fully deterministic layout);
+  // emitted as per-pack (n_docs, tokens_used). Rows-only — the greedy
+  // reset-on-overflow has no closed SQL form; SeqPackSpec pins exact
+  // packings and the budget/singleton invariants.
+  private val qSeqPack = Q(
+    "q_seq_pack",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.SeqPack.pack(docs, budget = 512, numPartitions = 8).toDF()
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_used"))
+        .orderBy(col("pack_id"))
+    })
+
   // ---- deduplication family ----------------------------------------------
 
   // Exact dedup: hash-groupBy on sha256(text), keep min doc_id. Only the
@@ -244,7 +261,7 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
-    qVocabTopK, qPiiScrub,
+    qVocabTopK, qPiiScrub, qSeqPack,
     qDedupExact, qDedupExactSurvivors, qDedupJaccard, qDedupMinhash,
     qDedupSimhash, qDedupClusters)
 }
