@@ -15,8 +15,10 @@ import graft.operators.DedupClusters
   *   2. near-dup dedup   — shingle MinHash → LSH bands → verified pairs →
   *                         connected components → keep cluster keeper
   *   3. quality filter   — length band + mean-token-length + punctuation
-  *   4. enrichment       — token counts, language-ID, fingerprint
-  *   5. write            — parquet partitioned by lang
+  *   4. enrichment       — PII scrub, token counts, language-ID,
+  *                         fingerprint
+  *   5. sequence packing — next-fit into 512-token context windows
+  *   6. write            — parquet partitioned by lang (+ pack manifest)
   *
   * Prints one JSON line of per-stage counts. Nothing collects to the
   * driver except those counters; every stage is the scale-shaped variant
@@ -69,23 +71,33 @@ object PipelineMain {
     val q = afterNear.filter(qualityOk(col("text"), col("n_chars")))
     val nQuality = q.count()
 
-    // 4. enrichment projections (no shuffle)
+    // 4. enrichment projections (no shuffle); scrubbed text replaces raw
     val enriched = q.select(
-      col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
+      col("doc_id"), scrubPii(col("text")).as("text"), col("lang"),
+      col("source"), col("n_chars"),
       tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
       langIdHeuristic(col("text")).as("lang_pred"),
-      fingerprint(col("text")).as("fp"))
+      fingerprint(col("text")).as("fp")).persist()
 
-    // 5. partitioned write
-    enriched.write.mode("overwrite").partitionBy("lang").parquet(outDir)
-    val written = spark.read.parquet(outDir).count()
-    afterExact.unpersist(); afterNear.unpersist()
+    // 5. sequence packing: doc→pack manifest at a 512-token budget
+    val packs = graft.operators.SeqPack.pack(
+      enriched.select(col("doc_id"), col("n_bpeish").as("n_tokens")),
+      budget = 512, numPartitions = 8).toDF()
+    packs.write.mode("overwrite").parquet(s"$outDir/packs")
+    val nPacks = spark.read.parquet(s"$outDir/packs")
+      .select(countDistinct(col("pack_id"))).head().getLong(0)
+
+    // 6. partitioned write
+    enriched.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/docs")
+    val written = spark.read.parquet(s"$outDir/docs").count()
+    afterExact.unpersist(); afterNear.unpersist(); enriched.unpersist()
 
     val outJson = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(outDir) // paths may contain quotes/backslashes
     println(s"""{"input":$total,"after_exact_dedup":$nExact,""" +
       s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
-      s""""written":$written,"out":$outJson}""")
+      s""""n_packs":$nPacks,"written":$written,"out":$outJson}""")
     spark.stop()
   }
 }
