@@ -129,7 +129,41 @@ object Extra extends QueryModule {
                  CASE WHEN c_mktsegment = 'BUILDING' THEN 200 ELSE 100 END
            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  // Weighted mixture resampling — the training-mix primitive: per-source
+  // fractional rates (src0 ×2.5 upsampled, src1 ×0.25 downsampled, rest
+  // ×1.0) realized as integer copy counts: ⌊rate⌋ copies always, +1 when
+  // the key hash lands under the fractional part. All-integer arithmetic
+  // in thousandths ⇒ bit-identical on any engine, zero RNG state, pure
+  // map-side generate (sequence + explode).
+  private val qSampleMixture = Q(
+    "q_sample_mixture",
+    (s, d) => {
+      val rate1000 = when(col("source") === "src0", 2500L)
+        .when(col("source") === "src1", 250L).otherwise(1000L)
+      Tables.documents(s, d)
+        .withColumn("r1000", rate1000)
+        .withColumn("n_copies",
+          (expr("r1000 div 1000") +
+            when(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) <
+              pmod(col("r1000"), lit(1000L)), 1L).otherwise(0L)).cast("int"))
+        .filter(col("n_copies") > 0)
+        .withColumn("copy", explode(sequence(lit(1), col("n_copies"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
+           FROM (
+             SELECT d.source, d.doc_id,
+               (CASE d.source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 250
+                 ELSE 1000 END) AS r1000
+             FROM documents d) d, range(10) r
+           WHERE r.range < r1000 // 1000 +
+             (CASE WHEN (d.doc_id * 2654435761) % 1000 < r1000 % 1000
+               THEN 1 ELSE 0 END)
+           GROUP BY source ORDER BY source"""))
+
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
-    qCsvRoundtrip, qSampleStratified)
+    qCsvRoundtrip, qSampleStratified, qSampleMixture)
 }
