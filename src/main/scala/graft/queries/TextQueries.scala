@@ -82,13 +82,30 @@ object TextQueries extends QueryModule {
            WHERE n_chars BETWEEN 100 AND 10000 AND lang IN ('en','es','de')
            GROUP BY lang, source ORDER BY lang, source"""))
 
-  // Language-ID heuristic (no oracle; pinned by LangIdSpec known vectors).
+  // Language-ID heuristic — pure regexp counting, so DuckDB can replay
+  // the whole decision tree (also pinned by known-vector spec).
   private val qLangId = Q(
     "q_langid",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         langIdHeuristic(col("text")).as("lang_pred"))
-      .orderBy(col("doc_id")))
+      .orderBy(col("doc_id")),
+    Some("""WITH c AS (
+             SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS cjk,
+               len(regexp_extract_all(lower(text), '[äöüß]')) AS umlaut,
+               len(regexp_extract_all(lower(text),
+                 '\b(el|la|los|las|una|del|que|es)\b')) AS en_es,
+               len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|is|that)\b')) AS en
+             FROM documents)
+           SELECT doc_id, lang,
+             CASE WHEN cjk > 0 THEN 'zh'
+                  WHEN umlaut > 0 THEN 'de'
+                  WHEN en_es > en THEN 'es'
+                  WHEN en > 0 THEN 'en'
+                  ELSE 'und' END AS lang_pred
+           FROM c ORDER BY doc_id"""))
 
   // Document fingerprint (rolling hash; Spark-native xxhash64 → no oracle).
   private val qFingerprint = Q(
@@ -104,8 +121,11 @@ object TextQueries extends QueryModule {
   private val qVocabTopK = Q(
     "q_vocab_topk",
     (s, d) => Tables.documents(s, d)
-      .select(explode(filter(split(lower(col("text")), "\\s+"),
-        t => length(t) > 0)).as("token"))
+      // post-explode empty filter: split emits at most one empty leading
+      // token per doc, and the codegen'd filter beats an interpreted
+      // filter() HOF lambda per row
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
