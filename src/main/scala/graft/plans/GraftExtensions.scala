@@ -15,10 +15,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * lsh_buckets(vec, nBits, seed...).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // read-only scale guardrail (spark.graft.scalelint=off|warn|fail)
+    ext.injectOptimizerRule(ScaleLintRule)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** The scale-lint guardrail: detection logic over real optimized plans,
+  * the small-global-pass allowance, and the warn/fail/off rule modes.
+  */
+class ScaleLintSpec extends SparkSpec {
+
+  private def lint(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    ScaleLint.findings(df.queryExecution.optimizedPlan)
+
+  test("flags a global window over raw data; allows partitioned and post-aggregate windows") {
+    val orders = Tables.orders(spark, sfDir)
+    val global = orders.select(
+      ntile(4).over(Window.orderBy(col("o_totalprice"))).as("q"))
+    lint(global) should have size 1
+    lint(global).head should include("global window")
+
+    val partitioned = orders.select(
+      row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))).as("rn"))
+    lint(partitioned) shouldBe empty
+
+    // cumulative pass over an aggregate (the two-pass ntile shape) is the
+    // deliberate small global pass — allowed
+    val overAgg = orders.groupBy(col("o_orderstatus")).count()
+      .withColumn("cum", sum(col("count")).over(Window.orderBy(col("o_orderstatus"))))
+    lint(overAgg) shouldBe empty
+  }
+
+  test("the declared two-pass ntile query is lint-clean") {
+    lint(graft.SparkEntry.queries("q_win_ntile")(spark, sfDir)) shouldBe empty
+  }
+
+  test("flags a condition-less inner join; leaves keyed joins alone") {
+    val a = Tables.region(spark, sfDir)
+    val b = Tables.nation(spark, sfDir)
+    lint(a.join(b)) should have size 1
+    lint(a.join(b, a("r_regionkey") === b("n_regionkey"))) shouldBe empty
+  }
+
+  test("rule modes: off is silent, warn passes plans through, fail throws") {
+    val global = Tables.orders(spark, sfDir).select(
+      ntile(4).over(Window.orderBy(col("o_totalprice"))).as("q"))
+    val plan = global.queryExecution.optimizedPlan
+    val rule = ScaleLintRule(spark)
+
+    spark.conf.set(ScaleLint.ConfKey, "off")
+    rule(plan) shouldBe plan
+    spark.conf.set(ScaleLint.ConfKey, "warn")
+    rule(plan) shouldBe plan // logs, never rewrites
+    spark.conf.set(ScaleLint.ConfKey, "fail")
+    try {
+      an[ScaleLint.ScaleLintViolation] should be thrownBy rule(plan)
+    } finally spark.conf.unset(ScaleLint.ConfKey)
+  }
+}
