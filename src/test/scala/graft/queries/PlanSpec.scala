@@ -48,6 +48,14 @@ class PlanSpec extends SparkSpec {
     p should include("partial_sum")
   }
 
+  test("per-group top-k gets the rank-limit pushdown (WindowGroupLimit)") {
+    // Spark 4 prunes each group to k rows BEFORE the full window sort —
+    // partial (map-side) + final. Pin it so a query rewrite can't silently
+    // fall back to sorting whole partitions.
+    val p = planOf(graft.SparkEntry.queries("q_win_topk")(spark, sfDir))
+    "WindowGroupLimit".r.findAllIn(p).size should be >= 2
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = planOf(graft.SparkEntry.queries("q_limit_topk")(spark, sfDir))
     p should include("TakeOrderedAndProject")
