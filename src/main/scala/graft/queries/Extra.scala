@@ -163,7 +163,28 @@ object Extra extends QueryModule {
                THEN 1 ELSE 0 END)
            GROUP BY source ORDER BY source"""))
 
+  // Exact-k deterministic sample — eval-set carving: order by a
+  // multiplicative key hash and take exactly k. Plans as
+  // TakeOrderedAndProject (per-partition top-k + merge), never a global
+  // sort; same rows on any engine or cluster size.
+  private val qSampleExactK = Q(
+    "q_sample_exact_k",
+    (s, d) => Tables.customer(s, d)
+      .withColumn("h",
+        pmod(col("c_custkey").cast("long") * lit(2654435761L), lit(1000000007L)))
+      .orderBy(col("h"), col("c_custkey"))
+      .limit(100)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+             SELECT c_custkey, c_mktsegment, c_acctbal
+             FROM customer
+             ORDER BY (CAST(c_custkey AS BIGINT) * 2654435761) % 1000000007,
+                      c_custkey
+             LIMIT 100) t
+           ORDER BY c_custkey"""))
+
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
-    qCsvRoundtrip, qSampleStratified, qSampleMixture)
+    qCsvRoundtrip, qSampleStratified, qSampleMixture, qSampleExactK)
 }
