@@ -65,7 +65,8 @@ object StreamingOps {
     * watermark horizon × arrival rate, never the stream length; without
     * the time bound a stream-stream join is unbounded and Spark rejects
     * it in append mode). Columns are prefixed l_/r_ to keep the output
-    * schema unambiguous.
+    * schema unambiguous. Both inputs must carry event time in a `ts`
+    * column (the engine-wide convention, cf. Tables.events).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       watermarkDelay: String, before: String, after: String): DataFrame = {
