@@ -71,10 +71,17 @@ object PipelineMain {
     val q = afterNear.filter(qualityOk(col("text"), col("n_chars")))
     val nQuality = q.count()
 
-    // 4. enrichment projections (no shuffle); scrubbed text replaces raw
-    val enriched = q.select(
-      col("doc_id"), scrubPii(col("text")).as("text"), col("lang"),
-      col("source"), col("n_chars"),
+    // 4. enrichment projections (no shuffle). Scrub FIRST (withColumn, so
+    // downstream refs see the scrubbed text — inside a single select the
+    // other columns would still resolve against the raw input), then
+    // derive every feature from what is actually written: token counts,
+    // fingerprint and n_chars must describe the stored text or downstream
+    // packing/dedup against the output diverges.
+    val scrubbed = q
+      .withColumn("text", scrubPii(col("text")))
+      .withColumn("n_chars", length(col("text")))
+    val enriched = scrubbed.select(
+      col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
       tokenCount(col("text")).as("n_tokens"),
       bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
       langIdHeuristic(col("text")).as("lang_pred"),

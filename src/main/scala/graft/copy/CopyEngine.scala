@@ -147,40 +147,45 @@ final class CopyEngine(
     walk(fs, root, root.toUri.getPath)
   }
 
-  /** Pick driver DFS vs distributed listing for one copy item. */
+  /** Pick driver DFS vs distributed listing for one copy item. The
+    * top-level listStatus is issued ONCE and seeds whichever path is
+    * chosen — the common flat-directory case must not enumerate a 10⁶-
+    * entry top level twice.
+    */
   private[copy] def listItem(conf: Configuration, fs: FileSystem,
       src0: Path): Seq[FileMeta] = {
     val src = fs.makeQualified(src0)
-    val top = fs.listStatus(src)
-    if (top.count(_.isDirectory) < distributedListingMinSubtrees)
-      listRecursive(fs, src)
-    else listDistributed(conf, src, top)
-  }
-
-  /** Distributed listing for wide trees: the root's immediate children
-    * are listed on the driver (one listStatus); each top-level SUBTREE
-    * then walks in its own Spark task. Per-task output is listing rows
-    * only — at 10^8 files that is what the driver would otherwise have
-    * produced serially through one NameNode-client loop. Results are
-    * identical to the driver DFS up to ordering (parents still precede
-    * their children within every subtree, and mkdirs is recursive, so
-    * the dir-skeleton pass is order-safe).
-    */
-  private def listDistributed(conf: Configuration, src: Path,
-      top: Array[org.apache.hadoop.fs.FileStatus]): Seq[FileMeta] = {
-    import spark.implicits._
     val rootUri = src.toUri.getPath
     def rel(p: Path): String =
       p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    val top = fs.listStatus(src)
     val topMetas = top.map { st =>
       if (st.isDirectory) FileMeta(st.getPath.toString, rel(st.getPath), isDir = true, 0L)
       else FileMeta(st.getPath.toString, rel(st.getPath), isDir = false, st.getLen)
     }.toSeq
-    val subtreeRoots = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val subtreeRoots = top.filter(_.isDirectory).map(_.getPath).toSeq
+    val sub =
+      if (subtreeRoots.size < distributedListingMinSubtrees)
+        subtreeRoots.flatMap(p => CopyEngine.walk(fs, p, rootUri))
+      else listDistributed(conf, subtreeRoots.map(_.toString), rootUri)
+    topMetas ++ sub
+  }
+
+  /** Distributed listing for wide trees: each top-level SUBTREE walks in
+    * its own Spark task. Per-task output is listing rows only — at 10^8
+    * files that is what the driver would otherwise have produced serially
+    * through one NameNode-client loop. Results are identical to the
+    * driver DFS up to ordering (parents still precede their children
+    * within every subtree, and mkdirs is recursive, so the dir-skeleton
+    * pass is order-safe).
+    */
+  private def listDistributed(conf: Configuration, subtreeRoots: Seq[String],
+      rootUri: String): Seq[FileMeta] = {
+    import spark.implicits._
     val sconf = new SerializableConfiguration(conf)
     val par = math.min(subtreeRoots.size,
       math.max(1, spark.sparkContext.defaultParallelism * 2))
-    val sub = spark.createDataset(subtreeRoots)
+    spark.createDataset(subtreeRoots)
       .repartition(par)
       .mapPartitions { it =>
         val c = sconf.value
@@ -190,7 +195,6 @@ final class CopyEngine(
         }
       }
       .collect().toSeq // listing rows only — payload bytes never move
-    topMetas ++ sub
   }
 }
 

@@ -29,11 +29,12 @@ trait CopyApi {
 final class CopyHttpServer(service: CopyApi, port: Int = 8080) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.createContext("/api/v1/copy", new Handler)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.setExecutor(pool)
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 
   private final class Handler extends HttpHandler {

@@ -1,8 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import scala.annotation.tailrec
+
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
+  LocalLimit, LogicalPlan, Project, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer-injected scale guardrail: flags logical-plan shapes that run
@@ -48,12 +51,25 @@ object ScaleLint {
   final class ScaleLintViolation(msg: String) extends RuntimeException(
     s"$msg (set $ConfKey=warn to log instead, or off to disable)")
 
+  /** The window's input with row-preserving unary nodes peeled off —
+    * "directly over an Aggregate" must mean the direct producer chain,
+    * not "an Aggregate exists SOMEWHERE below" (a tiny aggregate joined
+    * to a huge raw table must not suppress the finding).
+    */
+  @tailrec private def producer(p: LogicalPlan): LogicalPlan = p match {
+    case n: Project       => producer(n.child)
+    case n: Filter        => producer(n.child)
+    case n: SubqueryAlias => producer(n.child)
+    case n: LocalLimit    => producer(n.child)
+    case other            => other
+  }
+
   /** Pure inspection — returns a message per scale-killer found. */
   def findings(plan: LogicalPlan): Seq[String] = {
     val out = Seq.newBuilder[String]
     plan.foreach {
       case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-          !w.child.exists(_.isInstanceOf[Aggregate]) =>
+          !producer(w.child).isInstanceOf[Aggregate] =>
         out += ("global window (ORDER BY with no PARTITION BY) over " +
           "non-aggregated data moves the whole dataset through one task: " +
           w.windowExpressions.map(_.sql).mkString(", ").take(120))

@@ -112,11 +112,20 @@ object Extra extends QueryModule {
   // hash of the row key (Knuth constant), so the sample is reproducible
   // on any engine and any cluster with ZERO coordination (no RNG state,
   // no sort, pure map-side filter that pushes to the scan).
+  //
+  // The key is reduced mod 1e9 BEFORE the multiply: 1e9 × 2654435761 ≈
+  // 2.7e18 < 2^63, so the product can never overflow Long — critical
+  // under ANSI mode (Spark 4 default throws on wrap) and for exact
+  // DuckDB parity (BIGINT overflow errors there too). A raw
+  // key × 2654435761 would blow past 2^63 for keys ≥ ~3.5e9 — i.e. at
+  // exactly the corpus sizes this operator exists for.
+  private def keyHash(key: org.apache.spark.sql.Column, m: Long) =
+    pmod(pmod(key.cast("long"), lit(1000000000L)) * lit(2654435761L), lit(m))
+
   private val qSampleStratified = Q(
     "q_sample_stratified",
     (s, d) => Tables.customer(s, d)
-      .withColumn("h",
-        pmod(col("c_custkey").cast("long") * lit(2654435761L), lit(1000L)))
+      .withColumn("h", keyHash(col("c_custkey"), 1000L))
       // 20% of BUILDING, 10% of everything else
       .filter(col("h") < when(col("c_mktsegment") === "BUILDING", 200L).otherwise(100L))
       .groupBy(col("c_mktsegment"))
@@ -125,7 +134,7 @@ object Extra extends QueryModule {
     Some("""SELECT c_mktsegment, count(*) AS n_sampled,
              round(avg(c_acctbal), 4) AS avg_bal
            FROM customer
-           WHERE (CAST(c_custkey AS BIGINT) * 2654435761) % 1000 <
+           WHERE ((CAST(c_custkey AS BIGINT) % 1000000000) * 2654435761) % 1000 <
                  CASE WHEN c_mktsegment = 'BUILDING' THEN 200 ELSE 100 END
            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
@@ -144,7 +153,7 @@ object Extra extends QueryModule {
         .withColumn("r1000", rate1000)
         .withColumn("n_copies",
           (expr("r1000 div 1000") +
-            when(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) <
+            when(keyHash(col("doc_id"), 1000L) <
               pmod(col("r1000"), lit(1000L)), 1L).otherwise(0L)).cast("int"))
         .filter(col("n_copies") > 0)
         .withColumn("copy", explode(sequence(lit(1), col("n_copies"))))
@@ -159,7 +168,7 @@ object Extra extends QueryModule {
                  ELSE 1000 END) AS r1000
              FROM documents d) d, range(10) r
            WHERE r.range < r1000 // 1000 +
-             (CASE WHEN (d.doc_id * 2654435761) % 1000 < r1000 % 1000
+             (CASE WHEN ((d.doc_id % 1000000000) * 2654435761) % 1000 < r1000 % 1000
                THEN 1 ELSE 0 END)
            GROUP BY source ORDER BY source"""))
 
@@ -170,8 +179,7 @@ object Extra extends QueryModule {
   private val qSampleExactK = Q(
     "q_sample_exact_k",
     (s, d) => Tables.customer(s, d)
-      .withColumn("h",
-        pmod(col("c_custkey").cast("long") * lit(2654435761L), lit(1000000007L)))
+      .withColumn("h", keyHash(col("c_custkey"), 1000000007L))
       .orderBy(col("h"), col("c_custkey"))
       .limit(100)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -179,7 +187,7 @@ object Extra extends QueryModule {
     Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM (
              SELECT c_custkey, c_mktsegment, c_acctbal
              FROM customer
-             ORDER BY (CAST(c_custkey AS BIGINT) * 2654435761) % 1000000007,
+             ORDER BY ((CAST(c_custkey AS BIGINT) % 1000000000) * 2654435761) % 1000000007,
                       c_custkey
              LIMIT 100) t
            ORDER BY c_custkey"""))

@@ -47,12 +47,22 @@ object StreamMain {
     spark.sparkContext.setLogLevel("WARN")
 
     // The streaming file source needs a DIRECTORY; the fixture is a single
-    // parquet file — stage it into a temp dir when needed.
+    // parquet file — stage it into a DETERMINISTIC dir derived from the
+    // input path (a fresh random temp dir would change the source paths
+    // under a persistent checkpoint in $outDir, re-admitting every file
+    // on re-run and appending duplicates to the sink).
     val srcDir = {
       val f = new java.io.File(eventsDir)
       if (f.isFile) {
-        val d = java.nio.file.Files.createTempDirectory("stream_src")
-        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(f.getAbsolutePath.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        val d = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_stream_src_$key")
+        java.nio.file.Files.createDirectories(d)
+        val staged = d.resolve(f.getName)
+        if (!java.nio.file.Files.exists(staged))
+          java.nio.file.Files.copy(f.toPath, staged)
         d.toString
       } else eventsDir
     }

@@ -29,6 +29,13 @@ class ScaleLintSpec extends SparkSpec {
     val overAgg = orders.groupBy(col("o_orderstatus")).count()
       .withColumn("cum", sum(col("count")).over(Window.orderBy(col("o_orderstatus"))))
     lint(overAgg) shouldBe empty
+
+    // an Aggregate merely SOMEWHERE below (tiny agg joined to raw data)
+    // must NOT suppress the finding — the window input is still huge
+    val agg = orders.groupBy(col("o_orderstatus")).count()
+    val joinedRaw = orders.join(agg, "o_orderstatus")
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+    lint(joinedRaw) should have size 1
   }
 
   test("the declared two-pass ntile query is lint-clean") {
