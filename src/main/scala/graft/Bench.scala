@@ -15,13 +15,19 @@ object Bench {
     // Untimed warmup: JIT + codegen + parquet-footer caches, so the first
     // timed query doesn't absorb JVM startup (it skewed ~3-4 s onto
     // whichever query the map iterated first).
+    // Materialize via the noop sink, NOT count(): count() lets the
+    // optimizer prune every computed column and eliminate final sorts, so
+    // projection-shaped queries would time a bare scan and a regression
+    // in any projection expression would be invisible to the anchor.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.get("q_scan_agg").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q_scan_agg").foreach(q => run(q(spark, sfDir)))
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

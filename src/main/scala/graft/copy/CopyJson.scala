@@ -37,8 +37,12 @@ object CopyJson {
     } else null
     val bw = if (root.hasNonNull("bandwidth")) {
       val n = root.get("bandwidth")
-      if (!n.isIntegralNumber)
-        throw new IllegalArgumentException("bandwidth must be an integer")
+      // canConvertToInt: asInt() would silently TRUNCATE out-of-range
+      // longs (2^32+1 → 1 MB/s — a massively-throttled copy instead of a
+      // 400). The reference's Integer binding rejects these as an
+      // unreadable body, so normalize the same way.
+      if (!n.isIntegralNumber || !n.canConvertToInt)
+        throw new IllegalArgumentException("bandwidth must be a 32-bit integer")
       Some(n.asInt())
     } else None
     CopyRequest(ns, items, bw)

@@ -32,7 +32,15 @@ object NearDup {
       s"signature too short: numHashes=$numHashes < bands*rowsPerBand=" +
         s"${bands * rowsPerBand} (out-of-range bands would give every doc " +
         "an identical key → accidental all-pairs join)")
-    val banded = docs
+    // One materialization of the shingle projection (the dominant cost):
+    // the input feeds banding PLUS two verification re-attach joins, and
+    // without a checkpoint each consumer would recompute WordShingles
+    // over the full corpus. Blank docs (empty shingle set) are dropped up
+    // front — an empty doc is not a NEAR-duplicate of anything (exact
+    // dedup handles identical blanks), and its degenerate signature would
+    // otherwise flood one bucket per band.
+    val d = docs.filter(size(col("sh")) > 0).localCheckpoint()
+    val banded = d
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
       .withColumn("bandKey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .select(col("bandKey"), col("doc_id"))
@@ -41,8 +49,8 @@ object NearDup {
     val cand = a.join(b, col("bandKey") === col("bk2") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard",
@@ -72,7 +80,12 @@ object NearDup {
     // Run the prefix bound at τ' slightly below τ so pairs whose ROUNDED
     // jaccard reaches the declared filter stay inside the guarantee.
     val tau = threshold - 0.0001
-    val d = docs.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    // Same one-materialization + blank-doc posture as verifiedPairs: the
+    // input feeds the df pass, the prefix pass AND two verification
+    // re-attach joins.
+    val d = docs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .localCheckpoint()
     // pass 1: global document frequency = the canonical shingle order
     val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

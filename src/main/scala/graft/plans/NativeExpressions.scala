@@ -196,7 +196,11 @@ object NativeHash {
 
 /** Distinct word k-shingles of a string in one pass: whitespace-tokenize,
   * join each k consecutive tokens with a single space; documents shorter
-  * than k tokens yield their whole token sequence as the one shingle.
+  * than k tokens yield their whole token sequence as the one shingle,
+  * and ZERO-token documents yield an EMPTY set (a shared "" shingle
+  * would make every blank document a jaccard-1.0 "near-duplicate" of
+  * every other blank document and collapse them into one dedup cluster;
+  * blank-vs-blank identity belongs to exact dedup).
   * First-occurrence order, duplicates dropped.
   *
   * Replaces a `transform(sequence(...), slice+concat_ws)` higher-order
@@ -222,6 +226,7 @@ case class WordShingles(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString
       .split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (toks.length <= k) {
       out.add(UTF8String.fromString(toks.mkString(" ")))

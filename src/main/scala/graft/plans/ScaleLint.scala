@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import scala.annotation.tailrec
 
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
-  LocalLimit, LogicalPlan, Project, SubqueryAlias, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  GlobalLimit, Join, LogicalPlan, Project, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer-injected scale guardrail: flags logical-plan shapes that run
@@ -52,16 +52,26 @@ object ScaleLint {
     s"$msg (set $ConfKey=warn to log instead, or off to disable)")
 
   /** The window's input with row-preserving unary nodes peeled off —
-    * "directly over an Aggregate" must mean the direct producer chain,
-    * not "an Aggregate exists SOMEWHERE below" (a tiny aggregate joined
-    * to a huge raw table must not suppress the finding).
+    * "directly over a bounded producer" must mean the direct producer
+    * chain, not "an Aggregate exists SOMEWHERE below" (a tiny aggregate
+    * joined to a huge raw table must not suppress the finding).
     */
   @tailrec private def producer(p: LogicalPlan): LogicalPlan = p match {
     case n: Project       => producer(n.child)
     case n: Filter        => producer(n.child)
     case n: SubqueryAlias => producer(n.child)
-    case n: LocalLimit    => producer(n.child)
     case other            => other
+  }
+
+  /** Cardinality-bounded producers a global window may legitimately sit
+    * on: an Aggregate (the small-global-pass pattern) or a GlobalLimit
+    * (≤ k rows by construction — note df.limit(k) lowers to
+    * GlobalLimit(LocalLimit(...)), so GlobalLimit is what the peel
+    * reaches).
+    */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: GlobalLimit => true
+    case _ => false
   }
 
   /** Pure inspection — returns a message per scale-killer found. */
@@ -69,12 +79,16 @@ object ScaleLint {
     val out = Seq.newBuilder[String]
     plan.foreach {
       case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-          !producer(w.child).isInstanceOf[Aggregate] =>
+          !bounded(producer(w.child)) =>
         out += ("global window (ORDER BY with no PARTITION BY) over " +
           "non-aggregated data moves the whole dataset through one task: " +
           w.windowExpressions.map(_.sql).mkString(", ").take(120))
-      case j: Join if j.condition.isEmpty && j.joinType == Inner =>
-        out += "condition-less inner join plans a cartesian product"
+      // crossing against a cardinality-bounded side (an aggregate or
+      // limit output — e.g. a broadcast centroid table) is the deliberate
+      // small-dimension pattern; two unbounded sides is the accident
+      case j: Join if j.condition.isEmpty && j.joinType == Inner &&
+          !bounded(producer(j.left)) && !bounded(producer(j.right)) =>
+        out += "condition-less inner join of two unbounded sides plans a cartesian product"
       case _ =>
     }
     out.result()

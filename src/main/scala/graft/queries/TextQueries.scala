@@ -226,7 +226,8 @@ object TextQueries extends QueryModule {
                CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
                     ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
                                         FOR i IN range(1, len(toks) - 1)]) END AS sh
-             FROM t),
+             FROM t
+             WHERE len(toks) > 0),
            p AS (
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                len(list_intersect(a.sh, b.sh)) AS inter,

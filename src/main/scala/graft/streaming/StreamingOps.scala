@@ -138,7 +138,12 @@ object StreamingOps {
             var p = state.getOption.getOrElse(TaskProgress(0, 0L, 0L))
             if (p.nItems == -1) {
               // tombstone: task already rejected as oversized; swallow
-              // further updates without re-emitting
+              // further updates without re-emitting. GroupState clears any
+              // pending timer on every invocation — re-arm it here or a
+              // straggler update would strand the tombstone in the state
+              // store forever (with timers disabled the tombstone persists
+              // for the query's lifetime; acceptable only in tests).
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
               Iterator.empty
             } else {
               var oversized = false

@@ -36,17 +36,31 @@ class ScaleLintSpec extends SparkSpec {
     val joinedRaw = orders.join(agg, "o_orderstatus")
       .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
     lint(joinedRaw) should have size 1
+
+    // a window over limit(k) is bounded by construction — allowed (the
+    // IVF centroid-seed ranking shape)
+    val overLimit = orders.limit(16)
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+    lint(overLimit) shouldBe empty
+  }
+
+  test("the IVF query (window over limit in centroid seeding) is lint-clean") {
+    lint(graft.SparkEntry.queries("q_sim_topk_ivf")(spark, sfDir)) shouldBe empty
   }
 
   test("the declared two-pass ntile query is lint-clean") {
     lint(graft.SparkEntry.queries("q_win_ntile")(spark, sfDir)) shouldBe empty
   }
 
-  test("flags a condition-less inner join; leaves keyed joins alone") {
+  test("flags a condition-less inner join; leaves keyed and bounded-side joins alone") {
     val a = Tables.region(spark, sfDir)
     val b = Tables.nation(spark, sfDir)
     lint(a.join(b)) should have size 1
     lint(a.join(b, a("r_regionkey") === b("n_regionkey"))) shouldBe empty
+    // crossing against an aggregate (bounded) side — the broadcast
+    // centroid-table pattern — is deliberate and allowed
+    val agg = b.groupBy(col("n_regionkey")).count()
+    lint(a.join(agg, lit(true))) shouldBe empty
   }
 
   test("rule modes: off is silent, warn passes plans through, fail throws") {

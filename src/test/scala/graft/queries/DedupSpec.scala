@@ -53,6 +53,20 @@ class DedupSpec extends SparkSpec {
     java.lang.Long.bitCount(h(0) ^ h(3)) should be >= 20
   }
 
+  test("blank documents are never near-duplicates of each other") {
+    // a shared '' shingle would make all blank docs mutual jaccard-1.0
+    // pairs; WordShingles emits an empty set and NearDup drops them
+    val docs = docsDf((1L, ""), (2L, "   "), (3L, ""), (10L, base), (11L, nearDup))
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .wordShingles(col("text"), 3).as("sh"))
+    val mh = graft.operators.NearDup.verifiedPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    mh shouldBe Set((10L, 11L)) // the planted pair, and ONLY it
+    val jc = graft.operators.NearDup.jaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    jc shouldBe Set((10L, 11L))
+  }
+
   test("prefix-filtered jaccard: planted pair found, hot shingle harmless, matches brute force") {
     // 30 docs all sharing one hot shingle — the df² worst case an
     // unfiltered inverted index fans out on — plus a planted near-dup
