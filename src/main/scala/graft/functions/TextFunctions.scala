@@ -101,19 +101,28 @@ object TextFunctions {
     when(length(text) === 0, 0.0)
       .otherwise(punctCount(text).cast("double") / length(text).cast("double"))
 
+  /** One-pass token stats via the native expression (graft.plans
+    * .TokenStats): the filter/aggregate/size HOF chains ran interpreted
+    * per token and dominated q_quality_score; identical semantics.
+    */
+  private def tokenStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.TokenStats(
+      ColumnBridge.expression(text), stopwords.toArray))
+  }
+
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val stops = filter(toks, t => t.isInCollection(stopwords))
-    when(size(toks) === 0, 0.0)
-      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+    val s = tokenStats(text)
+    when(s.getField("n_tokens") === 0, 0.0)
+      .otherwise(s.getField("n_stop").cast("double") /
+        s.getField("n_tokens").cast("double"))
   }
 
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, 0.0)
-      .otherwise(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-          size(toks).cast("double"))
+    val s = tokenStats(text)
+    when(s.getField("n_tokens") === 0, 0.0)
+      .otherwise(s.getField("sum_len").cast("double") /
+        s.getField("n_tokens").cast("double"))
   }
 
   /** The three quality predicates, shared by the score, the declared

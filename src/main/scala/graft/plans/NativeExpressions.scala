@@ -394,3 +394,60 @@ case class LshBuckets(child: Expression, nBits: Int, seeds: Array[Int])
   override protected def withNewChildInternal(c: Expression): LshBuckets =
     copy(child = c)
 }
+
+/** One-pass token statistics for the quality stack: token count, total
+  * token length, and stopword hits in a single tokenize of the text.
+  * Replaces three interpreted higher-order-function chains (filter +
+  * aggregate + size over repeated `split`s) that profiling showed
+  * dominating q_quality_score (~3 s of the sf0.1 bench) — same
+  * semantics: tokens are the non-empty \s+ splits, lengths counted on
+  * the original-case token, stopword match on its lowercase form
+  * (lowercasing never creates or destroys whitespace, so this equals
+  * tokenizing lower(text)).
+  */
+case class TokenStats(child: Expression, stopwords: Array[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs a string input, got ${t.simpleString}")
+    }
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split("\\s+")
+    var n = 0
+    var sumLen = 0L
+    var nStop = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        sumLen += t.length
+        if (stopSet.contains(t.toLowerCase)) nStop += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sumLen, nStop))
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenStats =
+    copy(child = c)
+}
