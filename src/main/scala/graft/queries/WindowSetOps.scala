@@ -142,16 +142,20 @@ object WindowSetOps extends QueryModule {
   // not row positions, so ties get identical results on both engines.
   private val qWinRangeFrame = Q(
     "q_win_range_frame",
+    // partitioned by customer, not by the 3-value order status: a
+    // window keyed on a near-constant column caps parallelism at
+    // #distinct-keys tasks (3 here) and is the same unbounded-state
+    // smell at 100 TB that the scale lint exists for
     (s, d) => Tables.orders(s, d)
       .select(
-        col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderkey"), col("o_custkey"),
         count(lit(1)).over(
-          Window.partitionBy(col("o_orderstatus"))
+          Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_totalprice"))
             .rangeBetween(-10000L, Window.currentRow)).as("n_in_band"))
       .orderBy(col("o_orderkey")),
-    Some("""SELECT o_orderkey, o_orderstatus,
-             count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+    Some("""SELECT o_orderkey, o_custkey,
+             count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
            FROM orders ORDER BY o_orderkey"""))
 
