@@ -203,6 +203,81 @@ object TextQueries extends QueryModule {
            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
            ORDER BY doc_id"""))
 
+  // BM25 keyword search: rank documents for a fixed 3-term query. The
+  // corpus statistics (N, avgdl, per-term df) are one partial+final agg
+  // over the token stream, then broadcast — the per-doc scoring pass is a
+  // map-side projection. The per-term contributions are summed in FIXED
+  // column order (one conditional sum per query term), so the double
+  // fold order is identical in Spark and DuckDB — a plain groupBy sum of
+  // contributions would be order-nondeterministic in the 15th decimal.
+  // Scale posture: tf shuffles only (doc_id, term, count) for the ≤|Q|
+  // query terms per doc; document text never leaves the scan.
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Terms = Seq("hash", "join", "merge")
+
+  private val qBm25 = Q(
+    "q_bm25_search",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(bm25Terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      val contrib = tf
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("c",
+          col("idf") * col("tf") * lit(bm25K1 + 1.0) /
+            (col("tf") + lit(bm25K1) *
+              (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+      val perTerm = bm25Terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("c"))).as(s"c$i")
+      }
+      contrib.groupBy(col("doc_id"))
+        .agg(perTerm.head, perTerm.tail: _*)
+        .withColumn("score",
+          round(bm25Terms.indices
+            .map(i => coalesce(col(s"c$i"), lit(0.0)))
+            .reduce(_ + _), 4))
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH docs AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS toks
+             FROM documents),
+           dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM docs),
+           stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
+           tf AS (
+             SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd) x
+             WHERE term IN ('hash','join','merge')
+             GROUP BY doc_id, dl, term),
+           dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           c AS (
+             SELECT tf.doc_id, tf.term,
+               ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ${bm25K1 + 1.0}
+                 / (tf.tf + $bm25K1 * (${1.0 - bm25B} + $bm25B * tf.dl / s.avgdl)) AS c
+             FROM tf JOIN dfreq USING (term) CROSS JOIN stats s)
+           SELECT doc_id,
+             round(coalesce(sum(CASE WHEN term = 'hash'  THEN c END), 0.0)
+                 + coalesce(sum(CASE WHEN term = 'join'  THEN c END), 0.0)
+                 + coalesce(sum(CASE WHEN term = 'merge' THEN c END), 0.0), 4) AS score
+           FROM c GROUP BY doc_id
+           ORDER BY score DESC, doc_id LIMIT 20"""))
+
   // N-gram (3-shingle) Jaccard near-dup via the PREFIX-FILTERED shingle
   // inverted index in NearDup.jaccardPairs (SSJoin/AllPairs kernel): each
   // doc indexes only its ⌈(1−τ)n⌉+1 rarest shingles, so hot-shingle df²
@@ -211,13 +286,11 @@ object TextQueries extends QueryModule {
   // jaccard in DuckDB (list comprehension + list_intersect), so a green
   // row is an end-to-end proof the prefix filter loses no pair on the
   // real fixture. DedupSpec pins planted pairs + the hot-shingle case.
-  private val qDedupJaccard = Q(
-    "q_dedup_ngram_jaccard",
-    (s, d) => graft.operators.NearDup.jaccardPairs(
-        Tables.documents(s, d)
-          .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")))
-      .orderBy(col("id_a"), col("id_b")),
-    Some("""WITH t AS (
+  // Shared DuckDB CTE prefix: all-pairs 3-shingle jaccard over the
+  // documents table (used by the jaccard oracle AND replayed as the edge
+  // set of the cluster-formation oracle below).
+  private val jaccardCtePrefix =
+    """t AS (
              SELECT doc_id,
                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
              FROM documents),
@@ -232,11 +305,54 @@ object TextQueries extends QueryModule {
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                len(list_intersect(a.sh, b.sh)) AS inter,
                len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-             FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             FROM s a JOIN s b ON a.doc_id < b.doc_id)"""
+
+  private val qDedupJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (s, d) => graft.operators.NearDup.jaccardPairs(
+        Tables.documents(s, d)
+          .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")))
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH $jaccardCtePrefix
            SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
            FROM p
            WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8
            ORDER BY id_a, id_b"""))
+
+  // Incremental (batch-vs-corpus) exact dedup — the daily-ingest shape:
+  // an incoming batch (doc_id % 10 = 0 stands in for "today's crawl") is
+  // deduplicated first within itself (keep min doc_id per digest), then
+  // anti-joined against the existing corpus by content digest. Scale
+  // posture: the corpus side reduces to a 32-byte digest set before the
+  // anti-join (at 100 TB that digest index is ~the only thing a daily
+  // dedup job reads); text never shuffles on either side.
+  private val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_chars"),
+          sha2(col("text").cast("binary"), 256).as("h"))
+      val corpusDigests = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(sha2(col("text").cast("binary"), 256).as("h"))
+        .distinct()
+      val withinBatch = batch
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      batch.join(withinBatch, Seq("h", "doc_id"), "left_semi")
+        .join(corpusDigests, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id, d.n_chars FROM documents d
+           WHERE d.doc_id % 10 = 0
+             AND d.doc_id = (SELECT min(x.doc_id) FROM documents x
+                             WHERE x.doc_id % 10 = 0
+                               AND sha256(x.text) = sha256(d.text))
+             AND NOT EXISTS (SELECT 1 FROM documents c
+                             WHERE c.doc_id % 10 <> 0
+                               AND sha256(c.text) = sha256(d.text))
+           ORDER BY d.doc_id"""))
 
   // MinHash + LSH banding near-dup: signature → band keys → explode →
   // bucket self-join → verified by true shingle-Jaccard. The standard
@@ -272,17 +388,43 @@ object TextQueries extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     })
 
-  // Cluster formation over the minhash near-dup pairs: connected
-  // components → one keeper per dup group (rows-only; pinned by
-  // DedupClustersSpec chains/keepers/end-to-end cases).
+  // Cluster formation: connected components over the exact (prefix-
+  // filtered) jaccard pair set → one keeper per dup group. Built on
+  // jaccardPairs (provably equal to all-pairs jaccard) so DuckDB can
+  // replay the whole operator: edges via the shared jaccard CTE, then a
+  // RECURSIVE transitive-closure CTE labels each node with the min
+  // reachable id — a full oracle over an iterative distributed
+  // algorithm. The minhash-candidate variant of the same operator is
+  // exercised by PipelineMain + DedupClustersSpec's end-to-end case.
   private val qDedupClusters = Q(
     "q_dedup_clusters",
     (s, d) => graft.operators.DedupClusters.keepers(
-      qDedupMinhash.build(s, d).select(col("id_a"), col("id_b"))))
+      graft.operators.NearDup.jaccardPairs(
+          Tables.documents(s, d)
+            .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")))
+        .select(col("id_a"), col("id_b"))),
+    Some(s"""WITH RECURSIVE $jaccardCtePrefix,
+           jp AS (
+             SELECT id_a, id_b FROM p
+             WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8),
+           e AS (
+             SELECT id_a AS u, id_b AS v FROM jp
+             UNION
+             SELECT id_b AS u, id_a AS v FROM jp),
+           reach(u, v) AS (
+             SELECT u, v FROM e
+             UNION
+             SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+           lbl AS (
+             SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM reach GROUP BY u)
+           SELECT cluster_id, cluster_id AS keeper,
+             count(*) AS n_members
+           FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
 
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
-    qVocabTopK, qPiiScrub, qSeqPack,
-    qDedupExact, qDedupExactSurvivors, qDedupJaccard, qDedupMinhash,
-    qDedupSimhash, qDedupClusters)
+    qVocabTopK, qPiiScrub, qSeqPack, qBm25,
+    qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
+    qDedupMinhash, qDedupSimhash, qDedupClusters)
 }

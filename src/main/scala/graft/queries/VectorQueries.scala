@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -170,6 +171,72 @@ object VectorQueries extends QueryModule {
       graft.operators.IvfIndex.topK(queries, indexed, cents, k = 5, nProbe = 3)
     })
 
+  // Scalar-quantized (int8-grid) ANN: per-dimension global [min,max] →
+  // 256-step uniform grid; candidate scoring runs entirely on the
+  // quantized approximation (at scale: 64 B/vector instead of 256 B — a
+  // 4× scan/memory-bandwidth cut, the classic first move when the corpus
+  // stops fitting in cluster memory), then the top 3k approx candidates
+  // per query are rescored with exact float cosine and cut to k. The
+  // range pass is one partial+final agg collapsing to dim rows (O(dim)
+  // driver bytes, like IVF centroids); quantize+dequantize is a pure
+  // map-side projection against broadcast-literal grids, and the scoring
+  // pass reuses the codegen'd FloatVecDot. No oracle (grid membership is
+  // engine-defined); recall vs brute force pinned by spec.
+  private val qSq8 = Q(
+    "q_sim_topk_sq8",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val ranges = e
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+        .orderBy(col("pos"))
+        .collect()
+      val lo = ranges.map(_.getDouble(1))
+      val step = ranges.map(r => {
+        val w = r.getDouble(2) - r.getDouble(1); if (w > 0) w / 255.0 else 1.0
+      })
+      val loLit = array(lo.map(lit): _*)
+      val stepLit = array(step.map(lit): _*)
+      // dequantized int8-grid approximation, computed map-side: the stored
+      // form at scale would be the tinyint codes; the grid reconstruction
+      // here is what the scoring kernel would see after decode
+      def sq8(v: Column): Column = transform(v, (x, i) => {
+        val l = element_at(loLit, i + 1)
+        val st = element_at(stepLit, i + 1)
+        (l + round((x.cast("double") - l) / st, 0) * st).cast("float")
+      })
+      val approx = e.select(col("vec_id"), sq8(col("embedding")).as("qv8"))
+        .withColumn("qn2", normSq(col("qv8")))
+      val queries = broadcast(
+        approx.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("qv8").as("qa"), col("qn2").as("qan2")))
+      val scoredApprox = queries
+        .join(approx.select(col("vec_id").as("nid"), col("qv8").as("na"),
+          col("qn2").as("nan2")), col("qid") =!= col("nid"))
+        .withColumn("acos",
+          dot(col("qa"), col("na")) / (sqrt(col("qan2")) * sqrt(col("nan2"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+      val cand = scoredApprox
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 15)
+        .select(col("qid"), col("nid"))
+      val exact = cand
+        .join(broadcast(e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("n2").as("qn2e"))), "qid")
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("n2").as("nn2e")), "nid")
+        .withColumn("cos",
+          dot(col("qv"), col("nv")) / (sqrt(col("qn2e")) * sqrt(col("nn2e"))))
+      val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      exact
+        .withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rn"))
+    })
+
   // Per-label centroid + spread: grouped vector aggregation via element-wise
   // array fold (posexplode → groupBy(label, pos) → avg), the distributed
   // layout for any "mean vector per class" job.
@@ -194,5 +261,5 @@ object VectorQueries extends QueryModule {
            GROUP BY label, i ORDER BY label, pos"""))
 
   override def queries: Seq[Q] = Seq(
-    qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qCentroids)
+    qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qSq8, qCentroids)
 }

@@ -92,6 +92,20 @@ class TextVectorSpec extends SparkSpec {
                             // under test, not the synthetic-data recall
   }
 
+  test("SQ8 quantized top-k: high recall vs brute force (exact rescore over approx candidates)") {
+    val brute = graft.SparkEntry.queries("q_sim_topk_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = graft.SparkEntry.queries("q_sim_topk_sq8")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    brute should not be empty
+    // unlike the bucketed paths, SQ8 scores EVERY vector (on the coarse
+    // grid) and rescores the top-3k exactly, so near-perfect recall is
+    // the contract — a miss requires the true kth neighbor to fall
+    // outside the approx top-15, i.e. quantization error > the cos gap
+    val recall = brute.count(sq8.contains).toDouble / brute.size
+    recall should be >= 0.8
+  }
+
   test("float_vec_dot: length mismatch and null elements propagate as NULL") {
     val sp = spark; import sp.implicits._
     val df = Seq(
