@@ -69,15 +69,23 @@ object StreamingOps {
     * column (the engine-wide convention, cf. Tables.events).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      watermarkDelay: String, before: String, after: String): DataFrame = {
+      watermarkDelay: String, before: String, after: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
       .withWatermark(s"l_ts", watermarkDelay)
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
       .withWatermark(s"r_ts", watermarkDelay)
+    // left_outer: Spark emits the null-padded row for an unmatched left
+    // event only once the watermark passes l_ts + after (the point where
+    // no future right row can match) — the outer result is late by the
+    // watermark delay, but state stays bounded exactly as in the inner
+    // case. full_outer follows symmetrically; left_semi buffers no right
+    // columns at all.
     l.join(r,
       col(s"l_$key") === col(s"r_$key") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"),
+      joinType)
   }
 
   // --- arbitrary stateful processing: the reference's task-status fold as

@@ -104,6 +104,41 @@ class StreamingSpec extends SparkSpec {
     rows shouldBe Seq((200L, 100L), (202L, 102L))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched left emits null-padded after watermark") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]    // right side
+    val purchases = MemoryStream[Ev] // left side
+    val joined = intervalJoin(purchases.toDF(), clicks.toDF(), "user_id",
+      watermarkDelay = "10 minutes", before = "5 minutes", after = "0 minutes",
+      joinType = "left_outer")
+      .select(col("l_event_id").as("pid"), col("r_event_id").as("cid"))
+    val q = joined.writeStream.format("memory").queryName("ssj_lo")
+      .outputMode(OutputMode.Append()).start()
+    // user 10: click 00:02 → purchase 00:05 (matched)
+    // user 11: purchase 00:06 with NO click in [00:01, 00:06] (unmatched)
+    clicks.addData(Ev(100, ts(2), 10, "click", 1.0))
+    purchases.addData(Ev(200, ts(5), 10, "purchase", 9.0),
+      Ev(201, ts(6), 11, "purchase", 9.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past 00:06 → the unmatched left row's
+    // state expires and the null-padded outer row flushes
+    clicks.addData(Ev(102, ts(59), 12, "click", 1.0))
+    purchases.addData(Ev(202, ts(59, 30), 12, "purchase", 1.0))
+    q.processAllAvailable()
+    // one more nudge: outer results emit on the batch AFTER the watermark
+    // move (state eviction happens at batch start)
+    clicks.addData(Ev(103, ts(90), 13, "click", 1.0))
+    purchases.addData(Ev(203, ts(90), 13, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT pid, cid FROM ssj_lo ORDER BY pid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    rows should contain allOf ((200L, 100L), (201L, -1L))
+    // the unmatched purchase appears exactly once, null-padded
+    rows.count(_._1 == 201L) shouldBe 1
+  }
+
   test("tumbling window with watermark drops late data beyond the horizon") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
