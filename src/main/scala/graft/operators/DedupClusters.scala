@@ -24,10 +24,32 @@ object DedupClusters {
     * own cluster by definition — callers union them in if needed).
     */
   def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    val edgesRaw = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .localCheckpoint() // materialize once; iterations re-join it
+    // Size the ITERATION parallelism to the materialized edge count, not
+    // the session default: dup-pair graphs are usually a sliver of the
+    // corpus (a 500-doc fixture yields ~50 edges; even 100 TB of text
+    // rarely yields more than ~1% dup pairs), and running a handful of
+    // rows through 32-partition shuffles × 3 joins × k iterations makes
+    // fixed per-shuffle overhead the dominant cost. The count is free —
+    // the localCheckpoint above already materialized the edges.
+    val nEdges = edgesRaw.count()
+    val parts = math.max(1L, math.min(
+      edgesRaw.sparkSession.sparkContext.defaultParallelism.toLong,
+      nEdges / 50000 + 1)).toInt
+    val edges = edgesRaw.repartition(parts, col("v")).localCheckpoint()
+    edgesRaw.unpersist()
+    // Scoped session-conf override (restored in the finally): the
+    // iteration group-bys/joins inherit it. Assumes no concurrent query
+    // planning on this session while components() runs — true for every
+    // caller here (declared queries and PipelineMain are sequential).
+    val shufflePartsConf = "spark.sql.shuffle.partitions"
+    val spark = edges.sparkSession
+    val prevShuffleParts = spark.conf.getOption(shufflePartsConf)
+    spark.conf.set(shufflePartsConf, parts)
+    try {
     // label = current component candidate (min id seen so far).
     // localCheckpoint (eager) per iteration truncates lineage — without it
     // iteration k's plan nests k join plans and planning itself blows up.
@@ -65,7 +87,15 @@ object DedupClusters {
         s"DedupClusters.components did not converge after $maxIter iterations; " +
           "cluster labels may be split — raise maxIter (rounds needed is " +
           "O(log diameter) under pointer jumping)")
+    // re-plan the final frame under the restored shuffle setting; the
+    // labels themselves are already materialized (localCheckpoint)
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+    } finally {
+      prevShuffleParts match {
+        case Some(v) => spark.conf.set(shufflePartsConf, v)
+        case None => spark.conf.unset(shufflePartsConf)
+      }
+    }
   }
 
   /** One row per cluster: canonical keeper + member count. The keeper IS

@@ -47,4 +47,37 @@ object Salting {
     saltedAgg(df, keys, saltFactor,
       partial = Seq(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s")),
       combine = Seq(sum(col("__n")).as("n"), sum(col("__s")).as("sum")))
+
+  /** Salted equi-join for extreme key skew on the LEFT (fact) side when
+    * the right side is too large to broadcast and a single hot key
+    * overwhelms one reducer. Each left row gets a deterministic salt in
+    * [0, saltFactor); the right side is replicated saltFactor× with every
+    * salt value, and the join runs on (key, salt) — the hot key's rows
+    * spread over saltFactor reducers instead of one.
+    *
+    * Cost model: right-side shuffle volume multiplies by saltFactor, so
+    * this pays off exactly when |right| × saltFactor ≪ the hot key's
+    * left volume — the standard manual fallback for the cases AQE's
+    * runtime skew-split cannot handle (e.g. the skewed partition is one
+    * single key, which AQE cannot subdivide further without a salt).
+    * Inner joins only (an outer salted join would need null-handling on
+    * every replica — out of scope).
+    *
+    * The salt is hash-derived from the left row's full key column plus
+    * a per-row uniform component, so re-runs produce identical results
+    * (no rand()): spark_partition_id + monotonically_increasing_id is
+    * deterministic for a deterministic upstream layout.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor))
+        .cast("int"))
+    val replicatedRight = right
+      .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    saltedLeft.join(replicatedRight,
+        Seq(key, "__salt"), "inner")
+      .drop("__salt")
+  }
 }

@@ -339,6 +339,25 @@ object Relational extends QueryModule {
            JOIN customer ON o_custkey = c_custkey
            ORDER BY price DESC, o_orderkey LIMIT 100"""))
 
+  private val q14 = Q(
+    "q14_promo_revenue",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("promo_revenue")),
+    Some("""SELECT round(100.0 *
+             sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+             sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'"""))
+
   // ---- aggregation long tail ---------------------------------------------
 
   private val qDistinct = Q(
@@ -486,7 +505,7 @@ object Relational extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qScanAgg, q1, qProject, qFilter, qFilterLike, qNullSafe,
     qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti,
-    qJoinTheta, qJoinRange, qJoinCross, q3, q5, q6, q10, q18,
+    qJoinTheta, qJoinRange, qJoinCross, q3, q5, q6, q10, q14, q18,
     qDistinct, qApproxDistinct, qRollup, qCube, qCondAgg, qBoolAgg, qStats,
     qSubqueryScalar, qSubqueryExists)
 }

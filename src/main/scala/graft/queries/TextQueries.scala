@@ -136,6 +136,24 @@ object TextQueries extends QueryModule {
              FROM documents) t
            GROUP BY token ORDER BY freq DESC, token LIMIT 50"""))
 
+  // Approximate heavy hitters over the token stream (Karp-Papadimitriou-
+  // Shenker frequent-items sketch via DataFrameStatFunctions.freqItems):
+  // one pass, O(1/support) state per partition, merge at the driver — the
+  // sketch complement to the exact q_vocab_topk (which shuffles the full
+  // (token, count) space). Guarantee is one-sided: every token with
+  // frequency > support·N is returned (possibly with false positives) —
+  // rows-only here; the superset guarantee vs exact counts is spec-pinned.
+  private val qVocabApprox = Q(
+    "q_vocab_approx",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      toks.stat.freqItems(Seq("token"), 0.01)
+        .select(explode(col("token_freqItems")).as("token"))
+        .orderBy(col("token"))
+    })
+
   // PII scrubbing: email + phone-like patterns counted and replaced in a
   // pure per-row projection. The fixture is word soup (zero matches — the
   // oracle proves regex parity and the no-op invariant scrub_len =
@@ -225,9 +243,13 @@ object TextQueries extends QueryModule {
         .withColumn("dl", size(col("toks")).cast("double"))
       val stats = docs.agg(
         count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      // pre-filter INSIDE the array, then explode: the generator emits
+      // only query-term hits (a handful per doc) instead of the full
+      // token stream — at corpus scale the difference between |Q| rows
+      // per doc and dl rows per doc through the exchange
       val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(bm25Terms: _*))
+        .select(col("doc_id"), col("dl"),
+          explode(filter(col("toks"), t => t.isInCollection(bm25Terms))).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).cast("double").as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
@@ -318,6 +340,61 @@ object TextQueries extends QueryModule {
            FROM p
            WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8
            ORDER BY id_a, id_b"""))
+
+  // Unigram LM quality score (CCNet-style): train an add-one-smoothed
+  // unigram model on the corpus itself, score each doc by its average
+  // negative log-likelihood per token — low = in-distribution fluent
+  // text, high = outlier/garbage. Determinism: per-doc contributions are
+  // folded in SORTED token order via a sequential HOF fold (Spark
+  // `aggregate` over `array_sort(collect_list(...))`; DuckDB
+  // `list_reduce(list(... ORDER BY token))`) — a plain groupBy sum of
+  // doubles would be order-nondeterministic across cluster layouts and
+  // engines. Scale posture: the vocab agg is partial+final on (token);
+  // the per-doc fold state is the doc's distinct-token list (bounded by
+  // doc length); text never shuffles.
+  private val qLmScore = Q(
+    "q_lm_score",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("toks"))
+      val tokStream = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      val freq = tokStream.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val totals = freq.agg(sum(col("cnt")).as("t"),
+        count(lit(1)).as("v"))
+      val tf = tokStream.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val contrib = tf.join(freq, "token").crossJoin(broadcast(totals))
+        .withColumn("c",
+          col("tf").cast("double") *
+            log((col("cnt").cast("double") + lit(1.0)) /
+                (col("t").cast("double") + col("v").cast("double"))))
+      contrib.groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("token"), col("c")))).as("cs"),
+          sum(col("tf")).as("n"))
+        .withColumn("nll",
+          round(-aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("c")) / col("n").cast("double"), 4))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+             FROM documents),
+           ts AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+           freq AS (SELECT token, count(*) AS cnt FROM ts GROUP BY token),
+           tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t,
+                          CAST(count(*) AS DOUBLE) AS v FROM freq),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM ts GROUP BY doc_id, token),
+           c AS (
+             SELECT tf.doc_id, tf.token, tf.tf,
+               CAST(tf.tf AS DOUBLE) * ln((CAST(freq.cnt AS DOUBLE) + 1.0) / (tot.t + tot.v)) AS c
+             FROM tf JOIN freq USING (token) CROSS JOIN tot)
+           SELECT doc_id, sum(tf) AS n_tokens,
+             round(-list_reduce(list(c ORDER BY token), (a, b) -> a + b)
+                   / CAST(sum(tf) AS DOUBLE), 4) AS nll
+           FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
   // Incremental (batch-vs-corpus) exact dedup — the daily-ingest shape:
   // an incoming batch (doc_id % 10 = 0 stands in for "today's crawl") is
@@ -424,7 +501,7 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
-    qVocabTopK, qPiiScrub, qSeqPack, qBm25,
+    qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
     qDedupMinhash, qDedupSimhash, qDedupClusters)
 }

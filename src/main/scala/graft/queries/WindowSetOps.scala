@@ -264,9 +264,97 @@ object WindowSetOps extends QueryModule {
            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
            ORDER BY o_custkey"""))
 
+  // Relative-rank analytics: percent_rank and cume_dist inside customer
+  // partitions (same bounded-state posture as every window here).
+  private val qWinPercentRank = Q(
+    "q_win_percent_rank",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+             round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice), 4) AS pr,
+             round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice), 4) AS cd
+           FROM orders WHERE o_custkey < 200
+           ORDER BY o_custkey, o_orderkey"""))
+
+  // Multiset semantics: EXCEPT ALL keeps duplicate cardinalities
+  // (|A|−|B| copies survive) — a different operator from EXCEPT, which
+  // Spark plans as a left-anti join after distinct.
+  private val qExceptAll = Q(
+    "q_set_except_all",
+    (s, d) => {
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      f.exceptAll(o)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, count(*) AS n FROM (
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             EXCEPT ALL
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+           GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  // Pivot: long→wide conditional aggregation with a FIXED column list
+  // (explicit pivot values keep the schema static — at scale an
+  // unconstrained pivot would need a distinct-values pass first and can
+  // explode the schema; the oracle replays it as conditional sums).
+  private val qPivot = Q(
+    "q_pivot",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy(col("l_linestatus")),
+    Some("""SELECT l_linestatus,
+             round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+             round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+             round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+           FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  // Unpivot/melt: wide→long (the inverse reshape; pure map-side — each
+  // input row emits one row per unpivoted column, no shuffle).
+  private val qUnpivot = Q(
+    "q_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_discount").cast("double").as("discount"),
+        col("l_tax").cast("double").as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("discount"), col("tax")),
+        "measure", "val")
+      .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+        round(col("val"), 4).as("val"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+    Some("""SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val
+           FROM (
+             SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS val FROM lineitem WHERE l_orderkey < 100
+             UNION ALL
+             SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+             FROM lineitem WHERE l_orderkey < 100
+             UNION ALL
+             SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE)
+             FROM lineitem WHERE l_orderkey < 100) t
+           ORDER BY l_orderkey, l_linenumber, measure"""))
+
   override def queries: Seq[Q] = Seq(
     qWinRank, qWinNtile, qWinLagLead, qWinLastValue, qWinFrame,
-    qWinRangeFrame, qWinTopK,
+    qWinRangeFrame, qWinTopK, qWinPercentRank,
     qSortMulti, qLimitTopK,
-    qUnionAll, qUnionDistinct, qIntersect, qExcept)
+    qUnionAll, qUnionDistinct, qIntersect, qExcept, qExceptAll,
+    qPivot, qUnpivot)
 }

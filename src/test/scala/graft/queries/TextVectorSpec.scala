@@ -106,6 +106,22 @@ class TextVectorSpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("freqItems vocab sketch: superset of all true heavy hitters") {
+    import org.apache.spark.sql.functions.{col, explode, lower, split}
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(org.apache.spark.sql.functions.length(col("token")) > 0)
+    val total = toks.count()
+    val exactHeavy = toks.groupBy("token").count()
+      .filter(col("count") > total * 0.01)
+      .collect().map(_.getString(0)).toSet
+    val sketch = graft.SparkEntry.queries("q_vocab_approx")(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    exactHeavy should not be empty
+    // one-sided guarantee: no heavy hitter is missed
+    exactHeavy.diff(sketch) shouldBe empty
+  }
+
   test("float_vec_dot: length mismatch and null elements propagate as NULL") {
     val sp = spark; import sp.implicits._
     val df = Seq(
