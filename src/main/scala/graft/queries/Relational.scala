@@ -339,6 +339,47 @@ object Relational extends QueryModule {
            JOIN customer ON o_custkey = c_custkey
            ORDER BY price DESC, o_orderkey LIMIT 100"""))
 
+  // TPC-H Q7 shape (volume shipping): revenue between two nations by year
+  // and direction — a 6-table join where BOTH ends of the flow (supplier
+  // nation, customer nation) constrain the same row. Dims broadcast; the
+  // lineitem⋈orders fact join shuffles once on orderkey.
+  private val q7 = Q(
+    "q7_volume_shipping",
+    (s, d) => {
+      val n1 = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("supp_nk"))
+        .join(n2, col("c_nationkey") === col("cust_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE n1.n_name IN ('NATION_1','NATION_2')
+             AND n2.n_name IN ('NATION_1','NATION_2')
+             AND n1.n_name <> n2.n_name
+           GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+           ORDER BY supp_nation, cust_nation, l_year"""))
+
   private val q14 = Q(
     "q14_promo_revenue",
     (s, d) => Tables.lineitem(s, d)
@@ -505,7 +546,7 @@ object Relational extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qScanAgg, q1, qProject, qFilter, qFilterLike, qNullSafe,
     qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti,
-    qJoinTheta, qJoinRange, qJoinCross, q3, q5, q6, q10, q14, q18,
+    qJoinTheta, qJoinRange, qJoinCross, q3, q5, q6, q7, q10, q14, q18,
     qDistinct, qApproxDistinct, qRollup, qCube, qCondAgg, qBoolAgg, qStats,
     qSubqueryScalar, qSubqueryExists)
 }

@@ -42,6 +42,16 @@ class PlanSpec extends SparkSpec {
     p5 should include("BroadcastHashJoin")
   }
 
+  test("q7/q14: dims broadcast, no cartesian, single fact shuffle shape") {
+    val p7 = planOf(graft.SparkEntry.queries("q7_volume_shipping")(spark, sfDir))
+    p7 should include("BroadcastHashJoin")
+    p7 should not include "CartesianProduct"
+    p7 should not include "BroadcastNestedLoopJoin"
+    val p14 = planOf(graft.SparkEntry.queries("q14_promo_revenue")(spark, sfDir))
+    p14 should include("BroadcastHashJoin")
+    p14 should not include "SortMergeJoin" // part is a broadcast dim here
+  }
+
   test("aggregation is partial + final hash aggregate (q1)") {
     val p = planOf(graft.SparkEntry.queries("q1_agg")(spark, sfDir))
     "HashAggregate".r.findAllIn(p).size should be >= 2
