@@ -22,6 +22,11 @@ object DedupClusters {
   /** pairs(id_a, id_b) → (doc_id, cluster_id = min doc_id of component).
     * Only docs appearing in some pair are returned (singletons are their
     * own cluster by definition — callers union them in if needed).
+    *
+    * NOT concurrency-safe on a shared SparkSession: the iteration loop
+    * temporarily overrides spark.sql.shuffle.partitions (restored on
+    * exit), so queries planned concurrently on the same session would
+    * inherit the reduced setting. All current callers are sequential.
     */
   def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edgesRaw = pairs.select(col("id_a").as("u"), col("id_b").as("v"))

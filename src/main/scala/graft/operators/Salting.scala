@@ -63,14 +63,17 @@ object Salting {
     * Inner joins only (an outer salted join would need null-handling on
     * every replica — out of scope).
     *
-    * The salt is hash-derived from the left row's full key column plus
-    * a per-row uniform component, so re-runs produce identical results
-    * (no rand()): spark_partition_id + monotonically_increasing_id is
-    * deterministic for a deterministic upstream layout.
+    * The salt is positional, not key-derived — spark_partition_id +
+    * monotonically_increasing_id spreads every key's rows uniformly and
+    * is deterministic for a deterministic upstream layout (no rand(), so
+    * re-runs and task retries produce identical assignments).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int = 16): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin: input already carries a __salt column — it would be " +
+        "silently clobbered; rename it first")
     val saltedLeft = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor))
         .cast("int"))

@@ -346,11 +346,15 @@ object Relational extends QueryModule {
   private val q7 = Q(
     "q7_volume_shipping",
     (s, d) => {
+      // NATION_3 / NATION_8 both have suppliers and customers at every
+      // fixture scale (sf0.001's 10 suppliers cover only 10 of the 25
+      // nations) — so the query returns rows even on the smallest gate
+      // leg instead of passing vacuously
       val n1 = broadcast(Tables.nation(s, d)
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
         .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation")))
       val n2 = broadcast(Tables.nation(s, d)
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
         .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation")))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -374,8 +378,8 @@ object Relational extends QueryModule {
            JOIN customer ON o_custkey = c_custkey
            JOIN nation n1 ON s_nationkey = n1.n_nationkey
            JOIN nation n2 ON c_nationkey = n2.n_nationkey
-           WHERE n1.n_name IN ('NATION_1','NATION_2')
-             AND n2.n_name IN ('NATION_1','NATION_2')
+           WHERE n1.n_name IN ('NATION_3','NATION_8')
+             AND n2.n_name IN ('NATION_3','NATION_8')
              AND n1.n_name <> n2.n_name
            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
            ORDER BY supp_nation, cust_nation, l_year"""))

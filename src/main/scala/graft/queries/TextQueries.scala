@@ -147,8 +147,7 @@ object TextQueries extends QueryModule {
     "q_vocab_approx",
     (s, d) => {
       val toks = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
-        .filter(length(col("token")) > 0)
+        .select(explode(tokens(lower(col("text")))).as("token"))
       toks.stat.freqItems(Seq("token"), 0.01)
         .select(explode(col("token_freqItems")).as("token"))
         .orderBy(col("token"))
@@ -238,8 +237,7 @@ object TextQueries extends QueryModule {
     "q_bm25_search",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("toks"))
+        .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
         .withColumn("dl", size(col("toks")).cast("double"))
       val stats = docs.agg(
         count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
@@ -356,8 +354,7 @@ object TextQueries extends QueryModule {
     "q_lm_score",
     (s, d) => {
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("toks"))
+        .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       val tokStream = toks.select(col("doc_id"), explode(col("toks")).as("token"))
       val freq = tokStream.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       val totals = freq.agg(sum(col("cnt")).as("t"),
@@ -391,7 +388,7 @@ object TextQueries extends QueryModule {
              SELECT tf.doc_id, tf.token, tf.tf,
                CAST(tf.tf AS DOUBLE) * ln((CAST(freq.cnt AS DOUBLE) + 1.0) / (tot.t + tot.v)) AS c
              FROM tf JOIN freq USING (token) CROSS JOIN tot)
-           SELECT doc_id, sum(tf) AS n_tokens,
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
              round(-list_reduce(list(c ORDER BY token), (a, b) -> a + b)
                    / CAST(sum(tf) AS DOUBLE), 4) AS nll
            FROM c GROUP BY doc_id ORDER BY doc_id"""))
@@ -484,7 +481,11 @@ object TextQueries extends QueryModule {
            jp AS (
              SELECT id_a, id_b FROM p
              WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8),
-           e AS (
+           e AS MATERIALIZED (
+             -- MATERIALIZED is load-bearing: the recursive CTE below
+             -- references e every iteration, and without it DuckDB
+             -- re-evaluates the whole all-pairs jaccard chain per
+             -- iteration (hours at sf0.1 instead of minutes once)
              SELECT id_a AS u, id_b AS v FROM jp
              UNION
              SELECT id_b AS u, id_a AS v FROM jp),

@@ -46,6 +46,19 @@ def main():
         try:
             odf = con.execute(sql).fetchall()
             ocols = [d[0] for d in con.description]
+            # the driver's hash is TYPE-sensitive while this script
+            # stringifies values — so a DuckDB-only integer type passes
+            # here but fails the real gate (the round-1 HUGEINT gotcha).
+            # Flag any oracle column typed outside Spark's type system.
+            otypes = con.execute(f"DESCRIBE {sql}").fetchall()
+            bad_types = [(c, t) for c, t, *_ in otypes
+                         if t in ("HUGEINT", "UHUGEINT", "UBIGINT",
+                                  "UINTEGER", "USMALLINT", "UTINYINT")]
+            if bad_types:
+                print(f"TYPE-RISK     {name}: oracle columns {bad_types} have "
+                      "no Spark equivalent — CAST them (driver hash will fail)")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"ORACLE-ERR    {name}: {e}")
             n_fail += 1
