@@ -236,18 +236,22 @@ object TextQueries extends QueryModule {
   private val qBm25 = Q(
     "q_bm25_search",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      // ONE tokenize pass over the corpus: the materialized projection is
+      // (doc_id, dl, query-term hits) — a few bytes per doc — feeding the
+      // stats agg, the df agg and the tf agg; without the checkpoint each
+      // consumer re-tokenizes the full text column (the dominant cost,
+      // 3× at any scale). The query-term filter runs INSIDE the array
+      // before explode, so the generator emits |Q∩doc| rows per doc,
+      // not dl.
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-        .withColumn("dl", size(col("toks")).cast("double"))
-      val stats = docs.agg(
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          filter(col("toks"), t => t.isInCollection(bm25Terms)).as("hits"))
+        .localCheckpoint()
+      val stats = base.agg(
         count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-      // pre-filter INSIDE the array, then explode: the generator emits
-      // only query-term hits (a handful per doc) instead of the full
-      // token stream — at corpus scale the difference between |Q| rows
-      // per doc and dl rows per doc through the exchange
-      val tf = docs
-        .select(col("doc_id"), col("dl"),
-          explode(filter(col("toks"), t => t.isInCollection(bm25Terms))).as("term"))
+      val tf = base
+        .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).cast("double").as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
