@@ -16,7 +16,7 @@ import graft.operators.DedupClusters
   *                         connected components → keep cluster keeper
   *   3. quality filter   — length band + mean-token-length + punctuation
   *   4. enrichment       — PII scrub, token counts, language-ID,
-  *                         fingerprint
+  *                         fingerprint, corpus-trained LM NLL score
   *   5. sequence packing — next-fit into 512-token context windows
   *   6. write            — parquet partitioned by lang (+ pack manifest)
   *
@@ -80,12 +80,21 @@ object PipelineMain {
     val scrubbed = q
       .withColumn("text", scrubPii(col("text")))
       .withColumn("n_chars", length(col("text")))
+    // lm_nll: corpus-trained unigram NLL (operators.LmScore, the same
+    // impl as q_lm_score) — trained on the POST-dedup/quality/scrub
+    // corpus, which is the distribution the signal should describe.
+    // Left join: token-less docs simply carry null.
+    val nllByDoc = graft.operators.LmScore.nll(
+      scrubbed.select(col("doc_id"), tokens(lower(col("text"))).as("toks")))
+      .select(col("doc_id"), col("nll").as("lm_nll"))
     val enriched = scrubbed.select(
       col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
       tokenCount(col("text")).as("n_tokens"),
       bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
       langIdHeuristic(col("text")).as("lang_pred"),
-      fingerprint(col("text")).as("fp")).persist()
+      fingerprint(col("text")).as("fp"))
+      .join(nllByDoc, Seq("doc_id"), "left_outer")
+      .persist()
 
     // 5. sequence packing: doc→pack manifest at a 512-token budget
     val packs = graft.operators.SeqPack.pack(
@@ -98,13 +107,14 @@ object PipelineMain {
     // 6. partitioned write
     enriched.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/docs")
     val written = spark.read.parquet(s"$outDir/docs").count()
+    val meanNll = enriched.agg(round(avg(col("lm_nll")), 4)).head().getDouble(0)
     afterExact.unpersist(); afterNear.unpersist(); enriched.unpersist()
 
     val outJson = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(outDir) // paths may contain quotes/backslashes
     println(s"""{"input":$total,"after_exact_dedup":$nExact,""" +
       s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
-      s""""n_packs":$nPacks,"written":$written,"out":$outJson}""")
+      s""""mean_lm_nll":$meanNll,"n_packs":$nPacks,"written":$written,"out":$outJson}""")
     spark.stop()
   }
 }

@@ -343,42 +343,19 @@ object TextQueries extends QueryModule {
            WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8
            ORDER BY id_a, id_b"""))
 
-  // Unigram LM quality score (CCNet-style): train an add-one-smoothed
-  // unigram model on the corpus itself, score each doc by its average
-  // negative log-likelihood per token — low = in-distribution fluent
-  // text, high = outlier/garbage. Determinism: per-doc contributions are
-  // folded in SORTED token order via a sequential HOF fold (Spark
-  // `aggregate` over `array_sort(collect_list(...))`; DuckDB
-  // `list_reduce(list(... ORDER BY token))`) — a plain groupBy sum of
+  // Unigram LM quality score (CCNet-style) via the shared
+  // operators/LmScore implementation (also PipelineMain's enrichment
+  // stage). Determinism: per-doc contributions fold in SORTED token
+  // order via a sequential HOF fold on both engines (DuckDB:
+  // `list_reduce(list(c ORDER BY token))`) — a plain groupBy sum of
   // doubles would be order-nondeterministic across cluster layouts and
-  // engines. Scale posture: the vocab agg is partial+final on (token);
-  // the per-doc fold state is the doc's distinct-token list (bounded by
-  // doc length); text never shuffles.
+  // engines. See LmScore scaladoc for the full scale posture.
   private val qLmScore = Q(
     "q_lm_score",
-    (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-      val tokStream = toks.select(col("doc_id"), explode(col("toks")).as("token"))
-      val freq = tokStream.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val totals = freq.agg(sum(col("cnt")).as("t"),
-        count(lit(1)).as("v"))
-      val tf = tokStream.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val contrib = tf.join(freq, "token").crossJoin(broadcast(totals))
-        .withColumn("c",
-          col("tf").cast("double") *
-            log((col("cnt").cast("double") + lit(1.0)) /
-                (col("t").cast("double") + col("v").cast("double"))))
-      contrib.groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("token"), col("c")))).as("cs"),
-          sum(col("tf")).as("n"))
-        .withColumn("nll",
-          round(-aggregate(col("cs"), lit(0.0),
-            (acc, x) => acc + x.getField("c")) / col("n").cast("double"), 4))
-        .select(col("doc_id"), col("n").as("n_tokens"), col("nll"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => graft.operators.LmScore.nll(
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(lower(col("text"))).as("toks")))
+      .orderBy(col("doc_id")),
     Some("""WITH toks AS (
              SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
