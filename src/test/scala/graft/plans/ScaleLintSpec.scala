@@ -63,6 +63,17 @@ class ScaleLintSpec extends SparkSpec {
     lint(a.join(agg, lit(true))) shouldBe empty
   }
 
+  test("full-registry sweep: every declared query is lint-clean") {
+    // every query in the driver contract gets its optimized plan linted —
+    // a new query with a hidden global window or accidental cartesian
+    // fails CI here even if nobody wrote it a dedicated plan assert
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      withClue(name) {
+        lint(fn(spark, sfDir)) shouldBe empty
+      }
+    }
+  }
+
   test("rule modes: off is silent, warn passes plans through, fail throws") {
     val global = Tables.orders(spark, sfDir).select(
       ntile(4).over(Window.orderBy(col("o_totalprice"))).as("q"))
