@@ -139,6 +139,39 @@ class StreamingSpec extends SparkSpec {
     rows.count(_._1 == 201L) shouldBe 1
   }
 
+  test("stream-stream FULL OUTER interval join: unmatched rows on both sides null-pad") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = intervalJoin(purchases.toDF(), clicks.toDF(), "user_id",
+      watermarkDelay = "10 minutes", before = "5 minutes", after = "0 minutes",
+      joinType = "full_outer")
+      .select(col("l_event_id").as("pid"), col("r_event_id").as("cid"))
+    val q = joined.writeStream.format("memory").queryName("ssj_fo")
+      .outputMode(OutputMode.Append()).start()
+    // user 10: matched pair; user 11: purchase with no click (left-only);
+    // user 12: click with no purchase (right-only)
+    clicks.addData(Ev(100, ts(2), 10, "click", 1.0), Ev(101, ts(2), 12, "click", 1.0))
+    purchases.addData(Ev(200, ts(5), 10, "purchase", 9.0),
+      Ev(201, ts(6), 11, "purchase", 9.0))
+    q.processAllAvailable()
+    // two watermark advances: eviction emits outer rows a batch late
+    for (t <- Seq(59, 90)) {
+      clicks.addData(Ev(300 + t, ts(t), 20, "click", 1.0))
+      purchases.addData(Ev(400 + t, ts(t), 20, "purchase", 1.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.sql("SELECT pid, cid FROM ssj_fo").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    rows should contain allOf (
+      (200L, 100L),  // matched
+      (201L, -1L),   // left-only purchase null-padded
+      (-1L, 101L))   // right-only click null-padded
+  }
+
   test("tumbling window with watermark drops late data beyond the horizon") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
