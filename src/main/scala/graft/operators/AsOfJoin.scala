@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join (nearest prior match), Spark-first.
+/** As-of join (nearest prior / nearest following match), Spark-first.
   *
   * Instead of a pairwise range join (O(L·R) candidates, quadratic within
   * hot keys), we union both sides tagged by origin, sort within each key by
@@ -26,7 +26,29 @@ object AsOfJoin {
       left: DataFrame,
       right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime, forward = false)
+
+  /** Forward variant: `asof_ts` = min right time ≥ left time for the same
+    * key (null when no following right row exists) — "next event after",
+    * the other direction any as-of user eventually needs. Same single-
+    * shuffle union+window shape; only the window frame flips (carry the
+    * right side's earliest time BACKWARD with first() over
+    * [currentRow, unboundedFollowing]).
+    */
+  def nearestFollowing(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime, forward = true)
+
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      forward: Boolean): DataFrame = {
     // Only "asof_ts" truly collides with the output (internal __ names are
     // shadowed inside the payload struct and restored afterwards); the
     // check is case-insensitive to match Spark's default resolution.
@@ -62,12 +84,25 @@ object AsOfJoin {
         col(rightTime).as("__rt"),
         lit(null).cast(payloadType).as("__payload"))
 
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__time"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Tie ordering makes equality inclusive in BOTH directions: prior
+    // wants the right row at exactly t BEFORE the left probe at t
+    // (side asc: right=0 first); forward wants it AFTER (side desc:
+    // left=1 first), so first()/last() scanning toward the right row
+    // still sees it.
+    val w0 = Window.partitionBy(col("__key"))
+    val w =
+      if (forward)
+        w0.orderBy(col("__time"), col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        w0.orderBy(col("__time"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (forward) first(col("__rt"), ignoreNulls = true).over(w)
+      else last(col("__rt"), ignoreNulls = true).over(w)
 
     l2.unionByName(r2)
-      .withColumn("asof_ts", last(col("__rt"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", carried)
       .filter(col("__side") === 1)
       .select((left.columns.toIndexedSeq.map(c => col(s"__payload.$c").as(c)) :+ col("asof_ts")): _*)
   }

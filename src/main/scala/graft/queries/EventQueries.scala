@@ -89,6 +89,33 @@ object EventQueries extends QueryModule {
            WHERE p.event_type = 'purchase'
            GROUP BY p.event_id ORDER BY p.event_id"""))
 
+  // Forward as-of: each purchase matched to the EARLIEST same-user signup
+  // at or after it ("next event after" — the other as-of direction; same
+  // single-shuffle union+window shape, frame flipped). Oracle is the ANSI
+  // least-following-timestamp formulation.
+  private val qAsOfFwd = Q(
+    "q_join_asof_fwd",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("tss", date_trunc("second", col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tss"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("tss"))
+      AsOfJoin.nearestFollowing(
+          purchases, signups,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "tss", rightTime = "tss")
+        .select(col("event_id"), col("asof_ts").as("matched_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id,
+             CAST(min(date_trunc('second', s.ts)) AS TIMESTAMP) AS matched_ts
+           FROM events p LEFT JOIN events s
+             ON s.user_id = p.user_id AND s.event_type = 'signup'
+                AND date_trunc('second', s.ts) >= date_trunc('second', p.ts)
+           WHERE p.event_type = 'purchase'
+           GROUP BY p.event_id ORDER BY p.event_id"""))
+
   // Sessionization (batch gaps-and-islands): new session when the gap to
   // the previous event of the same user exceeds 5 minutes. The batch twin
   // of session_window; oracle is the classic lag+cumsum SQL.
@@ -197,6 +224,6 @@ object EventQueries extends QueryModule {
            WHERE rn = 1 ORDER BY user_id, event_type"""))
 
   override def queries: Seq[Q] = Seq(
-    qTumbling, qSliding, qHourly, qAsOf, qSessionize, qEnrich,
+    qTumbling, qSliding, qHourly, qAsOf, qAsOfFwd, qSessionize, qEnrich,
     qIntervalJoin, qDedupFirst)
 }
