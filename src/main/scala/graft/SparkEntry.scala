@@ -16,7 +16,7 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    Relational, WindowSetOps, ScalarFuncs, EventQueries,
+    Relational, TpchDeep, WindowSetOps, ScalarFuncs, EventQueries,
     TextQueries, VectorQueries, MultimodalQueries, Extra, TypedQueries)
 
   private val all: Seq[Q] = {
