@@ -17,7 +17,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational, TpchDeep, WindowSetOps, ScalarFuncs, EventQueries,
-    TextQueries, VectorQueries, MultimodalQueries, Extra, TypedQueries)
+    TextQueries, PipelineDeep, VectorQueries, MultimodalQueries, Extra,
+    TypedQueries)
 
   private val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)
