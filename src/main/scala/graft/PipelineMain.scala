@@ -15,6 +15,8 @@ import graft.operators.DedupClusters
   *   2. near-dup dedup   — shingle MinHash → LSH bands → verified pairs →
   *                         connected components → keep cluster keeper
   *   3. quality filter   — length band + mean-token-length + punctuation
+  *   3.5 decontamination — drop the eval split and any train doc sharing
+  *                         a 3-token shingle with it (q_decontaminate)
   *   4. enrichment       — PII scrub, token counts, language-ID,
   *                         fingerprint, corpus-trained LM NLL score
   *   5. sequence packing — next-fit into 512-token context windows
@@ -71,13 +73,29 @@ object PipelineMain {
     val q = afterNear.filter(qualityOk(col("text"), col("n_chars")))
     val nQuality = q.count()
 
+    // 3.5 eval-split decontamination — same shingle-overlap operator as
+    // q_decontaminate: the held-out split (doc_id % 50 == 0) never enters
+    // the training corpus, and neither does any train doc sharing a
+    // 3-token shingle with it. Shuffles (shingle, id) pairs only; the
+    // DISTINCT eval shingle set is a sliver of the corpus so AQE
+    // broadcasts the join.
+    val sh = q.select(col("doc_id"), wordShingles(col("text"), 3).as("dsh"))
+    val evalSh = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("dsh")).as("s")).distinct()
+    val contaminated = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("dsh")).as("s"))
+      .join(evalSh, "s").select("doc_id").distinct()
+    val train = q.filter(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val nDecontam = train.count()
+
     // 4. enrichment projections (no shuffle). Scrub FIRST (withColumn, so
     // downstream refs see the scrubbed text — inside a single select the
     // other columns would still resolve against the raw input), then
     // derive every feature from what is actually written: token counts,
     // fingerprint and n_chars must describe the stored text or downstream
     // packing/dedup against the output diverges.
-    val scrubbed = q
+    val scrubbed = train
       .withColumn("text", scrubPii(col("text")))
       .withColumn("n_chars", length(col("text")))
     // lm_nll: corpus-trained unigram NLL (operators.LmScore, the same
@@ -114,6 +132,7 @@ object PipelineMain {
       .writeValueAsString(outDir) // paths may contain quotes/backslashes
     println(s"""{"input":$total,"after_exact_dedup":$nExact,""" +
       s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
+      s""""after_decontam":$nDecontam,""" +
       s""""mean_lm_nll":$meanNll,"n_packs":$nPacks,"written":$written,"out":$outJson}""")
     spark.stop()
   }

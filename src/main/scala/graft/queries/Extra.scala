@@ -192,7 +192,45 @@ object Extra extends QueryModule {
              LIMIT 100) t
            ORDER BY c_custkey"""))
 
+  // Mergeable HLL sketches (Apache DataSketches via Spark's
+  // hll_sketch_agg): per-group sketches UNION-merged into a corpus
+  // estimate. THE pre-aggregation architecture at 100 TB — each partition
+  // folds its keys into a fixed-size sketch map-side, the shuffle carries
+  // one sketch per group, and rollups across any dimension are sketch
+  // unions, never rescans. No oracle (approximate, binary intermediate);
+  // SketchSpec pins the estimate band vs exact AND the lossless-merge
+  // property (merged == all-at-once estimate).
+  private val qSketchHll = Q(
+    "q_sketch_hll",
+    (s, d) => {
+      val perGroup = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      perGroup
+        .select(col("l_returnflag").as("scope"),
+          hll_sketch_estimate(col("sk")).as("nd_est"))
+        .unionAll(perGroup.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("nd_est"))
+          .select(lit("ALL").as("scope"), col("nd_est")))
+        .orderBy(col("scope"))
+    })
+
+  // KLL quantile sketches (DataSketches): per-group streaming quantile
+  // estimates with a fixed-size (k=400 ≈ 3 KiB) mergeable summary —
+  // the percentile counterpart to q_sketch_hll. No oracle (approximate);
+  // SketchSpec pins the normalized-rank error of the estimates.
+  private val qSketchKll = Q(
+    "q_sketch_kll",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(kll_sketch_agg_double(col("l_extendedprice"), lit(400)).as("sk"))
+      .select(col("l_returnflag"),
+        kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("p50_est"),
+        kll_sketch_get_quantile_double(col("sk"), lit(0.95)).as("p95_est"))
+      .orderBy(col("l_returnflag")))
+
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
-    qCsvRoundtrip, qSampleStratified, qSampleMixture, qSampleExactK)
+    qCsvRoundtrip, qSampleStratified, qSampleMixture, qSampleExactK,
+    qSketchHll, qSketchKll)
 }

@@ -108,4 +108,34 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
     p should include("Window")
   }
+
+  test("q4/q21: EXISTS / NOT EXISTS plan as semi/anti joins, never cartesian") {
+    val p4 = planOf(graft.SparkEntry.queries("q4_order_priority")(spark, sfDir))
+    p4 should include("LeftSemi")
+    p4 should not include "CartesianProduct"
+    val p21 = planOf(graft.SparkEntry.queries("q21_waiting_suppliers")(spark, sfDir))
+    p21 should include("LeftSemi")
+    p21 should include("LeftAnti")
+    p21 should not include "CartesianProduct"
+  }
+
+  test("q19: the DNF predicate rides the partkey equi-join, no nested loop") {
+    val p = planOf(graft.SparkEntry.queries("q19_disjunctive_revenue")(spark, sfDir))
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q_decontaminate: shingle overlap is an equi-join, never all-pairs") {
+    val p = planOf(graft.SparkEntry.queries("q_decontaminate")(spark, sfDir))
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q_sketch_hll: per-group sketches partial-aggregate map-side") {
+    val p = planOf(graft.SparkEntry.queries("q_sketch_hll")(spark, sfDir)).toLowerCase
+    // partial + final ObjectHashAggregate pair around the group exchange
+    // (sketches are the partial state — that is the whole point)
+    p should include("hll_sketch_agg")
+    "objecthashaggregate".r.findAllIn(p).size should be >= 2
+  }
 }

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Pins q_sketch_hll: estimate accuracy vs exact distinct counts, and the
+  * lossless-merge property that makes sketches THE 100 TB rollup shape —
+  * union of per-group sketches must equal the sketch of the whole column
+  * (register-wise max is associative), so any rollup is a merge, never a
+  * rescan.
+  */
+class SketchSpec extends SparkSpec {
+
+  test("hll estimates within 5% of exact; union-merge equals all-at-once") {
+    val out = graft.SparkEntry.queries("q_sketch_hll")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+
+    exact.foreach { case (k, nd) =>
+      math.abs(out(k) - nd).toDouble / nd should be < 0.05
+    }
+    math.abs(out("ALL") - exactAll).toDouble / exactAll should be < 0.05
+
+    // merge losslessness: the unioned per-group sketches estimate exactly
+    // what a single sketch over the whole column estimates
+    val allAtOnce = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12))))
+      .head().getLong(0)
+    out("ALL") shouldBe allAtOnce
+  }
+
+  test("kll quantile estimates have small normalized-rank error") {
+    val est = graft.SparkEntry.queries("q_sketch_kll")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    est.foreach { case (flag, (p50, p95)) =>
+      val grp = li.filter(col("l_returnflag") === flag)
+      val n = grp.count().toDouble
+      val rank50 = grp.filter(col("l_extendedprice") <= p50).count() / n
+      val rank95 = grp.filter(col("l_extendedprice") <= p95).count() / n
+      rank50 shouldBe 0.5 +- 0.03
+      rank95 shouldBe 0.95 +- 0.03
+    }
+  }
+}
