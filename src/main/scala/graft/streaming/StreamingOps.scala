@@ -30,6 +30,22 @@ object StreamingOps {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Per-window approximate distinct users via a mergeable HLL sketch —
+    * the streaming face of q_sketch_hll. The window's state is ONE
+    * fixed-size (lgK=12 ≈ 2.5 KiB) sketch: each micro-batch folds its
+    * rows in map-side, and the state store merges sketches across
+    * batches — state never grows with cardinality, unlike an exact
+    * distinct (whose state is the full user-id set per open window).
+    */
+  def windowedDistinctUsers(events: DataFrame, watermarkDelay: String,
+      windowLen: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("nd_users"))
+      .select(col("w.start").as("w_start"), col("nd_users"))
+
   /** Session windows (gap-based) per user. */
   def sessionCounts(events: DataFrame, watermarkDelay: String,
       gap: String): DataFrame =

@@ -172,6 +172,27 @@ class StreamingSpec extends SparkSpec {
       (-1L, 101L))   // right-only click null-padded
   }
 
+  test("per-window distinct-user sketch merges across micro-batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = windowedDistinctUsers(input.toDF(), "10 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sketchy")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: users {10, 11} (10 twice) in window [00:00, 00:10)
+    input.addData(Ev(1, ts(1), 10, "click", 1.0), Ev(2, ts(3), 11, "click", 1.0),
+      Ev(3, ts(4), 10, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: user 12 new, user 10 again — the window's sketch STATE must
+    // merge with batch 1's (estimate 3, not 2); HLL is exact at this size
+    input.addData(Ev(4, ts(6), 12, "click", 1.0), Ev(5, ts(7), 10, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT w_start, nd_users FROM sketchy ORDER BY nd_users")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    rows shouldBe Seq((ts(0), 2L), (ts(0), 3L))
+  }
+
   test("tumbling window with watermark drops late data beyond the horizon") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
