@@ -85,4 +85,34 @@ class FormatSpec extends SparkSpec {
       .orderBy("l_returnflag", "l_linestatus")
     back.collect() shouldBe src.collect()
   }
+
+  test("schema evolution: mergeSchema reads old and new files under one union schema") {
+    // a 100 TB corpus is written over months — late files grow columns;
+    // readers must see one union schema with nulls for pre-evolution rows
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("evolve").toString + "/docs"
+    Seq((1L, "a")).toDF("id", "txt")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 0.9)).toDF("id", "txt", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    merged.schema.fieldNames.sorted shouldBe Array("id", "quality", "txt")
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("quality"))) None
+        else Some(r.getDouble(r.fieldIndex("quality")))))
+    rows shouldBe Array((1L, None), (2L, Some(0.9)))
+    // without mergeSchema the footer-sampled schema may drop the new
+    // column — the option is the declared evolution contract
+  }
+
+  test("orc round-trip preserves values (q_orc_roundtrip underlying path)") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("orc").toString + "/data"
+    val src = Seq((1L, 10.5, "F"), (2L, 20.25, "O"))
+      .toDF("k", "price", "status")
+    src.write.orc(dir)
+    val back = spark.read.schema(src.schema).orc(dir).orderBy("k")
+    back.collect() shouldBe src.orderBy("k").collect()
+  }
 }

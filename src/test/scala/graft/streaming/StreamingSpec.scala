@@ -193,6 +193,39 @@ class StreamingSpec extends SparkSpec {
     rows shouldBe Seq((ts(0), 2L), (ts(0), 3L))
   }
 
+  test("checkpointed query restart recovers window state and source offsets") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("ckpt_recovery").toString
+    val outDir = tmpDir("ckpt_out").toString
+    val input = MemoryStream[Ev]
+    // parquet sink: fault-tolerant (the memory sink refuses checkpoint
+    // recovery outright), Append mode — rows land when the watermark
+    // closes their window
+    def start() = windowedCounts(input.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // run 1: two clicks in window [00:00, 00:10), still open → no output
+    val q1 = start()
+    input.addData(Ev(1, ts(1), 10, "click", 1.0), Ev(2, ts(3), 11, "click", 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // run 2: SAME checkpoint — the restarted query must resume from the
+    // committed offsets (not re-read batch 1) and merge a third click
+    // into the RECOVERED window state; the ts(21) event then advances the
+    // watermark past the horizon and the window emits n=3, not n=1
+    val q2 = start()
+    input.addData(Ev(3, ts(5), 12, "click", 3.0), Ev(4, ts(21), 13, "view", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .filter($"event_type" === "click")
+      .select("n", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    rows shouldBe Seq((3L, 6.0))
+  }
+
   test("tumbling window with watermark drops late data beyond the horizon") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
