@@ -73,20 +73,22 @@ object PipelineMain {
     val q = afterNear.filter(qualityOk(col("text"), col("n_chars")))
     val nQuality = q.count()
 
-    // 3.5 eval-split decontamination — same shingle-overlap operator as
+    // 3.5 eval-split decontamination — the shared operator behind
     // q_decontaminate: the held-out split (doc_id % 50 == 0) never enters
-    // the training corpus, and neither does any train doc sharing a
-    // 3-token shingle with it. Shuffles (shingle, id) pairs only; the
-    // DISTINCT eval shingle set is a sliver of the corpus so AQE
-    // broadcasts the join.
-    val sh = q.select(col("doc_id"), wordShingles(col("text"), 3).as("dsh"))
-    val evalSh = sh.filter(col("doc_id") % 50 === 0)
-      .select(explode(col("dsh")).as("s")).distinct()
-    val contaminated = sh.filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), explode(col("dsh")).as("s"))
-      .join(evalSh, "s").select("doc_id").distinct()
+    // the training corpus, and neither does any surviving train doc
+    // sharing a 3-token shingle with it. Eval shingles come from the RAW
+    // split (not dedup/quality survivors): an eval doc dropped upstream —
+    // exact dedup keeps the min doc_id, which may be a TRAIN duplicate —
+    // must still contribute its shingles, or its text leaks into training
+    // via that surviving duplicate. Persisted: the flagged-join subtree
+    // feeds both the count and the enrichment/write lineage.
+    val contaminated = graft.operators.Decontaminate.flagged(
+      q.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), k = 3)
+      .select("doc_id")
     val train = q.filter(col("doc_id") % 50 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .persist()
     val nDecontam = train.count()
 
     // 4. enrichment projections (no shuffle). Scrub FIRST (withColumn, so
@@ -126,7 +128,8 @@ object PipelineMain {
     enriched.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/docs")
     val written = spark.read.parquet(s"$outDir/docs").count()
     val meanNll = enriched.agg(round(avg(col("lm_nll")), 4)).head().getDouble(0)
-    afterExact.unpersist(); afterNear.unpersist(); enriched.unpersist()
+    afterExact.unpersist(); afterNear.unpersist(); train.unpersist()
+    enriched.unpersist()
 
     val outJson = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(outDir) // paths may contain quotes/backslashes

@@ -79,13 +79,10 @@ object PipelineDeep extends QueryModule {
   private val qDecontaminate = Q(
     "q_decontaminate",
     (s, d) => {
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
-      val ev = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
-      sh.filter(col("doc_id") % 50 =!= 0)
-        .join(ev, "sh")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("sh")).as("n_shared"))
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.flagged(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), k = 3)
         .orderBy(col("doc_id"))
     },
     Some("""WITH t AS (SELECT doc_id,
@@ -107,13 +104,21 @@ object PipelineDeep extends QueryModule {
   // window shaping pass before embedding/training. Pure per-row explode
   // of an arithmetic sequence — no shuffle at all until the final
   // presentation sort; at scale this is a map-only stage.
+  //
+  // Start positions stop at n-17: a start s with n - s ≤ 16 would cover
+  // only tokens already inside the previous chunk's [s-48, s+16) tail —
+  // a fully-redundant trailing chunk, i.e. duplicated training data.
+  // Consequence (spec-pinned): every non-final chunk is exactly the full
+  // 64-token window, and a final chunk shorter than 17 tokens occurs
+  // only when it is the doc's ONLY chunk.
   private val qChunk = Q(
     "q_chunk_overlap",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"),
-        explode(sequence(lit(0), col("n") - 1, lit(48))).as("start"))
+        explode(sequence(lit(0), greatest(col("n") - 17, lit(0)), lit(48)))
+          .as("start"))
       .select(col("doc_id"),
         (col("start") / 48).cast("int").as("chunk_id"),
         col("start").cast("long").as("start_tok"),
@@ -122,7 +127,7 @@ object PipelineDeep extends QueryModule {
     Some("""SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
              CAST(start AS BIGINT) AS start_tok,
              CAST(least(64, n - start) AS BIGINT) AS chunk_len
-           FROM (SELECT doc_id, n, unnest(range(0, n, 48)) AS start
+           FROM (SELECT doc_id, n, unnest(range(0, greatest(n - 16, 1), 48)) AS start
                  FROM (SELECT doc_id,
                          len(list_filter(string_split_regex(text, '\s+'),
                                          x -> len(x) > 0)) AS n

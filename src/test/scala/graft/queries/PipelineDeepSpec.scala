@@ -10,8 +10,11 @@ import graft.SparkSpec
   */
 class PipelineDeepSpec extends SparkSpec {
 
-  test("q_decontaminate flags exactly the planted overlap on the fixture split") {
+  test("q_decontaminate flags the fixture overlap: train docs only, nonempty") {
     val out = graft.SparkEntry.queries("q_decontaminate")(spark, sfDir).collect()
+    // the fixture split genuinely overlaps — an empty result would mean a
+    // broken join/filter, not a clean corpus
+    out should not be empty
     // every flagged doc is a train doc (never the eval split itself)
     out.foreach(r => (r.getLong(0) % 50) should not be 0L)
     // n_shared is a positive count
@@ -26,19 +29,36 @@ class PipelineDeepSpec extends SparkSpec {
       (0L, "alpha beta gamma delta epsilon"),
       (1L, "x y alpha beta gamma z"),
       (2L, "p q r s t u v")).toDF("doc_id", "text")
-    import graft.functions.TextFunctions
-    val sh = docs.select(col("doc_id"),
-      explode(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
-    val ev = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
-    val flagged = sh.filter(col("doc_id") % 50 =!= 0).join(ev, "sh")
-      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_shared"))
+    val flagged = graft.operators.Decontaminate.flagged(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), k = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     flagged shouldBe Map(1L -> 1L) // "alpha beta gamma", and only doc 1
   }
 
-  test("chunker covers every token exactly ceil-wise: starts stride apart, last chunk short") {
+  test("decontamination sees the RAW eval split: a deduped-away eval doc still blocks its train twin") {
+    val sp = spark; import sp.implicits._
+    // doc 50 is eval; doc 7 is an exact train duplicate with a SMALLER id,
+    // so exact dedup keeps 7 and drops 50. The operator must still flag 7
+    // because eval shingles come from the raw split, not survivors.
+    val raw = Seq(
+      (7L, "secret eval passage here verbatim"),
+      (50L, "secret eval passage here verbatim"),
+      (8L, "completely unrelated training text")).toDF("doc_id", "text")
+    val survivors = raw.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").join(raw, "doc_id") // exact dedup keeps 7, drops 50
+    val flagged = graft.operators.Decontaminate.flagged(
+      survivors.filter(col("doc_id") % 50 =!= 0),
+      raw.filter(col("doc_id") % 50 === 0), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    flagged shouldBe Set(7L)
+  }
+
+  test("chunker invariants: full windows except the final chunk, no redundant tail") {
     val out = graft.SparkEntry.queries("q_chunk_overlap")(spark, sfDir)
       .collect().groupBy(_.getLong(0))
+    out should not be empty
     out.foreach { case (_, chunks) =>
       val sorted = chunks.sortBy(_.getInt(1))
       // starts are exactly 0, 48, 96, ...
@@ -46,20 +66,16 @@ class PipelineDeepSpec extends SparkSpec {
         r.getInt(1) shouldBe i
         r.getLong(2) shouldBe i.toLong * 48
       }
-      // every chunk but possibly the last is the full 64-token window;
-      // every chunk is non-empty and ≤ 64
-      sorted.foreach(r => r.getLong(3) should (be > 0L and be <= 64L))
-      sorted.dropRight(1).foreach { r =>
-        // a non-final chunk always has ≥ stride tokens after its start,
-        // so only the final chunk may be shorter than the window ONLY
-        // when the doc runs out
-        r.getLong(3) should be >= 16L
-      }
-      // chunks tile the doc: next start < previous start + 64 (overlap ≥ 16)
-      sorted.sliding(2).foreach {
-        case Array(a, b) => b.getLong(2) - a.getLong(2) shouldBe 48L
-        case _ => ()
-      }
+      // every non-final chunk is EXACTLY the full 64-token window (starts
+      // stop at n-17, so a non-final start always has ≥ 48+17 tokens
+      // ahead of it)
+      sorted.dropRight(1).foreach(r => r.getLong(3) shouldBe 64L)
+      // the final chunk is non-empty, ≤ 64, and contributes NEW tokens
+      // beyond the previous chunk's coverage (> 16) unless it is the
+      // doc's only chunk
+      val last = sorted.last
+      last.getLong(3) should (be > 0L and be <= 64L)
+      if (sorted.length > 1) last.getLong(3) should be > 16L
     }
   }
 
