@@ -106,6 +106,22 @@ class FormatSpec extends SparkSpec {
     // column — the option is the declared evolution contract
   }
 
+  test("parquet compression codecs round-trip: zstd and snappy value-identical") {
+    val sp = spark; import sp.implicits._
+    val src = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
+    Seq("zstd", "snappy").foreach { codec =>
+      val dir = tmpDir(s"codec_$codec").toString + "/data"
+      src.write.option("compression", codec).parquet(dir)
+      // codec is actually applied (file suffix carries it), values intact
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      files should not be empty
+      files.foreach(_ should include(codec))
+      spark.read.parquet(dir).orderBy("k").collect() shouldBe
+        src.orderBy("k").collect()
+    }
+  }
+
   test("orc round-trip preserves values (q_orc_roundtrip underlying path)") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("orc").toString + "/data"
