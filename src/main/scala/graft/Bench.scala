@@ -33,10 +33,31 @@ object Bench {
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query timings go to a file: the driver captures only the
+    // last ~2000 chars of output, and a 124-query JSON line (~3 KB) gets
+    // its head truncated there, so the driver's parse fails (BENCH_r01 and
+    // BENCH_r03 both recorded parsed:null). The printed line stays compact
+    // — total + the slowest queries that fit a hard budget — and points at
+    // bench_full.json for the complete map.
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"cpus":$cpus,"sf":"$sfDir","queries":{""",
+        ",", "}}")
+    val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
+    java.nio.file.Files.write(fullPath,
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val budget = 1500 // chars for the whole line; tail capture is 2000
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
+    val slowestFirst = results.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + 2 // closing "}}"
+    slowestFirst.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + "}}")
     spark.stop()
   }
 }
