@@ -131,6 +131,30 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("q2: min-cost supplier window is part-partitioned, never global") {
+    val p = planOf(graft.SparkEntry.queries("q2_min_cost_supplier")(spark, sfDir))
+    p should include("windowspecdefinition(ps_partkey")
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q9: derived partsupp joins back on its composite key, no cartesian") {
+    val p = planOf(graft.SparkEntry.queries("q9_product_profit")(spark, sfDir))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("LeftSemi") // the part-name filter stays ids-only
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
+  test("q16/q20: supplier exclusion is anti, promotion screen is semi") {
+    val p16 = planOf(graft.SparkEntry.queries("q16_parts_supplier_cnt")(spark, sfDir))
+    p16 should include("LeftAnti")
+    p16 should not include "CartesianProduct"
+    val p20 = planOf(graft.SparkEntry.queries("q20_promotion_suppliers")(spark, sfDir))
+    p20 should include("LeftSemi")
+    p20 should not include "CartesianProduct"
+  }
+
   test("q_sketch_hll: per-group sketches partial-aggregate map-side") {
     val p = planOf(graft.SparkEntry.queries("q_sketch_hll")(spark, sfDir)).toLowerCase
     // partial + final ObjectHashAggregate pair around the group exchange
