@@ -67,4 +67,42 @@ object StructuredCopy {
     // row count is the digest's trailing component - no extra dest scan
     Result(dstD.split("-").last.toLong, srcD == dstD, srcD, dstD)
   }
+
+  final case class CompactResult(
+      filesBefore: Int, bytesBefore: Long, filesAfter: Int,
+      digestMatch: Boolean)
+
+  /** Small-file compaction — the table-maintenance operator every 100 TB
+    * store needs: streaming ingest and fine-grained partitioned writes
+    * leave directories of thousands of KB-to-MB files, and at scale the
+    * per-file overheads (namenode metadata, footer reads, scan-planning
+    * splits, task startup) come to dominate the actual I/O. Compaction
+    * rewrites the directory into ⌈bytes / targetFileBytes⌉ files.
+    *
+    * `repartition(n)` (round-robin, one shuffle) rather than
+    * `coalesce(n)`: coalesce merges whole input partitions without a
+    * shuffle, so a skewed input (one big file + many tiny ones) stays
+    * skewed — uniform output file sizes are the point of compaction.
+    * Integrity is the same digest check the structured copy uses (A9's
+    * format-agnostic analog).
+    */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+      targetFileBytes: Long, format: String = "parquet"): CompactResult = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var files = 0
+    var bytes = 0L
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) { files += 1; bytes += f.getLen }
+    }
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val res = run(spark, Spec(srcPath, format, dstPath, format,
+      transform = _.repartition(nOut)))
+    CompactResult(files, bytes, nOut, res.digestMatch)
+  }
 }

@@ -1,12 +1,14 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TableDigest
 
 /** Long-tail operators rounding out SURVEY.md §2 Part B: exact + approx
-  * percentiles, GROUPING SETS, map-typed JSON access, and the custom typed
-  * UDAF (order-insensitive table digest).
+  * percentiles, GROUPING SETS, map-typed JSON access, the custom typed
+  * UDAF (order-insensitive table digest), deterministic sampling, z-order
+  * interleave, and mergeable sketches.
   */
 object Extra extends QueryModule {
 
@@ -192,6 +194,74 @@ object Extra extends QueryModule {
              LIMIT 100) t
            ORDER BY c_custkey"""))
 
+  // Token-budget prefix sampling — the data-mixing primitive that turns
+  // "X tokens of source S" recipes into a concrete document set: per
+  // source, take documents in deterministic doc_id order until the
+  // cumulative token count first reaches the budget (the straddling doc
+  // is included: its START is inside the budget). One shuffle on source +
+  // an in-group sort — prefix semantics are inherently ordered, so this
+  // is the minimal plan; a skewed giant source sorts in one task and
+  // would need range-partitioned pre-splitting at 100 TB (same posture
+  // note as q_seq_pack). Token counts reuse the oracle-proven whitespace
+  // tokenizer from q_text_stats.
+  private val qSampleTokenBudget = Q(
+    "q_sample_token_budget",
+    (s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") - col("n_tokens") < 500L)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+             SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_tokens,
+               CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                 OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens
+             FROM documents) t
+           WHERE cum_tokens - n_tokens < 500
+           ORDER BY source, doc_id"""))
+
+  // Z-order (Morton) interleave — the VALUE side of the 2-D layout
+  // operator (graft.operators.ZOrder; the write-side clustering + scan
+  // pruning it buys is asserted in LayoutSpec). The magic-mask bit
+  // spreading is pure codegen'd bit arithmetic, identical in ANSI SQL —
+  // so the interleave itself is oracle-checkable: top-100 lineitem rows
+  // by z-value over (l_partkey, l_suppkey).
+  private val qZorder = Q(
+    "q_zorder_cluster",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey"))
+          .as("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100),
+    Some("""WITH s0 AS (
+             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                    CAST(l_partkey AS BIGINT) & 2147483647 AS x,
+                    CAST(l_suppkey AS BIGINT) & 2147483647 AS y
+             FROM lineitem),
+           s1 AS (SELECT * REPLACE ((x | (x << 16)) & 281470681808895 AS x,
+                                    (y | (y << 16)) & 281470681808895 AS y) FROM s0),
+           s2 AS (SELECT * REPLACE ((x | (x << 8)) & 71777214294589695 AS x,
+                                    (y | (y << 8)) & 71777214294589695 AS y) FROM s1),
+           s3 AS (SELECT * REPLACE ((x | (x << 4)) & 1085102592571150095 AS x,
+                                    (y | (y << 4)) & 1085102592571150095 AS y) FROM s2),
+           s4 AS (SELECT * REPLACE ((x | (x << 2)) & 3689348814741910323 AS x,
+                                    (y | (y << 2)) & 3689348814741910323 AS y) FROM s3),
+           s5 AS (SELECT * REPLACE ((x | (x << 1)) & 6148914691236517205 AS x,
+                                    (y | (y << 1)) & 6148914691236517205 AS y) FROM s4)
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                  x | (y << 1) AS zval
+           FROM s5
+           ORDER BY zval, l_orderkey, l_linenumber LIMIT 100"""))
+
   // Mergeable HLL sketches (Apache DataSketches via Spark's
   // hll_sketch_agg): per-group sketches UNION-merged into a corpus
   // estimate. THE pre-aggregation architecture at 100 TB — each partition
@@ -232,5 +302,5 @@ object Extra extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
     qCsvRoundtrip, qSampleStratified, qSampleMixture, qSampleExactK,
-    qSketchHll, qSketchKll)
+    qSampleTokenBudget, qZorder, qSketchHll, qSketchKll)
 }

@@ -54,4 +54,30 @@ class StructuredCopySpec extends SparkSpec {
     }
     canonical(dst) should not be canonical(dst + "2")
   }
+
+  test("compaction rewrites a many-small-file directory to the target file count") {
+    val base = tmpDir("sc5").toString
+    // fragment orders into 64 small files — the streaming-ingest aftermath
+    Tables.orders(spark, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(s"$base/small")
+    val smallFiles = new java.io.File(s"$base/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    smallFiles shouldBe 64
+    val totalBytes = new java.io.File(s"$base/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+
+    // target ≈ a quarter of the data per file → expect 4-5 output files
+    val r = StructuredCopy.compact(spark, s"$base/small", s"$base/compact",
+      targetFileBytes = totalBytes / 4)
+    r.filesBefore shouldBe 64
+    r.bytesBefore shouldBe totalBytes
+    r.filesAfter should be <= 5
+    r.digestMatch shouldBe true
+    val outFiles = new java.io.File(s"$base/compact").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    outFiles shouldBe r.filesAfter
+    // the rewrite preserved every row
+    spark.read.parquet(s"$base/compact").count() shouldBe
+      Tables.orders(spark, sfDir).count()
+  }
 }

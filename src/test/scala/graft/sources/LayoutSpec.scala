@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
@@ -79,5 +79,42 @@ class LayoutSpec extends SparkSpec {
     // cutoff has its own error, so allow one extra band: at least one of
     // the four bands must have been skipped outright
     clusteredRead should be <= (total * 3 / 4)
+  }
+
+  test("z-order layout: scans filtering on EITHER dimension skip files") {
+    // Single-column range clustering prunes one dimension and destroys
+    // the other; the Morton interleave bounds BOTH. 16 files over
+    // (l_partkey, l_suppkey); a narrow filter on either key alone must
+    // read strictly fewer rows than the full table — and the same filter
+    // over a hash-shuffled layout must read everything.
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val dir = tmpDir("zorder").toString
+    graft.operators.ZOrder
+      .cluster(li, col("l_partkey"), col("l_suppkey"), 16)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    li.repartition(16).write.mode("overwrite").parquet(s"$dir/shuffled")
+
+    val total = li.count()
+    val Row(pLo: Long, sLo: Long) = li
+      .agg(min(col("l_partkey")), min(col("l_suppkey"))).collect().head
+    // bottom ~1/8 of each key domain — a rectangle-edge predicate, the
+    // z-curve's friendly case (what the layout exists to serve)
+    val Row(pHi: Long, sHi: Long) = li
+      .agg(max(col("l_partkey")), max(col("l_suppkey"))).collect().head
+    val pCut = pLo + (pHi - pLo) / 8
+    val sCut = sLo + (sHi - sLo) / 8
+
+    for ((cond, name) <- Seq(
+        (col("l_partkey") <= pCut, "partkey"),
+        (col("l_suppkey") <= sCut, "suppkey"))) {
+      withClue(s"filter on $name: ") {
+        val zRead = scanOutputRows(spark.read.parquet(s"$dir/z").filter(cond))
+        val shufRead = scanOutputRows(
+          spark.read.parquet(s"$dir/shuffled").filter(cond))
+        shufRead shouldBe total // hash layout: no file can be skipped
+        zRead should be < total // z layout: some files skipped outright
+      }
+    }
   }
 }
