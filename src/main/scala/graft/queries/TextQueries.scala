@@ -481,9 +481,43 @@ object TextQueries extends QueryModule {
              count(*) AS n_members
            FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
 
+  // Blocked fuzzy (edit-distance) matching — entity resolution over part
+  // names. The naive form is an all-pairs levenshtein (O(n²) — dead at
+  // any scale); the engine's plan BLOCKS first on cheap equality keys
+  // (p_type, p_size) so the quadratic work runs only inside small
+  // buckets — the same candidates-then-verify shape as the LSH dedup
+  // family, with blocking keys playing the band-bucket role. Both
+  // engines implement textbook levenshtein, so the verify predicate is
+  // oracle-exact.
+  private val qFuzzyMatch = Q(
+    "q_fuzzy_match",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
+      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+        col("p_type").as("type_a"), col("p_size").as("size_a"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+        col("p_type").as("type_b"), col("p_size").as("size_b"))
+      a.join(b, col("type_a") === col("type_b") &&
+          col("size_a") === col("size_b") && col("id_a") < col("id_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .orderBy(col("dist"), col("id_a"), col("id_b"))
+        .limit(100)
+    },
+    Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                  a.p_name AS name_a, b.p_name AS name_b,
+                  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+           FROM part a JOIN part b
+             ON a.p_type = b.p_type AND a.p_size = b.p_size
+            AND a.p_partkey < b.p_partkey
+           WHERE levenshtein(a.p_name, b.p_name) <= 3
+           ORDER BY dist, id_a, id_b LIMIT 100"""))
+
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
-    qDedupMinhash, qDedupSimhash, qDedupClusters)
+    qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch)
 }

@@ -146,6 +146,25 @@ class PlanSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(p).size should be >= 2
   }
 
+  test("q11: the share threshold reuses the grouped exchange at runtime") {
+    // Both the per-part values and the scalar total derive from the SAME
+    // groupBy frame; AQE's ReuseExchange must materialize the partsupp
+    // pipeline once (without it the whole lineitem→partsupp agg runs
+    // twice). Runtime plan, not static: reuse fires during execution.
+    val df = graft.SparkEntry.queries("q11_important_stock")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    "ReusedExchange".r.findAllIn(p).size should be >= 1
+  }
+
+  test("q_upsert_merge: delta applies via broadcast anti — snapshot never shuffles") {
+    val p = planOf(graft.SparkEntry.queries("q_upsert_merge")(spark, sfDir))
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    p should not include "SortMergeJoin"
+    p should not include "Window" // the window formulation is oracle-only
+  }
+
   test("q16/q20: supplier exclusion is anti, promotion screen is semi") {
     val p16 = planOf(graft.SparkEntry.queries("q16_parts_supplier_cnt")(spark, sfDir))
     p16 should include("LeftAnti")
