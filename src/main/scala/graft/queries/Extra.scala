@@ -287,17 +287,29 @@ object Extra extends QueryModule {
 
   // KLL quantile sketches (DataSketches): per-group streaming quantile
   // estimates with a fixed-size (k=400 ≈ 3 KiB) mergeable summary —
-  // the percentile counterpart to q_sketch_hll. No oracle (approximate);
-  // SketchSpec pins the normalized-rank error of the estimates.
+  // the percentile counterpart to q_sketch_hll, INCLUDING the mergeable
+  // rollup: the per-group sketches union into a corpus estimate via
+  // kll_merge_agg_double (the 'ALL' row), so cross-dimension percentile
+  // rollups at 100 TB are sketch merges over #groups rows, never
+  // rescans. No oracle (approximate); SketchSpec pins the normalized-
+  // rank error AND merged-vs-all-at-once agreement.
   private val qSketchKll = Q(
     "q_sketch_kll",
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(kll_sketch_agg_double(col("l_extendedprice"), lit(400)).as("sk"))
-      .select(col("l_returnflag"),
-        kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("p50_est"),
-        kll_sketch_get_quantile_double(col("sk"), lit(0.95)).as("p95_est"))
-      .orderBy(col("l_returnflag")))
+    (s, d) => {
+      val perGroup = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(kll_sketch_agg_double(col("l_extendedprice"), lit(400)).as("sk"))
+      perGroup
+        .select(col("l_returnflag").as("scope"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("p50_est"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.95)).as("p95_est"))
+        .unionAll(perGroup
+          .agg(kll_merge_agg_double(col("sk")).as("merged"))
+          .select(lit("ALL").as("scope"),
+            kll_sketch_get_quantile_double(col("merged"), lit(0.5)).as("p50_est"),
+            kll_sketch_get_quantile_double(col("merged"), lit(0.95)).as("p95_est")))
+        .orderBy(col("scope"))
+    })
 
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,

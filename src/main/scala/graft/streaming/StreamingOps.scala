@@ -74,6 +74,20 @@ object StreamingOps {
     events.join(broadcast(dim),
       events.col(eventKey) === dim.col(dimKey), "left_outer")
 
+  /** CDC apply (the batch half of streaming upsert ingestion): merge a
+    * delta into a snapshot latest-wins — snapshot rows whose key appears
+    * in the delta drop out via a broadcast LEFT ANTI (map-side, the
+    * snapshot itself never shuffles), then the delta unions in. Inside
+    * `foreachBatch` this turns a change stream into a continuously
+    * maintained table: each micro-batch is small (broadcastable) by
+    * construction, which is exactly why the anti-join side is the delta.
+    * Same plan shape as the batch `q_upsert_merge` (PlanSpec-pinned).
+    */
+  def applyDelta(snapshot: DataFrame, delta: DataFrame, key: String): DataFrame =
+    snapshot
+      .join(broadcast(delta.select(delta.col(key))), Seq(key), "left_anti")
+      .unionByName(delta)
+
   /** Stream-stream interval join: each left event matched to right events
     * of the same key within [left.ts − before, left.ts + after]. BOTH
     * sides carry a watermark and the join condition carries the time

@@ -37,8 +37,12 @@ class SketchSpec extends SparkSpec {
     val est = graft.SparkEntry.queries("q_sketch_kll")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val li = Tables.lineitem(spark, sfDir)
+    est.keySet should contain("ALL") // the kll_merge_agg rollup row
     est.foreach { case (flag, (p50, p95)) =>
-      val grp = li.filter(col("l_returnflag") === flag)
+      // "ALL" is the merged-sketch corpus estimate — rank it against the
+      // whole table, pinning that the merge lost nothing
+      val grp = if (flag == "ALL") li
+        else li.filter(col("l_returnflag") === flag)
       val n = grp.count().toDouble
       val rank50 = grp.filter(col("l_extendedprice") <= p50).count() / n
       val rank95 = grp.filter(col("l_extendedprice") <= p95).count() / n

@@ -420,5 +420,45 @@ class StreamingSpec extends SparkSpec {
     rows.toSeq shouldBe Seq(("t1", "COMPLETED"), ("t2", "FAILED"))
   }
 
+  test("foreachBatch CDC apply maintains a latest-wins snapshot across micro-batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("cdc").toString
+    // v0 snapshot: five keys
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0))
+      .toDF("k", "status", "amount").write.parquet(s"$base/v0")
+
+    // versioned snapshot dirs: overwrite-in-place would read and write
+    // the same files in one job; writing v{n+1} from v{n} is the
+    // manifest/snapshot pattern every table format uses
+    var version = 0
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDS().toDF("k", "status", "amount").writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!delta.isEmpty) {
+          val snap = spark.read.parquet(s"$base/v$version")
+          StreamingOps.applyDelta(snap, delta, "k")
+            .write.parquet(s"$base/v${version + 1}")
+          version += 1
+        }
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    input.addData((1L, "UPD", 11.0), (99L, "NEW", 99.0)) // update + insert
+    q.processAllAvailable()
+    input.addData((99L, "UPD2", 98.0)) // second batch updates the insert
+    q.processAllAvailable()
+    q.stop()
+
+    version shouldBe 2
+    val fin = spark.read.parquet(s"$base/v$version")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    fin shouldBe Seq(
+      (1L, "UPD", 11.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0), (99L, "UPD2", 98.0))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
