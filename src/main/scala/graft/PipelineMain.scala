@@ -131,12 +131,23 @@ object PipelineMain {
     afterExact.unpersist(); afterNear.unpersist(); train.unpersist()
     enriched.unpersist()
 
+    // 7. maintenance: compact the pack manifest (a per-partition write
+    // leaves one file per task — the small-file aftermath §SCALE.md) to
+    // ~1 MiB targets, digest-verified. On the fixture this collapses the
+    // 8 task files to 1; at 100 TB the same call is the nightly job.
+    val compacted = graft.copy.StructuredCopy.compact(
+      spark, s"$outDir/packs", s"$outDir/packs_compacted",
+      targetFileBytes = 1L << 20)
+    require(compacted.digestMatch, "pack compaction digest mismatch")
+
     val outJson = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(outDir) // paths may contain quotes/backslashes
     println(s"""{"input":$total,"after_exact_dedup":$nExact,""" +
       s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
       s""""after_decontam":$nDecontam,""" +
-      s""""mean_lm_nll":$meanNll,"n_packs":$nPacks,"written":$written,"out":$outJson}""")
+      s""""mean_lm_nll":$meanNll,"n_packs":$nPacks,"written":$written,""" +
+      s""""pack_files_before":${compacted.filesBefore},""" +
+      s""""pack_files_after":${compacted.filesAfter},"out":$outJson}""")
     spark.stop()
   }
 }

@@ -135,6 +135,41 @@ object PipelineDeep extends QueryModule {
                  WHERE n > 0)
            ORDER BY doc_id, chunk_id"""))
 
+  // Materializing chunker — same window/stride arithmetic as
+  // q_chunk_overlap but carrying the actual sliced token text (the
+  // SCALE.md "metadata-only chunking" gap): tokenize once, explode the
+  // chunk starts, `slice` the token array per chunk and re-join. Still a
+  // map-only plan (tokenize → explode → project, no shuffle before the
+  // output sort); the payload amplification is the declared ~1.33×
+  // (64-token window / 48 stride), not a join blow-up.
+  private val qChunkText = Q(
+    "q_chunk_text",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), greatest(col("n") - 17, lit(0)), lit(48)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / 48).cast("int").as("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1,
+          least(lit(64), col("n") - col("start")))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+             array_to_string(toks[start + 1 : start + least(64, n - start)],
+                             ' ') AS chunk_text
+           FROM (SELECT doc_id, toks, n,
+                   unnest(range(0, greatest(n - 16, 1), 48)) AS start
+                 FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0) AS toks,
+                         len(list_filter(string_split_regex(text, '\s+'),
+                                         x -> len(x) > 0)) AS n
+                       FROM documents)
+                 WHERE n > 0)
+           ORDER BY doc_id, chunk_id"""))
+
   // TF-IDF top-3 terms per document. tf/df/N are exact integer counts;
   // the only float ops are two correctly-rounded divisions and one ln,
   // rounded to 6 decimals BEFORE ranking so both engines rank identical
@@ -271,6 +306,6 @@ object PipelineDeep extends QueryModule {
            FROM orders"""))
 
   override def queries: Seq[Q] = Seq(
-    qRepetition, qDecontaminate, qChunk, qTfidf,
+    qRepetition, qDecontaminate, qChunk, qChunkText, qTfidf,
     qCorr, qHistogram, qArgmax, qOrcRoundtrip)
 }

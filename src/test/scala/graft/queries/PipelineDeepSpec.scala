@@ -79,6 +79,26 @@ class PipelineDeepSpec extends SparkSpec {
     }
   }
 
+  test("materializing chunker: chunk text is the exact token slice of the source doc") {
+    // cross-check the TEXT variant against the metadata variant and the
+    // source documents: same chunk grid, and each chunk's token count
+    // matches its declared length; chunk 0's text is a prefix of the
+    // whitespace-normalized document
+    val meta = graft.SparkEntry.queries("q_chunk_overlap")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val texts = graft.SparkEntry.queries("q_chunk_text")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    texts.keySet shouldBe meta.keySet
+    texts.foreach { case (k, t) =>
+      t.split("\\s+").count(_.nonEmpty).toLong shouldBe meta(k)
+    }
+    val doc0 = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === texts.keys.map(_._1).min)
+      .select("text").collect().head.getString(0)
+    val norm = doc0.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    norm should startWith(texts((texts.keys.map(_._1).min, 0)))
+  }
+
   test("repetition ratios: a pathological repeated doc scores high, a unique doc zero") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
