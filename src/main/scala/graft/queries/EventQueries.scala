@@ -223,7 +223,83 @@ object EventQueries extends QueryModule {
              FROM events) t
            WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  // Conversion funnel: of the users who viewed, how many purchased
+  // within an hour of their FIRST view. The per-user first-view agg
+  // collapses the view side to one row per user before the range
+  // condition, so the purchase match is an equi-key (user) semi join
+  // with a time post-filter — never an event×event blow-up. Two scalar
+  // aggregates cross-join into the one-row result (both broadcastable by
+  // construction).
+  private val qFunnel = Q(
+    "q_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val firstViews = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_view"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val converted = firstViews
+        .join(purchases, col("user_id") === col("p_user") &&
+          col("p_ts") > col("first_view") &&
+          col("p_ts") <= col("first_view") + expr("INTERVAL 1 HOUR"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_converted"))
+      firstViews.agg(count(lit(1)).as("n_viewers"))
+        .crossJoin(broadcast(converted))
+        .select(col("n_viewers"), col("n_converted"),
+          round(col("n_converted") / col("n_viewers"), 4).as("conv_rate"))
+    },
+    Some("""WITH fv AS (
+             SELECT user_id, min(ts) AS first_view
+             FROM events WHERE event_type = 'view' GROUP BY user_id),
+           conv AS (
+             SELECT count(*) AS n_converted FROM fv
+             WHERE EXISTS (SELECT 1 FROM events p
+                           WHERE p.event_type = 'purchase'
+                             AND p.user_id = fv.user_id
+                             AND p.ts > fv.first_view
+                             AND p.ts <= fv.first_view + INTERVAL 1 HOUR))
+           SELECT (SELECT count(*) FROM fv) AS n_viewers, n_converted,
+                  round(n_converted / (SELECT count(*) FROM fv), 4) AS conv_rate
+           FROM conv"""))
+
+  // Weekly retention cohorts: users grouped by the week of their first
+  // event, counted in each later week they were active. Plan: one
+  // per-user min, one (user, week) distinct, one equi join back on user,
+  // one count per (cohort, offset) — all narrow-key shuffles of at most
+  // |users| × |weeks| rows; nothing quadratic, nothing global.
+  private val qCohort = Q(
+    "q_retention_cohort",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_ts"))
+      val activeWeeks = ev
+        .select(col("user_id").as("a_user"),
+          date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      activeWeeks
+        .join(cohorts, col("a_user") === col("user_id"))
+        .select(col("cohort_ts").cast("date").as("cohort_week"),
+          (datediff(col("wk"), col("cohort_ts")) / 7).cast("int").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH cohorts AS (
+             SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+             FROM events GROUP BY user_id),
+           active AS (
+             SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+             FROM events)
+           SELECT CAST(cohort_ts AS DATE) AS cohort_week,
+                  CAST(date_diff('day', cohort_ts, wk) // 7 AS INT) AS week_offset,
+                  count(*) AS n_users
+           FROM active JOIN cohorts USING (user_id)
+           GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override def queries: Seq[Q] = Seq(
     qTumbling, qSliding, qHourly, qAsOf, qAsOfFwd, qSessionize, qEnrich,
-    qIntervalJoin, qDedupFirst)
+    qIntervalJoin, qDedupFirst, qFunnel, qCohort)
 }

@@ -194,6 +194,29 @@ object Extra extends QueryModule {
              LIMIT 100) t
            ORDER BY c_custkey"""))
 
+  // Deterministic train/val/test split — eval-carving as a pure
+  // projection: the same multiplicative key hash as the sampling family
+  // buckets every doc into 90/5/5 with zero RNG state and zero
+  // coordination; any engine, any cluster layout, any run produces the
+  // identical split (the property that makes eval sets trustworthy).
+  private val qSplitTrainTest = Q(
+    "q_split_train_test",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("split",
+        when(keyHash(col("doc_id"), 100L) < 90L, "train")
+          .when(keyHash(col("doc_id"), 100L) < 95L, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split")),
+    Some("""SELECT source,
+             CASE WHEN ((doc_id % 1000000000) * 2654435761) % 100 < 90 THEN 'train'
+                  WHEN ((doc_id % 1000000000) * 2654435761) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs
+           FROM documents
+           GROUP BY 1, 2 ORDER BY source, split"""))
+
   // Token-budget prefix sampling — the data-mixing primitive that turns
   // "X tokens of source S" recipes into a concrete document set: per
   // source, take documents in deterministic doc_id order until the
@@ -314,5 +337,5 @@ object Extra extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
     qCsvRoundtrip, qSampleStratified, qSampleMixture, qSampleExactK,
-    qSampleTokenBudget, qZorder, qSketchHll, qSketchKll)
+    qSampleTokenBudget, qSplitTrainTest, qZorder, qSketchHll, qSketchKll)
 }
