@@ -43,7 +43,15 @@ final class CopyEngine(
     // at or above this many top-level subdirectories, the listing itself
     // fans out as a Spark job (one task per subtree); below it the driver
     // DFS is faster (no job-launch overhead)
-    distributedListingMinSubtrees: Int = 32) extends Serializable {
+    distributedListingMinSubtrees: Int = 32,
+    // strict side-effect parity with the reference: files copy
+    // SEQUENTIALLY in listing order and the item aborts at the FIRST
+    // failed/mismatched file, leaving later files uncopied
+    // (HdfsCopyService.java:96-105 iterates the listing and throws out of
+    // the loop). Default off = distributed fan-out, which runs every file
+    // task before surfacing the first error — faster, but extra files
+    // land at the destination on partial failure.
+    strictItemParity: Boolean = false) extends Serializable {
 
   import CopyEngine._
 
@@ -104,6 +112,21 @@ final class CopyEngine(
 
     if (files.isEmpty) return CopyResult(0L, checksumVerified = false)
 
+    if (strictItemParity) {
+      // Reference semantics: one file at a time, abort on first error —
+      // everything after the failing file stays uncopied.
+      var bytes = 0L
+      var allVerified = true
+      files.foreach { fm =>
+        val r = copyOne(conf, s"$src/${fm.relPath}",
+          s"$destRoot/${fm.relPath}", bw, checksumEnabled, postWriteHook)
+        if (r.error != null) throw new IOException(r.error)
+        bytes += r.bytes
+        allVerified &&= r.verified
+      }
+      return CopyResult(bytes, allVerified)
+    }
+
     // Fan the per-file copies out as Spark tasks.
     val sconf = new SerializableConfiguration(conf)
     val srcRoot = src.toString
@@ -131,7 +154,9 @@ final class CopyEngine(
     // item at the FIRST failed/mismatched file, leaving later files
     // uncopied; here all file tasks run to completion before the first
     // error is thrown, so on-disk side effects diverge (extra files at the
-    // destination) even though the reported item status matches.
+    // destination) even though the reported item status matches. Callers
+    // that need the reference's exact side effects construct the engine
+    // with strictItemParity=true (sequential path above).
     val collected = results.collect()
     collected.find(_.error != null).foreach(r => throw new IOException(r.error))
     CopyResult(collected.map(_.bytes).sum,

@@ -237,6 +237,28 @@ object PipelineDeep extends QueryModule {
              count(*) AS n
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // Linear-regression aggregates (slope/intercept/R²) per group — the
+  // one-pass moment-based OLS both engines implement identically
+  // (covar/var ratios); same partial+final shape and the same rounding
+  // posture as q_agg_corr (Welford-style merges differ from naive sums
+  // in the last bits; the 4-decimal round absorbs it).
+  private val qRegression = Q(
+    "q_agg_regression",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // Fixed-width histogram: bucket assignment is a map-side floor division
   // (pushes into the scan projection), then an ordinary partial+final
   // count — the shuffle carries ≤ #buckets rows per partition.
@@ -307,5 +329,5 @@ object PipelineDeep extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qRepetition, qDecontaminate, qChunk, qChunkText, qTfidf,
-    qCorr, qHistogram, qArgmax, qOrcRoundtrip)
+    qCorr, qRegression, qHistogram, qArgmax, qOrcRoundtrip)
 }

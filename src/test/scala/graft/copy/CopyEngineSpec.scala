@@ -183,4 +183,55 @@ class CopyEngineSpec extends SparkSpec {
     }
     e.getMessage should include("Checksum mismatch for")
   }
+
+  test("strictItemParity: sequential copy aborts at the first bad file, later files stay uncopied") {
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    // listing order is lexicographic on this FS: a.bin, b_bad.bin, c.bin
+    write(srcDir, "root/a.bin", bytes(1000))
+    write(srcDir, "root/b_bad.bin", bytes(1000))
+    write(srcDir, "root/c.bin", bytes(1000))
+    val corruptBad: String => Unit = p => {
+      if (p.endsWith("b_bad.bin")) {
+        val f = new java.io.File(new java.net.URI(
+          if (p.startsWith("file:")) p else s"file://$p").getPath)
+        val out = new java.io.FileOutputStream(f, true)
+        out.write(0x42); out.close()
+      }
+    }
+    val strict = new CopyEngine(spark, strictItemParity = true,
+      postWriteHook = Some(corruptBad))
+    val e = intercept[IOException] {
+      strict.copyPath(conf, srcDir.resolve("root").toString,
+        dstDir.resolve("root").toString, None)
+    }
+    e.getMessage should include("Checksum mismatch for")
+    // reference side effects exactly: every file BEFORE the bad one (in
+    // the engine's listing order — the local FS does not promise
+    // lexicographic) copied, the bad one left corrupt in place, every
+    // file AFTER it never copied (HdfsCopyService.java throws out of the
+    // loop)
+    val root = new org.apache.hadoop.fs.Path(srcDir.resolve("root").toString)
+    val order = strict
+      .listRecursive(root.getFileSystem(conf), root)
+      .filterNot(_.isDir).map(_.relPath)
+    val badIdx = order.indexWhere(_.endsWith("b_bad.bin"))
+    badIdx should be >= 0
+    order.zipWithIndex.foreach { case (rel, i) =>
+      val exists = Files.exists(dstDir.resolve("root").resolve(rel))
+      withClue(s"$rel (pos $i, bad at $badIdx): ") {
+        exists shouldBe (i <= badIdx)
+      }
+    }
+    // and the non-strict engine on the same tree reports the same error
+    // but copies everything (documented divergence)
+    val fanout = new CopyEngine(spark, postWriteHook = Some(corruptBad))
+    val dst2 = tmpDir("dst2")
+    intercept[IOException] {
+      fanout.copyPath(conf, srcDir.resolve("root").toString,
+        dst2.resolve("root").toString, None)
+    }
+    order.foreach { rel =>
+      Files.exists(dst2.resolve("root").resolve(rel)) shouldBe true
+    }
+  }
 }

@@ -131,4 +131,44 @@ class FormatSpec extends SparkSpec {
     val back = spark.read.schema(src.schema).orc(dir).orderBy("k")
     back.collect() shouldBe src.orderBy("k").collect()
   }
+
+  test("malformed JSON: PERMISSIVE quarantines rows, FAILFAST throws, DROPMALFORMED drops") {
+    // 100 TB ingest reality: some records are garbage. The three declared
+    // postures — quarantine (_corrupt_record column), hard-fail, silently
+    // drop — must each behave as documented, or bad data either poisons
+    // the table or vanishes without audit.
+    val dir = tmpDir("badjson")
+    java.nio.file.Files.write(dir.resolve("data.json"),
+      """{"k": 1, "v": "ok"}
+        |{not json at all
+        |{"k": 3, "v": "fine"}
+        |""".stripMargin.getBytes("UTF-8"))
+    val path = dir.toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k LONG, v STRING, _corrupt_record STRING")
+
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(path)
+      .cache() // corrupt-record queries need the full row materialized
+    permissive.count() shouldBe 3
+    val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+    bad.length shouldBe 1
+    bad.head.getAs[String]("_corrupt_record") should include("not json")
+
+    val dropped = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("k LONG, v STRING"))
+      .option("mode", "DROPMALFORMED").json(path)
+    dropped.count() shouldBe 2
+
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("k LONG, v STRING"))
+        .option("mode", "FAILFAST").json(path).collect()
+    }
+    // Spark 4 wraps the parse error in FAILED_READ_FILE; the malformed-
+    // record error is the cause
+    (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .toLowerCase should include("malformed")
+    permissive.unpersist()
+  }
 }
