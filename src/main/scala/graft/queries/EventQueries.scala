@@ -299,7 +299,77 @@ object EventQueries extends QueryModule {
            FROM active JOIN cohorts USING (user_id)
            GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // Ordered 3-step funnel (view → click → purchase, each strictly after
+  // the previous): three chained per-user min-aggs, each conditioned on
+  // the previous step's timestamp — three narrow passes over the same
+  // user-keyed shuffle, never an event×event×event join. Counts drop
+  // monotonically by construction.
+  private val qFunnelSteps = Q(
+    "q_funnel_steps",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def firstOf(tpe: String, after: org.apache.spark.sql.DataFrame,
+          afterCol: String, out: String) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("user_id").as("u"), col("ts"))
+          .join(after, col("u") === col("user_id"))
+          .filter(col("ts") > col(afterCol))
+          .groupBy(col("u"))
+          .agg(min(col("ts")).as(out))
+          .withColumnRenamed("u", "user_id")
+      val step1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val step2 = firstOf("click", step1, "t1", "t2")
+      val step3 = firstOf("purchase", step2, "t2", "t3")
+      step1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(step2.agg(count(lit(1)).as("n_view_click"))))
+        .crossJoin(broadcast(step3.agg(count(lit(1)).as("n_view_click_purchase"))))
+    },
+    Some("""WITH s1 AS (
+             SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+           s2 AS (
+             SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1
+             GROUP BY e.user_id),
+           s3 AS (
+             SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             GROUP BY e.user_id)
+           SELECT (SELECT count(*) FROM s1) AS n_view,
+                  (SELECT count(*) FROM s2) AS n_view_click,
+                  (SELECT count(*) FROM s3) AS n_view_click_purchase"""))
+
+  // Clickstream path analysis: top transition bigrams (event_type →
+  // next event_type per user). One user-partitioned lead() window (the
+  // partition key is the shuffle key — no global ordering anywhere),
+  // then an ordinary count rollup over ≤ |types|² keys.
+  private val qEventPaths = Q(
+    "q_event_paths",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"), col("next_type"))
+        .limit(10)
+    },
+    Some("""SELECT event_type, next_type, n FROM (
+             SELECT event_type, next_type, count(*) AS n FROM (
+               SELECT event_type,
+                      lead(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_type
+               FROM events) t
+             WHERE next_type IS NOT NULL
+             GROUP BY event_type, next_type)
+           ORDER BY n DESC, event_type, next_type LIMIT 10"""))
+
   override def queries: Seq[Q] = Seq(
     qTumbling, qSliding, qHourly, qAsOf, qAsOfFwd, qSessionize, qEnrich,
-    qIntervalJoin, qDedupFirst, qFunnel, qCohort)
+    qIntervalJoin, qDedupFirst, qFunnel, qCohort, qFunnelSteps, qEventPaths)
 }

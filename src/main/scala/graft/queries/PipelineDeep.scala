@@ -259,6 +259,55 @@ object PipelineDeep extends QueryModule {
              CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // Per-group feature normalization — the numeric-prep step before any
+  // model sees the column. Group stats join back as a BROADCAST (#groups
+  // rows), so normalization is one agg + one map pass, no window over
+  // the fact table. Min-max is bit-exact across engines (min/max are
+  // order-independent); the z-score rides mean/stddev whose last-bit
+  // fold noise the 4-decimal round absorbs.
+  private val qNormalize = Q(
+    "q_normalize",
+    (s, d) => {
+      val stats = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"))
+        .agg(min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"),
+          avg(col("l_extendedprice")).as("mean"),
+          stddev_pop(col("l_extendedprice")).as("sd"))
+      Tables.lineitem(s, d)
+        .join(broadcast(stats), col("l_returnflag") === col("g"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((col("l_extendedprice") - col("mn")) / (col("mx") - col("mn")), 6)
+            .as("minmax"),
+          round((col("l_extendedprice") - col("mean")) / col("sd"), 4).as("z"),
+          col("l_extendedprice"))
+        // (okey, ln) is NOT unique in the fixture, and orderBy+limit is a
+        // HEAP top-k — ties come back in arbitrary arrival order, unlike
+        // a full sort where both engines keep stable file order. The
+        // top-k SET is made deterministic by ordering on the exact price
+        // (no duplicate (okey, ln, flag, price) rows exist); the final
+        // output order uses only output columns, where any remaining
+        // ties are fully identical rows.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"))
+        .limit(1000)
+        .drop("l_extendedprice")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("minmax"), col("z"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, minmax, z FROM (
+             SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+               round((l_extendedprice - min(l_extendedprice) OVER w)
+                   / (max(l_extendedprice) OVER w - min(l_extendedprice) OVER w), 6)
+                 AS minmax,
+               round((l_extendedprice - avg(l_extendedprice) OVER w)
+                   / stddev_pop(l_extendedprice) OVER w, 4) AS z
+             FROM lineitem
+             WINDOW w AS (PARTITION BY l_returnflag)
+             ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+             LIMIT 1000)
+           ORDER BY l_orderkey, l_linenumber, l_returnflag, minmax, z"""))
+
   // Fixed-width histogram: bucket assignment is a map-side floor division
   // (pushes into the scan projection), then an ordinary partial+final
   // count — the shuffle carries ≤ #buckets rows per partition.
@@ -329,5 +378,5 @@ object PipelineDeep extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qRepetition, qDecontaminate, qChunk, qChunkText, qTfidf,
-    qCorr, qRegression, qHistogram, qArgmax, qOrcRoundtrip)
+    qCorr, qRegression, qNormalize, qHistogram, qArgmax, qOrcRoundtrip)
 }

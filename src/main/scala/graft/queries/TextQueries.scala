@@ -515,9 +515,57 @@ object TextQueries extends QueryModule {
            WHERE levenshtein(a.p_name, b.p_name) <= 3
            ORDER BY dist, id_a, id_b LIMIT 100"""))
 
+  // OOV (out-of-vocabulary) rate — the tokenizer-prep metric: build a
+  // top-k vocabulary from the TRAIN hash-split, measure what fraction of
+  // TEST-split tokens fall outside it. The vocab is a deterministic
+  // top-k (count desc, token asc — rank-boundary ties cannot flip) and
+  // broadcasts to an anti join; all counts are exact integers, the one
+  // division rounds at the end. Same 90/5/5 hash buckets as
+  // q_split_train_test.
+  private val qOovRate = Q(
+    "q_oov_rate",
+    (s, d) => {
+      def bucket(c: org.apache.spark.sql.Column) =
+        pmod(pmod(c.cast("long"), lit(1000000000L)) * lit(2654435761L), lit(100L))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("tok"))
+      val train = toks.filter(bucket(col("doc_id")) < 90)
+      val testSplit = toks.filter(bucket(col("doc_id")) >= 95)
+      val vocab = train.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(100)
+        .select(col("tok").as("v_tok"))
+      val oov = testSplit
+        .join(broadcast(vocab), col("tok") === col("v_tok"), "left_anti")
+        .agg(count(lit(1)).as("n_oov"))
+      testSplit.agg(count(lit(1)).as("n_test_tokens"))
+        .crossJoin(broadcast(oov))
+        .select(col("n_test_tokens"), col("n_oov"),
+          round(col("n_oov") / col("n_test_tokens"), 4).as("oov_rate"))
+    },
+    Some("""WITH toks AS MATERIALIZED (
+             SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS tok
+             FROM documents),
+           test AS MATERIALIZED (
+             SELECT tok FROM toks
+             WHERE ((doc_id % 1000000000) * 2654435761) % 100 >= 95),
+           vocab AS MATERIALIZED (
+             SELECT tok FROM (
+               SELECT tok, count(*) AS c FROM toks
+               WHERE ((doc_id % 1000000000) * 2654435761) % 100 < 90
+               GROUP BY tok ORDER BY c DESC, tok LIMIT 100))
+           SELECT (SELECT count(*) FROM test) AS n_test_tokens,
+                  (SELECT count(*) FROM test
+                   WHERE tok NOT IN (SELECT tok FROM vocab)) AS n_oov,
+                  round((SELECT count(*) FROM test
+                         WHERE tok NOT IN (SELECT tok FROM vocab))
+                        / (SELECT count(*) FROM test), 4) AS oov_rate"""))
+
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
-    qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch)
+    qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate)
 }
