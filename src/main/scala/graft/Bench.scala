@@ -34,7 +34,11 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma decimal separator would make the line unparseable JSON —
+    // regenerating the exact driver-parse failure this format exists to fix
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query timings go to a file: the driver captures only the
     // last ~2000 chars of output, and a 124-query JSON line (~3 KB) gets
     // its head truncated there, so the driver's parse fails (BENCH_r01 and

@@ -97,7 +97,12 @@ final class CopyEngine(
     // (many top-level subtrees) list as a distributed Spark job so the
     // driver never serializes 10^8 listStatus calls; small trees keep the
     // driver DFS fast path. Downstream stages are identical either way.
-    val metas = listItem(conf, fs, src)
+    // Strict mode also forces the DRIVER DFS listing: the distributed
+    // listing's collect interleaves subtrees in partition order, which
+    // would reorder the sequential copy and change WHICH files exist
+    // after a mid-copy abort — the exact side effect strict mode pins.
+    val metas =
+      if (strictItemParity) listRecursive(fs, src) else listItem(conf, fs, src)
     val (dirs, files) = metas.partition(_.isDir)
 
     // Mirror the directory skeleton (incl. empty dirs) before data flows.

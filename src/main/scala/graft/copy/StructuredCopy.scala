@@ -90,19 +90,41 @@ object StructuredCopy {
       targetFileBytes: Long, format: String = "parquet"): CompactResult = {
     require(targetFileBytes > 0,
       s"targetFileBytes must be positive, got $targetFileBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(srcPath)
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = src.getFileSystem(conf)
+    // Hidden-ness applies to every path COMPONENT, not just the leaf:
+    // a streaming sink's _spark_metadata/ holds files named "0", "1",
+    // "19.compact" whose leaf names look like data — counting them
+    // inflates bytesBefore (and thus the output file count) with
+    // metadata the parquet read never includes.
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      val rel = p.toUri.getPath.stripPrefix(
+        fs.makeQualified(src).toUri.getPath).stripPrefix("/")
+      rel.split("/").forall(seg =>
+        !seg.startsWith("_") && !seg.startsWith("."))
+    }
     var files = 0
     var bytes = 0L
     val it = fs.listFiles(src, true)
     while (it.hasNext) {
       val f = it.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) { files += 1; bytes += f.getLen }
+      if (visible(f.getPath)) { files += 1; bytes += f.getLen }
     }
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val res = run(spark, Spec(srcPath, format, dstPath, format,
       transform = _.repartition(nOut)))
-    CompactResult(files, bytes, nOut, res.digestMatch)
+    // report files ACTUALLY written — empty partitions and writer-side
+    // file splits make the planned nOut a lie at the edges
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val dfs = dst.getFileSystem(conf)
+    var written = 0
+    val it2 = dfs.listFiles(dst, true)
+    while (it2.hasNext) {
+      val f = it2.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) written += 1
+    }
+    CompactResult(files, bytes, written, res.digestMatch)
   }
 }

@@ -29,10 +29,9 @@ object ChangeOps extends QueryModule {
       val changes = snap
         .filter(pmod(col("o_orderkey"), lit(10)) === 0)
         .withColumn("o_orderstatus", lit("U"))
-      snap
-        .join(broadcast(changes.select(col("o_orderkey"))),
-          Seq("o_orderkey"), "left_anti")
-        .unionByName(changes)
+      // the ONE merge implementation — shared with the streaming
+      // foreachBatch CDC apply (StreamingOps.applyDelta)
+      graft.streaming.StreamingOps.applyDelta(snap, changes, "o_orderkey")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total"))

@@ -233,12 +233,16 @@ object EventQueries extends QueryModule {
   private val qFunnel = Q(
     "q_funnel",
     (s, d) => {
+      // module invariant (FIXTURES.md): events.ts is ns in parquet, µs in
+      // Spark — every oracle comparison runs on second-truncated time so
+      // sub-µs residue can never flip a boundary between engines
       val ev = Tables.events(s, d)
+        .withColumn("tss", date_trunc("second", col("ts")))
       val firstViews = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id"))
-        .agg(min(col("ts")).as("first_view"))
+        .agg(min(col("tss")).as("first_view"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .select(col("user_id").as("p_user"), col("tss").as("p_ts"))
       val converted = firstViews
         .join(purchases, col("user_id") === col("p_user") &&
           col("p_ts") > col("first_view") &&
@@ -251,15 +255,16 @@ object EventQueries extends QueryModule {
           round(col("n_converted") / col("n_viewers"), 4).as("conv_rate"))
     },
     Some("""WITH fv AS (
-             SELECT user_id, min(ts) AS first_view
+             SELECT user_id, min(date_trunc('second', ts)) AS first_view
              FROM events WHERE event_type = 'view' GROUP BY user_id),
            conv AS (
              SELECT count(*) AS n_converted FROM fv
              WHERE EXISTS (SELECT 1 FROM events p
                            WHERE p.event_type = 'purchase'
                              AND p.user_id = fv.user_id
-                             AND p.ts > fv.first_view
-                             AND p.ts <= fv.first_view + INTERVAL 1 HOUR))
+                             AND date_trunc('second', p.ts) > fv.first_view
+                             AND date_trunc('second', p.ts) <=
+                                 fv.first_view + INTERVAL 1 HOUR))
            SELECT (SELECT count(*) FROM fv) AS n_viewers, n_converted,
                   round(n_converted / (SELECT count(*) FROM fv), 4) AS conv_rate
            FROM conv"""))
@@ -307,18 +312,21 @@ object EventQueries extends QueryModule {
   private val qFunnelSteps = Q(
     "q_funnel_steps",
     (s, d) => {
+      // second-truncated time throughout — the module's ns-vs-µs oracle
+      // invariant (see q_funnel)
       val ev = Tables.events(s, d)
+        .withColumn("tss", date_trunc("second", col("ts")))
       def firstOf(tpe: String, after: org.apache.spark.sql.DataFrame,
           afterCol: String, out: String) =
         ev.filter(col("event_type") === tpe)
-          .select(col("user_id").as("u"), col("ts"))
+          .select(col("user_id").as("u"), col("tss"))
           .join(after, col("u") === col("user_id"))
-          .filter(col("ts") > col(afterCol))
+          .filter(col("tss") > col(afterCol))
           .groupBy(col("u"))
-          .agg(min(col("ts")).as(out))
+          .agg(min(col("tss")).as(out))
           .withColumnRenamed("u", "user_id")
       val step1 = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        .groupBy(col("user_id")).agg(min(col("tss")).as("t1"))
       val step2 = firstOf("click", step1, "t1", "t2")
       val step3 = firstOf("purchase", step2, "t2", "t3")
       step1.agg(count(lit(1)).as("n_view"))
@@ -326,17 +334,19 @@ object EventQueries extends QueryModule {
         .crossJoin(broadcast(step3.agg(count(lit(1)).as("n_view_click_purchase"))))
     },
     Some("""WITH s1 AS (
-             SELECT user_id, min(ts) AS t1 FROM events
+             SELECT user_id, min(date_trunc('second', ts)) AS t1 FROM events
              WHERE event_type = 'view' GROUP BY user_id),
            s2 AS (
-             SELECT e.user_id, min(e.ts) AS t2
+             SELECT e.user_id, min(date_trunc('second', e.ts)) AS t2
              FROM events e JOIN s1 ON e.user_id = s1.user_id
-             WHERE e.event_type = 'click' AND e.ts > s1.t1
+             WHERE e.event_type = 'click'
+               AND date_trunc('second', e.ts) > s1.t1
              GROUP BY e.user_id),
            s3 AS (
-             SELECT e.user_id, min(e.ts) AS t3
+             SELECT e.user_id, min(date_trunc('second', e.ts)) AS t3
              FROM events e JOIN s2 ON e.user_id = s2.user_id
-             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             WHERE e.event_type = 'purchase'
+               AND date_trunc('second', e.ts) > s2.t2
              GROUP BY e.user_id)
            SELECT (SELECT count(*) FROM s1) AS n_view,
                   (SELECT count(*) FROM s2) AS n_view_click,
@@ -349,9 +359,14 @@ object EventQueries extends QueryModule {
   private val qEventPaths = Q(
     "q_event_paths",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // second-truncated ordering + event_id tiebreak: truncation widens
+      // ties, but event_id resolves them IDENTICALLY in both engines —
+      // raw ts would order by ns in DuckDB and µs here (module invariant)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tss"), col("event_id"))
       Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .select(col("user_id"), col("tss"), col("event_id"), col("event_type"))
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type"), col("next_type"))
@@ -363,7 +378,8 @@ object EventQueries extends QueryModule {
              SELECT event_type, next_type, count(*) AS n FROM (
                SELECT event_type,
                       lead(event_type, 1) OVER (PARTITION BY user_id
-                        ORDER BY ts, event_id) AS next_type
+                        ORDER BY date_trunc('second', ts), event_id)
+                        AS next_type
                FROM events) t
              WHERE next_type IS NOT NULL
              GROUP BY event_type, next_type)

@@ -115,14 +115,10 @@ object Extra extends QueryModule {
   // on any engine and any cluster with ZERO coordination (no RNG state,
   // no sort, pure map-side filter that pushes to the scan).
   //
-  // The key is reduced mod 1e9 BEFORE the multiply: 1e9 × 2654435761 ≈
-  // 2.7e18 < 2^63, so the product can never overflow Long — critical
-  // under ANSI mode (Spark 4 default throws on wrap) and for exact
-  // DuckDB parity (BIGINT overflow errors there too). A raw
-  // key × 2654435761 would blow past 2^63 for keys ≥ ~3.5e9 — i.e. at
-  // exactly the corpus sizes this operator exists for.
+  // Engine-wide shared hash (see DeterministicHash for the overflow and
+  // single-definition rationale).
   private def keyHash(key: org.apache.spark.sql.Column, m: Long) =
-    pmod(pmod(key.cast("long"), lit(1000000000L)) * lit(2654435761L), lit(m))
+    graft.functions.DeterministicHash.keyHash(key, m)
 
   private val qSampleStratified = Q(
     "q_sample_stratified",

@@ -500,9 +500,11 @@ object TextQueries extends QueryModule {
         col("p_type").as("type_b"), col("p_size").as("size_b"))
       a.join(b, col("type_a") === col("type_b") &&
           col("size_a") === col("size_b") && col("id_a") < col("id_b"))
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+        // distance computed ONCE: Spark does not CSE across Filter and
+        // Project, and the O(len²) edit distance is the dominant cost
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
           levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .filter(col("dist") <= 3)
         .orderBy(col("dist"), col("id_a"), col("id_b"))
         .limit(100)
     },
@@ -526,7 +528,7 @@ object TextQueries extends QueryModule {
     "q_oov_rate",
     (s, d) => {
       def bucket(c: org.apache.spark.sql.Column) =
-        pmod(pmod(c.cast("long"), lit(1000000000L)) * lit(2654435761L), lit(100L))
+        graft.functions.DeterministicHash.keyHash(c, 100L)
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(tokens(lower(col("text")))).as("tok"))

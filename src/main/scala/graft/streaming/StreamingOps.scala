@@ -82,11 +82,33 @@ object StreamingOps {
     * maintained table: each micro-batch is small (broadcastable) by
     * construction, which is exactly why the anti-join side is the delta.
     * Same plan shape as the batch `q_upsert_merge` (PlanSpec-pinned).
+    *
+    * CONTRACT: `delta` must carry at most one row per key — a raw CDC
+    * batch usually doesn't (insert then update of the same key in one
+    * trigger), so pass `versionCol` to collapse the delta latest-wins
+    * first. Without it, duplicate delta keys would both survive into the
+    * snapshot and every later read sees a duplicated key.
     */
-  def applyDelta(snapshot: DataFrame, delta: DataFrame, key: String): DataFrame =
+  def applyDelta(snapshot: DataFrame, delta: DataFrame, key: String,
+      versionCol: Option[String] = None): DataFrame = {
+    val d = versionCol match {
+      case Some(v) =>
+        // max_by over a struct keyed by the version: one partial+final
+        // agg over the (small) delta — no window, no extra shuffle of
+        // the snapshot
+        val cols = delta.columns
+        delta.groupBy(delta.col(key))
+          .agg(max_by(
+            struct(cols.filter(_ != key).map(delta.col).toIndexedSeq: _*),
+            delta.col(v)).as("__latest"))
+          .select(col(key) +: cols.filter(_ != key)
+            .map(c => col(s"__latest.$c").as(c)).toIndexedSeq: _*)
+      case None => delta
+    }
     snapshot
-      .join(broadcast(delta.select(delta.col(key))), Seq(key), "left_anti")
-      .unionByName(delta)
+      .join(broadcast(d.select(d.col(key))), Seq(key), "left_anti")
+      .unionByName(d)
+  }
 
   /** Stream-stream interval join: each left event matched to right events
     * of the same key within [left.ts − before, left.ts + after]. BOTH

@@ -460,5 +460,21 @@ class StreamingSpec extends SparkSpec {
       (4L, "d", 40.0), (5L, "e", 50.0), (99L, "UPD2", 98.0))
   }
 
+  test("applyDelta versionCol collapses multi-change deltas latest-wins") {
+    val sp = spark; import sp.implicits._
+    // a real CDC batch: insert + update of key 1 in ONE trigger; without
+    // the collapse both rows would survive into the snapshot
+    val snap = Seq((1L, "a", 10.0, 0L), (3L, "c", 30.0, 0L))
+      .toDF("k", "status", "amount", "version")
+    val delta = Seq((1L, "INS", 1.0, 1L), (1L, "UPD", 2.0, 2L),
+      (2L, "NEW", 5.0, 1L))
+      .toDF("k", "status", "amount", "version")
+    val out = StreamingOps.applyDelta(snap, delta, "k", Some("version"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, "UPD", 2.0, 2L), (2L, "NEW", 5.0, 1L), (3L, "c", 30.0, 0L))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
