@@ -330,8 +330,24 @@ object Extra extends QueryModule {
         .orderBy(col("scope"))
     })
 
+  // Count-min sketch (frequency member of the mergeable-sketch family:
+  // HLL = distinct, KLL = quantiles, CMS = per-key counts): per-group
+  // fixed-size frequency summaries with a pinned seed, so hot-key
+  // estimation at 100 TB is a map-side fold + tiny merge, never a
+  // per-key shuffle. No oracle (binary sketch, Spark-native layout);
+  // SketchSpec pins the CMS guarantee (est ≥ exact, ≤ exact + ε·N) AND
+  // lossless merge (merged groups == whole-table sketch, same seed).
+  private val qSketchCms = Q(
+    "q_sketch_cms",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count_min_sketch(col("l_partkey"), lit(0.001d), lit(0.99d),
+        lit(42)).as("sk"))
+      .orderBy(col("l_returnflag")))
+
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
     qCsvRoundtrip, qSampleStratified, qSampleMixture, qSampleExactK,
-    qSampleTokenBudget, qSplitTrainTest, qZorder, qSketchHll, qSketchKll)
+    qSampleTokenBudget, qSplitTrainTest, qZorder, qSketchHll, qSketchKll,
+    qSketchCms)
 }

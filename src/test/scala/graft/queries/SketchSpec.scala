@@ -33,6 +33,41 @@ class SketchSpec extends SparkSpec {
     out("ALL") shouldBe allAtOnce
   }
 
+  test("cms: estimates bound by exact + eps*N; group merge equals whole-table sketch") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def parse(b: Array[Byte]) =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+    val rows = graft.SparkEntry.queries("q_sketch_cms")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> parse(r.getAs[Array[Byte]](1)))
+    rows should not be empty
+    val li = Tables.lineitem(spark, sfDir)
+    rows.foreach { case (flag, cms) =>
+      val grp = li.filter(col("l_returnflag") === flag)
+      val total = grp.count()
+      val exact = grp.groupBy("l_partkey").count()
+        .orderBy(col("count").desc).limit(5).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      exact.foreach { case (k, n) =>
+        val est = cms.estimateCount(k)
+        withClue(s"$flag key $k: ") {
+          est should be >= n // CMS never underestimates
+          est should be <= n + math.ceil(0.001 * total).toLong * 2
+        }
+      }
+    }
+    // lossless merge: same seed + dims ⇒ merging the per-group sketches
+    // reproduces the whole-table sketch's estimates exactly
+    val merged = rows.map(_._2).reduce { (a, b) => a.mergeInPlace(b); a }
+    val whole = parse(li
+      .agg(count_min_sketch(col("l_partkey"), lit(0.001d), lit(0.99d),
+        lit(42)).as("sk"))
+      .collect().head.getAs[Array[Byte]](0))
+    li.select("l_partkey").distinct().limit(20).collect().map(_.getLong(0))
+      .foreach { k =>
+        merged.estimateCount(k) shouldBe whole.estimateCount(k)
+      }
+  }
+
   test("kll quantile estimates have small normalized-rank error") {
     val est = graft.SparkEntry.queries("q_sketch_kll")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
