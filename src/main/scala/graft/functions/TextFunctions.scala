@@ -173,9 +173,20 @@ object TextFunctions {
     */
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phoneRe: String = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val ipRe: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val ccRe: String = "\\b[0-9]{4}([- ]?[0-9]{4}){3}\\b"
 
+  /** Scrub order matters: email first (its local part can contain
+    * digits), then IP (dotted — the phone pattern cannot span the dots
+    * but could eat the octet runs), then card (a 16-digit run the phone
+    * pattern would otherwise swallow), then phone.
+    */
   def scrubPii(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, lit(emailRe), lit("[EMAIL]")),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, lit(emailRe), lit("[EMAIL]")),
+          lit(ipRe), lit("[IP]")),
+        lit(ccRe), lit("[CARD]")),
       lit(phoneRe), lit("[PHONE]"))
 }

@@ -43,6 +43,30 @@ object ZOrder {
   def zValue(x: Column, y: Column): Column =
     spread31(x).bitwiseOR(shiftleft(spread31(y), 1))
 
+  // 3-D spreading: bits land 3 apart (21 bits per dimension, top bit 62
+  // — still sign-safe)
+  private val steps3: Seq[(Int, Long)] = Seq(
+    32 -> 0x1F00000000FFFFL,
+    16 -> 0x1F0000FF0000FFL,
+    8 -> 0x100F00F00F00F00FL,
+    4 -> 0x10C30C30C30C30C3L,
+    2 -> 0x1249249249249249L)
+
+  /** Spread the low 21 bits so consecutive bits land 3 apart. */
+  def spread21(c: Column): Column =
+    steps3.foldLeft(c.cast("long").bitwiseAND(lit(0x1FFFFFL))) {
+      case (acc, (sh, m)) => acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(m))
+    }
+
+  /** Three-dimensional Morton interleave (21 bits per dimension) — the
+    * same either-dimension pruning argument extends to any filtered
+    * subset of the three clustering columns.
+    */
+  def zValue3(x: Column, y: Column, z: Column): Column =
+    spread21(x)
+      .bitwiseOR(shiftleft(spread21(y), 1))
+      .bitwiseOR(shiftleft(spread21(z), 2))
+
   /** Write-side clustering: range-partition into `numFiles` buckets on
     * the z-value and sort within each, so every output file covers a
     * contiguous z-range = a bounded rectangle (union of a few rectangles)

@@ -164,13 +164,20 @@ object TextQueries extends QueryModule {
         col("doc_id"),
         regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
         regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_count(col("text"), lit(ccRe)).cast("long").as("n_cards"),
         length(scrubPii(col("text"))).cast("long").as("scrub_len"))
       .orderBy(col("doc_id")),
     Some(s"""SELECT doc_id,
              CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
              CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
-             CAST(len(regexp_replace(regexp_replace(text, '$emailRe', '[EMAIL]', 'g'),
-                                     '$phoneRe', '[PHONE]', 'g')) AS BIGINT) AS scrub_len
+             CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(text, '$ccRe')) AS BIGINT) AS n_cards,
+             CAST(len(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  text, '$emailRe', '[EMAIL]', 'g'),
+                  '$ipRe', '[IP]', 'g'),
+                  '$ccRe', '[CARD]', 'g'),
+                  '$phoneRe', '[PHONE]', 'g')) AS BIGINT) AS scrub_len
            FROM documents ORDER BY doc_id"""))
 
   // Sequence packing summary: docs next-fit-packed into 512-token budget

@@ -40,6 +40,34 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  private def unspread3(z: Long): Long = {
+    var x = z & 0x1249249249249249L
+    x = (x | (x >> 2)) & 0x10C30C30C30C30C3L
+    x = (x | (x >> 4)) & 0x100F00F00F00F00FL
+    x = (x | (x >> 8)) & 0x1F0000FF0000FFL
+    x = (x | (x >> 16)) & 0x1F00000000FFFFL
+    x = (x | (x >> 32)) & 0x1FFFFFL
+    x
+  }
+
+  test("zValue3 round-trips all three 21-bit coordinates") {
+    val sp = spark; import sp.implicits._
+    val pts = (0 until 300).map(i =>
+      (math.abs(i * 2654435761L) % 0x1FFFFFL,
+        math.abs((i + 3) * 40503L) % 0x1FFFFFL,
+        math.abs((i + 11) * 65537L) % 0x1FFFFFL)) ++
+      Seq((0L, 0L, 0L), (0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL))
+    pts.toDF("x", "y", "zc")
+      .withColumn("z", ZOrder.zValue3(col("x"), col("y"), col("zc")))
+      .collect().foreach { r =>
+        val (x, y, zc, z) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        z should be >= 0L
+        unspread3(z) shouldBe x
+        unspread3(z >> 1) shouldBe y
+        unspread3(z >> 2) shouldBe zc
+      }
+  }
+
   test("z-order is monotone per dimension with the other fixed") {
     val sp = spark; import sp.implicits._
     val ys = (0L until 200L).map(y => (12345L, y))

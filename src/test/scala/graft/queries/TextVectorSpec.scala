@@ -43,13 +43,22 @@ class TextVectorSpec extends SparkSpec {
       (1L, "contact me at alice.smith+spam@example-mail.co.uk for details"),
       (2L, "call +1 (555) 123-4567 or 555 867 5309 now"),
       (3L, "bob@corp.io and his line 0171-555-0123"),
-      (4L, "no personal data here at all")).toDF("id", "text")
+      (4L, "no personal data here at all"),
+      (5L, "server at 192.168.001.254 responded"),
+      (6L, "paid with 4111-1111-1111-1111 and 4012 8888 8888 1881"),
+      (7L, "mixed: 10.0.0.1 then card 5555555555554444 then 555-867-5309"))
+      .toDF("id", "text")
       .select(col("id"), scrubPii(col("text")).as("scrubbed"))
     val out = df.orderBy("id").collect().map(_.getString(1)).toSeq
     out(0) shouldBe "contact me at [EMAIL] for details"
     out(1) shouldBe "call [PHONE] or [PHONE] now"
     out(2) shouldBe "[EMAIL] and his line [PHONE]"
     out(3) shouldBe "no personal data here at all"
+    // scrub order: IP before phone (octet runs), card before phone
+    // (16-digit runs) — each lands in its own bucket, never [PHONE]
+    out(4) shouldBe "server at [IP] responded"
+    out(5) shouldBe "paid with [CARD] and [CARD]"
+    out(6) shouldBe "mixed: [IP] then card [CARD] then [PHONE]"
   }
 
   test("ANN LSH top-k achieves usable recall vs brute force on the fixture") {
