@@ -168,13 +168,21 @@ object TextFunctions {
 
   /** PII patterns + scrub projection — per-row regexp, no shuffle. The
     * patterns deliberately stick to syntax shared by Java regex and
-    * DuckDB's RE2 so the oracle replays them verbatim; matches are
-    * replaced left-to-right, emails before phone-like digit runs.
+    * DuckDB's RE2 so the oracle replays them verbatim (RE2 has NO
+    * lookahead, which shapes the design below); four patterns replace
+    * left-to-right in the order given in [[scrubPii]].
+    *
+    * The IP and card patterns use open-ended repetition ({3,}) rather
+    * than an exact count: with an exact count, a LONGER separated digit
+    * sequence would match only its valid-length prefix at a \b boundary
+    * and scrub partially — "1234-5678-9012-3456-7890" would leave a
+    * "-7890" residue of the identifier it was meant to remove. Open
+    * repetition swallows the whole run into one placeholder.
     */
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phoneRe: String = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
-  val ipRe: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  val ccRe: String = "\\b[0-9]{4}([- ]?[0-9]{4}){3}\\b"
+  val ipRe: String = "\\b([0-9]{1,3}\\.){3,}[0-9]{1,3}\\b"
+  val ccRe: String = "\\b[0-9]{4}([- ]?[0-9]{4}){3,}\\b"
 
   /** Scrub order matters: email first (its local part can contain
     * digits), then IP (dotted — the phone pattern cannot span the dots

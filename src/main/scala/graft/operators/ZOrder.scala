@@ -82,16 +82,36 @@ object ZOrder {
     * tiny stats agg (4 longs to the driver — the same stats pass any
     * layout optimizer runs).
     */
+  // one stats agg for all dimensions: 2·dims longs to the driver
+  private def bounds(df: DataFrame, cols: Seq[Column]): Seq[(Long, Long)] = {
+    val aggs = cols.flatMap(c => Seq(min(c.cast("long")), max(c.cast("long"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+  }
+
+  private def scale(c: Column, b: (Long, Long)): Column =
+    floor((c.cast("long") - lit(b._1)).cast("double") * 32767.0 /
+      math.max(1L, b._2 - b._1)).cast("long")
+
   def cluster(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    val Array(xMin, xMax, yMin, yMax) = df
-      .agg(min(x.cast("long")), max(x.cast("long")),
-        min(y.cast("long")), max(y.cast("long")))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    def scale(c: Column, lo: Long, hi: Long): Column =
-      floor((c.cast("long") - lit(lo)).cast("double") * 32767.0 /
-        math.max(1L, hi - lo)).cast("long")
-    df.withColumn("__z", zValue(scale(x, xMin, xMax), scale(y, yMin, yMax)))
+    val Seq(bx, by) = bounds(df, Seq(x, y))
+    df.withColumn("__z", zValue(scale(x, bx), scale(y, by)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** Three-column clustering — same normalization and write shape as the
+    * 2-D form over the 3-D interleave; a filter on ANY of the three
+    * columns can skip files.
+    */
+  def cluster3(df: DataFrame, x: Column, y: Column, z: Column,
+      numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val Seq(bx, by, bz) = bounds(df, Seq(x, y, z))
+    df.withColumn("__z",
+        zValue3(scale(x, bx), scale(y, by), scale(z, bz)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

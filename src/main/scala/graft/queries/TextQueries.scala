@@ -153,10 +153,12 @@ object TextQueries extends QueryModule {
         .orderBy(col("token"))
     })
 
-  // PII scrubbing: email + phone-like patterns counted and replaced in a
-  // pure per-row projection. The fixture is word soup (zero matches — the
-  // oracle proves regex parity and the no-op invariant scrub_len =
-  // n_chars); planted-PII behavior is pinned in TextVectorSpec.
+  // PII scrubbing: email / phone / IP / card patterns counted and
+  // replaced in a pure per-row projection (order-sensitive chain — see
+  // TextFunctions.scrubPii). The fixture is word soup (zero matches —
+  // the oracle proves regex parity and the no-op invariant scrub_len =
+  // n_chars); planted-PII behavior incl. the whole-sequence-scrub
+  // guarantee is pinned in TextVectorSpec.
   private val qPiiScrub = Q(
     "q_pii_scrub",
     (s, d) => Tables.documents(s, d)

@@ -110,6 +110,17 @@ object StreamingOps {
       .unionByName(d)
   }
 
+  /** The exactly-once recipe for non-transactional sinks, packaged as a
+    * `foreachBatch` writer: key every write by batchId with overwrite
+    * semantics, so Structured Streaming's at-least-once replay after a
+    * failure REWRITES the same directory instead of appending a second
+    * copy. Pair with a downstream reader over `baseDir` (the batch=N
+    * partitioning doubles as partition pruning on replay audits).
+    */
+  def idempotentParquetSink(baseDir: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$baseDir/batch=$batchId")
+
   /** Stream-stream interval join: each left event matched to right events
     * of the same key within [left.ts − before, left.ts + after]. BOTH
     * sides carry a watermark and the join condition carries the time

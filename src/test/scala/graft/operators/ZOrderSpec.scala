@@ -70,10 +70,17 @@ class ZOrderSpec extends SparkSpec {
 
   test("z-order is monotone per dimension with the other fixed") {
     val sp = spark; import sp.implicits._
+    // both lanes: the even-bit (x) lane and the odd-bit (y) lane have
+    // independent mask paths — each must be monotone on its own
     val ys = (0L until 200L).map(y => (12345L, y))
-    val zs = ys.toDF("x", "y")
+    val zsY = ys.toDF("x", "y")
       .withColumn("z", ZOrder.zValue(col("x"), col("y")))
       .orderBy("y").collect().map(_.getLong(2))
-    zs.toSeq shouldBe zs.sorted.toSeq
+    zsY.toSeq shouldBe zsY.sorted.toSeq
+    val xs = (0L until 200L).map(x => (x, 54321L))
+    val zsX = xs.toDF("x", "y")
+      .withColumn("z", ZOrder.zValue(col("x"), col("y")))
+      .orderBy("x").collect().map(_.getLong(2))
+    zsX.toSeq shouldBe zsX.sorted.toSeq
   }
 }

@@ -46,7 +46,8 @@ class TextVectorSpec extends SparkSpec {
       (4L, "no personal data here at all"),
       (5L, "server at 192.168.001.254 responded"),
       (6L, "paid with 4111-1111-1111-1111 and 4012 8888 8888 1881"),
-      (7L, "mixed: 10.0.0.1 then card 5555555555554444 then 555-867-5309"))
+      (7L, "mixed: 10.0.0.1 then card 5555555555554444 then 555-867-5309"),
+      (8L, "acct 1234-5678-9012-3456-7890 via 10.1.2.3.4 today"))
       .toDF("id", "text")
       .select(col("id"), scrubPii(col("text")).as("scrubbed"))
     val out = df.orderBy("id").collect().map(_.getString(1)).toSeq
@@ -59,6 +60,9 @@ class TextVectorSpec extends SparkSpec {
     out(4) shouldBe "server at [IP] responded"
     out(5) shouldBe "paid with [CARD] and [CARD]"
     out(6) shouldBe "mixed: [IP] then card [CARD] then [PHONE]"
+    // longer-than-expected sequences scrub WHOLE, never a valid-length
+    // prefix with an identifying residue (the {3,} open repetition)
+    out(7) shouldBe "acct [CARD] via [IP] today"
   }
 
   test("ANN LSH top-k achieves usable recall vs brute force on the fixture") {

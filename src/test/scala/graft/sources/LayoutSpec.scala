@@ -117,4 +117,23 @@ class LayoutSpec extends SparkSpec {
       }
     }
   }
+
+  test("3-D z-order layout: scans filtering on ANY of three dimensions skip files") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val dir = tmpDir("zorder3").toString
+    graft.operators.ZOrder
+      .cluster3(li, col("l_partkey"), col("l_suppkey"), col("l_orderkey"), 16)
+      .write.mode("overwrite").parquet(s"$dir/z3")
+    val total = li.count()
+    for (name <- Seq("l_partkey", "l_suppkey", "l_orderkey")) {
+      val Row(lo: Long, hi: Long) = li.agg(min(col(name)), max(col(name)))
+        .collect().head
+      val cut = lo + (hi - lo) / 8
+      withClue(s"filter on $name: ") {
+        scanOutputRows(spark.read.parquet(s"$dir/z3")
+          .filter(col(name) <= cut)) should be < total
+      }
+    }
+  }
 }

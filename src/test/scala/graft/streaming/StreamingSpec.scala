@@ -461,24 +461,30 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("foreachBatch idempotent sink: replaying a batchId does not duplicate output") {
-    // The exactly-once recipe for non-transactional sinks: key the write
-    // by batchId with overwrite semantics, so the at-least-once replay
-    // after a failure rewrites the same data instead of appending a
-    // second copy. We simulate the replay by invoking the same writer
-    // function twice with the same batchId.
+    // StreamingOps.idempotentParquetSink through a REAL streaming query,
+    // then the at-least-once replay simulated by re-invoking the sink
+    // with the batchId the query already committed.
     val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("idem").toString
-    def writeBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
-      batch.write.mode("overwrite").parquet(s"$base/batch=$batchId")
-    val data = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
-    writeBatch(data, 7L)
-    writeBatch(data, 7L) // replay after simulated failure
-    val rows = spark.read.parquet(s"$base/batch=7")
-    rows.count() shouldBe 2 // not 4 — replay overwrote, never appended
-    // contrast: append mode would have duplicated
-    data.write.mode("append").parquet(s"$base/append")
-    data.write.mode("append").parquet(s"$base/append")
-    spark.read.parquet(s"$base/append").count() shouldBe 4
+    val sink = StreamingOps.idempotentParquetSink(base) _
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("k", "v").writeStream
+      .foreachBatch(sink)
+      .outputMode(OutputMode.Append())
+      .start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val batchDirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    batchDirs should have size 1
+    val committed = batchDirs.head.stripPrefix("batch=").toLong
+    spark.read.parquet(s"$base/${batchDirs.head}").count() shouldBe 2
+    // replay the same batch (what a failure-restart delivers)
+    sink(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), committed)
+    spark.read.parquet(s"$base/${batchDirs.head}")
+      .count() shouldBe 2 // not 4 — replay overwrote, never appended
   }
 
   test("applyDelta versionCol collapses multi-change deltas latest-wins") {
