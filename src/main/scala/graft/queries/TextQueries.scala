@@ -574,9 +574,77 @@ object TextQueries extends QueryModule {
                          WHERE tok NOT IN (SELECT tok FROM vocab))
                         / (SELECT count(*) FROM test), 4) AS oov_rate"""))
 
+  // Cross-source contamination matrix: one row per source pair with (a)
+  // byte-identical shared texts (the "is B a mirror of A" question asked
+  // before assigning mixture weights) and (b) vocabulary overlap +
+  // Jaccard (the softer "same register/domain" signal). Both self-joins
+  // are equi — on the sha256 digest and on the token — and the shuffles
+  // carry only (digest|token, source) pairs after per-source distinct;
+  // per-key fanout is bounded by #sources², never corpus size. The pair
+  // skeleton is a cross of the per-source vocab sizes (#sources² rows,
+  // broadcast), so every pair reports even with zero overlap.
+  private val qSourceOverlap = Q(
+    "q_source_overlap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("vsize"))
+      val sharedVocab = vocab.select(col("source").as("va"), col("tok"))
+        .join(vocab.select(col("source").as("vb"), col("tok").as("tok2")),
+          col("tok") === col("tok2") && col("va") < col("vb"))
+        .groupBy(col("va"), col("vb")).agg(count(lit(1)).as("shared_vocab"))
+      val hs = docs
+        .select(sha2(col("text").cast("binary"), 256).as("h"), col("source"))
+        .distinct()
+      val sharedTexts = hs.select(col("source").as("ta"), col("h"))
+        .join(hs.select(col("source").as("tb"), col("h").as("h2")),
+          col("h") === col("h2") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("shared_texts"))
+      sizes.select(col("source").as("src_a"), col("vsize").as("size_a"))
+        .join(sizes.select(col("source").as("src_b"), col("vsize").as("size_b")),
+          col("src_a") < col("src_b"))
+        .join(sharedVocab,
+          col("src_a") === col("va") && col("src_b") === col("vb"), "left")
+        .join(broadcast(sharedTexts),
+          col("src_a") === col("ta") && col("src_b") === col("tb"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("shared_texts"), lit(0L)).as("shared_texts"),
+          coalesce(col("shared_vocab"), lit(0L)).as("shared_vocab"),
+          round(coalesce(col("shared_vocab"), lit(0L)).cast("double") /
+            (col("size_a") + col("size_b") - coalesce(col("shared_vocab"), lit(0L))),
+            4).as("vocab_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""WITH v AS (SELECT DISTINCT source, tok
+             FROM (SELECT source,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> len(x) > 0)) AS tok
+                   FROM documents)),
+           sz AS (SELECT source, count(*) AS vsize FROM v GROUP BY 1),
+           sh AS (SELECT a.source AS va, b.source AS vb, count(*) AS shared_vocab
+                  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+                  GROUP BY 1, 2),
+           hs AS (SELECT DISTINCT sha256(text) AS h, source FROM documents),
+           tx AS (SELECT a.source AS ta, b.source AS tb, count(*) AS shared_texts
+                  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+                  GROUP BY 1, 2)
+           SELECT sa.source AS src_a, sb.source AS src_b,
+                  coalesce(tx.shared_texts, 0) AS shared_texts,
+                  coalesce(sh.shared_vocab, 0) AS shared_vocab,
+                  round(CAST(coalesce(sh.shared_vocab, 0) AS DOUBLE) /
+                        (sa.vsize + sb.vsize - coalesce(sh.shared_vocab, 0)),
+                        4) AS vocab_jaccard
+           FROM sz sa JOIN sz sb ON sa.source < sb.source
+           LEFT JOIN sh ON sh.va = sa.source AND sh.vb = sb.source
+           LEFT JOIN tx ON tx.ta = sa.source AND tx.tb = sb.source
+           ORDER BY 1, 2"""))
+
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
-    qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate)
+    qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
+    qSourceOverlap)
 }

@@ -260,6 +260,50 @@ object VectorQueries extends QueryModule {
            FROM embeddings, generate_series(1, 4) AS t(i)
            GROUP BY label, i ORDER BY label, pos"""))
 
+  // Hard-negative mining for contrastive training: for each query vector,
+  // the top-3 most-similar neighbors with a DIFFERENT class label — the
+  // pairs a triplet/InfoNCE loss learns the most from. Same broadcast-
+  // query one-corpus-pass shape as q_sim_topk_brute (the label predicate
+  // only narrows the candidate stream); at corpus scale the query side
+  // stays the broadcast side and the candidate scan stays a single pass,
+  // or candidates route through the LSH buckets exactly as in
+  // q_sim_topk_ann_lsh with the label predicate applied pre-top-k.
+  private val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normSq(col("embedding")).as("n2"))
+      val queries = broadcast(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qv"), col("n2").as("qn2")))
+      val cand = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("embedding").as("nv"), col("n2").as("nn2"))
+      val scored = queries.join(cand, col("qlabel") =!= col("nlabel"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("qlabel"), col("rn"), col("nid"),
+          col("nlabel"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some("""SELECT qid, qlabel, rn, nid, nlabel, round(cos, 4) AS cos FROM (
+             SELECT q.vec_id AS qid, q.label AS qlabel,
+               c.vec_id AS nid, c.label AS nlabel,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS cos,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rn
+             FROM embeddings q JOIN embeddings c ON q.label <> c.label
+             WHERE q.vec_id < 10) t
+           WHERE rn <= 3 ORDER BY qid, rn"""))
+
   override def queries: Seq[Q] = Seq(
-    qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qSq8, qCentroids)
+    qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qSq8, qCentroids,
+    qHardNegatives)
 }
