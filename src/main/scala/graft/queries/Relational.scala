@@ -219,6 +219,41 @@ object Relational extends QueryModule {
            AND o2.o_orderdate >= o1.o_orderdate
            AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY"""))
 
+  // Point-in-interval with NO equi key: ships-in-promo-window. The naive
+  // BETWEEN join plans a nested loop (q_join_range above dodges it only
+  // because c1 = c2 provides an equi conjunct); this one routes through
+  // operators/BinnedRangeJoin — intervals explode to 16-day bins, the
+  // join is equi on bin id + residual filter. RangeJoinSpec pins
+  // equivalence to the naive theta join and the no-nested-loop plan.
+  private val qJoinRangeBinned = Q(
+    "q_join_range_binned",
+    (s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val windows = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(199L)) === 0)
+        .select(col("o_orderkey").as("win_id"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 30)
+      val ships = Tables.lineitem(s, d)
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+      graft.operators.BinnedRangeJoin
+        .pointInInterval(ships, "ship_day", windows, "lo", "hi", binWidth = 16L)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_ship"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("win_id"))
+    },
+    Some("""WITH iv AS (SELECT o_orderkey AS win_id,
+                   datediff('day', DATE '1970-01-01', o_orderdate) AS lo
+            FROM orders WHERE o_orderkey % 199 = 0),
+           pt AS (SELECT l_quantity,
+                   datediff('day', DATE '1970-01-01', l_shipdate) AS ship_day
+            FROM lineitem)
+           SELECT win_id, count(*) AS n_ship,
+                  round(sum(l_quantity), 2) AS sum_qty
+           FROM iv JOIN pt ON ship_day >= lo AND ship_day <= lo + 30
+           GROUP BY 1 ORDER BY 1"""))
+
   private val qJoinCross = Q(
     "q_join_cross",
     (s, d) => Tables.region(s, d).crossJoin(Tables.nation(s, d))
@@ -550,7 +585,7 @@ object Relational extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qScanAgg, q1, qProject, qFilter, qFilterLike, qNullSafe,
     qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti,
-    qJoinTheta, qJoinRange, qJoinCross, q3, q5, q6, q7, q10, q14, q18,
+    qJoinTheta, qJoinRange, qJoinRangeBinned, qJoinCross, q3, q5, q6, q7, q10, q14, q18,
     qDistinct, qApproxDistinct, qRollup, qCube, qCondAgg, qBoolAgg, qStats,
     qSubqueryScalar, qSubqueryExists)
 }
