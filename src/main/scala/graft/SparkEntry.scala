@@ -18,7 +18,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, TpchDeep, WindowSetOps, ScalarFuncs, EventQueries,
     TextQueries, PipelineDeep, VectorQueries, MultimodalQueries, Extra,
-    TypedQueries, ChangeOps, ShardOps)
+    TypedQueries, ChangeOps, ShardOps, ProfileOps)
 
   private val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)
