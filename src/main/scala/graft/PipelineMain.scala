@@ -11,6 +11,7 @@ import graft.operators.DedupClusters
   *   sbt "runMain graft.PipelineMain <sfDir> <outDir>"
   *
   * Stages (each a declared operator elsewhere in the registry):
+  *   0. expectations gate — refuse empty docs / duplicate ids up front
   *   1. exact dedup      — sha256 hash-groupBy, keep min doc_id
   *   2. near-dup dedup   — shingle MinHash → LSH bands → verified pairs →
   *                         connected components → keep cluster keeper
@@ -20,6 +21,8 @@ import graft.operators.DedupClusters
   *   4. enrichment       — PII scrub, token counts, language-ID,
   *                         fingerprint, corpus-trained LM NLL score
   *   5. sequence packing — next-fit into 512-token context windows
+  *   5.5 shard manifest  — GlobalIndex round-robin by token count,
+  *                         balance ratio reported in the summary line
   *   6. write            — parquet partitioned by lang (+ pack manifest)
   *
   * Prints one JSON line of per-stage counts. Nothing collects to the
@@ -43,6 +46,17 @@ object PipelineMain {
 
     val docs = Tables.documents(spark, sfDir)
     val total = docs.count()
+
+    // 0. pre-flight expectations gate (the q_expectations shape): the
+    // pipeline refuses obviously-broken input instead of writing garbage.
+    // Two narrow aggregates — no payload moves.
+    val gate = docs.agg(
+      sum(when(col("n_chars") <= 0, 1L).otherwise(0L)).as("empty_docs"),
+      (count(lit(1)) - count_distinct(col("doc_id"))).as("dup_ids")).head()
+    val gateViolations = gate.getLong(0) + gate.getLong(1)
+    require(gateViolations == 0,
+      s"input fails the expectations gate: ${gate.getLong(0)} empty docs, " +
+        s"${gate.getLong(1)} duplicate doc_ids")
 
     // 1. exact dedup (only the digest + id shuffle). Persisted: the stage
     // output feeds the count, the shingle pipeline, the anti-join and the
@@ -124,6 +138,24 @@ object PipelineMain {
     val nPacks = spark.read.parquet(s"$outDir/packs")
       .select(countDistinct(col("pack_id"))).head().getLong(0)
 
+    // 5.5 balanced shard manifest: docs ranked by token count descending
+    // get round-robin shard slots (operators.GlobalIndex — range exchange
+    // + zipWithIndex, no single-partition window), manifest one row per
+    // shard. The balance ratio (max/min shard token load) lands in the
+    // summary line — the number an export job alarms on.
+    val ranked = graft.operators.GlobalIndex.withOrdinal(
+      enriched.select(col("doc_id"), col("n_bpeish").as("n_toks")),
+      "ord", col("n_toks").desc, col("doc_id"))
+    val manifest = ranked
+      .withColumn("shard", pmod(col("ord") - 1, lit(8L)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/shard_manifest")
+    val bal = spark.read.parquet(s"$outDir/shard_manifest")
+      .agg((max(col("total_toks")).cast("double") /
+        greatest(lit(1L), min(col("total_toks")))).as("r")).head().getDouble(0)
+    val shardBalance = math.rint(bal * 10000) / 10000
+
     // 6. partitioned write
     enriched.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/docs")
     val written = spark.read.parquet(s"$outDir/docs").count()
@@ -146,6 +178,7 @@ object PipelineMain {
       s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
       s""""after_decontam":$nDecontam,""" +
       s""""mean_lm_nll":$meanNll,"n_packs":$nPacks,"written":$written,""" +
+      s""""shard_balance":$shardBalance,""" +
       s""""pack_files_before":${compacted.filesBefore},""" +
       s""""pack_files_after":${compacted.filesAfter},"out":$outJson}""")
     spark.stop()
