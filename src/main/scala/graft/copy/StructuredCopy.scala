@@ -127,4 +127,27 @@ object StructuredCopy {
     }
     CompactResult(files, bytes, written, res.digestMatch)
   }
+
+  /** Surgical partition backfill — how late or corrected data lands in a
+    * date/lang-partitioned 100 TB store: rewrite ONLY the partitions the
+    * patch actually contains (`partitionOverwriteMode=dynamic`), leaving
+    * every other partition's files physically untouched (no read, no
+    * rewrite, no metadata churn). The default STATIC overwrite mode
+    * would truncate the whole table root first — at scale that is the
+    * difference between rewriting one day and rewriting three years.
+    * The session default is restored afterwards, whatever it was.
+    */
+  def backfill(spark: SparkSession, tablePath: String, patch: DataFrame,
+      partitionCols: Seq[String], format: String = "parquet"): Unit = {
+    require(partitionCols.nonEmpty, "backfill needs at least one partition column")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try patch.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .format(format).save(tablePath)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
