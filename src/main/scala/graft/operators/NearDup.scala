@@ -119,4 +119,54 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Asymmetric containment near-dup: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|,
+    * reported when the SMALLER doc's shingles are ≥ `threshold` inside the
+    * larger's — the quote-inclusion / page-wraps-article case Jaccard
+    * misses (a 100-shingle doc fully inside a 10,000-shingle doc has
+    * J ≈ 0.01 but containment 1.0).
+    *
+    * Prefix filtering is one-sided here, and that is inherent: A needs
+    * ≥ τ·|A| shared shingles, so indexing A's ⌈(1−τ)|A|⌉+1 rarest
+    * guarantees a collision — but NO bound holds for B (τ·|A| can be
+    * tiny relative to |B|), so the candidate join is A-prefix (rare
+    * shingles, low df) against B's full inverted index. Cost is
+    * Σ_prefix-occurrences df(shingle): the rare-shingle prefix keeps the
+    * hot-shingle df² blowup out, the full side contributes linearly.
+    * Ties (|A| = |B|) report once, ordered by id.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val tau = threshold - 0.0001
+    val d = docs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .localCheckpoint()
+    val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = inv.join(dfreq, "shingle")
+      .withColumn("r", row_number().over(wDoc))
+      .filter(col("r") <= ceil(lit(1.0 - tau) * col("n")) + 1)
+      .select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
+    val full = inv.select(col("shingle").as("sh_b"), col("doc_id").as("id_b"),
+      col("n").as("n_b"))
+    val cand = prefix.join(full,
+        col("shingle") === col("sh_b") && col("id_a") =!= col("id_b") &&
+          col("n_a") <= col("n_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("n").as("n_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("n").as("n_b")), "id_b")
+      // direction: smaller-in-larger only; equal sizes report once
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("id_a") < col("id_b")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("n_a").cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

@@ -101,5 +101,53 @@ object ChangeOps extends QueryModule {
            FROM a FULL OUTER JOIN b ON key_a = key_b
            GROUP BY 1 ORDER BY 1"""))
 
-  override def queries: Seq[Q] = Seq(qUpsert, qDiff)
+  // SCD Type-2 merge: apply an attribute-change batch to a dimension
+  // KEEPING HISTORY — the warehouse verb behind "what segment was this
+  // customer in when the order happened". Matched rows split into a
+  // closed version (valid_to = effective date, is_current = false) and a
+  // new current version; unmatched rows pass through untouched. Scale
+  // shape mirrors q_upsert_merge: the delta is the small side, matched /
+  // unmatched classification is a broadcast semi/anti pair — the
+  // dimension is never shuffled, and the textbook union +
+  // row_number-over-key plan (whole-dimension window shuffle) is
+  // deliberately avoided. Output is the per-(row_type, segment) census
+  // of the post-merge table.
+  private val qScd2 = Q(
+    "q_scd2_merge",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val delta = dim.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("c_mktsegment", lit("UPGRADED"))
+      val deltaKeys = delta.select(col("c_custkey"))
+      val unchanged = dim.join(broadcast(deltaKeys), Seq("c_custkey"), "left_anti")
+        .select(col("c_mktsegment"), lit("unchanged").as("row_type"),
+          lit(true).as("is_current"), lit(null).cast("date").as("valid_to"))
+      val closed = dim.join(broadcast(deltaKeys), Seq("c_custkey"), "left_semi")
+        .select(col("c_mktsegment"), lit("closed").as("row_type"),
+          lit(false).as("is_current"),
+          to_date(lit("2024-06-01")).as("valid_to"))
+      val fresh = delta
+        .select(col("c_mktsegment"), lit("new").as("row_type"),
+          lit(true).as("is_current"), lit(null).cast("date").as("valid_to"))
+      unchanged.unionAll(closed).unionAll(fresh)
+        .groupBy(col("row_type"), col("is_current"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("row_type"), col("c_mktsegment"))
+    },
+    Some("""WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer),
+           dk AS (SELECT c_custkey FROM dim WHERE c_custkey % 7 = 0),
+           merged AS (
+             SELECT c_mktsegment, 'unchanged' AS row_type, true AS is_current
+             FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM dk)
+             UNION ALL
+             SELECT c_mktsegment, 'closed', false
+             FROM dim WHERE c_custkey IN (SELECT c_custkey FROM dk)
+             UNION ALL
+             SELECT 'UPGRADED', 'new', true FROM dk)
+           SELECT row_type, is_current, c_mktsegment, count(*) AS n_rows
+           FROM merged
+           GROUP BY 1, 2, 3 ORDER BY row_type, c_mktsegment"""))
+
+  override def queries: Seq[Q] = Seq(qUpsert, qDiff, qScd2)
 }

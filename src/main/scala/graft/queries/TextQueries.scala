@@ -352,6 +352,29 @@ object TextQueries extends QueryModule {
            WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8
            ORDER BY id_a, id_b"""))
 
+  // Asymmetric containment dedup (quote-inclusion / page-wraps-article —
+  // the case Jaccard misses): smaller doc's shingles ≥ 90% inside the
+  // larger's. Prefix filter on the contained side only (inherent — see
+  // operators/NearDup.containmentPairs scaladoc).
+  private val qDedupContainment = Q(
+    "q_dedup_containment",
+    (s, d) => graft.operators.NearDup.containmentPairs(
+        Tables.documents(s, d)
+          .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")))
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH $jaccardCtePrefix,
+           pc AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS n_a
+             FROM s a JOIN s b ON a.doc_id <> b.doc_id
+               AND (len(a.sh) < len(b.sh) OR
+                    (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)))
+           SELECT id_a, id_b,
+                  round(CAST(inter AS DOUBLE) / n_a, 4) AS containment
+           FROM pc
+           WHERE round(CAST(inter AS DOUBLE) / n_a, 4) >= 0.9
+           ORDER BY id_a, id_b"""))
+
   // Unigram LM quality score (CCNet-style) via the shared
   // operators/LmScore implementation (also PipelineMain's enrichment
   // stage). Determinism: per-doc contributions fold in SORTED token
@@ -646,5 +669,5 @@ object TextQueries extends QueryModule {
     qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
     qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
-    qSourceOverlap)
+    qSourceOverlap, qDedupContainment)
 }

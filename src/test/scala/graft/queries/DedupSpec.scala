@@ -96,6 +96,37 @@ class DedupSpec extends SparkSpec {
     got shouldBe truth
   }
 
+  test("containment: small doc inside big doc found (the pair Jaccard misses), matches brute force") {
+    // contained: 20 tokens, all inside big's 200 → containment 1.0 but
+    // jaccard ≈ 0.09; decoys share the hot prefix only
+    val small = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val big = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val decoys = (1 to 25).map(i => (200L + i,
+      "tok1 tok2 tok3 " + (1 to 30).map(j => s"d${i}_$j").mkString(" ")))
+    val docs = docsDf((decoys ++ Seq((1L, small), (2L, big))): _*)
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .wordShingles(col("text"), 3).as("sh"))
+    val got = graft.operators.NearDup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got should contain((1L, 2L))
+    // jaccard at the default threshold does NOT find it
+    graft.operators.NearDup.jaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet should not contain ((1L, 2L))
+    // exact all-pairs truth: one-sided prefix filtering loses nothing
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val sz = org.apache.spark.sql.functions.size _
+    val truth = a.join(b, col("id_a") =!= col("id_b") &&
+        (sz(col("sh_a")) < sz(col("sh_b")) ||
+          (sz(col("sh_a")) === sz(col("sh_b")) && col("id_a") < col("id_b"))))
+      .withColumn("inter", sz(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(round(col("inter").cast("double") / sz(col("sh_a")).cast("double"), 4)
+        >= 0.9)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe truth
+  }
+
   test("minhash-LSH candidates cover the high-jaccard pairs found by exact blocking (fixture)") {
     val jacc = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
       .filter(col("jaccard") >= 0.9)
