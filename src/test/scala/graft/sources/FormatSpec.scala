@@ -171,4 +171,47 @@ class FormatSpec extends SparkSpec {
       .toLowerCase should include("malformed")
     permissive.unpersist()
   }
+
+  test("text source/sink: one line per row, round-trip preserves every line") {
+    val dir = tmpDir("text").toString + "/data"
+    val src = Tables.documents(spark, sfDir)
+      .select(col("text")).filter(!col("text").contains("\n"))
+    src.write.text(dir)
+    val back = spark.read.text(dir) // single `value` column
+    back.count() shouldBe src.count()
+    val a = src.agg(sum(org.apache.spark.sql.functions.length(col("text"))), sum(crc32(col("text").cast("binary"))))
+      .collect()(0)
+    val b = back.agg(sum(org.apache.spark.sql.functions.length(col("value"))), sum(crc32(col("value").cast("binary"))))
+      .collect()(0)
+    b shouldBe a
+  }
+
+  test("jsonl export: one JSON object per line, lossless round-trip with schema") {
+    // THE standard LLM training-data interchange format: each row is one
+    // self-contained JSON object on its own line (spark.write.json IS
+    // jsonl — the point of this case is to pin that shape).
+    val dir = tmpDir("jsonl").toString + "/data"
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    src.write.json(dir)
+    val back = spark.read.schema(src.schema).json(dir)
+    back.count() shouldBe src.count()
+    back.except(src).count() shouldBe 0
+    src.except(back).count() shouldBe 0
+    // physical shape: every data line parses alone as a JSON object with
+    // the expected keys (no wrapping array, no multi-line objects)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    files should not be empty
+    val lines = scala.io.Source.fromFile(files.head)(scala.io.Codec.UTF8)
+      .getLines().take(5).toSeq
+    lines should not be empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.foreach { l =>
+      val node = mapper.readTree(l)
+      node.isObject shouldBe true
+      node.has("doc_id") shouldBe true
+      node.has("text") shouldBe true
+    }
+  }
 }
