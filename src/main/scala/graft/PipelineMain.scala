@@ -45,18 +45,21 @@ object PipelineMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables.documents(spark, sfDir)
-    val total = docs.count()
 
     // 0. pre-flight expectations gate (the q_expectations shape): the
     // pipeline refuses obviously-broken input instead of writing garbage.
-    // Two narrow aggregates — no payload moves.
+    // One narrow aggregate — no payload moves — which also supplies the
+    // input count (no separate docs.count() scan). coalesce: on EMPTY
+    // input sum() is NULL, and the gate must still report cleanly.
     val gate = docs.agg(
-      sum(when(col("n_chars") <= 0, 1L).otherwise(0L)).as("empty_docs"),
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("n_chars") <= 0, 1L).otherwise(0L)), lit(0L))
+        .as("empty_docs"),
       (count(lit(1)) - count_distinct(col("doc_id"))).as("dup_ids")).head()
-    val gateViolations = gate.getLong(0) + gate.getLong(1)
-    require(gateViolations == 0,
-      s"input fails the expectations gate: ${gate.getLong(0)} empty docs, " +
-        s"${gate.getLong(1)} duplicate doc_ids")
+    val total = gate.getLong(0)
+    require(gate.getLong(1) == 0 && gate.getLong(2) == 0,
+      s"input fails the expectations gate: ${gate.getLong(1)} empty docs, " +
+        s"${gate.getLong(2)} duplicate doc_ids")
 
     // 1. exact dedup (only the digest + id shuffle). Persisted: the stage
     // output feeds the count, the shingle pipeline, the anti-join and the
@@ -150,10 +153,17 @@ object PipelineMain {
       .withColumn("shard", pmod(col("ord") - 1, lit(8L)).cast("int"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"))
-    manifest.write.mode("overwrite").parquet(s"$outDir/shard_manifest")
-    val bal = spark.read.parquet(s"$outDir/shard_manifest")
-      .agg((max(col("total_toks")).cast("double") /
-        greatest(lit(1L), min(col("total_toks")))).as("r")).head().getDouble(0)
+    // collect the manifest ONCE (O(#shards) rows, never O(docs)) and
+    // derive both the write and the balance ratio from it — neither a
+    // read-back of the written file nor a recompute of the ranking
+    // lineage for a second aggregate
+    val mrows = manifest.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(mrows.toIndexedSeq, 1), manifest.schema)
+      .write.mode("overwrite").parquet(s"$outDir/shard_manifest")
+    val toks = mrows.map(_.getAs[Long]("total_toks"))
+    val bal =
+      if (toks.isEmpty) 1.0 else toks.max.toDouble / math.max(1L, toks.min)
     val shardBalance = math.rint(bal * 10000) / 10000
 
     // 6. partitioned write

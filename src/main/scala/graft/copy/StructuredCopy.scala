@@ -135,19 +135,18 @@ object StructuredCopy {
     * rewrite, no metadata churn). The default STATIC overwrite mode
     * would truncate the whole table root first — at scale that is the
     * difference between rewriting one day and rewriting three years.
-    * The session default is restored afterwards, whatever it was.
+    * Dynamic mode is a PER-WRITE DataFrameWriter option, deliberately
+    * not a session-conf set/restore: mutating the session conf would
+    * leak dynamic semantics to concurrent writers on the same session
+    * (and two concurrent backfills could restore each other's setting
+    * mid-write — reintroducing the truncation this operator prevents).
     */
   def backfill(spark: SparkSession, tablePath: String, patch: DataFrame,
       partitionCols: Seq[String], format: String = "parquet"): Unit = {
     require(partitionCols.nonEmpty, "backfill needs at least one partition column")
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try patch.write.mode("overwrite").partitionBy(partitionCols: _*)
+    patch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
       .format(format).save(tablePath)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
   }
 }

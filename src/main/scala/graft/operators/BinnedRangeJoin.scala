@@ -28,10 +28,13 @@ object BinnedRangeJoin {
 
   private val Bin = "__bin"
 
-  // exact floor division for longs (integer `div` truncates toward zero,
-  // which would misbin negative values; (x - pmod) is exactly divisible)
-  private def floorDiv(x: Column, w: Long): Column =
-    ((x - pmod(x, lit(w))) / lit(w)).cast("long")
+  // exact floor division for longs. Two traps dodged here: Column `/` is
+  // double division, which silently rounds for |values| > 2^53 (epoch
+  // nanos!), and bare integer `div` truncates toward zero, misbinning
+  // negatives — so subtract pmod first (numerator becomes the exact
+  // floor multiple) and `div` that, all in integer arithmetic.
+  private def floorDiv(colName: String, w: Long): Column =
+    expr(s"(`$colName` - pmod(`$colName`, ${w}L)) div ${w}L")
 
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
@@ -42,11 +45,11 @@ object BinnedRangeJoin {
       s"point/interval column names must be disjoint; both have: ${overlap.mkString(", ")}")
     require(!(points.columns ++ intervals.columns).contains(Bin),
       s"'$Bin' is reserved by BinnedRangeJoin")
-    val p = points.withColumn(Bin, floorDiv(col(pointCol), binWidth))
+    val p = points.withColumn(Bin, floorDiv(pointCol, binWidth))
     val iv = intervals
       .filter(col(hiCol) >= col(loCol))
       .withColumn(Bin, explode(sequence(
-        floorDiv(col(loCol), binWidth), floorDiv(col(hiCol), binWidth))))
+        floorDiv(loCol, binWidth), floorDiv(hiCol, binWidth))))
     p.join(iv, Seq(Bin))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(Bin)

@@ -120,16 +120,18 @@ object ChangeOps extends QueryModule {
       val delta = dim.filter(pmod(col("c_custkey"), lit(7)) === 0)
         .withColumn("c_mktsegment", lit("UPGRADED"))
       val deltaKeys = delta.select(col("c_custkey"))
+      // (full SCD2 rows would also carry valid_from/valid_to stamped from
+      // the effective date; the declared output is the row_type census,
+      // so the period columns are not materialized here)
       val unchanged = dim.join(broadcast(deltaKeys), Seq("c_custkey"), "left_anti")
         .select(col("c_mktsegment"), lit("unchanged").as("row_type"),
-          lit(true).as("is_current"), lit(null).cast("date").as("valid_to"))
+          lit(true).as("is_current"))
       val closed = dim.join(broadcast(deltaKeys), Seq("c_custkey"), "left_semi")
         .select(col("c_mktsegment"), lit("closed").as("row_type"),
-          lit(false).as("is_current"),
-          to_date(lit("2024-06-01")).as("valid_to"))
+          lit(false).as("is_current"))
       val fresh = delta
         .select(col("c_mktsegment"), lit("new").as("row_type"),
-          lit(true).as("is_current"), lit(null).cast("date").as("valid_to"))
+          lit(true).as("is_current"))
       unchanged.unionAll(closed).unionAll(fresh)
         .groupBy(col("row_type"), col("is_current"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"))

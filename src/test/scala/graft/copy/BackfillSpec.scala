@@ -52,7 +52,8 @@ class BackfillSpec extends SparkSpec {
     val after = dataFiles(out)
     val untouchedAfter = after.filter(!_._1.contains(s"lang=$target"))
     untouchedAfter shouldBe untouchedBefore
-    // session default was restored
+    // dynamic mode rides the per-write option — the session conf is
+    // never touched (no leak to concurrent writers)
     sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       .getOrElse("STATIC").toUpperCase shouldBe "STATIC"
   }

@@ -50,6 +50,21 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("exact binning beyond 2^53 (epoch-nanosecond keys) — double division would drop matches") {
+    val base = 1700000000000000000L // ~2024 in epoch ns, well above 2^53
+    val points = Seq(base - 1L, base, base + 1L, base + 999999999L, base + 1000000001L)
+      .toDF("p").withColumn("pid", monotonically_increasing_id())
+    val intervals = Seq((1L, base, base + 1000000000L), (2L, base - 5L, base - 2L))
+      .toDF("iid", "lo", "hi")
+    val got = BinnedRangeJoin
+      .pointInInterval(points, "p", intervals, "lo", "hi", 1000000007L)
+      .select(col("pid"), col("iid"))
+    val want = naive(points, intervals).select(col("pid"), col("iid"))
+    got.except(want).count() shouldBe 0
+    want.except(got).count() shouldBe 0
+    got.count() shouldBe want.count()
+  }
+
   test("plans an equi join on the bin — no nested loop, no cartesian") {
     val plan = graft.SparkEntry.queries("q_join_range_binned")(spark, sfDir)
       .queryExecution.executedPlan.toString

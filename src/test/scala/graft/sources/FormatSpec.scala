@@ -175,7 +175,10 @@ class FormatSpec extends SparkSpec {
   test("text source/sink: one line per row, round-trip preserves every line") {
     val dir = tmpDir("text").toString + "/data"
     val src = Tables.documents(spark, sfDir)
-      .select(col("text")).filter(!col("text").contains("\n"))
+      .select(col("text"))
+      // Hadoop's line reader splits on \n AND bare \r — both would turn
+      // one row into two on read-back
+      .filter(!col("text").contains("\n") && !col("text").contains("\r"))
     src.write.text(dir)
     val back = spark.read.text(dir) // single `value` column
     back.count() shouldBe src.count()
