@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Product quantization (PQ) approximate nearest neighbor (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", public literature):
+  * split each dim-D vector into `m` subvectors, learn a tiny `k`-codeword
+  * codebook per subspace, store each vector as `m` small codes (8 bytes
+  * here vs 256 bytes of floats — the 32× memory ratio is the point at
+  * 100 TB), and score queries against codes through per-query lookup
+  * tables (ADC) built once per query.
+  *
+  * Scale posture: codebooks train on a BOUNDED deterministic sample
+  * (hash-selected, capped — never a full-corpus iteration), the corpus
+  * pass is encode-only via the same zero-shuffle native argmin the IVF
+  * assign uses (one map-side pass, no exchange), and query scoring is a
+  * broadcast of (query, its m×k table) against the code column — the
+  * corpus never shuffles and the per-pair cost is m table lookups
+  * instead of D multiplies. Exact re-rank of the top `pool` candidates
+  * (re-attached float vectors) restores ordering fidelity, the standard
+  * PQ + re-rank pipeline.
+  */
+object PqIndex {
+
+  /** Per-subspace codebooks: `books(s)(c)` = codeword c of subspace s
+    * (each of length dim/m). Trained as: deterministic hash-sample capped
+    * at `64·k` vectors → k seed subvectors per subspace → one Lloyd
+    * refinement (mean of assigned sample members; empty cells keep their
+    * seed).
+    */
+  def train(spark: SparkSession, vectors: DataFrame, dim: Int, m: Int,
+      k: Int): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val sample = vectors
+      .filter(pmod(xxhash64(col("vec_id")), lit(4L)) === 0)
+      .orderBy(col("vec_id")).limit(64 * k)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    (0 until m).toArray.map { s =>
+      val sub = sample.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("sv"))
+      val seedRows = sub.orderBy(col("vec_id")).limit(k).collect()
+      val seeds = seedRows.map(_.getSeq[Float](1).toArray)
+      val cells = seeds.indices.toArray
+      val n2s = seeds.map(w => w.map(x => x.toDouble * x).sum)
+      val assigned = sub.withColumn("code", nearestCell(col("sv"), cells, seeds, n2s))
+      val means = assigned
+        .select(col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("code"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mv"))
+        .collect()
+      val words = seeds.map(_.clone()) // empty cells keep their seed word
+      means.foreach { r =>
+        words(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      words
+    }
+  }
+
+  /** Map-side encode: (vec_id, embedding, n2, code ARRAY<INT>) — one
+    * native-argmin column per subspace, no exchange anywhere.
+    */
+  def encode(vectors: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val words = books(s)
+      nearestCell(slice(col("embedding"), s * subDim + 1, subDim),
+        words.indices.toArray, words,
+        words.map(w => w.map(x => x.toDouble * x).sum))
+    }
+    vectors.select(col("vec_id"), col("embedding"), col("n2"),
+      array(codeCols: _*).as("code"))
+  }
+
+  /** ADC top-k: per-query inner-product lookup tables (m×k floats each,
+    * built driver-side from the BOUNDED query set), broadcast against the
+    * code column, approximate-cosine top-`pool` per query, exact re-rank.
+    * Output (qid, rn, nid, cos) — rn by exact cosine.
+    */
+  def topK(queriesDf: DataFrame, encoded: DataFrame,
+      books: Array[Array[Array[Float]]], k: Int, pool: Int): DataFrame = {
+    val m = books.length
+    val kWords = books(0).length
+    val subDim = books(0)(0).length
+    // queries are small by construction (broadcast side) — collect to
+    // build each one's flat m·k table of <q_sub, codeword> inner products
+    val qRows = queriesDf.select(col("qid"), col("qv"), col("qn2")).collect()
+    val spark = queriesDf.sparkSession
+    import scala.jdk.CollectionConverters._
+    val tblRows = qRows.map { r =>
+      val qv = r.getSeq[Float](1).toArray
+      val tbl = Array.tabulate(m * kWords) { i =>
+        val s = i / kWords; val c = i % kWords
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          acc += qv(s * subDim + j).toDouble * books(s)(c)(j).toDouble
+          j += 1
+        }
+        acc.toFloat
+      }
+      org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Float](1), r.getDouble(2), tbl.toSeq)
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("qn2", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("tbl",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val queries = broadcast(
+      spark.createDataFrame(tblRows.toList.asJava, qSchema))
+    val adc = expr(
+      s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+          (acc, i) -> acc + CAST(element_at(tbl, i * $kWords + element_at(code, i + 1) + 1) AS DOUBLE))""")
+    val scored = queries
+      .join(encoded.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("n2").as("nn2"), col("code")), col("qid") =!= col("nid"))
+      .withColumn("acos", adc / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    val cand = scored.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= pool)
+    val we = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cand
+      .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -260,6 +260,24 @@ object VectorQueries extends QueryModule {
            FROM embeddings, generate_series(1, 4) AS t(i)
            GROUP BY label, i ORDER BY label, pos"""))
 
+  // Product-quantization ANN (8 subspaces × 16 codewords → 8-byte codes,
+  // 32× smaller than the float vectors): ADC lookup-table scoring +
+  // exact re-rank of the top-25 pool. No oracle (codebook training is
+  // engine-specific) — recall vs the brute baseline is pinned by
+  // PqIndexSpec. See operators/PqIndex for the full scale posture.
+  private val qPq = Q(
+    "q_sim_topk_pq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val books = graft.operators.PqIndex.train(s, e, dim = 64, m = 8, k = 16)
+      val encoded = graft.operators.PqIndex.encode(e, books)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2"))
+      graft.operators.PqIndex.topK(queries, encoded, books, k = 5, pool = 25)
+        .orderBy(col("qid"), col("rn"))
+    })
+
   // Hard-negative mining for contrastive training: for each query vector,
   // the top-3 most-similar neighbors with a DIFFERENT class label — the
   // pairs a triplet/InfoNCE loss learns the most from. Same broadcast-
@@ -305,5 +323,5 @@ object VectorQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qSq8, qCentroids,
-    qHardNegatives)
+    qHardNegatives, qPq)
 }
