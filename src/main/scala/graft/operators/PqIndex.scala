@@ -81,6 +81,16 @@ object PqIndex {
     * built driver-side from the BOUNDED query set), broadcast against the
     * code column, approximate-cosine top-`pool` per query, exact re-rank.
     * Output (qid, rn, nid, cos) — rn by exact cosine.
+    *
+    * Pool selection is payload-free and two-stage: the ADC scoring join
+    * touches only `(qid, nn2, code)` on the corpus side (never the float
+    * vectors), projects to `(qid, nid, acos)` before any exchange, takes a
+    * local top-`pool` per (qid, input partition) so no single task ever
+    * ranks a qid's full unpruned candidate set, then a global top-`pool`
+    * over the ≤ pool·partitions survivors. Float vectors re-attach only
+    * for the ≤ pool·|Q| pool members (broadcast-joined — the corpus never
+    * shuffles). At 100 TB this keeps the rank exchange at ~24 B/row and
+    * the per-task rank input bounded by pool, independent of corpus size.
     */
   def topK(queriesDf: DataFrame, encoded: DataFrame,
       books: Array[Array[Array[Float]]], k: Int, pool: Int): DataFrame = {
@@ -118,16 +128,35 @@ object PqIndex {
     val adc = expr(
       s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
           (acc, i) -> acc + CAST(element_at(tbl, i * $kWords + element_at(code, i + 1) + 1) AS DOUBLE))""")
-    val scored = queries
-      .join(encoded.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        col("n2").as("nn2"), col("code")), col("qid") =!= col("nid"))
+    val scored = queries.select(col("qid"), col("qn2"), col("tbl"))
+      .join(encoded.select(col("vec_id").as("nid"), col("n2").as("nn2"),
+        col("code")), col("qid") =!= col("nid"))
       .withColumn("acos", adc / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      .select(col("qid"), col("nid"), col("acos"))
+    // stage 1: local top-pool per (qid, input partition) — map-side cut of
+    // each partition's candidate stream to `pool` rows per query before
+    // anything global happens
+    val wLocal = Window.partitionBy(col("qid"), col("pid"))
+      .orderBy(col("acos").desc, col("nid"))
+    val localTop = scored.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= pool)
+    // stage 2: global top-pool over the pre-cut survivors (≤ pool rows per
+    // (qid, partition) — the per-qid task input is bounded, not corpus-sized)
     val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
-    val cand = scored.withColumn("arn", row_number().over(wa))
+    val cand = localTop.withColumn("arn", row_number().over(wa))
       .filter(col("arn") <= pool)
-    val we = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    cand
+      .select(col("qid"), col("nid"))
+    // exact re-rank: re-attach float vectors for pool members only; the
+    // tiny (qid, nid) set broadcasts, so the corpus side stays map-side
+    val exact = broadcast(cand)
+      .join(encoded.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("n2").as("nn2")), "nid")
+      .join(queries.select(col("qid"), col("qv"), col("qn2")), "qid")
       .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      .select(col("qid"), col("nid"), col("cos"))
+    val we = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    exact
       .withColumn("rn", row_number().over(we))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))

@@ -212,23 +212,39 @@ object VectorQueries extends QueryModule {
       val queries = broadcast(
         approx.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("qv8").as("qa"), col("qn2").as("qan2")))
+      // approx scoring is a map-side broadcast join; the quantized arrays
+      // are DROPPED before the rank so the pool exchange carries only
+      // (qid, nid, acos) — never a vector payload
       val scoredApprox = queries
         .join(approx.select(col("vec_id").as("nid"), col("qv8").as("na"),
           col("qn2").as("nan2")), col("qid") =!= col("nid"))
         .withColumn("acos",
           dot(col("qa"), col("na")) / (sqrt(col("qan2")) * sqrt(col("nan2"))))
+        .select(col("qid"), col("nid"), col("acos"))
+      // two-stage rank: local top-pool per (qid, input partition) bounds
+      // every rank task at pool rows per query; the global pass then ranks
+      // ≤ pool·partitions survivors, not the corpus
+      val wLocal = Window.partitionBy(col("qid"), col("pid"))
+        .orderBy(col("acos").desc, col("nid"))
+      val localTop = scoredApprox.withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= 15)
       val w = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
-      val cand = scoredApprox
+      val cand = localTop
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 15)
         .select(col("qid"), col("nid"))
-      val exact = cand
-        .join(broadcast(e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("n2").as("qn2e"))), "qid")
+      // exact re-rank re-attaches float vectors for the ≤ 15·|Q| survivors
+      // only — cand broadcasts, the corpus side stays map-side
+      val exact = broadcast(cand)
         .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
           col("n2").as("nn2e")), "nid")
+        .join(broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("n2").as("qn2e"))), "qid")
         .withColumn("cos",
           dot(col("qv"), col("nv")) / (sqrt(col("qn2e")) * sqrt(col("nn2e"))))
+        .select(col("qid"), col("nid"), col("cos"))
       val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
       exact
         .withColumn("rn", row_number().over(w2))

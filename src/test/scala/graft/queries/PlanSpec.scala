@@ -174,6 +174,54 @@ class PlanSpec extends SparkSpec {
     p20 should not include "CartesianProduct"
   }
 
+  // Walk the physical tree through AQE wrappers (AdaptiveSparkPlanExec and
+  // query stages are collect() leaves) so shuffle payload asserts see the
+  // whole plan, not just the adaptive shell.
+  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: inner.flatMap(walkPlan)
+  }
+
+  private def assertNoVectorAcrossShuffles(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    df.collect() // materialize so AQE's final plan (incl. reused stages) exists
+    val shuffles = walkPlan(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    shuffles should not be empty
+    shuffles.foreach { s =>
+      val vecAttrs = s.output.filter(a => a.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      withClue(s"shuffle exchange carries vector payload: ${s.output.mkString(", ")} ") {
+        vecAttrs shouldBe empty
+      }
+    }
+  }
+
+  test("PQ ANN: no float-vector payload crosses any shuffle; rank is two-stage") {
+    val df = graft.SparkEntry.queries("q_sim_topk_pq")(spark, sfDir)
+    assertNoVectorAcrossShuffles(df)
+    // the pool rank must have a (qid, pid)-local stage — no per-qid
+    // single-partition ranking of the unpruned candidate stream
+    val p = df.queryExecution.executedPlan.toString
+    p should include regex """windowspecdefinition\(qid#\d+L?, pid#\d+"""
+  }
+
+  test("SQ8 ANN: no float-vector payload crosses any shuffle; rank is two-stage") {
+    val df = graft.SparkEntry.queries("q_sim_topk_sq8")(spark, sfDir)
+    assertNoVectorAcrossShuffles(df)
+    val p = df.queryExecution.executedPlan.toString
+    p should include regex """windowspecdefinition\(qid#\d+L?, pid#\d+"""
+  }
+
   test("q_sketch_hll: per-group sketches partial-aggregate map-side") {
     val p = planOf(graft.SparkEntry.queries("q_sketch_hll")(spark, sfDir)).toLowerCase
     // partial + final ObjectHashAggregate pair around the group exchange
