@@ -23,10 +23,12 @@ object DedupClusters {
     * Only docs appearing in some pair are returned (singletons are their
     * own cluster by definition — callers union them in if needed).
     *
-    * NOT concurrency-safe on a shared SparkSession: the iteration loop
-    * temporarily overrides spark.sql.shuffle.partitions (restored on
-    * exit), so queries planned concurrently on the same session would
-    * inherit the reduced setting. All current callers are sequential.
+    * Iteration parallelism is carried by explicit `repartition(parts, key)`
+    * on each shuffle boundary — never by mutating the session-global
+    * `spark.sql.shuffle.partitions` — so concurrent queries planned on the
+    * same session are unaffected. Where the repartition key matches the
+    * downstream join/group key, the exchange does double duty (the join
+    * reuses it instead of planning its own).
     */
   def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edgesRaw = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -46,38 +48,40 @@ object DedupClusters {
       nEdges / 50000 + 1)).toInt
     val edges = edgesRaw.repartition(parts, col("v")).localCheckpoint()
     edgesRaw.unpersist()
-    // Scoped session-conf override (restored in the finally): the
-    // iteration group-bys/joins inherit it. Assumes no concurrent query
-    // planning on this session while components() runs — true for every
-    // caller here (declared queries and PipelineMain are sequential).
-    val shufflePartsConf = "spark.sql.shuffle.partitions"
-    val spark = edges.sparkSession
-    val prevShuffleParts = spark.conf.getOption(shufflePartsConf)
-    spark.conf.set(shufflePartsConf, parts)
-    try {
     // label = current component candidate (min id seen so far).
     // localCheckpoint (eager) per iteration truncates lineage — without it
     // iteration k's plan nests k join plans and planning itself blows up.
-    var labels = edges.groupBy(col("u").as("doc_id"))
+    // Each labels generation is checkpointed hash-partitioned on doc_id,
+    // so the three per-iteration uses (neighbor join on v2, stepped join,
+    // convergence count) all reuse that layout via alias propagation.
+    var labels = edges.repartition(parts, col("u"))
+      .groupBy(col("u").as("doc_id"))
       .agg(least(min(col("v")), first(col("u"))).as("label"))
       .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // (a) propagate: each node takes min(own label, neighbors' labels)
+      // (a) propagate: each node takes min(own label, neighbors' labels).
+      // edges is checkpointed partitioned on v; the labels side repartitions
+      // to the matching key/count so the join plans no session-sized exchange.
       val neighborLabels = edges
-        .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
+        .join(labels.withColumnRenamed("doc_id", "v2").repartition(parts, col("v2")),
+          col("v") === col("v2"))
+        .repartition(parts, col("u"))
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
       val stepped = labels.join(neighborLabels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .repartition(parts, col("label"))
       // (b) pointer jump: label := label's label (labels only decrease)
       val next = stepped.alias("s")
         .join(stepped.select(col("doc_id").as("l2"), col("label").as("ll"))
-          .alias("t"), col("s.label") === col("l2"), "left_outer")
+          .repartition(parts, col("l2")).alias("t"),
+          col("s.label") === col("l2"), "left_outer")
         .select(col("s.doc_id").as("doc_id"),
           least(col("s.label"), coalesce(col("ll"), col("s.label"))).as("label"))
+        .repartition(parts, col("doc_id"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
@@ -92,15 +96,7 @@ object DedupClusters {
         s"DedupClusters.components did not converge after $maxIter iterations; " +
           "cluster labels may be split — raise maxIter (rounds needed is " +
           "O(log diameter) under pointer jumping)")
-    // re-plan the final frame under the restored shuffle setting; the
-    // labels themselves are already materialized (localCheckpoint)
     labels.select(col("doc_id"), col("label").as("cluster_id"))
-    } finally {
-      prevShuffleParts match {
-        case Some(v) => spark.conf.set(shufflePartsConf, v)
-        case None => spark.conf.unset(shufflePartsConf)
-      }
-    }
   }
 
   /** One row per cluster: canonical keeper + member count. The keeper IS
