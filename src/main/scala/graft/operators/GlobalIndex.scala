@@ -1,29 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Stable global ordinal (1-based `row_number() OVER (ORDER BY keys)`)
   * without the single-partition window that the naive SQL plans — the
   * classic need when assigning example ids / shard slots to a corpus.
   *
   * Plan: range-repartition on the keys (the SAME exchange a global sort
-  * needs anyway — no extra shuffle), sort within partitions, then a
-  * zipWithIndex two-pass: job 1 counts rows per partition (a Long per
-  * partition to the driver, never payload), the cumulative offsets ship
-  * back inside the closure, and each partition stamps offset + local
-  * running index map-side. The count job re-reads the sort's shuffle
-  * files (skipped map stages), so the input is scanned once and the
-  * reduce-side sort runs twice — at 100 TB this stays a two-pass
-  * O(rows/partition) operation with no driver or single-task hotspot,
-  * where `row_number() OVER (ORDER BY …)` with no PARTITION BY funnels
-  * the entire table through one task.
+  * needs anyway — no extra shuffle), sort within partitions, materialize
+  * once (localCheckpoint — this pins BOTH the sampled range boundaries
+  * and the sorted order, so the count pass and the stamp pass see one
+  * consistent partitioning; two independent range shuffles could sample
+  * different boundaries and mis-assign offsets). Pass 1 collects a Long
+  * per partition to the driver — never payload. Pass 2 stamps
+  * `offset(partition) + local row number` entirely inside whole-stage
+  * codegen: `monotonically_increasing_id()` already encodes
+  * (partition id << 33 | local index), so the ordinal is one projection
+  * over a broadcast-literal offset array — no RDD round-trip, no
+  * deserialization out of Tungsten, no single-task hotspot.
   *
   * The ordinal is deterministic iff `keys` is a total order (unique key
   * set): partition boundaries may vary with range sampling, but the
   * global sorted sequence — and hence each row's ordinal — does not.
   */
 object GlobalIndex {
+
+  private val LocalIdxMask = (1L << 33) - 1 // mid = pid << 33 | local index
 
   def withOrdinal(df: DataFrame, ordName: String, keys: Column*): DataFrame = {
     require(keys.nonEmpty, "GlobalIndex.withOrdinal: at least one ordering key")
@@ -32,11 +35,21 @@ object GlobalIndex {
     val spark = df.sparkSession
     val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val sorted = df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
-    val outSchema = StructType(
-      sorted.schema.fields :+ StructField(ordName, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(indexed, outSchema)
+      .localCheckpoint()
+    // pass 1: rows per partition — O(partitions) longs to the driver
+    val counts = sorted.select(spark_partition_id().as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    // range partitioning can emit fewer than n non-empty partitions;
+    // absent pids contribute 0 rows
+    val nParts = math.max(n, counts.map(_.getInt(0)).foldLeft(-1)(math.max) + 1)
+    val cnt = new Array[Long](nParts)
+    counts.foreach(r => cnt(r.getInt(0)) = r.getLong(1))
+    val offsets = cnt.scanLeft(0L)(_ + _) // offsets(p) = rows before partition p
+    val offLit = array(offsets.iterator.take(nParts).map(lit).toSeq: _*)
+    // pass 2: codegen'd map-side stamp over the checkpointed sorted rows
+    sorted.withColumn(ordName,
+      element_at(offLit, spark_partition_id() + 1) +
+        monotonically_increasing_id().bitwiseAND(lit(LocalIdxMask)) + 1)
   }
 }
