@@ -11,6 +11,9 @@ import java.nio.charset.StandardCharsets
 trait CopyApi {
   def submit(request: CopyRequest): Either[String, String]
   def getTask(requestId: String): Option[CopyTaskState]
+
+  /** Registered-task counts by status name — the /health payload. */
+  def statusCounts: Map[String, Long] = Map.empty
 }
 
 /** REST facade over the copy service — the reference's ONLY externally
@@ -20,6 +23,12 @@ trait CopyApi {
   *
   *   POST /api/v1/copy            → 202 {"requestId"} | 400 {"error": …}
   *   GET  /api/v1/copy/{id}       → 200 task JSON | 404
+  *   GET  /health                 → 200 {"status":"UP","tasks":{…}}
+  *
+  * /health mirrors the reference's actuator surface
+  * (reference/build.gradle:45-47 ships spring-boot-actuator +
+  * micrometer-prometheus): liveness plus the task registry folded to
+  * counts-by-status — the operational signal an operator polls on day one.
   *
   * Error normalization matches the reference exactly: unparseable body →
   * 400 "Invalid request body"; validation failures → 400 with the
@@ -31,6 +40,7 @@ final class CopyHttpServer(service: CopyApi, port: Int = 8080) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.createContext("/api/v1/copy", new Handler)
+  server.createContext("/health", new Handler)
   server.setExecutor(pool)
 
   def start(): Unit = server.start()
@@ -53,6 +63,9 @@ final class CopyHttpServer(service: CopyApi, port: Int = 8080) {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod
     path match {
+      case "/health" =>
+        if (method == "GET") respond(ex, 200, CopyJson.health(service.statusCounts))
+        else respond(ex, 405, "")
       case "/api/v1/copy" =>
         if (method == "POST") handleSubmit(ex)
         else respond(ex, 405, "")

@@ -55,6 +55,17 @@ object CopyJson {
     mapper.writeValueAsString(root)
   }
 
+  /** {"status":"UP","tasks":{<STATUS>: count, …}} — the /health body
+    * (statuses sorted for a stable rendering).
+    */
+  def health(counts: Map[String, Long]): String = {
+    val root = mapper.createObjectNode()
+    root.put("status", "UP")
+    val tasks = root.putObject("tasks")
+    counts.toSeq.sortBy(_._1).foreach { case (k, v) => tasks.put(k, v) }
+    mapper.writeValueAsString(root)
+  }
+
   /** {"requestId": id} — the 202 submit acknowledgement. */
   def requestId(id: String): String = {
     val root = mapper.createObjectNode()

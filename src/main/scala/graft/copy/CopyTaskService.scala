@@ -49,6 +49,13 @@ final class CopyTaskService(
   def getTask(requestId: String): Option[CopyTaskState] =
     Option(tasks.get(requestId))
 
+  /** Task registry folded to counts-by-status (the /health payload). */
+  override def statusCounts: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    tasks.values.asScala.toSeq
+      .groupBy(_.status.toString).view.mapValues(_.size.toLong).toMap
+  }
+
   private def executeTask(task: CopyTaskState): Unit = {
     task.status = CopyTaskStatus.IN_PROGRESS // synchronous, before return
     val latch = new CountDownLatch(task.items.size)

@@ -176,6 +176,48 @@ class CopyHttpServerSpec extends SparkSpec with Eventually {
     }
   }
 
+  private def getPath(port: Int, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /health → 200 UP with counts-by-status from the registry") {
+    val api = new StubApi() {
+      override def statusCounts: Map[String, Long] =
+        Map("IN_PROGRESS" -> 2L, "COMPLETED" -> 3L)
+    }
+    withServer(api) { port =>
+      val r = getPath(port, "/health")
+      r.statusCode() shouldBe 200
+      val n = mapper.readTree(r.body())
+      n.get("status").asText() shouldBe "UP"
+      n.get("tasks").get("IN_PROGRESS").asLong() shouldBe 2L
+      n.get("tasks").get("COMPLETED").asLong() shouldBe 3L
+    }
+  }
+
+  test("GET /health on an empty registry → 200 UP, empty tasks object") {
+    withServer(new StubApi()) { port =>
+      val r = getPath(port, "/health")
+      r.statusCode() shouldBe 200
+      val n = mapper.readTree(r.body())
+      n.get("status").asText() shouldBe "UP"
+      n.get("tasks").isObject shouldBe true
+      n.get("tasks").size() shouldBe 0
+    }
+  }
+
+  test("POST /health → 405") {
+    withServer(new StubApi()) { port =>
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/health"))
+          .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      r.statusCode() shouldBe 405
+    }
+  }
+
   test("end-to-end: submit over HTTP, poll to COMPLETED, bytes on disk") {
     val svc = new CopyTaskService(new CopyEngine(spark),
       new FsFactory("/nonexistent-conf-dir"))
@@ -200,6 +242,10 @@ class CopyHttpServerSpec extends SparkSpec with Eventually {
       item.get("checksumVerified").asBoolean() shouldBe true
       item.get("speed").asText() should endWith(" MB/s")
       Files.readAllBytes(dst) shouldBe payload
+      // the real service's registry shows up on /health
+      val h = mapper.readTree(getPath(port, "/health").body())
+      h.get("status").asText() shouldBe "UP"
+      h.get("tasks").get("COMPLETED").asLong() should be >= 1L
     }
   }
 }
