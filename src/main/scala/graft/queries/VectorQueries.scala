@@ -298,10 +298,9 @@ object VectorQueries extends QueryModule {
   // the top-3 most-similar neighbors with a DIFFERENT class label — the
   // pairs a triplet/InfoNCE loss learns the most from. Same broadcast-
   // query one-corpus-pass shape as q_sim_topk_brute (the label predicate
-  // only narrows the candidate stream); at corpus scale the query side
-  // stays the broadcast side and the candidate scan stays a single pass,
-  // or candidates route through the LSH buckets exactly as in
-  // q_sim_topk_ann_lsh with the label predicate applied pre-top-k.
+  // only narrows the candidate stream); the corpus-scale variant is
+  // q_hard_negatives_lsh below — candidates route through the LSH buckets
+  // with the label predicate applied pre-top-k.
   private val qHardNegatives = Q(
     "q_hard_negatives",
     (s, d) => {
@@ -337,7 +336,51 @@ object VectorQueries extends QueryModule {
              WHERE q.vec_id < 10) t
            WHERE rn <= 3 ORDER BY qid, rn"""))
 
+  // LSH-routed hard negatives (the 100 TB twin of q_hard_negatives):
+  // candidates come from the SAME hyperplane buckets as q_sim_topk_ann_lsh
+  // — an equi join on (table, bucket), shuffle ∝ collisions, never a
+  // label-mismatch nested loop over the corpus — with the label-mismatch
+  // predicate applied at candidate time (pre-top-k), so same-label
+  // collisions drop before any ranking. Ids-only through the distinct;
+  // vectors + labels re-attach for survivors. No oracle (bucket membership
+  // is engine-defined); recall vs the broadcast-brute baseline is pinned
+  // by spec, as is the no-nested-loop plan shape.
+  private val qHardNegativesLsh = Q(
+    "q_hard_negatives_lsh",
+    (s, d) => {
+      val seeds = Seq(1, 2, 3, 4, 5, 6, 7, 8)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normSq(col("embedding")).as("n2"))
+        .withColumn("buckets", lshBuckets(col("embedding"), 4, seeds))
+      val cand = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          posexplode(col("buckets")).as(Seq("qtbl", "qbkt")))
+      // (qtbl, qbkt) = (tbl, bkt) carries the join; the label-mismatch
+      // predicate is a post-filter on the hash join — never a nested loop
+      val pairIds = broadcast(queries)
+        .join(cand, col("qtbl") === col("tbl") && col("qbkt") === col("bkt") &&
+          col("qlabel") =!= col("nlabel"))
+        .select(col("qid"), col("nid")).distinct()
+      val scored = pairIds
+        .join(broadcast(e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"), col("n2").as("qn2"))), "qid")
+        .join(e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+          col("embedding").as("nv"), col("n2").as("nn2")), "nid")
+        .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+        .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"), col("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("qlabel"), col("rn"), col("nid"),
+          col("nlabel"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rn"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qSq8, qCentroids,
-    qHardNegatives, qPq)
+    qHardNegatives, qHardNegativesLsh, qPq)
 }

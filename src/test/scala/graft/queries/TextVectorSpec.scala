@@ -76,6 +76,25 @@ class TextVectorSpec extends SparkSpec {
                             // synthetic vectors; raise with more tables
   }
 
+  test("LSH hard negatives: recall vs broadcast-brute baseline, no nested-loop join") {
+    val brute = graft.SparkEntry.queries("q_hard_negatives")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val lshQ = graft.SparkEntry.queries("q_hard_negatives_lsh")(spark, sfDir)
+    // the scale path routes candidates through bucket equi-joins — the
+    // label-mismatch predicate must never become a nested loop
+    val plan = lshQ.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    val lsh = lshQ.collect()
+    // same output contract as the brute twin: per-qid ranks 1..k, labels differ
+    lsh.foreach { r => r.get(1) should not be r.get(4) }
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(3))).toSet
+    brute should not be empty
+    val recall = brute.count(lshPairs.contains).toDouble / brute.size
+    recall should be >= 0.4 // near-uniform synthetic vectors are LSH's
+                            // worst case (cf. q_sim_topk_ann_lsh note)
+  }
+
   test("embedding LSH near-dup: recall vs exact baseline, no nested-loop join") {
     val exact = graft.SparkEntry.queries("q_dedup_embedding_cosine")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
