@@ -77,13 +77,18 @@ object TextFunctions {
 
   /** Rolling (polynomial) document fingerprint over tokens:
     * fp = fold(tokens, 0, (acc, t) -> (acc * 31 + h(t)) mod p) with h(t) =
-    * xxhash64(t) mod 1e9+7 and p = 2^31-1 — modular so the fold never
-    * overflows Long under ANSI arithmetic, order-sensitive by design
-    * (a rolling hash, not a bag hash).
+    * int(md5(t)[0:8 hex]) mod 1e9+7 and p = 2^31-1 — modular so the fold
+    * never overflows Long under ANSI arithmetic, order-sensitive by design
+    * (a rolling hash, not a bag hash). The token hash is an md5 prefix
+    * (codegen'd, one digest per token) rather than xxhash64 so the value
+    * is engine-independent — any engine with md5 reproduces it, which is
+    * what lets q_fingerprint carry a cross-engine value oracle.
     */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) =>
-      pmod(acc * 31L + pmod(xxhash64(t), lit(1000000007L)), lit(2147483647L)))
+      pmod(acc * 31L +
+        pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(1000000007L)),
+        lit(2147483647L)))
 
   /** Punctuation character count / ratio, stopword ratio, and a composite
     * quality score in [0,1] — the standard cheap pre-filter stack for LLM

@@ -107,12 +107,24 @@ object TextQueries extends QueryModule {
                   ELSE 'und' END AS lang_pred
            FROM c ORDER BY doc_id"""))
 
-  // Document fingerprint (rolling hash; Spark-native xxhash64 → no oracle).
+  // Document fingerprint (rolling token-polynomial hash; the md5-prefix
+  // token hash is engine-independent, so DuckDB replays the exact fold:
+  // an inner list_reduce converts each token's md5 hex prefix to an int,
+  // an outer list_reduce runs the rolling polynomial).
   private val qFingerprint = Q(
     "q_fingerprint",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id")))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+               list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0),
+               t -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+                      string_split(substr(md5(t), 1, 8), ''),
+                      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                    (a, x) -> a * 16 + x) % 1000000007)),
+               (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+           FROM documents ORDER BY doc_id"""))
 
   // Vocabulary building: global token frequency top-k — partial
   // aggregation map-side, TakeOrdered for the top-k (no global sort).
@@ -141,17 +153,36 @@ object TextQueries extends QueryModule {
   // one pass, O(1/support) state per partition, merge at the driver — the
   // sketch complement to the exact q_vocab_topk (which shuffles the full
   // (token, count) space). Guarantee is one-sided: every token with
-  // frequency > support·N is returned (possibly with false positives) —
-  // rows-only here; the superset guarantee vs exact counts is spec-pinned.
+  // frequency > support·N is in the sketch (possibly with false
+  // positives). The query verifies the sketch against exact counts and
+  // emits the verified heavy hitters — sketch ∩ {freq > support·N} — so
+  // the result is deterministic and value-oracled: it equals the exact
+  // heavy-hitter set IFF the sketch superset guarantee held (a missed
+  // heavy hitter drops a row and fails the oracle). The raw-sketch
+  // superset property is additionally spec-pinned in TextVectorSpec.
   private val qVocabApprox = Q(
     "q_vocab_approx",
     (s, d) => {
       val toks = Tables.documents(s, d)
         .select(explode(tokens(lower(col("text")))).as("token"))
-      toks.stat.freqItems(Seq("token"), 0.01)
+      val sketch = toks.stat.freqItems(Seq("token"), 0.01)
         .select(explode(col("token_freqItems")).as("token"))
-        .orderBy(col("token"))
-    })
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val heavy = counts.crossJoin(broadcast(total))
+        .filter(col("freq") > col("n_total") * 0.01)
+        .select(col("token"))
+      sketch.join(heavy, Seq("token"), "left_semi").orderBy(col("token"))
+    },
+    Some("""WITH toks AS MATERIALIZED (
+             SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0)) AS token
+             FROM documents),
+           total AS (SELECT count(*) AS n FROM toks)
+           SELECT token FROM (
+             SELECT token, count(*) AS freq FROM toks GROUP BY token) c, total
+           WHERE c.freq > total.n * 0.01
+           ORDER BY token"""))
 
   // PII scrubbing: email / phone / IP / card patterns counted and
   // replaced in a pure per-row projection (order-sensitive chain — see
