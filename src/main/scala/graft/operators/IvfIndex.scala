@@ -74,13 +74,17 @@ object IvfIndex {
       k: Int, nProbe: Int): DataFrame = {
     // nearest nProbe cells per query
     val wq = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cell"))
+    // payload-free probe ranking: the distance is computed in a projection
+    // that DROPS the query/centroid vectors, so the probe window's exchange
+    // carries (qid, cell, dist) only; vectors re-attach downstream via the
+    // broadcast(queriesDf) join that scoring needs anyway
     val probes = queriesDf
       .join(broadcast(cents), lit(true))
-      .withColumn("dist",
-        col("qn2") + col("cn2") - lit(2.0) * dot(col("qv"), col("cvec")))
+      .select(col("qid"), col("cell"),
+        (col("qn2") + col("cn2") - lit(2.0) * dot(col("qv"), col("cvec"))).as("dist"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qv"), col("qn2"), col("cell"))
+      .select(col("qid"), col("cell"))
 
     // candidate ids first, vectors re-attached after the distinct (same
     // payload-free-shuffle rationale as the LSH query)

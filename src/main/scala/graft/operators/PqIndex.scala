@@ -61,8 +61,10 @@ object PqIndex {
     }
   }
 
-  /** Map-side encode: (vec_id, embedding, n2, code ARRAY<INT>) — one
-    * native-argmin column per subspace, no exchange anywhere.
+  /** Map-side encode: appends `code ARRAY<INT>` — one native-argmin column
+    * per subspace, no exchange anywhere. Other columns (e.g. an IVF `cell`
+    * from IvfIndex.assign) pass through untouched, which is what lets
+    * IVF-PQ compose.
     */
   def encode(vectors: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
     val m = books.length
@@ -73,8 +75,7 @@ object PqIndex {
         words.indices.toArray, words,
         words.map(w => w.map(x => x.toDouble * x).sum))
     }
-    vectors.select(col("vec_id"), col("embedding"), col("n2"),
-      array(codeCols: _*).as("code"))
+    vectors.withColumn("code", array(codeCols: _*))
   }
 
   /** ADC top-k: per-query inner-product lookup tables (m×k floats each,
@@ -94,11 +95,57 @@ object PqIndex {
     */
   def topK(queriesDf: DataFrame, encoded: DataFrame,
       books: Array[Array[Array[Float]]], k: Int, pool: Int): DataFrame = {
+    val queries = queryTables(queriesDf, books)
+    val scored = queries.select(col("qid"), col("qn2"), col("tbl"))
+      .join(encoded.select(col("vec_id").as("nid"), col("n2").as("nn2"),
+        col("code")), col("qid") =!= col("nid"))
+      .withColumn("acos", adcExpr(books) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      .select(col("qid"), col("nid"), col("acos"))
+    poolRerank(scored, queries, encoded, k, pool)
+  }
+
+  /** IVF-PQ: ADC scoring routed through IVF cell probes — the standard
+    * composition that makes the PQ scan sub-linear. `encoded` must carry
+    * the `cell` column (IvfIndex.assign → PqIndex.encode), `cents` the
+    * matching centroid table. Per query, only the `nProbe` nearest cells'
+    * codes are ADC-scored: the probe set (qid, cell) is tiny and
+    * broadcast, so candidate pruning is a hash join on cell BEFORE any
+    * scoring — at 100 TB the ADC pass touches nProbe/cells of the corpus
+    * instead of all of it, and the corpus still never shuffles.
+    */
+  def topKIvf(queriesDf: DataFrame, encoded: DataFrame,
+      books: Array[Array[Array[Float]]], cents: DataFrame, k: Int, pool: Int,
+      nProbe: Int): DataFrame = {
+    val queries = queryTables(queriesDf, books)
+    // nearest nProbe cells per query (|Q| × k centroid rows — tiny)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cell"))
+    val probes = queriesDf
+      .join(broadcast(cents), lit(true))
+      .select(col("qid"), col("cell"),
+        (col("qn2") + col("cn2") - lit(2.0) * dot(col("qv"), col("cvec"))).as("dist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cell"))
+    val scored = broadcast(probes)
+      .join(encoded.select(col("vec_id").as("nid"), col("n2").as("nn2"),
+        col("code"), col("cell").as("ncell")), col("cell") === col("ncell") &&
+        col("qid") =!= col("nid"))
+      .join(queries.select(col("qid").as("tq"), col("qn2"), col("tbl")),
+        col("qid") === col("tq"))
+      .withColumn("acos", adcExpr(books) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      .select(col("qid"), col("nid"), col("acos"))
+    poolRerank(scored, queries, encoded, k, pool)
+  }
+
+  /** Broadcast frame (qid, qv, qn2, tbl): each query's flat m·k table of
+    * <q_sub, codeword> inner products, built driver-side from the BOUNDED
+    * query set.
+    */
+  private def queryTables(queriesDf: DataFrame,
+      books: Array[Array[Array[Float]]]): DataFrame = {
     val m = books.length
     val kWords = books(0).length
     val subDim = books(0)(0).length
-    // queries are small by construction (broadcast side) — collect to
-    // build each one's flat m·k table of <q_sub, codeword> inner products
     val qRows = queriesDf.select(col("qid"), col("qv"), col("qn2")).collect()
     val spark = queriesDf.sparkSession
     import scala.jdk.CollectionConverters._
@@ -123,32 +170,37 @@ object PqIndex {
       org.apache.spark.sql.types.StructField("qn2", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("tbl",
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
-    val queries = broadcast(
-      spark.createDataFrame(tblRows.toList.asJava, qSchema))
-    val adc = expr(
+    broadcast(spark.createDataFrame(tblRows.toList.asJava, qSchema))
+  }
+
+  /** ADC inner product: m lookups into the query's flat table. */
+  private def adcExpr(books: Array[Array[Array[Float]]]): Column = {
+    val m = books.length
+    val kWords = books(0).length
+    expr(
       s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
           (acc, i) -> acc + CAST(element_at(tbl, i * $kWords + element_at(code, i + 1) + 1) AS DOUBLE))""")
-    val scored = queries.select(col("qid"), col("qn2"), col("tbl"))
-      .join(encoded.select(col("vec_id").as("nid"), col("n2").as("nn2"),
-        col("code")), col("qid") =!= col("nid"))
-      .withColumn("acos", adc / (sqrt(col("qn2")) * sqrt(col("nn2"))))
-      .select(col("qid"), col("nid"), col("acos"))
-    // stage 1: local top-pool per (qid, input partition) — map-side cut of
-    // each partition's candidate stream to `pool` rows per query before
-    // anything global happens
+  }
+
+  /** Payload-free two-stage pool selection + exact re-rank over
+    * `scored (qid, nid, acos)`:
+    * stage 1 takes a local top-`pool` per (qid, input partition) — the
+    * exchange carries ~24 B/row and no single task ever ranks a qid's
+    * full unpruned candidate set; stage 2 ranks the ≤ pool·partitions
+    * survivors globally; float vectors re-attach (broadcast join — the
+    * corpus never shuffles) only for the ≤ pool·|Q| pool members.
+    */
+  private def poolRerank(scored: DataFrame, queries: DataFrame,
+      encoded: DataFrame, k: Int, pool: Int): DataFrame = {
     val wLocal = Window.partitionBy(col("qid"), col("pid"))
       .orderBy(col("acos").desc, col("nid"))
     val localTop = scored.withColumn("pid", spark_partition_id())
       .withColumn("lrn", row_number().over(wLocal))
       .filter(col("lrn") <= pool)
-    // stage 2: global top-pool over the pre-cut survivors (≤ pool rows per
-    // (qid, partition) — the per-qid task input is bounded, not corpus-sized)
     val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
     val cand = localTop.withColumn("arn", row_number().over(wa))
       .filter(col("arn") <= pool)
       .select(col("qid"), col("nid"))
-    // exact re-rank: re-attach float vectors for pool members only; the
-    // tiny (qid, nid) set broadcasts, so the corpus side stays map-side
     val exact = broadcast(cand)
       .join(encoded.select(col("vec_id").as("nid"), col("embedding").as("nv"),
         col("n2").as("nn2")), "nid")

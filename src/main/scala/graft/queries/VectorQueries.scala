@@ -294,6 +294,27 @@ object VectorQueries extends QueryModule {
         .orderBy(col("qid"), col("rn"))
     })
 
+  // IVF-PQ (the standard FAISS-style composition): coarse IVF cells prune
+  // candidates to nProbe cells per query BEFORE the PQ/ADC scan, making
+  // the code pass sub-linear in corpus size; ADC pool + exact re-rank as
+  // in q_sim_topk_pq. No oracle (cells and codebooks are engine-defined)
+  // — recall vs brute force and the pruning plan shape are spec-pinned.
+  private val qIvfPq = Q(
+    "q_sim_topk_ivfpq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val cents = graft.operators.IvfIndex.centroids(s, e, 16)
+      val indexed = graft.operators.IvfIndex.assign(e, cents)
+      val books = graft.operators.PqIndex.train(s, e, dim = 64, m = 8, k = 16)
+      val encoded = graft.operators.PqIndex.encode(indexed, books)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2"))
+      graft.operators.PqIndex.topKIvf(queries, encoded, books, cents,
+        k = 5, pool = 25, nProbe = 6)
+        .orderBy(col("qid"), col("rn"))
+    })
+
   // Hard-negative mining for contrastive training: for each query vector,
   // the top-3 most-similar neighbors with a DIFFERENT class label — the
   // pairs a triplet/InfoNCE loss learns the most from. Same broadcast-
@@ -382,5 +403,5 @@ object VectorQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qSq8, qCentroids,
-    qHardNegatives, qHardNegativesLsh, qPq)
+    qHardNegatives, qHardNegativesLsh, qPq, qIvfPq)
 }

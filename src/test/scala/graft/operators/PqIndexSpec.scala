@@ -48,6 +48,33 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: recall clears the plain-PQ floor; pruning precedes ADC (no nested loop)") {
+    val ivfpqQ = graft.SparkEntry.queries("q_sim_topk_ivfpq")(spark, sfDir)
+    // plain PQ scans every code through a qid=!=nid nested loop; IVF-PQ
+    // must instead route corpus candidates through the cell hash join —
+    // pruning BEFORE scoring. The ONLY nested loop allowed is the
+    // |Q|×centroids probe join (constant-size broadcast, as in IvfIndex).
+    val plan = ivfpqQ.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size shouldBe 1
+    plan should include regex """BroadcastHashJoin \[cell#\d+"""
+    val ivfpq = ivfpqQ.collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val brute = graft.SparkEntry.queries("q_sim_topk_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = ivfpq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.keySet shouldBe bruteTop.keySet
+    val recall = got.keysIterator.map(q =>
+      (got(q) intersect bruteTop(q)).size.toDouble / 5.0).sum / got.size
+    recall should be >= 0.2 // the plain-PQ floor; nProbe=6/16 cells keeps
+                            // the probe loss below the ADC loss on the fixture
+    // surfaced candidates still carry exact re-ranked cosines
+    val bruteScore = brute.map(t => (t._1, t._2) -> t._3).toMap
+    ivfpq.foreach { case (qid, nid, cos) =>
+      bruteScore.get((qid, nid)).foreach(_ shouldBe cos +- 1e-9)
+    }
+  }
+
   test("deterministic: training + encode + topK reproduce exactly") {
     val e = embeddings.localCheckpoint()
     def run() = {

@@ -222,6 +222,16 @@ class PlanSpec extends SparkSpec {
     p should include regex """windowspecdefinition\(qid#\d+L?, pid#\d+"""
   }
 
+  test("IVF-PQ ANN: no float-vector payload crosses any shuffle") {
+    assertNoVectorAcrossShuffles(
+      graft.SparkEntry.queries("q_sim_topk_ivfpq")(spark, sfDir))
+  }
+
+  test("IVF ANN: no float-vector payload crosses any shuffle") {
+    assertNoVectorAcrossShuffles(
+      graft.SparkEntry.queries("q_sim_topk_ivf")(spark, sfDir))
+  }
+
   test("q_sketch_hll: per-group sketches partial-aggregate map-side") {
     val p = planOf(graft.SparkEntry.queries("q_sketch_hll")(spark, sfDir)).toLowerCase
     // partial + final ObjectHashAggregate pair around the group exchange
