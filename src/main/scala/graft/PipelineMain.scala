@@ -43,6 +43,9 @@ object PipelineMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-ready to summary-line wall clock: the pipeline bench anchor
+    // (BASELINE.md) reads this, so it excludes sbt/JVM/session startup
+    val tStart = System.nanoTime()
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -190,7 +193,9 @@ object PipelineMain {
       s""""mean_lm_nll":$meanNll,"n_packs":$nPacks,"written":$written,""" +
       s""""shard_balance":$shardBalance,""" +
       s""""pack_files_before":${compacted.filesBefore},""" +
-      s""""pack_files_after":${compacted.filesAfter},"out":$outJson}""")
+      s""""pack_files_after":${compacted.filesAfter},""" +
+      s""""elapsed_sec":${math.rint((System.nanoTime() - tStart) / 1e7) / 100},""" +
+      s""""out":$outJson}""")
     spark.stop()
   }
 }

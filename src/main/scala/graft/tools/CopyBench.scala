@@ -30,9 +30,13 @@ object CopyBench {
     val buf = new Array[Byte](1024 * 1024)
     new java.util.Random(42).nextBytes(buf)
     (0 until nFiles).foreach { i =>
-      val out = Files.newOutputStream(src.resolve(f"f$i%04d.bin"))
+      val out = Files.newOutputStream(src.resolve(f"f$i%06d.bin"))
       var written = 0L
-      while (written < perFile) { out.write(buf); written += buf.length }
+      while (written < perFile) {
+        val n = math.min(buf.length.toLong, perFile - written).toInt
+        out.write(buf, 0, n)
+        written += n
+      }
       out.close()
     }
 
