@@ -72,16 +72,45 @@ object Extra extends QueryModule {
            FROM events ORDER BY event_id"""))
 
   // Custom typed UDAF: order-insensitive digest of the lineitem table over
-  // a canonical row rendering. Spark-native hashing → rows-only check;
-  // invariance properties pinned by TableDigestSpec.
+  // a canonical row rendering. The canonical form uses DECIMAL(14,4) (a
+  // fixed textual rendering both engines share — raw double-to-string is
+  // engine-flavored) and the row hash is FNV-1a 64 (public, portable), so
+  // DuckDB replays the digest exactly: per-row FNV via list_reduce in
+  // HUGEINT mod 2^64, bit_xor + sum-mod-2^64 folds, %016x rendering.
+  // Invariance properties additionally pinned by TableDigestSpec.
   private val qTableDigest = Q(
     "q_table_digest",
     (s, d) => Tables.lineitem(s, d)
       .select(concat_ws("|",
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), round(col("l_quantity"), 4),
-        round(col("l_extendedprice"), 4)).as("row"))
-      .agg(TableDigest.digest(col("row")).as("digest")))
+        col("l_suppkey"), col("l_quantity").cast("decimal(14,4)"),
+        col("l_extendedprice").cast("decimal(14,4)")).as("row"))
+      .agg(TableDigest.digest(col("row")).as("digest")),
+    Some("""WITH rows_c AS (
+             SELECT concat_ws('|', l_orderkey, l_linenumber, l_partkey,
+               l_suppkey, CAST(l_quantity AS DECIMAL(14,4)),
+               CAST(l_extendedprice AS DECIMAL(14,4))) AS row
+             FROM lineitem),
+           hashed AS (
+             SELECT list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(string_split(row, ''),
+                   c -> CAST(ascii(c) AS HUGEINT))),
+               (h, b) -> (xor(h % 18446744073709551616, b) * 1099511628211)
+                         % 18446744073709551616) AS hu
+             FROM rows_c),
+           folded AS (
+             SELECT
+               bit_xor(CAST(CASE WHEN hu >= 9223372036854775808
+                 THEN hu - 18446744073709551616 ELSE hu END AS BIGINT)) AS xr,
+               SUM(hu) % 18446744073709551616 AS sm,
+               count(*) AS n
+             FROM hashed)
+           SELECT printf('%016x-%016x-%d', xr,
+             CAST(CASE WHEN sm >= 9223372036854775808
+               THEN sm - 18446744073709551616 ELSE sm END AS BIGINT), n)
+             AS digest
+           FROM folded"""))
 
   // Format round-trip as a declared oracle row (SURVEY Part B sources):
   // lineitem numerics → csv → read back with explicit schema → aggregate;

@@ -222,6 +222,27 @@ class PlanSpec extends SparkSpec {
     p should include regex """windowspecdefinition\(qid#\d+L?, pid#\d+"""
   }
 
+  test("full-registry sweep: no query shuffles float-vector payloads (static plans)") {
+    // The PQ/SQ8 pool-selection bug class, engine-wide: embedding arrays
+    // (~256 B/row) must re-attach via broadcast joins AFTER candidate
+    // selection, never ride a shuffle. Static physical plans (no
+    // execution) — a query whose construction needs jobs (codebook
+    // training, centroid collect) still only plans here.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      withClue(name) {
+        val offenders = walkPlan(fn(spark, sfDir).queryExecution.executedPlan)
+          .collect { case s: ShuffleExchangeLike => s }
+          .flatMap(_.output.filter(_.dataType match {
+            case ArrayType(FloatType, _) => true
+            case _ => false
+          }))
+        offenders shouldBe empty
+      }
+    }
+  }
+
   test("IVF-PQ ANN: no float-vector payload crosses any shuffle") {
     assertNoVectorAcrossShuffles(
       graft.SparkEntry.queries("q_sim_topk_ivfpq")(spark, sfDir))
