@@ -38,6 +38,38 @@ class DedupClustersSpec extends SparkSpec {
     k.toSeq shouldBe Seq((5L, 5L, 3L), (20L, 20L, 2L))
   }
 
+  test("concurrency-safe on a shared session: parallel components + queries agree with sequential") {
+    val sp = spark; import sp.implicits._
+    // the r5 blemish was a session-global shuffle-partitions override
+    // inside the iteration loop — queries planned concurrently on the
+    // same session inherited it. Pin the fix: run components() in
+    // parallel with other components() calls and a shuffling aggregate,
+    // all on one session, and require sequential-identical results and
+    // an untouched session conf.
+    val confBefore = sp.conf.get("spark.sql.shuffle.partitions")
+    val pairsA = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val pairsB = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def runA() = DedupClusters.components(pairsA)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def runAgg() = graft.Tables.orders(sp, sfDir)
+      .groupBy($"o_orderstatus").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val (seqA, seqAgg) = (runA(), runAgg())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = Seq(
+      Future(runA()), Future(DedupClusters.components(pairsB).count()),
+      Future(runAgg()), Future(runA()), Future(runAgg()))
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    results(0) shouldBe seqA
+    results(1) shouldBe 30L
+    results(2) shouldBe seqAgg
+    results(3) shouldBe seqA
+    results(4) shouldBe seqAgg
+    sp.conf.get("spark.sql.shuffle.partitions") shouldBe confBefore
+  }
+
   test("end-to-end: minhash pairs on the fixture collapse into clusters") {
     val pairs = graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfDir)
       .select("id_a", "id_b")
