@@ -315,6 +315,34 @@ class StreamingSpec extends SparkSpec {
     spark.sql("SELECT count(*) FROM dedup").collect()(0).getLong(0) shouldBe 2L
   }
 
+  case class ShDoc(doc_id: Long, ts: Timestamp, sh: Seq[String])
+
+  test("streaming near-dup: verified match vs static index, sub-threshold and redelivery excluded") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shA = (0 until 20).map(i => s"alpha$i")
+    val shB = (0 until 20).map(i => s"beta$i")
+    val static = Seq(
+      (100L, shA),
+      (200L, shB)).toDF("doc_id", "sh")
+    val input = MemoryStream[ShDoc]
+    val out = nearDupMatches(input.toDF(), static, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      ShDoc(10, ts(1), shA.tail),                          // 19/20 of shA → jaccard 0.95
+      ShDoc(11, ts(1), (0 until 20).map(i => s"gamma$i")), // unrelated → no match
+      ShDoc(12, ts(1), shA.take(12) ++ (0 until 8).map(i => s"delta$i"))) // 12/28 = 0.4286 < τ
+    q.processAllAvailable()
+    input.addData(ShDoc(10, ts(2), shA.tail)) // redelivery within horizon → deduped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT doc_id, matched_id, jaccard FROM neardup ORDER BY doc_id").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe Seq(
+      (10L, 100L, 0.95))
+  }
+
   test("stream-static join enriches from a broadcast dimension") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
