@@ -69,23 +69,30 @@ object IvfIndex {
     refined.select(col("cell"), col("cvec"), normSq(col("cvec")).as("cn2"))
   }
 
-  /** Top-k cosine neighbors for `queries` probing `nProbe` cells. */
-  def topK(queriesDf: DataFrame, indexed: DataFrame, cents: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
-    // nearest nProbe cells per query
+  /** Per-query `nProbe` nearest cells → (qid, cell). Payload-free probe
+    * ranking: the distance is computed in a projection that DROPS the
+    * query/centroid vectors, so the probe window's exchange carries
+    * (qid, cell, dist) only; vectors re-attach downstream wherever scoring
+    * needs them. The ONE probe implementation — IVF and IVF-PQ both route
+    * through here, so probe ranking (distance formula, tie-break) cannot
+    * diverge between them.
+    */
+  def probeCells(queriesDf: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cell"))
-    // payload-free probe ranking: the distance is computed in a projection
-    // that DROPS the query/centroid vectors, so the probe window's exchange
-    // carries (qid, cell, dist) only; vectors re-attach downstream via the
-    // broadcast(queriesDf) join that scoring needs anyway
-    val probes = queriesDf
+    queriesDf
       .join(broadcast(cents), lit(true))
       .select(col("qid"), col("cell"),
         (col("qn2") + col("cn2") - lit(2.0) * dot(col("qv"), col("cvec"))).as("dist"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("cell"))
+  }
 
+  /** Top-k cosine neighbors for `queries` probing `nProbe` cells. */
+  def topK(queriesDf: DataFrame, indexed: DataFrame, cents: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(queriesDf, cents, nProbe)
     // candidate ids first, vectors re-attached after the distinct (same
     // payload-free-shuffle rationale as the LSH query)
     val pairIds = probes.select(col("qid"), col("cell"))

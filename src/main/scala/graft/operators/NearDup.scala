@@ -17,6 +17,40 @@ object NearDup {
   val DefaultRowsPerBand = 4
   val DefaultThreshold = 0.8
 
+  /** Append exploded LSH band keys to `docs` (requires a `sh` shingle
+    * column): one output row per (input row, band), every input column
+    * preserved plus `bandKey`. The ONE banding implementation — the batch
+    * self-join (verifiedPairs) and the streaming static-index matcher both
+    * route through here, so banding parameters and key construction cannot
+    * diverge between them.
+    */
+  def withBandKeys(docs: DataFrame, numHashes: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(numHashes >= bands * rowsPerBand,
+      s"signature too short: numHashes=$numHashes < bands*rowsPerBand=" +
+        s"${bands * rowsPerBand} (out-of-range bands would give every doc " +
+        "an identical key → accidental all-pairs join)")
+    docs
+      .withColumn("bandKey", explode(
+        lshBandKeys(minHashSignature(col("sh"), numHashes), bands, rowsPerBand)))
+  }
+
+  /** Exact-Jaccard verification over two shingle-array columns: appends
+    * `jaccard` (rounded to 4, the registry-wide convention) and keeps only
+    * rows at or above `threshold`. Shared by every candidates-then-verify
+    * path so the verification arithmetic cannot silently diverge.
+    */
+  def verifyJaccard(cand: DataFrame, shA: String, shB: String,
+      threshold: Double): DataFrame =
+    cand
+      .withColumn("inter", size(array_intersect(col(shA), col(shB))))
+      .withColumn("uni", size(col(shA)) + size(col(shB)) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0)
+          .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
+      .filter(col("jaccard") >= threshold)
+      .drop("inter", "uni")
+
   /** docs must have (doc_id, sh: array<string> of distinct shingles).
     * Returns verified pairs (id_a < id_b, jaccard ≥ threshold) with the
     * jaccard value. Only ids travel through the candidate distinct;
@@ -28,10 +62,6 @@ object NearDup {
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
       threshold: Double = DefaultThreshold): DataFrame = {
-    require(numHashes >= bands * rowsPerBand,
-      s"signature too short: numHashes=$numHashes < bands*rowsPerBand=" +
-        s"${bands * rowsPerBand} (out-of-range bands would give every doc " +
-        "an identical key → accidental all-pairs join)")
     // One materialization of the shingle projection (the dominant cost):
     // the input feeds banding PLUS two verification re-attach joins, and
     // without a checkpoint each consumer would recompute WordShingles
@@ -40,23 +70,17 @@ object NearDup {
     // dedup handles identical blanks), and its degenerate signature would
     // otherwise flood one bucket per band.
     val d = docs.filter(size(col("sh")) > 0).localCheckpoint()
-    val banded = d
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .withColumn("bandKey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+    val banded = withBandKeys(d, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
     val a = banded.select(col("bandKey"), col("doc_id").as("id_a"))
     val b = banded.select(col("bandKey").as("bk2"), col("doc_id").as("id_b"))
     val cand = a.join(b, col("bandKey") === col("bk2") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard",
-        when(col("uni") === 0, 0.0)
-          .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(
+      cand
+        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"),
+      "sh_a", "sh_b", threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -117,15 +117,9 @@ object PqIndex {
       books: Array[Array[Array[Float]]], cents: DataFrame, k: Int, pool: Int,
       nProbe: Int): DataFrame = {
     val queries = queryTables(queriesDf, books)
-    // nearest nProbe cells per query (|Q| × k centroid rows — tiny)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cell"))
-    val probes = queriesDf
-      .join(broadcast(cents), lit(true))
-      .select(col("qid"), col("cell"),
-        (col("qn2") + col("cn2") - lit(2.0) * dot(col("qv"), col("cvec"))).as("dist"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("cell"))
+    // nearest nProbe cells per query (|Q| × k centroid rows — tiny);
+    // shared probe ranking with plain IVF (IvfIndex.probeCells)
+    val probes = IvfIndex.probeCells(queriesDf, cents, nProbe)
     val scored = broadcast(probes)
       .join(encoded.select(col("vec_id").as("nid"), col("n2").as("nn2"),
         col("code"), col("cell").as("ncell")), col("cell") === col("ncell") &&
@@ -189,8 +183,14 @@ object PqIndex {
     * full unpruned candidate set; stage 2 ranks the ≤ pool·partitions
     * survivors globally; float vectors re-attach (broadcast join — the
     * corpus never shuffles) only for the ≤ pool·|Q| pool members.
+    *
+    * Public because this is the ONE audited implementation of the
+    * pool-selection shape (the r4 scale-killer class): every approx-score
+    * ANN path (PQ, IVF-PQ, SQ8) routes its (qid, nid, acos) frame through
+    * here. `queries` needs (qid, qv, qn2); `encoded` needs
+    * (vec_id, embedding, n2); extra columns are ignored.
     */
-  private def poolRerank(scored: DataFrame, queries: DataFrame,
+  def poolRerank(scored: DataFrame, queries: DataFrame,
       encoded: DataFrame, k: Int, pool: Int): DataFrame = {
     val wLocal = Window.partitionBy(col("qid"), col("pid"))
       .orderBy(col("acos").desc, col("nid"))

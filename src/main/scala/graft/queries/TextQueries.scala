@@ -168,7 +168,10 @@ object TextQueries extends QueryModule {
       val sketch = toks.stat.freqItems(Seq("token"), 0.01)
         .select(explode(col("token_freqItems")).as("token"))
       val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
+      // n_total derives from the per-token counts — summing the groupBy
+      // output (|vocab| rows) instead of a third full tokenize+explode
+      // scan of the corpus
+      val total = counts.agg(sum(col("freq")).as("n_total"))
       val heavy = counts.crossJoin(broadcast(total))
         .filter(col("freq") > col("n_total") * 0.01)
         .select(col("token"))

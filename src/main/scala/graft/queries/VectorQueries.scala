@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.operators.PqIndex
 
 /** Similarity search over the `embeddings` fixture (ArrayType(FloatType),
   * dim 64) — approximate-nearest-neighbor surface (SURVEY.md Part B).
@@ -221,35 +222,16 @@ object VectorQueries extends QueryModule {
         .withColumn("acos",
           dot(col("qa"), col("na")) / (sqrt(col("qan2")) * sqrt(col("nan2"))))
         .select(col("qid"), col("nid"), col("acos"))
-      // two-stage rank: local top-pool per (qid, input partition) bounds
-      // every rank task at pool rows per query; the global pass then ranks
-      // ≤ pool·partitions survivors, not the corpus
-      val wLocal = Window.partitionBy(col("qid"), col("pid"))
-        .orderBy(col("acos").desc, col("nid"))
-      val localTop = scoredApprox.withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(wLocal))
-        .filter(col("lrn") <= 15)
-      val w = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
-      val cand = localTop
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 15)
-        .select(col("qid"), col("nid"))
-      // exact re-rank re-attaches float vectors for the ≤ 15·|Q| survivors
-      // only — cand broadcasts, the corpus side stays map-side
-      val exact = broadcast(cand)
-        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-          col("n2").as("nn2e")), "nid")
-        .join(broadcast(e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-            col("n2").as("qn2e"))), "qid")
-        .withColumn("cos",
-          dot(col("qv"), col("nv")) / (sqrt(col("qn2e")) * sqrt(col("nn2e"))))
-        .select(col("qid"), col("nid"), col("cos"))
-      val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      exact
-        .withColumn("rn", row_number().over(w2))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))
+      // two-stage pool rank + exact re-rank via the ONE audited
+      // implementation of the pool-selection shape (PqIndex.poolRerank —
+      // shared with PQ and IVF-PQ, so the payload-free invariant is
+      // maintained in a single place)
+      PqIndex.poolRerank(
+          scoredApprox,
+          broadcast(e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+              col("n2").as("qn2"))),
+          e, k = 5, pool = 15)
         .orderBy(col("qid"), col("rn"))
     })
 

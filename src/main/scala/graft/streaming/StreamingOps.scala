@@ -70,21 +70,28 @@ object StreamingOps {
     * streaming paths can't silently diverge on what counts as a dup).
     * Incoming docs are shingled upstream (same `(doc_id, ts, sh)` contract
     * as the batch kernel); each micro-batch:
-    *   1. signs + bands the batch docs and equi-joins band keys against a
-    *      pre-banded static index — a STATELESS stream-static join (the
-    *      candidate step never buffers stream state, and the static side
-    *      is ids-only: `bands` band keys per corpus doc, no shingle
-    *      payload ×bands duplication),
-    *   2. collapses band-collision multiplicity with
+    *   1. signs + bands the batch docs (`NearDup.withBandKeys`) and
+    *      equi-joins band keys against a pre-banded static index — a
+    *      STATELESS stream-static join (the candidate step never buffers
+    *      stream state, and the static side is ids-only: `bands` band keys
+    *      per corpus doc, no shingle payload ×bands duplication),
+    *   2. re-attaches the static side's shingle arrays BY ID for exact
+    *      Jaccard verification (`NearDup.verifyJaccard`),
+    *   3. collapses multiplicity of VERIFIED matches with
     *      `dropDuplicatesWithinWatermark(doc_id, matched_id)` — the one
-    *      stateful step, bounded by the watermark horizon,
-    *   3. re-attaches the static side's shingle arrays BY ID for exact
-    *      Jaccard verification, emitting only verified matches.
-    * The stream side's own shingle array rides the band explode — bounded
-    * per micro-batch, the price of not being able to re-join a stream to
-    * itself. Emits (doc_id, ts, matched_id, jaccard ≥ threshold); a
-    * suppression pipeline anti-joins this against the ingest batch in
-    * `foreachBatch` (or routes matches to review).
+    *      stateful step, bounded by the watermark horizon.
+    * Dedup runs AFTER verification deliberately: a sub-threshold sighting
+    * of a (doc, corpus-doc) pair leaves no state, so a later re-ingest of
+    * the same doc_id with updated content that IS a near-dup still emits
+    * (dedup-before-verify would have suppressed it for the whole horizon).
+    * The price is re-verifying band-collision multiplicity (≤ `bands`
+    * rows per true pair, micro-batch-bounded). The stream side's own
+    * shingle array rides the band explode — bounded per micro-batch, the
+    * price of not being able to re-join a stream to itself. Emits
+    * (doc_id, ts, matched_id, jaccard ≥ threshold), each verified pair at
+    * most once per watermark horizon; a suppression pipeline anti-joins
+    * this against the ingest batch in `foreachBatch` (or routes matches
+    * to review).
     */
   def nearDupMatches(docs: DataFrame, staticDocs: DataFrame,
       watermarkDelay: String,
@@ -92,10 +99,7 @@ object StreamingOps {
       bands: Int = graft.operators.NearDup.DefaultBands,
       rowsPerBand: Int = graft.operators.NearDup.DefaultRowsPerBand,
       threshold: Double = graft.operators.NearDup.DefaultThreshold): DataFrame = {
-    import graft.functions.TextFunctions._
-    require(numHashes >= bands * rowsPerBand,
-      s"signature too short: numHashes=$numHashes < bands*rowsPerBand=" +
-        s"${bands * rowsPerBand}")
+    import graft.operators.NearDup
     // Static index: materialized once (eager localCheckpoint) so each
     // micro-batch re-joins the computed index instead of re-shingling the
     // corpus per trigger. Ids-only in the banded half; shingles re-attach
@@ -103,27 +107,19 @@ object StreamingOps {
     val s = staticDocs.filter(size(col("sh")) > 0)
       .select(col("doc_id").as("matched_id"), col("sh").as("s_sh"))
       .localCheckpoint()
-    val sBanded = s
-      .withColumn("sig", minHashSignature(col("s_sh"), numHashes))
-      .withColumn("bandKey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+    val sBanded = NearDup.withBandKeys(
+        s.select(col("matched_id"), col("s_sh").as("sh")),
+        numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("matched_id"))
       .localCheckpoint()
-    val candidates = docs
-      .withWatermark("ts", watermarkDelay)
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .withColumn("bandKey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+    val candidates = NearDup.withBandKeys(
+        docs.withWatermark("ts", watermarkDelay).filter(size(col("sh")) > 0),
+        numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"), col("ts"), col("sh"))
       .join(sBanded, "bandKey")
+    NearDup.verifyJaccard(candidates.join(s, "matched_id"),
+        "sh", "s_sh", threshold)
       .dropDuplicatesWithinWatermark(Seq("doc_id", "matched_id"))
-    candidates
-      .join(s, "matched_id")
-      .withColumn("inter", size(array_intersect(col("sh"), col("s_sh"))))
-      .withColumn("uni", size(col("sh")) + size(col("s_sh")) - col("inter"))
-      .withColumn("jaccard",
-        when(col("uni") === 0, 0.0)
-          .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
-      .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("ts"), col("matched_id"), col("jaccard"))
   }
 

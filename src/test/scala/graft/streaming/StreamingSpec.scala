@@ -334,13 +334,18 @@ class StreamingSpec extends SparkSpec {
       ShDoc(11, ts(1), (0 until 20).map(i => s"gamma$i")), // unrelated → no match
       ShDoc(12, ts(1), shA.take(12) ++ (0 until 8).map(i => s"delta$i"))) // 12/28 = 0.4286 < τ
     q.processAllAvailable()
-    input.addData(ShDoc(10, ts(2), shA.tail)) // redelivery within horizon → deduped
+    input.addData(
+      ShDoc(10, ts(2), shA.tail), // redelivery within horizon → deduped
+      // doc 12 re-ingested with UPDATED content, now a true near-dup: its
+      // earlier sub-threshold sighting must not have poisoned dedup state
+      // (verification runs BEFORE the stateful dedup)
+      ShDoc(12, ts(2), shA))
     q.processAllAvailable()
     q.stop()
     val rows = spark.sql(
       "SELECT doc_id, matched_id, jaccard FROM neardup ORDER BY doc_id").collect()
     rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe Seq(
-      (10L, 100L, 0.95))
+      (10L, 100L, 0.95), (12L, 100L, 1.0))
   }
 
   test("stream-static join enriches from a broadcast dimension") {
