@@ -19,8 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
-    // read-only scale guardrail (spark.graft.scalelint=off|warn|fail)
+    // read-only scale guardrails (spark.graft.scalelint=off|warn|fail):
+    // logical shapes (global windows, accidental cartesians) at optimize
+    // time, vector-payload shuffles at query-stage preparation time
     ext.injectOptimizerRule(ScaleLintRule)
+    ext.injectQueryStagePrepRule(ScaleLintShuffleRule)
   }
 }
 

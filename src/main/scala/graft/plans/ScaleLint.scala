@@ -44,6 +44,35 @@ case class ScaleLintRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Physical-plan twin of ScaleLintRule, injected as a query-stage
+  * preparation rule so it sees the ACTUAL exchanges (a logical Join can't
+  * tell broadcast from shuffle — this can): flags any shuffle exchange
+  * whose rows carry a float-vector payload (`array<float>`, the engine's
+  * embedding convention, ~256 B/row at dim 64). The r4 PQ/SQ8
+  * pool-selection scale-killer class, enforced engine-wide at plan time:
+  * vectors must re-attach via broadcast joins AFTER candidate selection,
+  * never ride an exchange. Same conf + modes as the logical rule;
+  * read-only.
+  */
+case class ScaleLintShuffleRule(spark: SparkSession)
+    extends Rule[org.apache.spark.sql.execution.SparkPlan] {
+
+  private def mode: String =
+    spark.conf.get(ScaleLint.ConfKey, "off").toLowerCase
+
+  override def apply(plan: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    val m = mode
+    if (m == "warn" || m == "fail") {
+      ScaleLint.shuffleFindings(plan).foreach { f =>
+        if (m == "fail") throw new ScaleLint.ScaleLintViolation(f)
+        else logWarning(s"[scalelint] $f")
+      }
+    }
+    plan
+  }
+}
+
 object ScaleLint {
 
   val ConfKey = "spark.graft.scalelint"
@@ -92,5 +121,30 @@ object ScaleLint {
       case _ =>
     }
     out.result()
+  }
+
+  /** Physical inspection: shuffle exchanges whose output schema carries a
+    * float-vector attribute. Broadcast exchanges are exempt by
+    * construction (broadcasting a small vector table is the deliberate
+    * pattern); only rows crossing the wire partition-to-partition count.
+    */
+  def shuffleFindings(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    plan.collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType match {
+            case ArrayType(FloatType, _) => true
+            case _ => false
+          }) =>
+        val vecs = s.output.filter(_.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        })
+        "shuffle exchange carries float-vector payload " +
+          s"(${vecs.map(_.name).mkString(", ")}): select ids+scores before " +
+          "the exchange and re-attach vectors via a broadcast join after " +
+          "candidate selection"
+    }
   }
 }

@@ -74,6 +74,39 @@ class ScaleLintSpec extends SparkSpec {
     }
   }
 
+  test("physical lint: flags float-vector payloads riding a shuffle; ids + broadcast re-attach is clean") {
+    // AQE off for the throwaway plans so executedPlan exposes raw
+    // ShuffleExchangeExec nodes — the same shape the injected
+    // query-stage-prep rule receives in production
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      val bad = e.repartition(4, col("vec_id")) // embedding rides the exchange
+      val fs = ScaleLint.shuffleFindings(bad.queryExecution.executedPlan)
+      fs should have size 1
+      fs.head should include("float-vector payload")
+      fs.head should include("embedding")
+
+      // the blessed shape: ids-only exchange, vectors re-attach broadcast
+      val ids = e.select(col("vec_id")).repartition(4, col("vec_id"))
+      val ok = ids.join(broadcast(e), "vec_id")
+      ScaleLint.shuffleFindings(ok.queryExecution.executedPlan) shouldBe empty
+
+      val rule = ScaleLintShuffleRule(spark)
+      val plan = bad.queryExecution.executedPlan
+      spark.conf.set(ScaleLint.ConfKey, "off")
+      rule(plan) shouldBe plan
+      spark.conf.set(ScaleLint.ConfKey, "warn")
+      rule(plan) shouldBe plan // logs, never rewrites
+      spark.conf.set(ScaleLint.ConfKey, "fail")
+      an[ScaleLint.ScaleLintViolation] should be thrownBy rule(plan)
+    } finally {
+      spark.conf.unset(ScaleLint.ConfKey)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("rule modes: off is silent, warn passes plans through, fail throws") {
     val global = Tables.orders(spark, sfDir).select(
       ntile(4).over(Window.orderBy(col("o_totalprice"))).as("q"))
