@@ -14,6 +14,10 @@ trait CopyApi {
 
   /** Registered-task counts by status name — the /health payload. */
   def statusCounts: Map[String, Long] = Map.empty
+
+  /** Operational counters — the /metrics payload. */
+  def metricsSnapshot: CopyMetricsSnapshot =
+    CopyMetricsSnapshot(Map.empty, Map.empty, 0L)
 }
 
 /** REST facade over the copy service — the reference's ONLY externally
@@ -24,11 +28,14 @@ trait CopyApi {
   *   POST /api/v1/copy            → 202 {"requestId"} | 400 {"error": …}
   *   GET  /api/v1/copy/{id}       → 200 task JSON | 404
   *   GET  /health                 → 200 {"status":"UP","tasks":{…}}
+  *   GET  /metrics                → 200 Prometheus text exposition
   *
-  * /health mirrors the reference's actuator surface
+  * /health and /metrics mirror the reference's actuator surface
   * (reference/build.gradle:45-47 ships spring-boot-actuator +
   * micrometer-prometheus): liveness plus the task registry folded to
-  * counts-by-status — the operational signal an operator polls on day one.
+  * counts-by-status — the operational signal an operator polls on day
+  * one — and the same counters (plus bytes-copied) in the Prometheus
+  * text format (version 0.0.4) a scraper expects.
   *
   * Error normalization matches the reference exactly: unparseable body →
   * 400 "Invalid request body"; validation failures → 400 with the
@@ -41,6 +48,7 @@ final class CopyHttpServer(service: CopyApi, port: Int = 8080) {
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.createContext("/api/v1/copy", new Handler)
   server.createContext("/health", new Handler)
+  server.createContext("/metrics", new Handler)
   server.setExecutor(pool)
 
   def start(): Unit = server.start()
@@ -65,6 +73,11 @@ final class CopyHttpServer(service: CopyApi, port: Int = 8080) {
     path match {
       case "/health" =>
         if (method == "GET") respond(ex, 200, CopyJson.health(service.statusCounts))
+        else respond(ex, 405, "")
+      case "/metrics" =>
+        if (method == "GET")
+          respond(ex, 200, renderMetrics(service.metricsSnapshot),
+            contentType = "text/plain; version=0.0.4; charset=utf-8")
         else respond(ex, 405, "")
       case "/api/v1/copy" =>
         if (method == "POST") handleSubmit(ex)
@@ -99,10 +112,33 @@ final class CopyHttpServer(service: CopyApi, port: Int = 8080) {
       case None       => respond(ex, 404, "")
     }
 
-  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+  /** Prometheus text exposition (format version 0.0.4): gauges for the
+    * task/item registries by status (label order sorted — scrape output
+    * is deterministic), one counter for bytes copied.
+    */
+  private def renderMetrics(m: CopyMetricsSnapshot): String = {
+    val sb = new StringBuilder
+    sb ++= "# HELP graft_copy_tasks Registered copy tasks by status.\n"
+    sb ++= "# TYPE graft_copy_tasks gauge\n"
+    m.tasksByStatus.toSeq.sortBy(_._1).foreach { case (s, n) =>
+      sb ++= s"""graft_copy_tasks{status="$s"} $n""" += '\n'
+    }
+    sb ++= "# HELP graft_copy_items Copy items across all tasks by status.\n"
+    sb ++= "# TYPE graft_copy_items gauge\n"
+    m.itemsByStatus.toSeq.sortBy(_._1).foreach { case (s, n) =>
+      sb ++= s"""graft_copy_items{status="$s"} $n""" += '\n'
+    }
+    sb ++= "# HELP graft_copy_bytes_total Bytes copied across all items.\n"
+    sb ++= "# TYPE graft_copy_bytes_total counter\n"
+    sb ++= s"graft_copy_bytes_total ${m.bytesCopied}\n"
+    sb.result()
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     if (bytes.nonEmpty)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.getResponseHeaders.set("Content-Type", contentType)
     // sendResponseHeaders treats length 0 as chunked; -1 means empty body
     ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) {

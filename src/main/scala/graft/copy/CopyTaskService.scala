@@ -56,6 +56,20 @@ final class CopyTaskService(
       .groupBy(_.status.toString).view.mapValues(_.size.toLong).toMap
   }
 
+  /** One registry walk → /metrics counters. Volatile item fields make the
+    * snapshot torn-free per field; cross-field consistency is not claimed
+    * (same live-poll semantics as A18 status reads).
+    */
+  override def metricsSnapshot: CopyMetricsSnapshot = {
+    import scala.jdk.CollectionConverters._
+    val ts = tasks.values.asScala.toSeq
+    val items = ts.flatMap(_.items)
+    CopyMetricsSnapshot(
+      ts.groupBy(_.status.toString).view.mapValues(_.size.toLong).toMap,
+      items.groupBy(_.status.toString).view.mapValues(_.size.toLong).toMap,
+      items.map(_.bytesCopied).sum)
+  }
+
   private def executeTask(task: CopyTaskState): Unit = {
     task.status = CopyTaskStatus.IN_PROGRESS // synchronous, before return
     val latch = new CountDownLatch(task.items.size)

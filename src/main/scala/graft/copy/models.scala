@@ -62,6 +62,14 @@ final class CopyTaskState(
   @volatile var completedAt: Instant = _
 }
 
+/** Point-in-time operational counters for the /metrics route: task and
+  * item registries folded to counts-by-status, plus total bytes copied.
+  */
+final case class CopyMetricsSnapshot(
+    tasksByStatus: Map[String, Long],
+    itemsByStatus: Map[String, Long],
+    bytesCopied: Long)
+
 /** Distributed listing row: one file/dir under a copy root. */
 final case class FileMeta(path: String, relPath: String, isDir: Boolean, length: Long)
 

@@ -208,6 +208,39 @@ class CopyHttpServerSpec extends SparkSpec with Eventually {
     }
   }
 
+  test("GET /metrics → 200 Prometheus text with task/item gauges and bytes counter") {
+    val api = new StubApi() {
+      override def metricsSnapshot: CopyMetricsSnapshot = CopyMetricsSnapshot(
+        Map("COMPLETED" -> 2L, "IN_PROGRESS" -> 1L),
+        Map("COMPLETED" -> 5L, "FAILED" -> 1L),
+        1048576L)
+    }
+    withServer(api) { port =>
+      val r = getPath(port, "/metrics")
+      r.statusCode() shouldBe 200
+      r.headers().firstValue("Content-Type").get() should startWith("text/plain")
+      val body = r.body()
+      body should include("# TYPE graft_copy_tasks gauge")
+      body should include("graft_copy_tasks{status=\"COMPLETED\"} 2")
+      body should include("graft_copy_tasks{status=\"IN_PROGRESS\"} 1")
+      body should include("graft_copy_items{status=\"FAILED\"} 1")
+      body should include("# TYPE graft_copy_bytes_total counter")
+      body should include("graft_copy_bytes_total 1048576")
+      // sorted label order — deterministic scrape output
+      body.indexOf("COMPLETED") should be < body.indexOf("IN_PROGRESS")
+    }
+  }
+
+  test("POST /metrics → 405") {
+    withServer(new StubApi()) { port =>
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/metrics"))
+          .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      r.statusCode() shouldBe 405
+    }
+  }
+
   test("POST /health → 405") {
     withServer(new StubApi()) { port =>
       val r = client.send(
@@ -242,10 +275,14 @@ class CopyHttpServerSpec extends SparkSpec with Eventually {
       item.get("checksumVerified").asBoolean() shouldBe true
       item.get("speed").asText() should endWith(" MB/s")
       Files.readAllBytes(dst) shouldBe payload
-      // the real service's registry shows up on /health
+      // the real service's registry shows up on /health and /metrics
       val h = mapper.readTree(getPath(port, "/health").body())
       h.get("status").asText() shouldBe "UP"
       h.get("tasks").get("COMPLETED").asLong() should be >= 1L
+      val metrics = getPath(port, "/metrics").body()
+      metrics should include("graft_copy_tasks{status=\"COMPLETED\"} 1")
+      metrics should include("graft_copy_items{status=\"COMPLETED\"} 1")
+      metrics should include(s"graft_copy_bytes_total ${payload.length}")
     }
   }
 }
