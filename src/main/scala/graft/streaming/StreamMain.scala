@@ -8,12 +8,20 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <eventsDir> <outDir> [files=N|bytes=N]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup]"
   *
   * The optional third argument picks the ingest throttle: files=N →
   * maxFilesPerTrigger, bytes=N → maxBytesPerTrigger (both A7 analogs —
   * the reference throttles bytes/sec on the copy stream; a file stream
   * throttles admission per micro-batch). Default files=1.
+  *
+  * op=window (default) replays an events fixture through the watermarked
+  * tumbling-window aggregation. op=neardup replays a documents fixture as
+  * the INGEST stream and matches it against the same corpus as the STATIC
+  * MinHash-LSH index (StreamingOps.nearDupMatches) — every doc collides
+  * with at least itself, so the run demonstrates the full candidate →
+  * verify → dedup path; the summary line separates self hits from true
+  * cross-document near-dups.
   *
   * Prints one line per micro-batch and a final row count. Append-mode
   * watermark semantics on a finite replay: windows newer than
@@ -28,14 +36,19 @@ object StreamMain {
       sys.exit(2)
     }
     val Array(eventsDir, outDir) = args.take(2)
-    val (throttleOpt, throttleVal) = args.lift(2).getOrElse("files=1").split("=", 2) match {
-      case Array("files", n) => ("maxFilesPerTrigger", n)
-      case Array("bytes", n) => ("maxBytesPerTrigger", n)
-      case other =>
-        System.err.println(s"bad throttle '${other.mkString("=")}': use files=N or bytes=N")
-        sys.exit(2)
-        ("", "")
+    val kvArgs = args.drop(2).map(_.split("=", 2)).collect {
+      case Array(k, v) => (k, v)
+    }.toMap
+    val badKeys = kvArgs.keySet -- Set("files", "bytes", "op")
+    if (badKeys.nonEmpty) {
+      System.err.println(s"bad options ${badKeys.mkString(", ")}: " +
+        "use files=N | bytes=N | op=window|neardup")
+      sys.exit(2)
     }
+    val (throttleOpt, throttleVal) =
+      if (kvArgs.contains("bytes")) ("maxBytesPerTrigger", kvArgs("bytes"))
+      else ("maxFilesPerTrigger", kvArgs.getOrElse("files", "1"))
+    val op = kvArgs.getOrElse("op", "window")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-stream")
@@ -70,18 +83,36 @@ object StreamMain {
       } else eventsDir
     }
 
-    // File-source replay. The fixture stores ts as ns (read as Long under
-    // nanosAsLong) — normalize to TimestampType exactly like Tables.events.
+    // File-source replay. The events fixture stores ts as ns (read as Long
+    // under nanosAsLong) — normalize to TimestampType like Tables.events.
     val schema = spark.read.parquet(srcDir).schema
     val raw = spark.readStream
       .schema(schema)
       .option(throttleOpt, throttleVal) // throttled ingest (A7 analog)
       .parquet(srcDir)
-    val events = graft.Tables.normalizeNanosTs(raw)
 
-    val windowed = StreamingOps.windowedCounts(events, "10 minutes", "10 minutes")
+    val out = op match {
+      case "window" =>
+        StreamingOps.windowedCounts(
+          graft.Tables.normalizeNanosTs(raw), "10 minutes", "10 minutes")
+      case "neardup" =>
+        import graft.functions.TextFunctions.wordShingles
+        // documents carry no event time — synthesize a deterministic one
+        // (fixed epoch + doc_id seconds) so the watermarked dedup state
+        // has a clock to expire against
+        def shingled(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("doc_id"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"),
+          wordShingles(col("text"), 3).as("sh"))
+        val static = shingled(spark.read.parquet(srcDir))
+        StreamingOps.nearDupMatches(shingled(raw), static, "10 minutes")
+      case other =>
+        System.err.println(s"bad op '$other': use window or neardup")
+        sys.exit(2)
+        null
+    }
 
-    val q = windowed.writeStream
+    val q = out.writeStream
       .format("parquet")
       .option("path", s"$outDir/data")
       .option("checkpointLocation", s"$outDir/checkpoint")
@@ -90,8 +121,14 @@ object StreamMain {
     q.processAllAvailable()
     q.stop()
 
-    val n = spark.read.parquet(s"$outDir/data").count()
-    println(s"""{"sink_rows":$n,"state":"finished"}""")
+    val sink = spark.read.parquet(s"$outDir/data")
+    val n = sink.count()
+    if (op == "neardup") {
+      val self = sink.filter(col("doc_id") === col("matched_id")).count()
+      println(s"""{"sink_rows":$n,"self_matches":$self,""" +
+        s""""cross_matches":${n - self},"state":"finished"}""")
+    } else
+      println(s"""{"sink_rows":$n,"state":"finished"}""")
     spark.stop()
   }
 }
