@@ -151,6 +151,63 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard matches of an INGEST batch against an existing
+    * corpus — the near-dup analog of the incremental exact dedup (daily-
+    * ingest shape): report every (batch doc, corpus doc) pair with
+    * J ≥ threshold, batch-internal and corpus-internal pairs excluded.
+    *
+    * Same prefix-filter kernel as jaccardPairs, with document frequencies
+    * computed over the UNION of both sides — the prefix guarantee (a
+    * qualifying pair collides inside both rare-shingle prefixes) only
+    * needs one canonical shingle order COMMON to both sides, not a self-
+    * join. At 100 TB the corpus side's prefix index is the only thing the
+    * daily job probes (⌈(1−τ)n⌉+1 shingles per corpus doc, ids-only
+    * candidates); full shingle arrays re-attach for verification of
+    * survivors. For a standing daily pipeline the corpus df table and
+    * prefix index are computed once and reused across batches (they drift
+    * only as fast as the corpus grows).
+    *
+    * Both inputs need (doc_id, sh: array<string> of distinct shingles).
+    * Returns (doc_id = batch id, matched_id = corpus id, jaccard).
+    */
+  def jaccardMatchesAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = DefaultThreshold): DataFrame = {
+    val tau = threshold - 0.0001 // rounded-jaccard guard, as in jaccardPairs
+    val b = batch.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .localCheckpoint()
+    val c = corpus.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .localCheckpoint()
+    val dfreq = b.select(explode(col("sh")).as("shingle"))
+      .union(c.select(explode(col("sh")).as("shingle")))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    def prefix(d: DataFrame) = {
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+      d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+        .join(dfreq, "shingle")
+        .withColumn("r", row_number().over(wDoc))
+        .filter(col("r") <= ceil(lit(1.0 - tau) * col("n")) + 1)
+        .select(col("shingle"), col("doc_id"), col("n"))
+    }
+    val cand = prefix(b)
+      .join(prefix(c).select(col("shingle").as("sh_c"),
+          col("doc_id").as("matched_id"), col("n").as("n_c")),
+        col("shingle") === col("sh_c") &&
+          col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
+          col("n") >= lit(tau) * col("n_c") - lit(1e-9))
+      .select(col("doc_id"), col("matched_id")).distinct()
+    verifyJaccard(
+      cand
+        .join(b.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+        .join(c.select(col("doc_id").as("matched_id"), col("sh").as("sh_b")),
+          "matched_id"),
+      "sh_a", "sh_b", threshold)
+      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+  }
+
   /** Asymmetric containment near-dup: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|,
     * reported when the SMALLER doc's shingles are ≥ `threshold` inside the
     * larger's — the quote-inclusion / page-wraps-article case Jaccard

@@ -353,10 +353,11 @@ object TextQueries extends QueryModule {
   // jaccard in DuckDB (list comprehension + list_intersect), so a green
   // row is an end-to-end proof the prefix filter loses no pair on the
   // real fixture. DedupSpec pins planted pairs + the hot-shingle case.
-  // Shared DuckDB CTE prefix: all-pairs 3-shingle jaccard over the
-  // documents table (used by the jaccard oracle AND replayed as the edge
-  // set of the cluster-formation oracle below).
-  private val jaccardCtePrefix =
+  // Shared DuckDB CTEs: 3-shingle sets per document (t+s), and the
+  // all-pairs jaccard join (p) — used by the jaccard oracle, replayed as
+  // the edge set of the cluster-formation oracle, and (t+s alone) by the
+  // incremental batch-vs-corpus oracle.
+  private val shingleCte =
     """t AS (
              SELECT doc_id,
                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
@@ -367,7 +368,10 @@ object TextQueries extends QueryModule {
                     ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
                                         FOR i IN range(1, len(toks) - 1)]) END AS sh
              FROM t
-             WHERE len(toks) > 0),
+             WHERE len(toks) > 0)"""
+
+  private val jaccardCtePrefix =
+    s"""$shingleCte,
            p AS (
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                len(list_intersect(a.sh, b.sh)) AS inter,
@@ -385,6 +389,35 @@ object TextQueries extends QueryModule {
            FROM p
            WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8
            ORDER BY id_a, id_b"""))
+
+  // Incremental (batch-vs-corpus) NEAR-dup — the near-dup analog of
+  // q_dedup_incremental's exact digest anti-join, same daily-ingest shape:
+  // today's batch (doc_id % 10 = 0) is matched against the standing corpus
+  // by exact 3-shingle Jaccard through the cross-set prefix-filter kernel
+  // (NearDup.jaccardMatchesAgainst). The oracle recomputes the FULL
+  // batch×corpus jaccard in DuckDB, so a green row proves the cross-set
+  // prefix filter loses no pair on the real fixture.
+  private val qDedupJaccardIncremental = Q(
+    "q_dedup_jaccard_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      graft.operators.NearDup.jaccardMatchesAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0))
+        .orderBy(col("doc_id"), col("matched_id"))
+    },
+    Some(s"""WITH $shingleCte,
+           p AS (
+             SELECT a.doc_id AS doc_id, b.doc_id AS matched_id,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+             FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+           SELECT doc_id, matched_id,
+             round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+           FROM p
+           WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8
+           ORDER BY doc_id, matched_id"""))
 
   // Asymmetric containment dedup (quote-inclusion / page-wraps-article —
   // the case Jaccard misses): smaller doc's shingles ≥ 90% inside the
@@ -702,6 +735,7 @@ object TextQueries extends QueryModule {
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
+    qDedupJaccardIncremental,
     qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
     qSourceOverlap, qDedupContainment)
 }

@@ -96,6 +96,46 @@ class DedupSpec extends SparkSpec {
     got shouldBe truth
   }
 
+  test("incremental jaccard: batch-vs-corpus pairs only, matches brute force") {
+    // batch: one near-dup of a corpus doc, one unrelated, one near-dup of
+    // ANOTHER BATCH doc (must NOT be reported — cross-set pairs only);
+    // corpus: the target doc, an unrelated doc, and an internal corpus
+    // near-dup pair (must NOT be reported either)
+    val batchDocs = docsDf(
+      (1L, nearDup), (2L, unrelated),
+      (3L, base), (4L, base)) // 3-4: within-batch pair, excluded
+    val corpusDocs = docsDf(
+      (10L, base), (11L, (200 to 260).map(i => s"c$i").mkString(" ")),
+      (12L, nearDup), (13L, nearDup)) // 12-13: within-corpus pair (each
+        // also matches batch docs 1/3/4 — those cross pairs DO report)
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.functions.TextFunctions
+        .wordShingles(col("text"), 3).as("sh"))
+    val got = graft.operators.NearDup.jaccardMatchesAgainst(sh(batchDocs), sh(corpusDocs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (b, c) =>
+      Set(1L, 2L, 3L, 4L) should contain(b)
+      Set(10L, 11L, 12L, 13L) should contain(c)
+    }
+    // brute-force cross-set truth
+    val a = sh(batchDocs).select(col("doc_id").as("ba"), col("sh").as("sh_a"))
+    val b = sh(corpusDocs).select(col("doc_id").as("ca"), col("sh").as("sh_b"))
+    val truth = a.join(b, lit(true))
+      .withColumn("inter",
+        org.apache.spark.sql.functions.size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        org.apache.spark.sql.functions.size(col("sh_a"))
+          + org.apache.spark.sql.functions.size(col("sh_b")) - col("inter"))
+      .filter(round(col("inter").cast("double") / col("uni").cast("double"), 4)
+        >= graft.operators.NearDup.DefaultThreshold)
+      .select(col("ba"), col("ca"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe truth
+    got should contain((1L, 10L)) // the planted cross near-dup
+    got should not contain ((3L, 4L)) // within-batch
+    got should not contain ((12L, 13L)) // within-corpus
+  }
+
   test("containment: small doc inside big doc found (the pair Jaccard misses), matches brute force") {
     // contained: 20 tokens, all inside big's 200 → containment 1.0 but
     // jaccard ≈ 0.09; decoys share the hot prefix only
