@@ -35,11 +35,32 @@ object NearDup {
     // inline would duplicate the O(|sh|·K) MinHash scan `bands` times per
     // row (CollapseProject declines to inline multi-referenced non-cheap
     // expressions for exactly this reason — measured 2.8x on
-    // q_dedup_minhash_lsh when this was inlined).
+    // q_dedup_minhash_lsh when this was inlined). Reserved-prefix name so
+    // a caller column named "sig" survives untouched.
+    val sigCol = "__graft_minhash_sig"
     docs
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .withColumn("bandKey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
-      .drop("sig")
+      .withColumn(sigCol, minHashSignature(col("sh"), numHashes))
+      .withColumn("bandKey", explode(lshBandKeys(col(sigCol), bands, rowsPerBand)))
+      .drop(sigCol)
+  }
+
+  /** The ⌈(1−τ)·n⌉+1 rare-shingle prefix of each doc under the canonical
+    * (ascending df, shingle) order defined by `dfreq` — the ONE
+    * prefix-filter implementation every SSJoin-style kernel here routes
+    * through (jaccard self-join, cross-set incremental, containment), so
+    * the prefix bound and tie-break order cannot diverge between them.
+    * The guarantee requires every caller to rank ALL sides of its
+    * candidate join by the SAME dfreq table. `d` needs (doc_id, sh, n);
+    * returns (shingle, doc_id, n).
+    */
+  private def rarePrefix(d: DataFrame, dfreq: DataFrame,
+      tau: Double): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+      .join(dfreq, "shingle")
+      .withColumn("r", row_number().over(wDoc))
+      .filter(col("r") <= ceil(lit(1.0 - tau) * col("n")) + 1)
+      .select(col("shingle"), col("doc_id"), col("n"))
   }
 
   /** Exact-Jaccard verification over two shingle-array columns: appends
@@ -118,16 +139,12 @@ object NearDup {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .localCheckpoint()
     // pass 1: global document frequency = the canonical shingle order
-    val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val dfreq = d.select(explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // pass 2: keep each doc's p rarest shingles. ⌈(1−τ)n⌉+1 dominates the
     // tight n−⌈τn⌉+1 bound even under fp noise in the multiply (one spare
     // indexed shingle per doc, never one short).
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = inv.join(dfreq, "shingle")
-      .withColumn("r", row_number().over(wDoc))
-      .filter(col("r") <= ceil(lit(1.0 - tau) * col("n")) + 1)
-      .select(col("shingle"), col("doc_id"), col("n"))
+    val prefix = rarePrefix(d, dfreq, tau)
     val a = prefix.select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
     val b = prefix.select(col("shingle").as("sh_b"), col("doc_id").as("id_b"),
       col("n").as("n_b"))
@@ -163,9 +180,13 @@ object NearDup {
     * join. At 100 TB the corpus side's prefix index is the only thing the
     * daily job probes (⌈(1−τ)n⌉+1 shingles per corpus doc, ids-only
     * candidates); full shingle arrays re-attach for verification of
-    * survivors. For a standing daily pipeline the corpus df table and
-    * prefix index are computed once and reused across batches (they drift
-    * only as fast as the corpus grows).
+    * survivors. A standing daily pipeline that wants to cache the corpus
+    * prefix index must freeze ONE canonical order and rank BOTH sides by
+    * it (any fixed common order satisfies the lemma — e.g. yesterday's
+    * corpus df table applied to today's batch too); ranking each side by
+    * a different df snapshot voids the collision guarantee. This
+    * implementation recomputes the union df per call, which is always a
+    * valid common order.
     *
     * Both inputs need (doc_id, sh: array<string> of distinct shingles).
     * Returns (doc_id = batch id, matched_id = corpus id, jaccard).
@@ -184,16 +205,8 @@ object NearDup {
     val dfreq = b.select(explode(col("sh")).as("shingle"))
       .union(c.select(explode(col("sh")).as("shingle")))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    def prefix(d: DataFrame) = {
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-      d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-        .join(dfreq, "shingle")
-        .withColumn("r", row_number().over(wDoc))
-        .filter(col("r") <= ceil(lit(1.0 - tau) * col("n")) + 1)
-        .select(col("shingle"), col("doc_id"), col("n"))
-    }
-    val cand = prefix(b)
-      .join(prefix(c).select(col("shingle").as("sh_c"),
+    val cand = rarePrefix(b, dfreq, tau)
+      .join(rarePrefix(c, dfreq, tau).select(col("shingle").as("sh_c"),
           col("doc_id").as("matched_id"), col("n").as("n_c")),
         col("shingle") === col("sh_c") &&
           col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
@@ -232,10 +245,7 @@ object NearDup {
       .localCheckpoint()
     val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = inv.join(dfreq, "shingle")
-      .withColumn("r", row_number().over(wDoc))
-      .filter(col("r") <= ceil(lit(1.0 - tau) * col("n")) + 1)
+    val prefix = rarePrefix(d, dfreq, tau)
       .select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
     val full = inv.select(col("shingle").as("sh_b"), col("doc_id").as("id_b"),
       col("n").as("n_b"))

@@ -21,9 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // read-only scale guardrails (spark.graft.scalelint=off|warn|fail):
     // logical shapes (global windows, accidental cartesians) at optimize
-    // time, vector-payload shuffles at query-stage preparation time
+    // time; vector-payload shuffles at the physical level via BOTH hooks —
+    // query-stage prep (AQE) and columnar-rule preparations (non-AQE and
+    // streaming micro-batches), so the check runs wherever the plan does
     ext.injectOptimizerRule(ScaleLintRule)
     ext.injectQueryStagePrepRule(ScaleLintShuffleRule)
+    ext.injectColumnar(ScaleLintColumnarRule)
   }
 }
 

@@ -73,6 +73,20 @@ case class ScaleLintShuffleRule(spark: SparkSession)
   }
 }
 
+/** Non-AQE and streaming coverage for the physical lint: query-stage-prep
+  * rules only run inside AdaptiveSparkPlanExec, so the same inspection is
+  * ALSO injected as a columnar rule — preColumnarTransitions runs in the
+  * preparations of every executed plan (batch or micro-batch, AQE on or
+  * off). Read-only; under AQE both hooks may inspect the same exchange,
+  * which at most duplicates a warn-mode log line.
+  */
+case class ScaleLintColumnarRule(spark: SparkSession)
+    extends org.apache.spark.sql.execution.ColumnarRule {
+  override def preColumnarTransitions
+      : Rule[org.apache.spark.sql.execution.SparkPlan] =
+    ScaleLintShuffleRule(spark)
+}
+
 object ScaleLint {
 
   val ConfKey = "spark.graft.scalelint"

@@ -36,13 +36,16 @@ object StreamMain {
       sys.exit(2)
     }
     val Array(eventsDir, outDir) = args.take(2)
-    val kvArgs = args.drop(2).map(_.split("=", 2)).collect {
-      case Array(k, v) => (k, v)
-    }.toMap
+    val split = args.drop(2).map(a => (a, a.split("=", 2)))
+    val malformed = split.collect { case (raw, kv) if kv.length != 2 => raw }
+    val kvArgs = split.collect { case (_, Array(k, v)) => (k, v) }.toMap
     val badKeys = kvArgs.keySet -- Set("files", "bytes", "op")
-    if (badKeys.nonEmpty) {
-      System.err.println(s"bad options ${badKeys.mkString(", ")}: " +
-        "use files=N | bytes=N | op=window|neardup")
+    if (malformed.nonEmpty || badKeys.nonEmpty ||
+        (kvArgs.contains("files") && kvArgs.contains("bytes"))) {
+      System.err.println(s"bad options ${(malformed ++ badKeys).mkString(", ")}" +
+        (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
+           " (files= and bytes= are mutually exclusive)" else "") +
+        ": use files=N | bytes=N | op=window|neardup")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -97,12 +100,15 @@ object StreamMain {
           graft.Tables.normalizeNanosTs(raw), "10 minutes", "10 minutes")
       case "neardup" =>
         import graft.functions.TextFunctions.wordShingles
-        // documents carry no event time — synthesize a deterministic one
-        // (fixed epoch + doc_id seconds) so the watermarked dedup state
-        // has a clock to expire against
+        // documents carry no event time — synthesize a CONSTANT one. A
+        // doc_id-derived time would advance the watermark past older ids
+        // after the first micro-batch and silently drop docs from later
+        // files as late data; with one fixed instant nothing is ever
+        // late, and the dedup state simply never expires during the
+        // (finite) replay.
         def shingled(df: org.apache.spark.sql.DataFrame) = df.select(
           col("doc_id"),
-          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"),
+          timestamp_seconds(lit(1704067200L)).as("ts"),
           wordShingles(col("text"), 3).as("sh"))
         val static = shingled(spark.read.parquet(srcDir))
         StreamingOps.nearDupMatches(shingled(raw), static, "10 minutes")

@@ -101,6 +101,10 @@ class ScaleLintSpec extends SparkSpec {
       rule(plan) shouldBe plan // logs, never rewrites
       spark.conf.set(ScaleLint.ConfKey, "fail")
       an[ScaleLint.ScaleLintViolation] should be thrownBy rule(plan)
+      // the columnar-rule hook (the non-AQE/streaming injection path)
+      // applies the same inspection
+      an[ScaleLint.ScaleLintViolation] should be thrownBy
+        ScaleLintColumnarRule(spark).preColumnarTransitions(plan)
     } finally {
       spark.conf.unset(ScaleLint.ConfKey)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
