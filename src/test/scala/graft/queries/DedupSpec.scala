@@ -136,6 +136,46 @@ class DedupSpec extends SparkSpec {
     got should not contain ((12L, 13L)) // within-corpus
   }
 
+  test("incremental jaccard: seeded random corpora match brute force exactly (3 rounds)") {
+    // property-style (seeded loop — scalacheck isn't in the offline
+    // cache): random batch/corpus mixes of mutated base docs must agree
+    // with the exact cross-set truth on every round — near-dups at many
+    // jaccard levels, including threshold-straddlers from small mutations
+    val rnd = new scala.util.Random(4242)
+    def tok() = s"t${rnd.nextInt(120)}"
+    val bases = Array.fill(6)(Array.fill(25)(tok()))
+    def doc(): String = {
+      val b = bases(rnd.nextInt(bases.length)).clone()
+      val edits = rnd.nextInt(9)
+      (1 to edits).foreach(_ => b(rnd.nextInt(b.length)) = tok())
+      b.mkString(" ")
+    }
+    for (rep <- 1 to 3) {
+      val batchDocs = docsDf((1 to 12).map(i => (i.toLong, doc())): _*)
+      val corpusDocs = docsDf((101 to 120).map(i => (i.toLong, doc())): _*)
+      def sh(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), graft.functions.TextFunctions
+          .wordShingles(col("text"), 3).as("sh"))
+      val got = graft.operators.NearDup
+        .jaccardMatchesAgainst(sh(batchDocs), sh(corpusDocs))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val a = sh(batchDocs).select(col("doc_id").as("ba"), col("sh").as("sh_a"))
+      val b = sh(corpusDocs).select(col("doc_id").as("ca"), col("sh").as("sh_b"))
+      val truth = a.join(b, lit(true))
+        .withColumn("inter",
+          org.apache.spark.sql.functions.size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni",
+          org.apache.spark.sql.functions.size(col("sh_a"))
+            + org.apache.spark.sql.functions.size(col("sh_b")) - col("inter"))
+        .withColumn("j",
+          round(col("inter").cast("double") / col("uni").cast("double"), 4))
+        .filter(col("j") >= graft.operators.NearDup.DefaultThreshold)
+        .select(col("ba"), col("ca"), col("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withClue(s"round $rep: ") { got shouldBe truth }
+    }
+  }
+
   test("containment: small doc inside big doc found (the pair Jaccard misses), matches brute force") {
     // contained: 20 tokens, all inside big's 200 → containment 1.0 but
     // jaccard ≈ 0.09; decoys share the hot prefix only
