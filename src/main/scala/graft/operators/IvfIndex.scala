@@ -20,6 +20,26 @@ import graft.functions.VectorFunctions._
   */
 object IvfIndex {
 
+  /** Persist an IVF index under `path`: the `centroids` table (k tiny
+    * rows) and the `cells` assignment projected to (vec_id, cell, n2) —
+    * no float payload, vectors re-attach from the corpus table at query
+    * time (same artifact posture as PqIndex.save). `meta` is written LAST
+    * as the commit marker (ArtifactPaths.exists).
+    */
+  def save(path: String, cents: DataFrame, indexed: DataFrame): Unit = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    indexed.select(col("vec_id"), col("cell"), col("n2"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+    Seq(Tuple1("ivf")).toDF("kind")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a saved IVF index → (centroids, cells). */
+  def load(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/cells"))
+
   /** Assign each vector to its nearest centroid cell.
     * Returns (vec_id, embedding, n2, cell).
     *
@@ -91,18 +111,27 @@ object IvfIndex {
 
   /** Top-k cosine neighbors for `queries` probing `nProbe` cells. */
   def topK(queriesDf: DataFrame, indexed: DataFrame, cents: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int): DataFrame =
+    topKFrom(queriesDf, indexed, indexed, cents, k, nProbe)
+
+  /** topK with the candidate side (`cells`: vec_id, cell — e.g. a LOADED
+    * artifact) separated from the scoring side (`corpus`: vec_id,
+    * embedding, n2): the cell probe join touches only the payload-free
+    * assignment table; float vectors re-attach by id for candidates.
+    */
+  def topKFrom(queriesDf: DataFrame, cells: DataFrame, corpus: DataFrame,
+      cents: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val probes = probeCells(queriesDf, cents, nProbe)
     // candidate ids first, vectors re-attached after the distinct (same
     // payload-free-shuffle rationale as the LSH query)
     val pairIds = probes.select(col("qid"), col("cell"))
-      .join(indexed.select(col("cell").as("icell"), col("vec_id").as("nid")),
+      .join(cells.select(col("cell").as("icell"), col("vec_id").as("nid")),
         col("cell") === col("icell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
     val scored = pairIds
       .join(broadcast(queriesDf), "qid")
-      .join(indexed.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
         col("n2").as("nn2")), "nid")
       .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))

@@ -25,6 +25,67 @@ import graft.functions.VectorFunctions._
   */
 object PqIndex {
 
+  /** A persisted PQ (optionally IVF-PQ) index, reloaded: trained codebooks
+    * plus the codes table `(vec_id, n2, code[, cell])` — the float vectors
+    * are deliberately NOT part of the artifact (they re-attach from the
+    * corpus table at re-rank time), so the artifact stays ~32× smaller
+    * than the corpus, which is the point of PQ at 100 TB.
+    */
+  final case class LoadedPq(
+      books: Array[Array[Array[Float]]],
+      codes: DataFrame,
+      cents: Option[DataFrame])
+
+  /** Persist a trained index under `path`: `codebooks` (m·k tiny rows),
+    * `codes` = `encoded` projected to (vec_id, n2, code[, cell]) — the
+    * ADC scan side, no float payload — and, for IVF-PQ, the `centroids`
+    * table. The `meta` table is written LAST so its `_SUCCESS` marker is
+    * the artifact's commit point (ArtifactPaths.exists). This is the
+    * train-once → save → probe-many production shape: at query time the
+    * ADC pass reads this artifact and the float corpus is touched only to
+    * re-attach pool survivors.
+    */
+  def save(path: String, books: Array[Array[Array[Float]]],
+      encoded: DataFrame, cents: Option[DataFrame] = None): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val kWords = books(0).length
+    books.zipWithIndex.flatMap { case (words, s) =>
+      words.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
+    }.toSeq.toDF("s", "c", "word")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val codeCols = Seq("vec_id", "n2", "code") ++
+      (if (encoded.columns.contains("cell")) Seq("cell") else Nil)
+    encoded.select(codeCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cents.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"))
+    Seq((m, kWords, books(0)(0).length, cents.isDefined))
+      .toDF("m", "k", "subDim", "hasCells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a saved index. Codebooks are O(m·k·subDim) driver bytes (the
+    * same bound training already collects); the codes table stays a
+    * DataFrame scan.
+    */
+  def load(spark: SparkSession, path: String): LoadedPq = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val m = meta.getAs[Int]("m")
+    val kWords = meta.getAs[Int]("k")
+    val subDim = meta.getAs[Int]("subDim")
+    val books = Array.fill(m, kWords)(new Array[Float](subDim))
+    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
+      books(r.getAs[Int]("s"))(r.getAs[Int]("c")) =
+        r.getSeq[Float](r.fieldIndex("word")).toArray
+    }
+    val cents =
+      if (meta.getAs[Boolean]("hasCells"))
+        Some(spark.read.parquet(s"$path/centroids"))
+      else None
+    LoadedPq(books, spark.read.parquet(s"$path/codes"), cents)
+  }
+
   /** Per-subspace codebooks: `books(s)(c)` = codeword c of subspace s
     * (each of length dim/m). Trained as: deterministic hash-sample capped
     * at `64·k` vectors → k seed subvectors per subspace → one Lloyd
@@ -94,14 +155,24 @@ object PqIndex {
     * the per-task rank input bounded by pool, independent of corpus size.
     */
   def topK(queriesDf: DataFrame, encoded: DataFrame,
+      books: Array[Array[Array[Float]]], k: Int, pool: Int): DataFrame =
+    topKFrom(queriesDf, encoded, encoded, books, k, pool)
+
+  /** topK with the ADC scan side (`codes`: vec_id, n2, code — e.g. a
+    * LOADED artifact, no float payload) separated from the re-rank side
+    * (`corpus`: vec_id, embedding, n2). This is the loaded-index query
+    * shape: the scan never touches the float corpus; vectors re-attach
+    * only for pool survivors inside poolRerank.
+    */
+  def topKFrom(queriesDf: DataFrame, codes: DataFrame, corpus: DataFrame,
       books: Array[Array[Array[Float]]], k: Int, pool: Int): DataFrame = {
     val queries = queryTables(queriesDf, books)
     val scored = queries.select(col("qid"), col("qn2"), col("tbl"))
-      .join(encoded.select(col("vec_id").as("nid"), col("n2").as("nn2"),
+      .join(codes.select(col("vec_id").as("nid"), col("n2").as("nn2"),
         col("code")), col("qid") =!= col("nid"))
       .withColumn("acos", adcExpr(books) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
       .select(col("qid"), col("nid"), col("acos"))
-    poolRerank(scored, queries, encoded, k, pool)
+    poolRerank(scored, queries, corpus, k, pool)
   }
 
   /** IVF-PQ: ADC scoring routed through IVF cell probes — the standard
@@ -115,20 +186,28 @@ object PqIndex {
     */
   def topKIvf(queriesDf: DataFrame, encoded: DataFrame,
       books: Array[Array[Array[Float]]], cents: DataFrame, k: Int, pool: Int,
+      nProbe: Int): DataFrame =
+    topKIvfFrom(queriesDf, encoded, encoded, books, cents, k, pool, nProbe)
+
+  /** topKIvf with scan side / re-rank side split exactly as in topKFrom;
+    * `codes` additionally carries the IVF `cell` column.
+    */
+  def topKIvfFrom(queriesDf: DataFrame, codes: DataFrame, corpus: DataFrame,
+      books: Array[Array[Array[Float]]], cents: DataFrame, k: Int, pool: Int,
       nProbe: Int): DataFrame = {
     val queries = queryTables(queriesDf, books)
     // nearest nProbe cells per query (|Q| × k centroid rows — tiny);
     // shared probe ranking with plain IVF (IvfIndex.probeCells)
     val probes = IvfIndex.probeCells(queriesDf, cents, nProbe)
     val scored = broadcast(probes)
-      .join(encoded.select(col("vec_id").as("nid"), col("n2").as("nn2"),
+      .join(codes.select(col("vec_id").as("nid"), col("n2").as("nn2"),
         col("code"), col("cell").as("ncell")), col("cell") === col("ncell") &&
         col("qid") =!= col("nid"))
       .join(queries.select(col("qid").as("tq"), col("qn2"), col("tbl")),
         col("qid") === col("tq"))
       .withColumn("acos", adcExpr(books) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
       .select(col("qid"), col("nid"), col("acos"))
-    poolRerank(scored, queries, encoded, k, pool)
+    poolRerank(scored, queries, corpus, k, pool)
   }
 
   /** Broadcast frame (qid, qv, qn2, tbl): each query's flat m·k table of

@@ -297,6 +297,76 @@ object VectorQueries extends QueryModule {
         .orderBy(col("qid"), col("rn"))
     })
 
+  // --- Loaded-artifact ANN twins (train-once → save → load at query time,
+  // --- the production shape at 100 TB: retraining codebooks inside every
+  // --- query is the one posture a real user hits on query #2). Each twin
+  // --- builds its artifact once per (fixture identity, params) — the
+  // --- fingerprinted path makes "build if absent" pure in the query
+  // --- inputs — then answers from the LOADED index: the ADC/cell scan
+  // --- reads only the payload-free artifact; float vectors re-attach from
+  // --- the corpus table for pool survivors. Training is deterministic, so
+  // --- each twin's output is pinned equal to its in-memory sibling by
+  // --- AnnPersistenceSpec (no oracle — codebooks/cells are
+  // --- engine-defined, same class as the siblings).
+
+  private def embWithNorm(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+
+  private def annQueries(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2"))
+
+  private val qPqLoaded = Q(
+    "q_sim_topk_pq_loaded",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, PqIndex}
+      val e = embWithNorm(s, d)
+      val path = ArtifactPaths.keyed("pq", s"$d/embeddings.parquet",
+        "dim=64,m=8,k=16,v=1")
+      if (!ArtifactPaths.exists(path)) {
+        val books = PqIndex.train(s, e, dim = 64, m = 8, k = 16)
+        PqIndex.save(path, books, PqIndex.encode(e, books))
+      }
+      val idx = PqIndex.load(s, path)
+      PqIndex.topKFrom(annQueries(e), idx.codes, e, idx.books, k = 5, pool = 25)
+        .orderBy(col("qid"), col("rn"))
+    })
+
+  private val qIvfLoaded = Q(
+    "q_sim_topk_ivf_loaded",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, IvfIndex}
+      val e = embWithNorm(s, d)
+      val path = ArtifactPaths.keyed("ivf", s"$d/embeddings.parquet",
+        "dim=64,k=16,v=1")
+      if (!ArtifactPaths.exists(path)) {
+        val cents = IvfIndex.centroids(s, e, 16)
+        IvfIndex.save(path, cents, IvfIndex.assign(e, cents))
+      }
+      val (cents, cells) = IvfIndex.load(s, path)
+      IvfIndex.topKFrom(annQueries(e), cells, e, cents, k = 5, nProbe = 3)
+    })
+
+  private val qIvfPqLoaded = Q(
+    "q_sim_topk_ivfpq_loaded",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, IvfIndex, PqIndex}
+      val e = embWithNorm(s, d)
+      val path = ArtifactPaths.keyed("ivfpq", s"$d/embeddings.parquet",
+        "dim=64,m=8,k=16,cells=16,v=1")
+      if (!ArtifactPaths.exists(path)) {
+        val cents = IvfIndex.centroids(s, e, 16)
+        val books = PqIndex.train(s, e, dim = 64, m = 8, k = 16)
+        PqIndex.save(path, books,
+          PqIndex.encode(IvfIndex.assign(e, cents), books), Some(cents))
+      }
+      val idx = PqIndex.load(s, path)
+      PqIndex.topKIvfFrom(annQueries(e), idx.codes, e, idx.books,
+          idx.cents.get, k = 5, pool = 25, nProbe = 6)
+        .orderBy(col("qid"), col("rn"))
+    })
+
   // Hard-negative mining for contrastive training: for each query vector,
   // the top-3 most-similar neighbors with a DIFFERENT class label — the
   // pairs a triplet/InfoNCE loss learns the most from. Same broadcast-
@@ -385,5 +455,6 @@ object VectorQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qSq8, qCentroids,
-    qHardNegatives, qHardNegativesLsh, qPq, qIvfPq)
+    qHardNegatives, qHardNegativesLsh, qPq, qIvfPq,
+    qPqLoaded, qIvfLoaded, qIvfPqLoaded)
 }
