@@ -54,10 +54,21 @@ object NearDup {
     * returns (shingle, doc_id, n).
     */
   private def rarePrefix(d: DataFrame, dfreq: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, frozenOrder: Boolean = false): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-      .join(dfreq, "shingle")
+    val exploded = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    // frozenOrder: `dfreq` is a FROZEN snapshot (a persisted corpus index)
+    // that may not cover every probe-side shingle — unseen shingles take
+    // df = 0, which keeps (df, shingle) a consistent TOTAL order across
+    // both sides (the only thing the prefix lemma needs) and ranks them
+    // rarest, where they harmlessly occupy prefix slots (they cannot
+    // collide with any indexed shingle anyway).
+    val ranked =
+      if (frozenOrder)
+        exploded.join(dfreq, Seq("shingle"), "left_outer")
+          .withColumn("df", coalesce(col("df"), lit(0L)))
+      else exploded.join(dfreq, "shingle")
+    ranked
       .withColumn("r", row_number().over(wDoc))
       .filter(col("r") <= ceil(lit(1.0 - tau) * col("n")) + 1)
       .select(col("shingle"), col("doc_id"), col("n"))
@@ -78,6 +89,72 @@ object NearDup {
           .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
       .filter(col("jaccard") >= threshold)
       .drop("inter", "uni")
+
+  /** A banded static MinHash-LSH index: the ids-only band half (`banded`:
+    * bandKey, doc_id) the stream equi-joins, plus the shingle half
+    * (`docs`: doc_id, sh) verification re-attaches by id. Carries its own
+    * banding parameters so a stream matched against a loaded artifact
+    * cannot silently band with different parameters than the index was
+    * built with.
+    */
+  final case class BandIndex(banded: DataFrame, docs: DataFrame,
+      numHashes: Int, bands: Int, rowsPerBand: Int)
+
+  /** Build the banded static index in memory (localCheckpoint-backed) —
+    * the per-run path; saveBandIndex/loadBandIndex is the build-once
+    * artifact twin.
+    */
+  def buildBandIndex(staticDocs: DataFrame,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): BandIndex = {
+    val s = staticDocs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val banded = withBandKeys(s, numHashes, bands, rowsPerBand)
+      .select(col("bandKey"), col("doc_id"))
+      .localCheckpoint()
+    BandIndex(banded, s, numHashes, bands, rowsPerBand)
+  }
+
+  /** Persist the banded static index under `path` (`banded`, `docs`,
+    * `meta` — meta last, the ArtifactPaths.exists commit marker): a
+    * standing stream job loads this instead of re-signing + re-banding
+    * the whole reference corpus at every (re)start. Same staleness
+    * posture as saveJaccardIndex: rebuild when the corpus changes.
+    */
+  def saveBandIndex(staticDocs: DataFrame, path: String,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): Unit = {
+    val spark = staticDocs.sparkSession
+    import spark.implicits._
+    val s = staticDocs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint() // feeds both the banding pass and the docs write
+    withBandKeys(s, numHashes, bands, rowsPerBand)
+      .select(col("bandKey"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/banded")
+    s.write.mode("overwrite").parquet(s"$path/docs")
+    Seq((numHashes, bands, rowsPerBand))
+      .toDF("numHashes", "bands", "rowsPerBand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a saved band index; banding parameters come from the artifact's
+    * meta, so the probe side always signs with the parameters the index
+    * was built with.
+    */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): BandIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    BandIndex(
+      spark.read.parquet(s"$path/banded"),
+      spark.read.parquet(s"$path/docs"),
+      meta.getAs[Int]("numHashes"),
+      meta.getAs[Int]("bands"),
+      meta.getAs[Int]("rowsPerBand"))
+  }
 
   /** docs must have (doc_id, sh: array<string> of distinct shingles).
     * Returns verified pairs (id_a < id_b, jaccard ≥ threshold) with the
@@ -216,6 +293,93 @@ object NearDup {
       cand
         .join(b.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
         .join(c.select(col("doc_id").as("matched_id"), col("sh").as("sh_b")),
+          "matched_id"),
+      "sh_a", "sh_b", threshold)
+      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+  }
+
+  /** Build-once probe-many artifact for the incremental near-dup (the
+    * standing-daily-pipeline shape the jaccardMatchesAgainst scaladoc
+    * specifies): freezes ONE canonical shingle order — the corpus document
+    * frequencies — and persists under `path`:
+    *   - `dfreq`  (shingle, df): the frozen canonical order,
+    *   - `prefix` (shingle, doc_id, n): the corpus rare-shingle inverted
+    *     index under that order — the ONLY thing a daily probe joins,
+    *   - `docs`   (doc_id, sh, n): shingle arrays for exact verification
+    *     re-attach of candidate survivors,
+    *   - `meta`   (threshold), written LAST (ArtifactPaths.exists commit
+    *     marker).
+    * The prefix guarantee needs only a fixed common total order, so
+    * probing RANKS THE BATCH BY THIS FROZEN ORDER too
+    * (rarePrefix(frozenOrder = true)) — correctness is exact for any
+    * batch, forever. STALENESS is a selectivity concern, not a
+    * correctness one: as true document frequencies drift from the frozen
+    * snapshot, "rare" prefixes slowly stop being rare and candidate
+    * volume grows toward the unfiltered join — rebuild on a cadence (or
+    * when candidate/verified ratios degrade), like any inverted index.
+    */
+  def saveJaccardIndex(corpus: DataFrame, path: String,
+      threshold: Double = DefaultThreshold): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tau = threshold - 0.0001 // rounded-jaccard guard, as in jaccardPairs
+    val c = corpus.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .localCheckpoint()
+    val dfreq = c.select(explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint() // feeds both the dfreq write and the prefix pass
+    dfreq.write.mode("overwrite").parquet(s"$path/dfreq")
+    rarePrefix(c, dfreq, tau).write.mode("overwrite").parquet(s"$path/prefix")
+    c.write.mode("overwrite").parquet(s"$path/docs")
+    Seq(Tuple1(threshold)).toDF("threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe mode of jaccardMatchesAgainst: match `batch` against a LOADED
+    * corpus index (saveJaccardIndex) instead of recomputing the union df
+    * and corpus prefix per call. The batch side is ranked by the frozen
+    * dfreq (unseen shingles → df 0; see rarePrefix), prefix lengths
+    * mirror the BUILD threshold (τ_build ≤ τ_probe keeps prefixes at
+    * least as long as τ_probe needs, so the collision guarantee holds),
+    * and length pruning + exact verification run at the PROBE threshold.
+    * Probing below the build threshold is rejected: the persisted corpus
+    * prefixes would be too short for the wider filter and pairs could be
+    * silently lost.
+    *
+    * Output is identical to jaccardMatchesAgainst(batch, corpus) — both
+    * are lossless candidate filters in front of the same exact
+    * verification — which is what NearDupIndexSpec pins and what lets
+    * the loaded registry twin share the recomputed twin's DuckDB oracle.
+    */
+  def jaccardMatchesAgainstLoaded(batch: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double = DefaultThreshold): DataFrame = {
+    val builtThreshold =
+      spark.read.parquet(s"$path/meta").collect()(0).getDouble(0)
+    require(threshold >= builtThreshold,
+      s"probe threshold $threshold below build threshold $builtThreshold: " +
+        "the persisted corpus prefixes are too short for the wider filter " +
+        "(rebuild the index at the lower threshold)")
+    val tauBuild = builtThreshold - 0.0001
+    val tau = threshold - 0.0001
+    val dfreq = spark.read.parquet(s"$path/dfreq")
+    val cPrefix = spark.read.parquet(s"$path/prefix")
+      .select(col("shingle").as("sh_c"), col("doc_id").as("matched_id"),
+        col("n").as("n_c"))
+    val cDocs = spark.read.parquet(s"$path/docs")
+    val b = batch.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .localCheckpoint()
+    val cand = rarePrefix(b, dfreq, tauBuild, frozenOrder = true)
+      .join(cPrefix, col("shingle") === col("sh_c") &&
+        col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
+        col("n") >= lit(tau) * col("n_c") - lit(1e-9))
+      .select(col("doc_id"), col("matched_id")).distinct()
+    verifyJaccard(
+      cand
+        .join(b.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+        .join(cDocs.select(col("doc_id").as("matched_id"), col("sh").as("sh_b")),
           "matched_id"),
       "sh_a", "sh_b", threshold)
       .select(col("doc_id"), col("matched_id"), col("jaccard"))

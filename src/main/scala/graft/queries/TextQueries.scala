@@ -419,6 +419,31 @@ object TextQueries extends QueryModule {
            WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8
            ORDER BY doc_id, matched_id"""))
 
+  // Loaded-index twin of q_dedup_jaccard_incremental (VERDICT r6 #2):
+  // the corpus rare-prefix inverted index + frozen canonical order are
+  // built ONCE into a fingerprint-keyed artifact
+  // (NearDup.saveJaccardIndex), and the daily batch probes the LOADED
+  // index (jaccardMatchesAgainstLoaded) — no per-call union-df recompute,
+  // no corpus re-checkpoint. Both paths are lossless filters in front of
+  // the same exact verification, so this twin keeps the FULL batch×corpus
+  // DuckDB replay as a value oracle: a green row proves the frozen-order
+  // probe loses no pair either.
+  private val qDedupJaccardIncrLoaded = Q(
+    "q_dedup_jaccard_incr_loaded",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, NearDup}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      val path = ArtifactPaths.keyed("jacidx", s"$d/documents.parquet",
+        "tau=0.8,shingle=3,corpus=mod10ne0,v=1")
+      if (!ArtifactPaths.exists(path))
+        NearDup.saveJaccardIndex(docs.filter(col("doc_id") % 10 =!= 0), path)
+      NearDup.jaccardMatchesAgainstLoaded(
+          docs.filter(col("doc_id") % 10 === 0), s, path)
+        .orderBy(col("doc_id"), col("matched_id"))
+    },
+    qDedupJaccardIncremental.oracle)
+
   // Asymmetric containment dedup (quote-inclusion / page-wraps-article —
   // the case Jaccard misses): smaller doc's shingles ≥ 90% inside the
   // larger's. Prefix filter on the contained side only (inherent — see
@@ -735,7 +760,7 @@ object TextQueries extends QueryModule {
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
-    qDedupJaccardIncremental,
+    qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
     qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
     qSourceOverlap, qDedupContainment)
 }

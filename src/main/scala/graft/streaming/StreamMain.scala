@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup] [index=<dir>]"
   *
   * The optional third argument picks the ingest throttle: files=N →
   * maxFilesPerTrigger, bytes=N → maxBytesPerTrigger (both A7 analogs —
@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * MinHash-LSH index (StreamingOps.nearDupMatches) — every doc collides
   * with at least itself, so the run demonstrates the full candidate →
   * verify → dedup path; the summary line separates self hits from true
-  * cross-document near-dups.
+  * cross-document near-dups. With index=<dir> the static corpus index is
+  * a persisted artifact (NearDup.saveBandIndex — built on first run,
+  * LOADED on every restart) instead of being re-signed + re-banded per
+  * run.
   *
   * Prints one line per micro-batch and a final row count. Append-mode
   * watermark semantics on a finite replay: windows newer than
@@ -38,14 +41,23 @@ object StreamMain {
     val Array(eventsDir, outDir) = args.take(2)
     val split = args.drop(2).map(a => (a, a.split("=", 2)))
     val malformed = split.collect { case (raw, kv) if kv.length != 2 => raw }
+    // repeated keys (e.g. 'files=1 files=8') would silently last-win via
+    // toMap — reject them with the same strictness as unknown keys
+    val dupKeys = split.collect { case (_, Array(k, _)) => k }
+      .groupBy(identity).collect { case (k, vs) if vs.length > 1 => k }
     val kvArgs = split.collect { case (_, Array(k, v)) => (k, v) }.toMap
-    val badKeys = kvArgs.keySet -- Set("files", "bytes", "op")
-    if (malformed.nonEmpty || badKeys.nonEmpty ||
-        (kvArgs.contains("files") && kvArgs.contains("bytes"))) {
-      System.err.println(s"bad options ${(malformed ++ badKeys).mkString(", ")}" +
+    val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index")
+    val indexWithoutNearDup =
+      kvArgs.contains("index") && kvArgs.getOrElse("op", "window") != "neardup"
+    if (malformed.nonEmpty || badKeys.nonEmpty || dupKeys.nonEmpty ||
+        (kvArgs.contains("files") && kvArgs.contains("bytes")) ||
+        indexWithoutNearDup) {
+      System.err.println(
+        s"bad options ${(malformed ++ badKeys ++ dupKeys).mkString(", ")}" +
         (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
            " (files= and bytes= are mutually exclusive)" else "") +
-        ": use files=N | bytes=N | op=window|neardup")
+        (if (indexWithoutNearDup) " (index= requires op=neardup)" else "") +
+        ": use files=N | bytes=N | op=window|neardup | index=<dir>")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -110,8 +122,22 @@ object StreamMain {
           col("doc_id"),
           timestamp_seconds(lit(1704067200L)).as("ts"),
           wordShingles(col("text"), 3).as("sh"))
-        val static = shingled(spark.read.parquet(srcDir))
-        StreamingOps.nearDupMatches(shingled(raw), static, "10 minutes")
+        kvArgs.get("index") match {
+          case Some(idxPath) =>
+            // build-once/load-many: a persisted band index survives job
+            // restarts — build it only if the artifact isn't there yet
+            import graft.operators.{ArtifactPaths, NearDup}
+            if (!ArtifactPaths.exists(idxPath))
+              NearDup.saveBandIndex(
+                shingled(spark.read.parquet(srcDir)).select(col("doc_id"), col("sh")),
+                idxPath)
+            StreamingOps.nearDupMatches(shingled(raw),
+              NearDup.loadBandIndex(spark, idxPath), "10 minutes",
+              NearDup.DefaultThreshold)
+          case None =>
+            val static = shingled(spark.read.parquet(srcDir))
+            StreamingOps.nearDupMatches(shingled(raw), static, "10 minutes")
+        }
       case other =>
         System.err.println(s"bad op '$other': use window or neardup")
         sys.exit(2)

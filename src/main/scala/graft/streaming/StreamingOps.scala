@@ -98,23 +98,33 @@ object StreamingOps {
       numHashes: Int = graft.operators.NearDup.DefaultNumHashes,
       bands: Int = graft.operators.NearDup.DefaultBands,
       rowsPerBand: Int = graft.operators.NearDup.DefaultRowsPerBand,
-      threshold: Double = graft.operators.NearDup.DefaultThreshold): DataFrame = {
+      threshold: Double = graft.operators.NearDup.DefaultThreshold): DataFrame =
+    // Static index materialized once per run (eager localCheckpoint inside
+    // buildBandIndex) so each micro-batch re-joins the computed index
+    // instead of re-shingling the corpus per trigger. A standing job
+    // should build the artifact once (NearDup.saveBandIndex) and use the
+    // loaded overload below instead — no per-(re)start rebuild at all.
+    nearDupMatches(docs,
+      graft.operators.NearDup.buildBandIndex(staticDocs, numHashes, bands,
+        rowsPerBand),
+      watermarkDelay, threshold)
+
+  /** nearDupMatches against a pre-built static index — in-memory
+    * (NearDup.buildBandIndex) or LOADED from a persisted artifact
+    * (NearDup.loadBandIndex): the ONE matcher implementation; banding
+    * parameters always come from the index itself, so the probe side
+    * cannot sign with parameters the index wasn't built with.
+    */
+  def nearDupMatches(docs: DataFrame, index: graft.operators.NearDup.BandIndex,
+      watermarkDelay: String, threshold: Double): DataFrame = {
     import graft.operators.NearDup
-    // Static index: materialized once (eager localCheckpoint) so each
-    // micro-batch re-joins the computed index instead of re-shingling the
-    // corpus per trigger. Ids-only in the banded half; shingles re-attach
-    // by id in the verification half.
-    val s = staticDocs.filter(size(col("sh")) > 0)
+    val s = index.docs
       .select(col("doc_id").as("matched_id"), col("sh").as("s_sh"))
-      .localCheckpoint()
-    val sBanded = NearDup.withBandKeys(
-        s.select(col("matched_id"), col("s_sh").as("sh")),
-        numHashes, bands, rowsPerBand)
-      .select(col("bandKey"), col("matched_id"))
-      .localCheckpoint()
+    val sBanded = index.banded
+      .select(col("bandKey"), col("doc_id").as("matched_id"))
     val candidates = NearDup.withBandKeys(
         docs.withWatermark("ts", watermarkDelay).filter(size(col("sh")) > 0),
-        numHashes, bands, rowsPerBand)
+        index.numHashes, index.bands, index.rowsPerBand)
       .select(col("bandKey"), col("doc_id"), col("ts"), col("sh"))
       .join(sBanded, "bandKey")
     NearDup.verifyJaccard(candidates.join(s, "matched_id"),

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contract for the persisted incremental near-dup index (VERDICT r6 #2):
+  * probing a batch against the LOADED frozen-order artifact must equal
+  * the recomputed union-df path exactly — the prefix lemma holds for any
+  * fixed common total order, so the two lossless filters feed the same
+  * exact verification and the outputs are identical sets.
+  */
+class NearDupIndexSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+  }
+
+  private def matches(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("loaded-index probe equals recomputed batch-vs-corpus on the fixture") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = tmpDir("graft_jacidx").toString
+    NearDup.saveJaccardIndex(corpus, dir)
+    ArtifactPaths.exists(dir) shouldBe true
+    val loaded = matches(NearDup.jaccardMatchesAgainstLoaded(batch, spark, dir))
+    val recomputed = matches(NearDup.jaccardMatchesAgainst(batch, corpus))
+    loaded shouldBe recomputed
+  }
+
+  test("seeded random batches with UNSEEN shingles still match brute force (3 rounds)") {
+    // the frozen corpus order cannot rank shingles it has never seen —
+    // they take df = 0 (rarest); this loop plants exactly that drift:
+    // batch docs carry fresh tokens absent from the indexed corpus
+    val rnd = new scala.util.Random(7117)
+    def tok() = s"t${rnd.nextInt(120)}"
+    val bases = Array.fill(6)(Array.fill(25)(tok()))
+    def doc(fresh: Boolean): String = {
+      val b = bases(rnd.nextInt(bases.length)).clone()
+      val edits = rnd.nextInt(9)
+      (1 to edits).foreach(_ => b(rnd.nextInt(b.length)) =
+        if (fresh) s"new${rnd.nextInt(1000)}" else tok())
+      b.mkString(" ")
+    }
+    for (rep <- 1 to 3) {
+      val corpusDocs = docsDf((101 to 120).map(i => (i.toLong, doc(fresh = false))): _*)
+      val batchDocs = docsDf((1 to 12).map(i => (i.toLong, doc(fresh = true))): _*)
+      val dir = tmpDir(s"graft_jacidx_r$rep").toString
+      NearDup.saveJaccardIndex(corpusDocs, dir)
+      val got = matches(NearDup.jaccardMatchesAgainstLoaded(batchDocs, spark, dir))
+      val a = batchDocs.select(col("doc_id").as("ba"), col("sh").as("sh_a"))
+      val b = corpusDocs.select(col("doc_id").as("ca"), col("sh").as("sh_b"))
+      val truth = a.join(b, lit(true))
+        .withColumn("inter", org.apache.spark.sql.functions
+          .size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", org.apache.spark.sql.functions.size(col("sh_a"))
+          + org.apache.spark.sql.functions.size(col("sh_b")) - col("inter"))
+        .withColumn("j",
+          round(col("inter").cast("double") / col("uni").cast("double"), 4))
+        .filter(col("j") >= NearDup.DefaultThreshold)
+        .select(col("ba"), col("ca"), col("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withClue(s"round $rep: ") { got shouldBe truth }
+    }
+  }
+
+  test("probing at a HIGHER threshold than the build is allowed; lower is rejected") {
+    val corpus = docsDf((101L, (1 to 30).map(i => s"c$i").mkString(" ")))
+    val nearDup = (1 to 29).map(i => s"c$i").mkString(" ") + " x30"
+    val batch = docsDf((1L, nearDup))
+    val dir = tmpDir("graft_jacidx_thr").toString
+    NearDup.saveJaccardIndex(corpus, dir, threshold = 0.8)
+    // τ_probe > τ_build: prefixes are longer than the wider filter needs
+    val strict = matches(
+      NearDup.jaccardMatchesAgainstLoaded(batch, spark, dir, threshold = 0.95))
+    val strictTruth = matches(
+      NearDup.jaccardMatchesAgainst(batch, corpus, threshold = 0.95))
+    strict shouldBe strictTruth
+    // τ_probe < τ_build would need corpus prefixes the artifact never wrote
+    an[IllegalArgumentException] should be thrownBy
+      NearDup.jaccardMatchesAgainstLoaded(batch, spark, dir, threshold = 0.5)
+  }
+}

@@ -348,6 +348,38 @@ class StreamingSpec extends SparkSpec {
       (10L, 100L, 0.95), (12L, 100L, 1.0))
   }
 
+  test("streaming near-dup against a LOADED persisted band index matches the in-memory path") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{ArtifactPaths, NearDup}
+    val shA = (0 until 20).map(i => s"alpha$i")
+    val shB = (0 until 20).map(i => s"beta$i")
+    val static = Seq((100L, shA), (200L, shB)).toDF("doc_id", "sh")
+    val dir = tmpDir("graft_bandidx").toString
+    NearDup.saveBandIndex(static, dir)
+    ArtifactPaths.exists(dir) shouldBe true
+    val idx = NearDup.loadBandIndex(spark, dir)
+    // parameters travel WITH the artifact
+    (idx.numHashes, idx.bands, idx.rowsPerBand) shouldBe
+      (NearDup.DefaultNumHashes, NearDup.DefaultBands, NearDup.DefaultRowsPerBand)
+    val input = MemoryStream[ShDoc]
+    val out = nearDupMatches(input.toDF(), idx, "10 minutes",
+      NearDup.DefaultThreshold)
+    val q = out.writeStream.format("memory").queryName("neardup_loaded")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      ShDoc(10, ts(1), shA.tail),                          // 0.95 vs 100
+      ShDoc(11, ts(1), (0 until 20).map(i => s"gamma$i")), // no match
+      ShDoc(12, ts(1), shB))                               // 1.0 vs 200
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT doc_id, matched_id, jaccard FROM neardup_loaded ORDER BY doc_id")
+      .collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe Seq(
+      (10L, 100L, 0.95), (12L, 200L, 1.0))
+  }
+
   test("stream-static join enriches from a broadcast dimension") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
