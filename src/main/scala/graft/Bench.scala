@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // In-driver median-of-N (default 3): single-pass per-query numbers on
+    // this box swing up to 10x on identical code (BASELINE.md r6 protocol),
+    // so the emitted per-query values are per-query MEDIANS over N
+    // back-to-back runs — adjudicable against the median-of-3 anchor
+    // without driver-side multi-pass orchestration. PASSES=1 restores the
+    // old single-pass mode for quick local smoke.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,14 +32,30 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q_scan_agg").foreach(q => run(q(spark, sfDir)))
     } catch { case _: Throwable => () }
+    // Contractual scale exclusion: queries tagged oracle-scale-only
+    // (Q.scaleBound) are skipped when the target sf exceeds their bound —
+    // the declared O(n²) baselines never ride a large-sf bench by
+    // accident. Unparseable dir names (no "sf<k>" segment) filter nothing.
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
+    val bounds = SparkEntry.scaleBounds
+    val (eligible, excluded) = SparkEntry.queries.toSeq.sortBy(_._1).partition {
+      case (name, _) => sf.forall(s => bounds.get(name).forall(_ >= s))
+    }
     // Sorted-name execution order: Map iteration order reshuffles whenever
     // the registry grows, silently changing which queries run warm (JIT,
     // FS cache) — sorted order keeps anchors comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // The N passes per query run back-to-back (not pass-major): the first
+    // run absorbs that query's codegen/shuffle warm-up and the median
+    // reflects the warm steady state the anchor wants.
+    val timed = eligible.map { case (name, fn) =>
+      val ts = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, ts.sorted.apply(ts.size / 2), ts)
     }
+    val results = timed.map { case (name, med, _) => name -> med }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would make the line unparseable JSON —
@@ -44,16 +67,23 @@ object Bench {
     // its head truncated there, so the driver's parse fails (BENCH_r01 and
     // BENCH_r03 both recorded parsed:null). The printed line stays compact
     // — total + the slowest queries that fit a hard budget — and points at
-    // bench_full.json for the complete map.
-    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString(
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"cpus":$cpus,"sf":"$sfDir","queries":{""",
-        ",", "}}")
+    // bench_full.json for the complete map (medians + raw per-pass arrays).
+    val skippedJson = excluded.map { case (n, _) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val fullJson = {
+      val meds = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+      val raw = timed.map { case (k, _, ts) =>
+        "\"" + k + "\":[" + ts.mkString(",") + "]"
+      }.mkString(",")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""cpus":$cpus,"sf":"$sfDir","mode":"median$passes",""" +
+        s""""skipped":$skippedJson,"queries":{$meds},"raw":{$raw}}"""
+    }
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(fullPath,
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val budget = 1500 // chars for the whole line; tail capture is 2000
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"mode":"median$passes","skipped":${excluded.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
     val slowestFirst = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 2 // closing "}}"

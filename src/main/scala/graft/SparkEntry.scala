@@ -44,4 +44,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Declared per-query scale ceilings (Q.scaleBound): queries whose plan
+    * is an oracle-scale-only baseline by contract. Bench excludes these
+    * when the target sf exceeds the bound.
+    */
+  def scaleBounds: Map[String, Double] =
+    all.flatMap(q => q.scaleBound.map(b => q.name -> b)).toMap
 }

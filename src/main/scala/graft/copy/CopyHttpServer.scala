@@ -12,12 +12,16 @@ trait CopyApi {
   def submit(request: CopyRequest): Either[String, String]
   def getTask(requestId: String): Option[CopyTaskState]
 
-  /** Registered-task counts by status name — the /health payload. */
-  def statusCounts: Map[String, Long] = Map.empty
+  /** Registered-task counts by status name — the /health payload.
+    * Abstract on purpose: a default empty map would let an implementer
+    * silently serve an empty /health instead of failing to compile.
+    */
+  def statusCounts: Map[String, Long]
 
-  /** Operational counters — the /metrics payload. */
-  def metricsSnapshot: CopyMetricsSnapshot =
-    CopyMetricsSnapshot(Map.empty, Map.empty, 0L)
+  /** Operational counters — the /metrics payload. Abstract for the same
+    * reason as statusCounts.
+    */
+  def metricsSnapshot: CopyMetricsSnapshot
 }
 
 /** REST facade over the copy service — the reference's ONLY externally

@@ -26,6 +26,12 @@ final class CopyTaskService(
 
   private val tasks = new ConcurrentHashMap[String, CopyTaskState]()
   private val pool = Executors.newFixedThreadPool(threadPoolSize)
+  // graft_copy_bytes_total is a Prometheus COUNTER: it must be monotonic
+  // for the service's lifetime. Accumulated here at item completion
+  // instead of being re-summed from the task registry, so a future
+  // registry eviction/retention policy cannot make the exposed value
+  // regress (scrapers would interpret the drop as a process restart).
+  private val bytesTotal = new java.util.concurrent.atomic.LongAdder()
 
   /** A17 submit. Validation errors use the reference's strings. */
   def submit(request: CopyRequest): Either[String, String] = {
@@ -67,7 +73,7 @@ final class CopyTaskService(
     CopyMetricsSnapshot(
       ts.groupBy(_.status.toString).view.mapValues(_.size.toLong).toMap,
       items.groupBy(_.status.toString).view.mapValues(_.size.toLong).toMap,
-      items.map(_.bytesCopied).sum)
+      bytesTotal.sum())
   }
 
   private def executeTask(task: CopyTaskState): Unit = {
@@ -100,6 +106,7 @@ final class CopyTaskService(
       val conf = fsFactory.configuration(namespace)
       val result = engine.copyPath(conf, item.sourcePath, item.destPath, bw)
       item.bytesCopied = result.bytesCopied
+      bytesTotal.add(result.bytesCopied)
       item.checksumVerified = result.checksumVerified
       item.durationMs = System.currentTimeMillis() - start
       item.status = CopyItemStatus.COMPLETED

@@ -60,6 +60,12 @@ object DedupClusters {
       .localCheckpoint()
     var converged = false
     var i = 0
+    // Convergence is checked every SECOND iteration (and on the last):
+    // labels only decrease, so a no-change step is a fixed point forever
+    // and a batched check detects it at most one (cheap, no-op) iteration
+    // late — halving the per-round driver actions from 2 (checkpoint job +
+    // count job) to ~1.5, which at fixture scale is the dominant cost of
+    // the #1 wall-time query (VERDICT r6 #5).
     while (!converged && i < maxIter) {
       // (a) propagate: each node takes min(own label, neighbors' labels).
       // edges is checkpointed partitioned on v; the labels side repartitions
@@ -83,11 +89,13 @@ object DedupClusters {
           least(col("s.label"), coalesce(col("ll"), col("s.label"))).as("label"))
         .repartition(parts, col("doc_id"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
+      if (i % 2 == 1 || i == maxIter - 1) {
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).count()
+        converged = changed == 0
+      }
       labels.unpersist() // superseded generation
       labels = next
-      converged = changed == 0
       i += 1
     }
     edges.unpersist()

@@ -45,6 +45,13 @@ object GlobalIndex {
     val nParts = math.max(n, counts.map(_.getInt(0)).foldLeft(-1)(math.max) + 1)
     val cnt = new Array[Long](nParts)
     counts.foreach(r => cnt(r.getInt(0)) = r.getLong(1))
+    // the stamp masks monotonically_increasing_id to its 33 local-index
+    // bits; a partition beyond 2^33 rows would silently wrap and corrupt
+    // ordinals — the counts are already on the driver, so fail loudly
+    require(cnt.forall(_ <= LocalIdxMask + 1),
+      s"GlobalIndex.withOrdinal: a partition holds more than 2^33 rows " +
+        s"(max ${cnt.max}); raise spark.sql.shuffle.partitions so the " +
+        "local index fits monotonically_increasing_id's per-partition bits")
     val offsets = cnt.scanLeft(0L)(_ + _) // offsets(p) = rows before partition p
     val offLit = array(offsets.iterator.take(nParts).map(lit).toSeq: _*)
     // pass 2: codegen'd map-side stamp over the checkpointed sorted rows

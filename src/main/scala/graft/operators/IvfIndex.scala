@@ -100,8 +100,13 @@ object IvfIndex {
   def probeCells(queriesDf: DataFrame, cents: DataFrame,
       nProbe: Int): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cell"))
+    // explicit crossJoin (not join(.., lit(true))): the |Q| × k centroid
+    // product is the deliberate bounded-side pattern, and stating it as a
+    // cross join is what keeps ScaleLint's cartesian check satisfied when
+    // the centroid side is a LOADED artifact scan (no Aggregate below it
+    // for the lint to recognize as bounded)
     queriesDf
-      .join(broadcast(cents), lit(true))
+      .crossJoin(broadcast(cents))
       .select(col("qid"), col("cell"),
         (col("qn2") + col("cn2") - lit(2.0) * dot(col("qv"), col("cvec"))).as("dist"))
       .withColumn("rn", row_number().over(wq))

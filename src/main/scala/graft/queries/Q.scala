@@ -13,10 +13,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 4th decimal), and the Spark output column names match the oracle's
   * aliases exactly (the driver sorts columns by name before hashing).
   */
+/** `scaleBound`: largest scale factor this query may run at — the
+  * explicit oracle-scale-only marker for declared correctness baselines
+  * whose plan is deliberately NOT the production shape (the O(n²) exact
+  * cosine twin, the declared cross join). Bench filters on it, so a
+  * future sf1/sf10 run excludes them by contract instead of by memory
+  * (SCALE.md); None = the query's plan is expected to survive any scale.
+  */
 final case class Q(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    scaleBound: Option[Double] = None)
 
 trait QueryModule {
   def queries: Seq[Q]

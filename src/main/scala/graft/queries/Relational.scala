@@ -258,7 +258,11 @@ object Relational extends QueryModule {
     "q_join_cross",
     (s, d) => Tables.region(s, d).crossJoin(Tables.nation(s, d))
       .agg(count(lit(1)).as("n_pairs")),
-    Some("SELECT count(*) AS n_pairs FROM region CROSS JOIN nation"))
+    Some("SELECT count(*) AS n_pairs FROM region CROSS JOIN nation"),
+    // the declared cartesian: bounded here (region × nation are fixed-size
+    // dims), but cross-join semantics are contract-tagged oracle-scale-only
+    // so large-sf benches exclude by field, not by memory (SCALE.md)
+    scaleBound = Some(0.15))
 
   // ---- multi-table TPC-H classics (headline bench queries) ---------------
 

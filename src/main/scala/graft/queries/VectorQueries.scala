@@ -48,7 +48,11 @@ object VectorQueries extends QueryModule {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])) > 0.45
-           ORDER BY id_a, id_b"""))
+           ORDER BY id_a, id_b"""),
+    // the ONE registry plan that must never run at scale (O(corpus²) by
+    // declared design — the oracle baseline for the LSH twin); the field
+    // makes the exclusion contractual for any sf > 0.1 bench
+    scaleBound = Some(0.15))
 
   // LSH-routed embedding near-dup (the 100 TB path for the query above):
   // every vector lands in 8 × 4-bit hyperplane buckets; candidate pairs

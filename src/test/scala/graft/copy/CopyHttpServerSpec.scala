@@ -57,6 +57,11 @@ class CopyHttpServerSpec extends SparkSpec with Eventually {
       else submitResult(req)
     }
     override def getTask(id: String): Option[CopyTaskState] = tasks.get(id)
+    // the trait keeps these abstract (so real implementers can't forget
+    // them); the stub's empty payloads live here, test-side only
+    override def statusCounts: Map[String, Long] = Map.empty
+    override def metricsSnapshot: CopyMetricsSnapshot =
+      CopyMetricsSnapshot(Map.empty, Map.empty, 0L)
   }
 
   test("valid request → 202 with requestId") {
