@@ -38,7 +38,14 @@ object Bench {
     // accident. Unparseable dir names (no "sf<k>" segment) filter nothing.
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
     val bounds = SparkEntry.scaleBounds
-    val (eligible, excluded) = SparkEntry.queries.toSeq.sortBy(_._1).partition {
+    // Optional subset mode: explicit query names as main args restrict the
+    // run (stress passes over the heavy family at scaled fixtures); no
+    // args = the full registry, which is what the driver invokes.
+    val subset = args.toSet
+    val picked =
+      if (subset.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter(q => subset(q._1))
+    val (eligible, excluded) = picked.sortBy(_._1).partition {
       case (name, _) => sf.forall(s => bounds.get(name).forall(_ >= s))
     }
     // Sorted-name execution order: Map iteration order reshuffles whenever

@@ -40,6 +40,22 @@ object IvfIndex {
   def load(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/cells"))
 
+  /** Incremental index maintenance: assign `vectors` (vec_id, embedding,
+    * n2) to the artifact's FROZEN centroids and append the new (vec_id,
+    * cell, n2) rows to `cells`. Assignment is a pure per-row function of
+    * (vector, centroids), so the appended index equals a fresh assign of
+    * the union against the same centroids (AnnPersistenceSpec). Centroid
+    * drift costs recall (retrain cadence), never correctness — probed
+    * cells still contain exactly the vectors assigned to them. Caller
+    * owns vec_id uniqueness vs the already-indexed corpus.
+    */
+  def append(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    val (cents, _) = load(spark, path)
+    assign(vectors, cents)
+      .select(col("vec_id"), col("cell"), col("n2"))
+      .write.mode("append").parquet(s"$path/cells")
+  }
+
   /** Assign each vector to its nearest centroid cell.
     * Returns (vec_id, embedding, n2, cell).
     *

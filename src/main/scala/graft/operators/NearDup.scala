@@ -385,6 +385,54 @@ object NearDup {
       .select(col("doc_id"), col("matched_id"), col("jaccard"))
   }
 
+  /** Incremental index maintenance: append `newDocs` (doc_id, sh) to a
+    * persisted jaccard corpus index (saveJaccardIndex) WITHOUT
+    * recomputing the frozen shingle order. `dfreq` stays the build-time
+    * snapshot: the prefix lemma needs only ONE fixed total order common
+    * to every side, so appended docs rank their shingles by the frozen
+    * order exactly as a probe batch does (rarePrefix(frozenOrder) —
+    * unseen shingles take df 0) and their prefixes are lossless for
+    * every future probe at ≥ the build threshold. Drifted true dfs cost
+    * candidate SELECTIVITY (rebuild on a cadence, like any inverted
+    * index), never pairs — NearDupIndexSpec pins appended == rebuilt
+    * matches exactly. Appends land via Spark's parquet commit protocol
+    * (task files stage under _temporary, ignored by readers), so a
+    * crashed append leaves the artifact readable. Caller owns doc_id
+    * uniqueness vs the already-indexed corpus.
+    */
+  def appendToJaccardIndex(newDocs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val builtThreshold =
+      spark.read.parquet(s"$path/meta").collect()(0).getDouble(0)
+    val tauBuild = builtThreshold - 0.0001
+    val dfreq = spark.read.parquet(s"$path/dfreq")
+    val c = newDocs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .localCheckpoint() // feeds both the prefix pass and the docs append
+    rarePrefix(c, dfreq, tauBuild, frozenOrder = true)
+      .write.mode("append").parquet(s"$path/prefix")
+    c.write.mode("append").parquet(s"$path/docs")
+  }
+
+  /** Incremental maintenance for the persisted band index: band `newDocs`
+    * with the ARTIFACT'S parameters and append. Band keys are a pure
+    * per-row function of (shingles, parameters), so the appended index
+    * equals a rebuild over the union (NearDupIndexSpec pins band-set
+    * equality). Caller owns doc_id uniqueness.
+    */
+  def appendToBandIndex(newDocs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val s = newDocs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint() // feeds both the banding pass and the docs append
+    withBandKeys(s, meta.getAs[Int]("numHashes"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("rowsPerBand"))
+      .select(col("bandKey"), col("doc_id"))
+      .write.mode("append").parquet(s"$path/banded")
+    s.write.mode("append").parquet(s"$path/docs")
+  }
+
   /** Asymmetric containment near-dup: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|,
     * reported when the SMALLER doc's shingles are ≥ `threshold` inside the
     * larger's — the quote-inclusion / page-wraps-article case Jaccard

@@ -86,6 +86,34 @@ object PqIndex {
     LoadedPq(books, spark.read.parquet(s"$path/codes"), cents)
   }
 
+  /** Incremental index maintenance — the daily-ingest shape: encode
+    * `vectors` (vec_id, embedding, n2) with the artifact's FROZEN
+    * codebooks (and, for IVF-PQ, assign cells with its frozen centroids)
+    * and append the new code rows to `codes`. Encoding is a pure per-row
+    * function of (vector, codebooks), so an appended index is
+    * row-identical to re-encoding the union with the same books
+    * (AnnPersistenceSpec pins this). Codebook drift as the corpus grows
+    * is a RECALL concern (retrain on a cadence, like any ANN index),
+    * never a correctness one: ADC scores stay exact w.r.t. the stored
+    * codes and the top-pool is exact-rescored from corpus floats anyway.
+    * The append lands via Spark's parquet commit protocol (task files
+    * stage under _temporary, which readers ignore), so a crashed append
+    * leaves the artifact readable; the caller owns vec_id uniqueness vs
+    * the already-indexed corpus.
+    */
+  def append(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    val idx = load(spark, path)
+    val withCell = idx.cents match {
+      case Some(c) => IvfIndex.assign(vectors, c)
+      case None    => vectors
+    }
+    val codeCols = Seq("vec_id", "n2", "code") ++
+      (if (idx.cents.isDefined) Seq("cell") else Nil)
+    encode(withCell, idx.books)
+      .select(codeCols.map(col): _*)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Per-subspace codebooks: `books(s)(c)` = codeword c of subspace s
     * (each of length dim/m). Trained as: deterministic hash-sample capped
     * at `64·k` vectors → k seed subvectors per subspace → one Lloyd

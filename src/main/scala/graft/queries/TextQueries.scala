@@ -444,6 +444,40 @@ object TextQueries extends QueryModule {
     },
     qDedupJaccardIncremental.oracle)
 
+  // Appended-index twin (r7 index maintenance): the corpus index is built
+  // on day-0 docs (doc_id % 10 > 1) and day-1 docs (doc_id % 10 = 1) are
+  // APPENDED under the frozen day-0 shingle order
+  // (NearDup.appendToJaccardIndex) — the standing-pipeline ingest path
+  // where the inverted index grows daily without a rebuild. The batch
+  // then probes the grown index. The oracle is the full batch × FULL
+  // corpus (day0 ∪ day1) DuckDB replay — identical SQL to
+  // q_dedup_jaccard_incremental — so a green row proves append loses no
+  // pair: frozen-order prefixes stay lossless as the corpus grows.
+  private val qDedupJaccardIncrAppended = Q(
+    "q_dedup_jaccard_incr_appended",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, NearDup}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      val path = ArtifactPaths.keyed("jacidx", s"$d/documents.parquet",
+        "tau=0.8,shingle=3,corpus=mod10gt1,appended=mod10eq1,v=1")
+      // two-phase build → the save's own meta marker is not enough: a
+      // crash between save and append would leave a complete-LOOKING
+      // index missing day-1. The build commits on a marker written after
+      // BOTH phases.
+      val done = new java.io.File(s"$path/append.done")
+      if (!done.isFile) {
+        NearDup.saveJaccardIndex(docs.filter(col("doc_id") % 10 > 1), path)
+        NearDup.appendToJaccardIndex(docs.filter(col("doc_id") % 10 === 1),
+          s, path)
+        done.createNewFile()
+      }
+      NearDup.jaccardMatchesAgainstLoaded(
+          docs.filter(col("doc_id") % 10 === 0), s, path)
+        .orderBy(col("doc_id"), col("matched_id"))
+    },
+    qDedupJaccardIncremental.oracle)
+
   // Asymmetric containment dedup (quote-inclusion / page-wraps-article —
   // the case Jaccard misses): smaller doc's shingles ≥ 90% inside the
   // larger's. Prefix filter on the contained side only (inherent — see
@@ -761,6 +795,7 @@ object TextQueries extends QueryModule {
     qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
     qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
+    qDedupJaccardIncrAppended,
     qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
     qSourceOverlap, qDedupContainment)
 }

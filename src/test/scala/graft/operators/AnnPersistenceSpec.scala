@@ -86,6 +86,69 @@ class AnnPersistenceSpec extends SparkSpec {
     }
   }
 
+  test("PQ append with frozen books equals re-encoding the union") {
+    val e = embeddings.localCheckpoint()
+    val day0 = e.filter(col("vec_id") % 2 === 0).localCheckpoint()
+    val day1 = e.filter(col("vec_id") % 2 =!= 0).localCheckpoint()
+    val books = PqIndex.train(spark, day0, dim = 64, m = 8, k = 16)
+    val dir = tmpDir("graft_pq_append").toString
+    PqIndex.save(dir, books, PqIndex.encode(day0, books))
+    PqIndex.append(spark, dir, day1)
+    val idx = PqIndex.load(spark, dir)
+    idx.codes.count() shouldBe e.count()
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2"))
+    val appended = rows(PqIndex.topKFrom(queries, idx.codes, e, idx.books,
+      k = 5, pool = 25).orderBy(col("qid"), col("rn")))
+    val rebuilt = rows(PqIndex.topKFrom(queries, PqIndex.encode(e, books), e,
+      books, k = 5, pool = 25).orderBy(col("qid"), col("rn")))
+    appended shouldBe rebuilt
+  }
+
+  test("IVF append with frozen centroids equals re-assigning the union") {
+    val e = embeddings.localCheckpoint()
+    val day0 = e.filter(col("vec_id") % 2 === 0).localCheckpoint()
+    val day1 = e.filter(col("vec_id") % 2 =!= 0).localCheckpoint()
+    val cents = IvfIndex.centroids(spark, day0, 16)
+    val dir = tmpDir("graft_ivf_append").toString
+    IvfIndex.save(dir, cents, IvfIndex.assign(day0, cents))
+    IvfIndex.append(spark, dir, day1)
+    val (lCents, lCells) = IvfIndex.load(spark, dir)
+    lCells.count() shouldBe e.count()
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2"))
+    val appended = rows(IvfIndex.topKFrom(queries, lCells, e, lCents, k = 5, nProbe = 3))
+    val rebuilt = rows(IvfIndex.topKFrom(queries,
+      IvfIndex.assign(e, cents).select(col("vec_id"), col("cell"), col("n2")),
+      e, cents, k = 5, nProbe = 3))
+    appended shouldBe rebuilt
+  }
+
+  test("IVF-PQ append stamps cells with the frozen centroids") {
+    val e = embeddings.localCheckpoint()
+    val day0 = e.filter(col("vec_id") % 2 === 0).localCheckpoint()
+    val day1 = e.filter(col("vec_id") % 2 =!= 0).localCheckpoint()
+    val cents = IvfIndex.centroids(spark, day0, 16)
+    val books = PqIndex.train(spark, day0, dim = 64, m = 8, k = 16)
+    val dir = tmpDir("graft_ivfpq_append").toString
+    PqIndex.save(dir, books, PqIndex.encode(IvfIndex.assign(day0, cents), books),
+      Some(cents))
+    PqIndex.append(spark, dir, day1)
+    val idx = PqIndex.load(spark, dir)
+    idx.codes.columns.toSet shouldBe Set("vec_id", "n2", "code", "cell")
+    idx.codes.count() shouldBe e.count()
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2"))
+    val appended = rows(PqIndex.topKIvfFrom(queries, idx.codes, e, idx.books,
+      idx.cents.get, k = 5, pool = 25, nProbe = 6).orderBy(col("qid"), col("rn")))
+    val rebuilt = rows(PqIndex.topKIvfFrom(queries,
+      PqIndex.encode(IvfIndex.assign(e, cents), books)
+        .select(col("vec_id"), col("n2"), col("code"), col("cell")),
+      e, books, cents, k = 5, pool = 25, nProbe = 6)
+      .orderBy(col("qid"), col("rn")))
+    appended shouldBe rebuilt
+  }
+
   test("a half-written artifact (no meta) is invisible to exists") {
     val dir = tmpDir("graft_partial").toString
     new java.io.File(s"$dir/codes").mkdirs()

@@ -71,6 +71,43 @@ class NearDupIndexSpec extends SparkSpec {
     }
   }
 
+  test("appended index probes identically to recompute against the full corpus") {
+    // daily-ingest shape: index day-0 corpus, append day-1 docs under the
+    // FROZEN day-0 shingle order, then probe — must equal the recomputed
+    // batch-vs-(day0 ∪ day1) matches (the lemma needs only one fixed
+    // common order; drifted dfs cost selectivity, never pairs)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val day0 = docs.filter(col("doc_id") % 10 > 1)
+    val day1 = docs.filter(col("doc_id") % 10 === 1)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = tmpDir("graft_jacidx_app").toString
+    NearDup.saveJaccardIndex(day0, dir)
+    NearDup.appendToJaccardIndex(day1, spark, dir)
+    val appended = matches(NearDup.jaccardMatchesAgainstLoaded(batch, spark, dir))
+    val recomputed = matches(
+      NearDup.jaccardMatchesAgainst(batch, day0.unionByName(day1)))
+    appended shouldBe recomputed
+  }
+
+  test("appended band index equals a rebuild over the union") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val day0 = docs.filter(col("doc_id") % 10 > 1)
+    val day1 = docs.filter(col("doc_id") % 10 === 1)
+    val dir = tmpDir("graft_bandidx_app").toString
+    NearDup.saveBandIndex(day0, dir)
+    NearDup.appendToBandIndex(day1, spark, dir)
+    val appended = NearDup.loadBandIndex(spark, dir)
+    val rebuilt = NearDup.buildBandIndex(day0.unionByName(day1))
+    appended.banded.count() shouldBe rebuilt.banded.count()
+    val aSet = appended.banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSet = rebuilt.banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    aSet shouldBe rSet
+  }
+
   test("probing at a HIGHER threshold than the build is allowed; lower is rejected") {
     val corpus = docsDf((101L, (1 to 30).map(i => s"c$i").mkString(" ")))
     val nearDup = (1 to 29).map(i => s"c$i").mkString(" ") + " x30"
