@@ -11,12 +11,19 @@ object Bench {
     // without driver-side multi-pass orchestration. PASSES=1 restores the
     // old single-pass mode for quick local smoke.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Stress-run conf pass-through (e.g. spark.graft.lsh.bits=7 at a
+    // scaled fixture): comma-separated k=v pairs, applied in order.
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(',')).filter(_.contains('='))
+      .foldLeft(builder) { (b, kv) =>
+        val i = kv.indexOf('='); b.config(kv.take(i), kv.drop(i + 1))
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT + codegen + parquet-footer caches, so the first

@@ -55,18 +55,26 @@ object VectorQueries extends QueryModule {
     scaleBound = Some(0.15))
 
   // LSH-routed embedding near-dup (the 100 TB path for the query above):
-  // every vector lands in 8 × 4-bit hyperplane buckets; candidate pairs
+  // every vector lands in 8 × b-bit hyperplane buckets; candidate pairs
   // are bucket-equi-join collisions (ids only through the distinct), then
   // exact cosine verification via the codegen'd FloatVecDot re-attach.
   // No oracle (bucket membership is engine-defined); recall vs the exact
   // baseline is pinned by spec.
+  //
+  // Bucket WIDTH must scale with the corpus: per-bucket occupancy is
+  // n/2^b, so candidate pairs grow as n²/2^b and fixed b turns
+  // quadratic at scale (measured: 12.4× wall-clock for 10× rows at
+  // b=4 — SCALE.md §stress). Production sizes b ≈ log2(n/occupancy);
+  // `spark.graft.lsh.bits` overrides (runtime conf), default 4 = the
+  // fixture-scale setting the recall spec pins.
   private val qEmbeddingLsh = Q(
     "q_dedup_embedding_lsh",
     (s, d) => {
+      val bits = s.conf.get("spark.graft.lsh.bits", "4").toInt
       val seeds = Seq(1, 2, 3, 4, 5, 6, 7, 8)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
-        .withColumn("buckets", lshBuckets(col("embedding"), 4, seeds))
+        .withColumn("buckets", lshBuckets(col("embedding"), bits, seeds))
       val binned = e.select(col("vec_id"),
         posexplode(col("buckets")).as(Seq("tbl", "bkt")))
       val aSide = binned.select(col("vec_id").as("id_a"), col("tbl"), col("bkt"))

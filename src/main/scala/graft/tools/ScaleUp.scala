@@ -13,30 +13,49 @@ import org.apache.spark.sql.functions._
   * Replicas must be DISTINCT data, not clones: cloning every document
   * `factor`× would make every doc a member of a `factor`-clique, so
   * candidate volume per LSH bucket would grow as the square of the
-  * replication — a data artifact, not an engine property. Instead each
-  * replica k>0:
-  *   - documents: word order is permuted by sorting on xxhash64(word, k)
-  *     — length/vocab/token distributions are preserved, but 3-gram
-  *     shingle sets (the near-dup signal) are destroyed, so cross-replica
-  *     docs are honest negatives and the dup DENSITY of the original
-  *     fixture is preserved at every factor;
-  *   - embeddings: the float vector is circularly rotated by k positions
-  *     — norms and per-dimension distributions are preserved while
-  *     direction (the cosine signal) decorrelates.
-  * Both transforms are pure functions of (row, k): re-running produces a
+  * replication — a data artifact, not an engine property. Two replica
+  * modes, because the fixture's text vocabulary is TINY (31 words → a
+  * ~27.6k-trigram space that is already saturated at sf0.1):
+  *
+  *   - `shard` (default, the Heaps-law-ish realistic shape): replica k>0
+  *     tags every word with `_k`, so each replica is an ISOMORPHIC copy
+  *     of the original corpus over a disjoint vocabulary — within-replica
+  *     dup/near-dup structure, shingle dfs, and jaccard values are
+  *     exactly the original's; cross-replica overlap is zero. Shingle
+  *     vocabulary grows ×factor and Σdf² grows linearly, which is how
+  *     real corpora grow. Use this mode to measure engine scaling
+  *     exponents.
+  *   - `permute` (the adversarial hot-shingle stress): replica k>0
+  *     permutes word order by sorting on xxhash64(word, k). "New"
+  *     trigrams land in the SAME saturated 31-word trigram space, so
+  *     document frequencies explode (sf1: max df 13,410 vs 25, Σdf²
+  *     ×3000 for ×10 data) and every inverted-index candidate join
+  *     degenerates toward all-pairs — by construction, for ANY engine.
+  *     Use this mode to check the engine SURVIVES df-degenerate data,
+  *     not to measure scaling.
+  *
+  * Embeddings: replica k>0 circularly rotates the float vector by k
+  * positions — norms and per-dimension distributions are preserved while
+  * direction (the cosine signal) decorrelates; the 64-dim continuous
+  * space does not saturate, so rotation is fine in both modes.
+  *
+  * All transforms are pure functions of (row, k): re-running produces a
   * byte-identical fixture, so recorded stress numbers are reproducible.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor> [shard|permute]
   */
 object ScaleUp {
   private val IdStride = 100000000L // replica id namespace; >> any fixture
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: ScaleUp <srcSfDir> <outDir> <factor>")
-    val Array(src, out, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcSfDir> <outDir> <factor> [shard|permute]")
+    val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
     require(factor >= 1, "factor must be >= 1")
+    val mode = if (args.length == 4) args(3) else "shard"
+    require(mode == "shard" || mode == "permute",
+      s"unknown mode '$mode': use shard | permute")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,24 +66,59 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events"))
+    // Dimensions stay fixed (the realistic fact-growth-at-fixed-dims
+    // shape: new orders/events arrive, the customer/part/supplier
+    // universe doesn't grow 10×); fact tables replicate with
+    // FK-CONSISTENT key offsets — replica k's lineitem rows point at
+    // replica k's orders via the same +k·stride on the orderkey, and
+    // event replicas are NEW users (user_id offset) with the original
+    // per-user event structure, so per-key group/window state stays
+    // bounded while key CARDINALITY scales — exactly how these tables
+    // grow in production.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    def replicateFacts(t: String, keyOffsets: Map[String, Boolean]): Unit = {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      (0 until factor).map { k =>
+        if (k == 0) df
+        else df.select(df.columns.toSeq.map { c =>
+          if (keyOffsets.getOrElse(c, false))
+            (col(c) + lit(k * IdStride)).as(c)
+          else col(c)
+        }: _*)
+      }.reduce(_.unionByName(_))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    replicateFacts("orders", Map("o_orderkey" -> true))
+    replicateFacts("lineitem", Map("l_orderkey" -> true))
+    replicateFacts("events", Map("event_id" -> true, "user_id" -> true))
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docReps = (0 until factor).map { k =>
       if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(k * IdStride)).as("doc_id"),
-        // hash-sort permutation of word order, seeded by the replica id
-        expr(s"""array_join(
-                   array_sort(split(text, ' '),
-                     (l, r) -> CASE WHEN xxhash64(l, $k) < xxhash64(r, $k) THEN -1
-                               WHEN xxhash64(l, $k) > xxhash64(r, $k) THEN 1
-                               ELSE 0 END),
-                   ' ')""").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+      else {
+        val newText = mode match {
+          case "shard" =>
+            // disjoint-vocabulary isomorphic copy: every word tagged _k
+            expr(s"array_join(transform(split(text, ' '), " +
+              s"w -> concat(w, '_$k')), ' ')")
+          case "permute" =>
+            // hash-sort permutation of word order, seeded by replica id
+            expr(s"""array_join(
+                       array_sort(split(text, ' '),
+                         (l, r) -> CASE WHEN xxhash64(l, $k) < xxhash64(r, $k) THEN -1
+                                   WHEN xxhash64(l, $k) > xxhash64(r, $k) THEN 1
+                                   ELSE 0 END),
+                       ' ')""")
+        }
+        docs.select(
+          (col("doc_id") + lit(k * IdStride)).as("doc_id"),
+          newText.as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
     }
     docReps.reduce(_.unionByName(_))
       .repartition(cpus.toInt)
@@ -86,7 +140,8 @@ object ScaleUp {
 
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"[scaleup] wrote $out: documents=$nd embeddings=$ne factor=$factor")
+    println(s"[scaleup] wrote $out: documents=$nd embeddings=$ne " +
+      s"factor=$factor mode=$mode")
     spark.stop()
   }
 }
