@@ -18,6 +18,14 @@ import graft.operators.PqIndex
   */
 object VectorQueries extends QueryModule {
 
+  /** Occupancy-targeted hyperplane bucket width: the smallest b with
+    * n/2^b ≤ target (floor 4). Pair-join candidate volume is n²/2^b, so
+    * holding OCCUPANCY (not b) constant is what keeps the LSH pair join
+    * linear in n — b=4 at the 2k fixture, 8 at 10×, ~17 at 10⁷ vectors.
+    */
+  private[queries] def lshBitsFor(n: Long, target: Long = 125L): Int =
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros((n.max(1L) - 1) / target))
+
   // Cosine near-duplicate pairs above 0.45 (the fixture's synthetic
   // vectors max out near 0.51 — a 0.95 threshold would be vacuous).
   // DuckDB oracle uses list_cosine_similarity over DOUBLE[] casts.
@@ -64,13 +72,20 @@ object VectorQueries extends QueryModule {
   // Bucket WIDTH must scale with the corpus: per-bucket occupancy is
   // n/2^b, so candidate pairs grow as n²/2^b and fixed b turns
   // quadratic at scale (measured: 12.4× wall-clock for 10× rows at
-  // b=4 — SCALE.md §stress). Production sizes b ≈ log2(n/occupancy);
-  // `spark.graft.lsh.bits` overrides (runtime conf), default 4 = the
-  // fixture-scale setting the recall spec pins.
+  // b=4 — SCALE.md §stress). Default is occupancy-targeted —
+  // b = max(4, ⌈log2(n/125)⌉), which keeps ~125 vectors/bucket at any
+  // corpus size (b=4 at the 2k-vector fixture, so the recall spec's
+  // pinned setting IS the default there; b=7 at 10×, measured 5.4×
+  // faster than fixed b=4). The n comes from a parquet-stat count
+  // (metadata-only job). Wider buckets thin marginal-pair collisions
+  // (per-table prob p^b), so production also grows the table count
+  // with b — here the 8 tables stay fixed and `spark.graft.lsh.bits`
+  // overrides b explicitly when the trade needs pinning.
   private val qEmbeddingLsh = Q(
     "q_dedup_embedding_lsh",
     (s, d) => {
-      val bits = s.conf.get("spark.graft.lsh.bits", "4").toInt
+      val bits = s.conf.getOption("spark.graft.lsh.bits").map(_.toInt)
+        .getOrElse(lshBitsFor(Tables.embeddings(s, d).count()))
       val seeds = Seq(1, 2, 3, 4, 5, 6, 7, 8)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))

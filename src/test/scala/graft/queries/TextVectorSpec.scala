@@ -112,6 +112,31 @@ class TextVectorSpec extends SparkSpec {
                             // worst case (cf. q_sim_topk_ann_lsh note)
   }
 
+  test("occupancy-targeted LSH bucket width: fixture stays at the pinned b=4, scale grows as log2") {
+    // the recall test above runs at the auto-sized default, so this pins
+    // that the default IS b=4 at fixture cardinalities (n ≤ 2000) and
+    // grows exactly one bit per doubling beyond the 125-occupancy knee
+    VectorQueries.lshBitsFor(1) shouldBe 4
+    VectorQueries.lshBitsFor(2000) shouldBe 4
+    VectorQueries.lshBitsFor(125L << 4) shouldBe 4
+    VectorQueries.lshBitsFor((125L << 4) + 1) shouldBe 5
+    VectorQueries.lshBitsFor(20000) shouldBe 8
+    VectorQueries.lshBitsFor(10000000L) shouldBe 17
+    // explicit conf override wins over auto-sizing: the planned
+    // LshBuckets expression must carry the overridden width
+    spark.conf.set("spark.graft.lsh.bits", "6")
+    try {
+      val plan = graft.SparkEntry.queries("q_dedup_embedding_lsh")(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val widths = plan.collect { case node =>
+        node.expressions.flatMap(_.collect {
+          case graft.plans.LshBuckets(_, b, _) => b
+        })
+      }.flatten.toSet
+      widths shouldBe Set(6)
+    } finally spark.conf.unset("spark.graft.lsh.bits")
+  }
+
   test("IVF top-k achieves usable recall vs brute force on the fixture") {
     val brute = graft.SparkEntry.queries("q_sim_topk_brute")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
