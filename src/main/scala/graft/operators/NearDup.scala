@@ -385,6 +385,35 @@ object NearDup {
       .select(col("doc_id"), col("matched_id"), col("jaccard"))
   }
 
+  /** Batch probe of a band index (the non-streaming sibling of
+    * StreamingOps.nearDupMatches): band `batch` with the INDEX's own
+    * parameters, equi-join on bandKey against the ids-only banded half,
+    * exact-Jaccard verify on id re-attach. Candidate-level dedup via
+    * distinct (a (batch doc, corpus doc) pair colliding in several bands
+    * reports once). LSH-approximate by design — pairs missed by every
+    * band are missed (banding theorem governs the rate) — same contract
+    * as the streaming matcher and q_dedup_minhash_lsh.
+    */
+  def matchAgainstBandIndex(batch: DataFrame, index: BandIndex,
+      threshold: Double = DefaultThreshold): DataFrame = {
+    val b = batch.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint() // feeds banding + the verification re-attach
+    val cand = withBandKeys(b, index.numHashes, index.bands,
+        index.rowsPerBand)
+      .select(col("bandKey"), col("doc_id"))
+      .join(index.banded.select(col("bandKey"),
+        col("doc_id").as("matched_id")), "bandKey")
+      .select(col("doc_id"), col("matched_id")).distinct()
+    verifyJaccard(
+      cand
+        .join(b.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+        .join(index.docs.select(col("doc_id").as("matched_id"),
+          col("sh").as("sh_b")), "matched_id"),
+      "sh_a", "sh_b", threshold)
+      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+  }
+
   /** Incremental index maintenance: append `newDocs` (doc_id, sh) to a
     * persisted jaccard corpus index (saveJaccardIndex) WITHOUT
     * recomputing the frozen shingle order. `dfreq` stays the build-time

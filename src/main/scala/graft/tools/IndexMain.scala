@@ -1,0 +1,182 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.wordShingles
+import graft.functions.VectorFunctions.normSq
+import graft.operators.{ArtifactPaths, IvfIndex, NearDup, PqIndex}
+
+/** CLI surface for the persisted-index lifecycle — the commands a
+  * standing pipeline actually runs: build once, append daily, query
+  * many. One executable per lifecycle step so each is schedulable and
+  * idempotent on its own artifact directory (`meta`-last commit marker;
+  * see ArtifactPaths).
+  *
+  * Usage:
+  *   runMain graft.tools.IndexMain <command> <sfDir> <indexDir> [k=v ...]
+  *
+  * Commands (index kind × lifecycle step):
+  *   build-pq | build-ivf | build-ivfpq | build-jaccard | build-band
+  *   append-pq | append-ivf | append-jaccard | append-band
+  *   query-pq | query-ivf | query-ivfpq | query-jaccard | query-band
+  *
+  * Options (strict — unknown or duplicate keys exit 2, same posture as
+  * StreamMain):
+  *   split=all|mod10ne0|mod10gt1|mod10eq0|mod10eq1   rows of the fixture
+  *     table to use. Defaults make the three-step lifecycle DISJOINT out
+  *     of the box: every build indexes the day-0 corpus (mod10gt1),
+  *     append adds the day-1 slice (mod10eq1), queries probe the
+  *     held-out batch (mod10eq0 for near-dup; vec_id<10 for ANN).
+  *     Appends assume ids disjoint from the indexed corpus (the
+  *     operators' documented contract) — overriding splits so they
+  *     overlap indexes those ids twice.
+  *   m= k= dim= cells= tau= topk= pool= nprobe=   numeric knobs
+  *
+  * Vectors come from `<sfDir>/embeddings.parquet` (vec_id, embedding →
+  * n2 derived), documents from `<sfDir>/documents.parquet` (doc_id,
+  * text → 3-gram shingles derived) — the same derivations the registry
+  * queries use, so a CLI-built artifact serves the registry's loaded
+  * twins and vice versa.
+  */
+object IndexMain {
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(s"[index] $msg")
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3)
+      fail("usage: IndexMain <command> <sfDir> <indexDir> [k=v ...]")
+    val cmd = args(0)
+    val sfDir = args(1)
+    val dir = args(2)
+    val rest = args.drop(3)
+    val split0 = rest.map(_.split("=", 2))
+    split0.collect { case a if a.length != 2 || a(1).isEmpty => a }
+      .foreach(a => fail(s"bad option '${a.mkString("=")}': use k=v"))
+    val keys = split0.map(_(0))
+    if (keys.distinct.length != keys.length)
+      fail(s"duplicate option key in '${rest.mkString(" ")}'")
+    val known = Set("split", "m", "k", "dim", "cells", "tau", "topk",
+      "pool", "nprobe")
+    keys.filterNot(known).foreach(k => fail(s"unknown option '$k'"))
+    val kv = split0.map(a => (a(0), a(1))).toMap
+    def num(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
+    def dbl(key: String, dflt: Double): Double =
+      kv.get(key).map(_.toDouble).getOrElse(dflt)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def withSplit(df: DataFrame, id: String, dflt: String): DataFrame =
+      kv.getOrElse("split", dflt) match {
+        case "all"      => df
+        case "mod10ne0" => df.filter(col(id) % 10 =!= 0)
+        case "mod10gt1" => df.filter(col(id) % 10 > 1)
+        case "mod10eq0" => df.filter(col(id) % 10 === 0)
+        case "mod10eq1" => df.filter(col(id) % 10 === 1)
+        case other      => fail(s"unknown split '$other'")
+      }
+
+    def vectors(dflt: String): DataFrame =
+      withSplit(graft.Tables.embeddings(spark, sfDir), "vec_id", dflt)
+        .select(col("vec_id"), col("embedding"),
+          normSq(col("embedding")).as("n2"))
+
+    def docs(dflt: String): DataFrame =
+      withSplit(graft.Tables.documents(spark, sfDir), "doc_id", dflt)
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+
+    def annQueries(e: DataFrame): DataFrame =
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("n2").as("qn2"))
+
+    val t0 = System.nanoTime()
+    cmd match {
+      case "build-pq" =>
+        val e = vectors("mod10gt1").localCheckpoint()
+        val books = PqIndex.train(spark, e, dim = num("dim", 64),
+          m = num("m", 8), k = num("k", 16))
+        PqIndex.save(dir, books, PqIndex.encode(e, books))
+      case "build-ivf" =>
+        val e = vectors("mod10gt1").localCheckpoint()
+        val cents = IvfIndex.centroids(spark, e, num("k", 16))
+        IvfIndex.save(dir, cents, IvfIndex.assign(e, cents))
+      case "build-ivfpq" =>
+        val e = vectors("mod10gt1").localCheckpoint()
+        val cents = IvfIndex.centroids(spark, e, num("cells", 16))
+        val books = PqIndex.train(spark, e, dim = num("dim", 64),
+          m = num("m", 8), k = num("k", 16))
+        PqIndex.save(dir, books,
+          PqIndex.encode(IvfIndex.assign(e, cents), books), Some(cents))
+      case "build-jaccard" =>
+        NearDup.saveJaccardIndex(docs("mod10gt1"), dir, dbl("tau", 0.8))
+      case "build-band" =>
+        NearDup.saveBandIndex(docs("mod10gt1"), dir)
+
+      case "append-pq" | "append-ivfpq" =>
+        PqIndex.append(spark, dir, vectors("mod10eq1"))
+      case "append-ivf" =>
+        IvfIndex.append(spark, dir, vectors("mod10eq1"))
+      case "append-jaccard" =>
+        NearDup.appendToJaccardIndex(docs("mod10eq1"), spark, dir)
+      case "append-band" =>
+        NearDup.appendToBandIndex(docs("mod10eq1"), spark, dir)
+
+      case "query-pq" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val e = vectors("all")
+        val idx = PqIndex.load(spark, dir)
+        PqIndex.topKFrom(annQueries(e), idx.codes, e, idx.books,
+            k = num("topk", 5), pool = num("pool", 25))
+          .orderBy(col("qid"), col("rn"))
+          .show(100, truncate = false)
+      case "query-ivf" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val e = vectors("all")
+        val (cents, cells) = IvfIndex.load(spark, dir)
+        IvfIndex.topKFrom(annQueries(e), cells, e, cents,
+            k = num("topk", 5), nProbe = num("nprobe", 3))
+          .show(100, truncate = false)
+      case "query-ivfpq" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val e = vectors("all")
+        val idx = PqIndex.load(spark, dir)
+        val cents = idx.cents.getOrElse(fail(s"$dir has no centroids " +
+          "(built as plain PQ?) — use query-pq"))
+        PqIndex.topKIvfFrom(annQueries(e), idx.codes, e, idx.books, cents,
+            k = num("topk", 5), pool = num("pool", 25),
+            nProbe = num("nprobe", 6))
+          .orderBy(col("qid"), col("rn"))
+          .show(100, truncate = false)
+      case "query-jaccard" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        NearDup.jaccardMatchesAgainstLoaded(docs("mod10eq0"), spark, dir,
+            dbl("tau", 0.8))
+          .orderBy(col("doc_id"), col("matched_id"))
+          .show(100, truncate = false)
+      case "query-band" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val idx = NearDup.loadBandIndex(spark, dir)
+        val batch = docs("mod10eq0")
+        NearDup.matchAgainstBandIndex(batch, idx)
+          .orderBy(col("doc_id"), col("matched_id"))
+          .show(100, truncate = false)
+
+      case other => fail(s"unknown command '$other'")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[index] $cmd $dir done elapsed_sec=$sec%.2f")
+    spark.stop()
+  }
+}

@@ -108,6 +108,26 @@ class NearDupIndexSpec extends SparkSpec {
     aSet shouldBe rSet
   }
 
+  test("batch band-index probe: loaded == built, every match exact-verified") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = tmpDir("graft_bandidx_probe").toString
+    NearDup.saveBandIndex(corpus, dir)
+    val got = matches(
+      NearDup.matchAgainstBandIndex(batch, NearDup.loadBandIndex(spark, dir)))
+    val built = matches(
+      NearDup.matchAgainstBandIndex(batch, NearDup.buildBandIndex(corpus)))
+    got shouldBe built
+    // LSH is recall-approximate but NEVER precision-approximate: every
+    // reported pair must be in the exact cross-set jaccard output
+    val exact = matches(NearDup.jaccardMatchesAgainst(batch, corpus))
+    got.diff(exact) shouldBe empty
+    got should not be empty // the fixture's planted cross-set near-dups
+  }
+
   test("probing at a HIGHER threshold than the build is allowed; lower is rejected") {
     val corpus = docsDf((101L, (1 to 30).map(i => s"c$i").mkString(" ")))
     val nearDup = (1 to 29).map(i => s"c$i").mkString(" ") + " x30"
