@@ -355,6 +355,18 @@ object NearDup {
   def jaccardMatchesAgainstLoaded(batch: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Double = DefaultThreshold): DataFrame = {
+    val (cand, b, cDocs) = loadedProbeCandidates(batch, spark, path, threshold)
+    verifiedLoadedMatches(cand, b, cDocs, threshold)
+  }
+
+  /** The candidate half of the loaded probe — shared by the matcher and
+    * the selectivity report so the two can never measure different
+    * kernels. Returns (candidate id pairs, checkpointed batch, corpus
+    * docs).
+    */
+  private def loadedProbeCandidates(batch: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val builtThreshold =
       spark.read.parquet(s"$path/meta").collect()(0).getDouble(0)
     require(threshold >= builtThreshold,
@@ -376,6 +388,11 @@ object NearDup {
         col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
         col("n") >= lit(tau) * col("n_c") - lit(1e-9))
       .select(col("doc_id"), col("matched_id")).distinct()
+    (cand, b, cDocs)
+  }
+
+  private def verifiedLoadedMatches(cand: DataFrame, b: DataFrame,
+      cDocs: DataFrame, threshold: Double): DataFrame =
     verifyJaccard(
       cand
         .join(b.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
@@ -383,6 +400,32 @@ object NearDup {
           "matched_id"),
       "sh_a", "sh_b", threshold)
       .select(col("doc_id"), col("matched_id"), col("jaccard"))
+
+  /** Probe-selectivity report for a persisted jaccard index — the
+    * operational signal the saveJaccardIndex staleness contract says to
+    * watch: as true document frequencies drift from the frozen snapshot,
+    * `candidates` grows toward the unfiltered join while `verified`
+    * stays flat, so a rising candidates/verified ratio (equivalently a
+    * falling precision) is the REBUILD trigger. Counts come from the
+    * exact same candidate kernel the matcher runs (shared
+    * loadedProbeCandidates), so the report measures the real query, not
+    * an estimate of it.
+    */
+  final case class ProbeStats(batchDocs: Long, candidates: Long,
+      verified: Long, indexedDocs: Long, prefixRows: Long, vocab: Long)
+
+  def jaccardProbeStats(batch: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double = DefaultThreshold): ProbeStats = {
+    val (cand0, b, cDocs) = loadedProbeCandidates(batch, spark, path, threshold)
+    val cand = cand0.localCheckpoint() // counted AND verified — one compute
+    ProbeStats(
+      batchDocs = b.count(),
+      candidates = cand.count(),
+      verified = verifiedLoadedMatches(cand, b, cDocs, threshold).count(),
+      indexedDocs = cDocs.count(),
+      prefixRows = spark.read.parquet(s"$path/prefix").count(),
+      vocab = spark.read.parquet(s"$path/dfreq").count())
   }
 
   /** Batch probe of a band index (the non-streaming sibling of

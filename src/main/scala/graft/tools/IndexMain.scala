@@ -20,6 +20,8 @@ import graft.operators.{ArtifactPaths, IvfIndex, NearDup, PqIndex}
   *   build-pq | build-ivf | build-ivfpq | build-jaccard | build-band
   *   append-pq | append-ivf | append-jaccard | append-band
   *   query-pq | query-ivf | query-ivfpq | query-jaccard | query-band
+  *   stats-jaccard   (probe-selectivity report — the rebuild-cadence
+  *     signal: one JSON line with candidates/verified/index sizes)
   *
   * Options (strict — unknown or duplicate keys exit 2, same posture as
   * StreamMain):
@@ -172,6 +174,20 @@ object IndexMain {
         NearDup.matchAgainstBandIndex(batch, idx)
           .orderBy(col("doc_id"), col("matched_id"))
           .show(100, truncate = false)
+
+      case "stats-jaccard" =>
+        // the rebuild-cadence signal: candidates/verified rising (df
+        // drift eroding prefix selectivity) means rebuild the index
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val s = NearDup.jaccardProbeStats(docs("mod10eq0"), spark, dir,
+          dbl("tau", 0.8))
+        val ratio =
+          if (s.verified == 0) "null"
+          else f"${s.candidates.toDouble / s.verified}%.2f"
+        println(s"""{"batch_docs":${s.batchDocs},""" +
+          s""""candidates":${s.candidates},"verified":${s.verified},""" +
+          s""""cand_per_verified":$ratio,"indexed_docs":${s.indexedDocs},""" +
+          s""""prefix_rows":${s.prefixRows},"vocab":${s.vocab}}""")
 
       case other => fail(s"unknown command '$other'")
     }

@@ -128,6 +128,26 @@ class NearDupIndexSpec extends SparkSpec {
     got should not be empty // the fixture's planted cross-set near-dups
   }
 
+  test("probe stats measure the matcher's own kernel: verified == match count, candidates bound it") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = tmpDir("graft_jacidx_stats").toString
+    NearDup.saveJaccardIndex(corpus, dir)
+    val stats = NearDup.jaccardProbeStats(batch, spark, dir)
+    val matchCount = NearDup.jaccardMatchesAgainstLoaded(batch, spark, dir).count()
+    stats.verified shouldBe matchCount
+    stats.candidates should be >= stats.verified
+    stats.batchDocs shouldBe batch.filter(
+      org.apache.spark.sql.functions.size(col("sh")) > 0).count()
+    stats.indexedDocs shouldBe corpus.filter(
+      org.apache.spark.sql.functions.size(col("sh")) > 0).count()
+    stats.vocab should be > 0L
+    stats.prefixRows should be > 0L
+  }
+
   test("probing at a HIGHER threshold than the build is allowed; lower is rejected") {
     val corpus = docsDf((101L, (1 to 30).map(i => s"c$i").mkString(" ")))
     val nearDup = (1 to 29).map(i => s"c$i").mkString(" ") + " x30"
