@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.normSq
+
+/** Scalar quantization (int8 grid) as a persistable index — the stored
+  * form that makes SQ8's bandwidth argument real: per-dimension global
+  * [min, max] → 256-step uniform grid, vectors stored as
+  * `ARRAY<INT>` codes (64 values/vector; 64 B in the tinyint layout the
+  * parquet encoder dictionary-packs), scoring runs on the map-side
+  * dequantized approximation, exact re-rank restores float ordering via
+  * the shared `PqIndex.poolRerank` (one audited pool-selection shape for
+  * SQ8/PQ/IVF-PQ). Cites the SQ posture of `q_sim_topk_sq8`
+  * (queries/VectorQueries.scala) — that query now routes through this
+  * kernel, so the in-memory and loaded paths cannot diverge.
+  *
+  * Artifact layout under `path` (same contract as PqIndex/IvfIndex:
+  * `meta` written LAST is the ArtifactPaths.exists commit marker):
+  *   grid/  (pos, lo, step)  — dim tiny rows
+  *   codes/ (vec_id, code)   — the payload-free scan side
+  *   meta/  (dim)
+  * Grid drift as the corpus grows (new global min/max) costs
+  * reconstruction ACCURACY at the range edges — rebuild cadence, never
+  * correctness: scores are exact w.r.t. the stored codes and the pool
+  * is exact-rescored from corpus floats.
+  */
+object Sq8Index {
+
+  final case class Grid(lo: Array[Double], step: Array[Double])
+
+  /** Per-dimension [min, max] → (lo, step) grid: one partial+final agg
+    * collapsing to dim rows — O(dim) driver bytes, like IVF centroids.
+    */
+  def train(vectors: DataFrame): Grid = {
+    val ranges = vectors
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+      .orderBy(col("pos"))
+      .collect()
+    val lo = ranges.map(_.getDouble(1))
+    val step = ranges.map { r =>
+      val w = r.getDouble(2) - r.getDouble(1); if (w > 0) w / 255.0 else 1.0
+    }
+    Grid(lo, step)
+  }
+
+  private def loLit(g: Grid): Column = array(g.lo.map(lit).toSeq: _*)
+  private def stepLit(g: Grid): Column = array(g.step.map(lit).toSeq: _*)
+
+  /** Map-side quantize: float vector → int codes (0..255 per dim). */
+  def encode(vectors: DataFrame, grid: Grid): DataFrame = {
+    val l = loLit(grid); val st = stepLit(grid)
+    vectors.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        round((x.cast("double") - element_at(l, i + 1)) /
+          element_at(st, i + 1), 0).cast("int")).as("code"))
+  }
+
+  /** Map-side dequantize: codes → the grid reconstruction the scoring
+    * kernel sees (identical arithmetic to quantize-then-reconstruct on
+    * the float path, so loaded == in-memory exactly).
+    */
+  def dequant(code: Column, grid: Grid): Column = {
+    val l = loLit(grid); val st = stepLit(grid)
+    transform(code, (c, i) =>
+      (element_at(l, i + 1) + c.cast("double") * element_at(st, i + 1))
+        .cast("float"))
+  }
+
+  def save(path: String, grid: Grid, codes: DataFrame): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    grid.lo.indices.map(i => (i, grid.lo(i), grid.step(i)))
+      .toDF("pos", "lo", "step")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/grid")
+    codes.select(col("vec_id"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    Seq(Tuple1(grid.lo.length)).toDF("dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): (Grid, DataFrame) = {
+    val rows = spark.read.parquet(s"$path/grid").collect()
+      .sortBy(_.getAs[Int]("pos"))
+    (Grid(rows.map(_.getAs[Double]("lo")), rows.map(_.getAs[Double]("step"))),
+      spark.read.parquet(s"$path/codes"))
+  }
+
+  /** Incremental maintenance: encode new vectors with the FROZEN grid
+    * and append — same contract as PqIndex.append (encoding is a pure
+    * per-row function of (vector, grid); caller owns vec_id uniqueness).
+    */
+  def append(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    val (grid, _) = load(spark, path)
+    encode(vectors, grid).write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Approx-score everything on the dequantized codes, exact re-rank the
+    * top pool. `queriesDf` is the FLOAT query set (qid, qv, qn2) — the
+    * query side is quantized with the same grid so both paths score
+    * approximation-vs-approximation, exactly like the in-memory twin.
+    */
+  def topKFrom(queriesDf: DataFrame, codes: DataFrame, corpus: DataFrame,
+      grid: Grid, k: Int, pool: Int): DataFrame = {
+    val approx = codes
+      .select(col("vec_id").as("nid"), dequant(col("code"), grid).as("na"))
+      .withColumn("nan2", normSq(col("na")))
+    val l = loLit(grid); val st = stepLit(grid)
+    val qApprox = broadcast(queriesDf
+      .select(col("qid"),
+        transform(col("qv"), (x, i) => {
+          val lo = element_at(l, i + 1); val s = element_at(st, i + 1)
+          (lo + round((x.cast("double") - lo) / s, 0) * s).cast("float")
+        }).as("qa"))
+      .withColumn("qan2", normSq(col("qa"))))
+    val scored = qApprox
+      .join(approx, col("qid") =!= col("nid"))
+      .withColumn("acos", graft.functions.VectorFunctions.dot(col("qa"), col("na")) /
+        (sqrt(col("qan2")) * sqrt(col("nan2"))))
+      .select(col("qid"), col("nid"), col("acos"))
+    PqIndex.poolRerank(scored, broadcast(queriesDf), corpus, k, pool)
+  }
+}

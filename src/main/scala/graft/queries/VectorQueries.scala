@@ -210,55 +210,41 @@ object VectorQueries extends QueryModule {
   // map-side projection against broadcast-literal grids, and the scoring
   // pass reuses the codegen'd FloatVecDot. No oracle (grid membership is
   // engine-defined); recall vs brute force pinned by spec.
+  // Since r7 the query routes through operators/Sq8Index (train → encode
+  // → dequantized scoring → shared poolRerank), the same kernel the
+  // persisted artifact uses — in-memory and loaded paths cannot diverge.
+  // Quantize-then-reconstruct arithmetic is bit-identical to the old
+  // inline grid reconstruction, so the pinned recall spec is unchanged.
   private val qSq8 = Q(
     "q_sim_topk_sq8",
     (s, d) => {
+      import graft.operators.Sq8Index
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
-      val ranges = e
-        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("pos"))
-        .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
-        .orderBy(col("pos"))
-        .collect()
-      val lo = ranges.map(_.getDouble(1))
-      val step = ranges.map(r => {
-        val w = r.getDouble(2) - r.getDouble(1); if (w > 0) w / 255.0 else 1.0
-      })
-      val loLit = array(lo.map(lit): _*)
-      val stepLit = array(step.map(lit): _*)
-      // dequantized int8-grid approximation, computed map-side: the stored
-      // form at scale would be the tinyint codes; the grid reconstruction
-      // here is what the scoring kernel would see after decode
-      def sq8(v: Column): Column = transform(v, (x, i) => {
-        val l = element_at(loLit, i + 1)
-        val st = element_at(stepLit, i + 1)
-        (l + round((x.cast("double") - l) / st, 0) * st).cast("float")
-      })
-      val approx = e.select(col("vec_id"), sq8(col("embedding")).as("qv8"))
-        .withColumn("qn2", normSq(col("qv8")))
-      val queries = broadcast(
-        approx.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("qv8").as("qa"), col("qn2").as("qan2")))
-      // approx scoring is a map-side broadcast join; the quantized arrays
-      // are DROPPED before the rank so the pool exchange carries only
-      // (qid, nid, acos) — never a vector payload
-      val scoredApprox = queries
-        .join(approx.select(col("vec_id").as("nid"), col("qv8").as("na"),
-          col("qn2").as("nan2")), col("qid") =!= col("nid"))
-        .withColumn("acos",
-          dot(col("qa"), col("na")) / (sqrt(col("qan2")) * sqrt(col("nan2"))))
-        .select(col("qid"), col("nid"), col("acos"))
-      // two-stage pool rank + exact re-rank via the ONE audited
-      // implementation of the pool-selection shape (PqIndex.poolRerank —
-      // shared with PQ and IVF-PQ, so the payload-free invariant is
-      // maintained in a single place)
-      PqIndex.poolRerank(
-          scoredApprox,
-          broadcast(e.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-              col("n2").as("qn2"))),
-          e, k = 5, pool = 15)
+      val grid = Sq8Index.train(e)
+      Sq8Index.topKFrom(annQueries(e), Sq8Index.encode(e, grid), e, grid,
+          k = 5, pool = 15)
+        .orderBy(col("qid"), col("rn"))
+    })
+
+  // Loaded-artifact twin (same class as the PQ/IVF loaded twins): grid +
+  // int codes persisted once per fixture identity, queries answer from
+  // the stored codes — the form in which SQ8's 4× bandwidth cut actually
+  // exists at rest.
+  private val qSq8Loaded = Q(
+    "q_sim_topk_sq8_loaded",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, Sq8Index}
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val path = ArtifactPaths.keyed("sq8", s"$d/embeddings.parquet",
+        "dim=64,v=1")
+      if (!ArtifactPaths.exists(path)) {
+        val grid = Sq8Index.train(e)
+        Sq8Index.save(path, grid, Sq8Index.encode(e, grid))
+      }
+      val (grid, codes) = Sq8Index.load(s, path)
+      Sq8Index.topKFrom(annQueries(e), codes, e, grid, k = 5, pool = 15)
         .orderBy(col("qid"), col("rn"))
     })
 
@@ -483,5 +469,5 @@ object VectorQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qSq8, qCentroids,
     qHardNegatives, qHardNegativesLsh, qPq, qIvfPq,
-    qPqLoaded, qIvfLoaded, qIvfPqLoaded)
+    qPqLoaded, qIvfLoaded, qIvfPqLoaded, qSq8Loaded)
 }

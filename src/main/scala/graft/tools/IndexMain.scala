@@ -17,9 +17,9 @@ import graft.operators.{ArtifactPaths, IvfIndex, NearDup, PqIndex}
   *   runMain graft.tools.IndexMain <command> <sfDir> <indexDir> [k=v ...]
   *
   * Commands (index kind × lifecycle step):
-  *   build-pq | build-ivf | build-ivfpq | build-jaccard | build-band
-  *   append-pq | append-ivf | append-jaccard | append-band
-  *   query-pq | query-ivf | query-ivfpq | query-jaccard | query-band
+  *   build-pq | build-ivf | build-ivfpq | build-sq8 | build-jaccard | build-band
+  *   append-pq | append-ivf | append-sq8 | append-jaccard | append-band
+  *   query-pq | query-ivf | query-ivfpq | query-sq8 | query-jaccard | query-band
   *   stats-jaccard   (probe-selectivity report — the rebuild-cadence
   *     signal: one JSON line with candidates/verified/index sizes)
   *
@@ -121,6 +121,11 @@ object IndexMain {
           m = num("m", 8), k = num("k", 16))
         PqIndex.save(dir, books,
           PqIndex.encode(IvfIndex.assign(e, cents), books), Some(cents))
+      case "build-sq8" =>
+        import graft.operators.Sq8Index
+        val e = vectors("mod10gt1").localCheckpoint()
+        val grid = Sq8Index.train(e)
+        Sq8Index.save(dir, grid, Sq8Index.encode(e, grid))
       case "build-jaccard" =>
         NearDup.saveJaccardIndex(docs("mod10gt1"), dir, dbl("tau", 0.8))
       case "build-band" =>
@@ -130,6 +135,8 @@ object IndexMain {
         PqIndex.append(spark, dir, vectors("mod10eq1"))
       case "append-ivf" =>
         IvfIndex.append(spark, dir, vectors("mod10eq1"))
+      case "append-sq8" =>
+        graft.operators.Sq8Index.append(spark, dir, vectors("mod10eq1"))
       case "append-jaccard" =>
         NearDup.appendToJaccardIndex(docs("mod10eq1"), spark, dir)
       case "append-band" =>
@@ -159,6 +166,15 @@ object IndexMain {
         PqIndex.topKIvfFrom(annQueries(e), idx.codes, e, idx.books, cents,
             k = num("topk", 5), pool = num("pool", 25),
             nProbe = num("nprobe", 6))
+          .orderBy(col("qid"), col("rn"))
+          .show(100, truncate = false)
+      case "query-sq8" =>
+        import graft.operators.Sq8Index
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val e = vectors("all")
+        val (grid, codes) = Sq8Index.load(spark, dir)
+        Sq8Index.topKFrom(annQueries(e), codes, e, grid,
+            k = num("topk", 5), pool = num("pool", 25))
           .orderBy(col("qid"), col("rn"))
           .show(100, truncate = false)
       case "query-jaccard" =>

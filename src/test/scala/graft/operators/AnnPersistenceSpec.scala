@@ -78,7 +78,8 @@ class AnnPersistenceSpec extends SparkSpec {
     val pairs = Seq(
       "q_sim_topk_pq_loaded" -> "q_sim_topk_pq",
       "q_sim_topk_ivf_loaded" -> "q_sim_topk_ivf",
-      "q_sim_topk_ivfpq_loaded" -> "q_sim_topk_ivfpq")
+      "q_sim_topk_ivfpq_loaded" -> "q_sim_topk_ivfpq",
+      "q_sim_topk_sq8_loaded" -> "q_sim_topk_sq8")
     pairs.foreach { case (loadedName, memName) =>
       val loaded = rows(graft.SparkEntry.queries(loadedName)(spark, sfDir))
       val mem = rows(graft.SparkEntry.queries(memName)(spark, sfDir))
@@ -146,6 +147,31 @@ class AnnPersistenceSpec extends SparkSpec {
         .select(col("vec_id"), col("n2"), col("code"), col("cell")),
       e, books, cents, k = 5, pool = 25, nProbe = 6)
       .orderBy(col("qid"), col("rn")))
+    appended shouldBe rebuilt
+  }
+
+  test("SQ8 save/load round-trips the grid and reproduces topK; append == re-encoded union") {
+    val e = embeddings.localCheckpoint()
+    val day0 = e.filter(col("vec_id") % 2 === 0).localCheckpoint()
+    val day1 = e.filter(col("vec_id") % 2 =!= 0).localCheckpoint()
+    val grid = Sq8Index.train(day0)
+    val dir = tmpDir("graft_sq8_rt").toString
+    Sq8Index.save(dir, grid, Sq8Index.encode(day0, grid))
+    ArtifactPaths.exists(dir) shouldBe true
+    val (lGrid, _) = Sq8Index.load(spark, dir)
+    lGrid.lo.toSeq shouldBe grid.lo.toSeq
+    lGrid.step.toSeq shouldBe grid.step.toSeq
+    Sq8Index.append(spark, dir, day1)
+    val (_, codes) = Sq8Index.load(spark, dir)
+    codes.count() shouldBe e.count()
+    // the codes artifact is payload-free by contract
+    codes.columns.toSet shouldBe Set("vec_id", "code")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2"))
+    val appended = rows(Sq8Index.topKFrom(queries, codes, e, grid,
+      k = 5, pool = 25).orderBy(col("qid"), col("rn")))
+    val rebuilt = rows(Sq8Index.topKFrom(queries, Sq8Index.encode(e, grid), e,
+      grid, k = 5, pool = 25).orderBy(col("qid"), col("rn")))
     appended shouldBe rebuilt
   }
 
