@@ -101,10 +101,22 @@ object VectorQueries extends QueryModule {
           col("tbl") === col("tbl_b") && col("bkt") === col("bkt_b") &&
             col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
-      val va = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
-        col("n2").as("n2_a"))
-      val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
-        col("n2").as("n2_b"))
+      // EXPLICIT broadcast on both verification re-attach sides: the
+      // corpus vector table is corpus-sized (n × ~260 B), not pair-sized,
+      // and past ~40k vectors it crosses the 10 MB auto-broadcast
+      // threshold — the planner then flips both re-attach joins to
+      // shuffles and the candidate-pair table crosses two exchanges
+      // CARRYING float vectors (measured at 30×: ~36M candidate pairs ×
+      // 256 B — the exact payload-on-shuffle class ScaleLint bans;
+      // 41 s → 13.7 s median when pinned broadcast, SCALE.md §stress).
+      // The hint holds to executor memory (~10⁷ vectors); beyond that a
+      // pair-verify needs quantized pre-filtering (Sq8Index codes) before
+      // any float re-attach — documented posture, not yet needed at any
+      // bench scale.
+      val va = broadcast(e.select(col("vec_id").as("id_a"),
+        col("embedding").as("v_a"), col("n2").as("n2_a")))
+      val vb = broadcast(e.select(col("vec_id").as("id_b"),
+        col("embedding").as("v_b"), col("n2").as("n2_b")))
       pairIds.join(va, "id_a").join(vb, "id_b")
         .withColumn("cos",
           dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
