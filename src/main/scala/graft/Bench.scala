@@ -11,12 +11,21 @@ object Bench {
     // without driver-side multi-pass orchestration. PASSES=1 restores the
     // old single-pass mode for quick local smoke.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    // The lint rides every bench in WARN mode: plan-shape violations
+    // (global windows, accidental cartesians, float payloads on
+    // exchanges) print instead of failing the run. This is what makes a
+    // scaled-fixture bench surface flips the fixture scale hides — the
+    // f30 broadcast→shuffle flip on the LSH verify re-attach was
+    // invisible until measured (SCALE.md §stress); in warn mode the
+    // physical lint names it at plan time.
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.scalelint", "warn")
+      .withExtensions(new graft.plans.GraftExtensions)
     // Stress-run conf pass-through (e.g. spark.graft.lsh.bits=7 at a
     // scaled fixture): comma-separated k=v pairs, applied in order.
     val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
