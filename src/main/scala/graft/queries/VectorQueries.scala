@@ -197,8 +197,12 @@ object VectorQueries extends QueryModule {
     })
 
   // IVF ANN (the other standard scale path, next to LSH): coarse-quantize
-  // into √n cells, probe the 3 nearest cells per query. No oracle — recall
-  // vs brute force pinned by spec.
+  // into k cells, probe the 3 nearest per query. k is a parameter the
+  // caller sizes — production uses k ≈ √n so |cell| ≈ √n and probe cost
+  // is nProbe·√n (IvfIndex scaladoc); the registry pins k=16 (≈ √2000·⅓)
+  // because the recall spec's expectations are calibrated to it at
+  // fixture cardinality. No oracle — recall vs brute force pinned by
+  // spec.
   private val qIvf = Q(
     "q_sim_topk_ivf",
     (s, d) => {
