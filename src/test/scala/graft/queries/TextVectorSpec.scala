@@ -200,6 +200,18 @@ class TextVectorSpec extends SparkSpec {
     df.orderBy("id").collect().map(_.getDouble(1)).toSeq shouldBe Seq(1.0, 0.0, 0.0)
   }
 
+  test("approx_percentile within 2% of the exact percentile on lineitem") {
+    // accuracy=1000 bounds RANK error at ~0.1%; on the smooth
+    // extendedprice distribution that is far inside a 2% VALUE band —
+    // the tolerance pin the registry's rows-only contract names
+    val approx = graft.SparkEntry.queries("q_agg_approx_percentile")(spark, sfDir)
+      .collect()(0).getDouble(0)
+    val exact = graft.Tables.lineitem(spark, sfDir)
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect()(0).getDouble(0)
+    math.abs(approx - exact) / exact should be <= 0.02
+  }
+
   test("approx_count_distinct within its 1% error band on lineitem") {
     val exact = graft.Tables.lineitem(spark, sfDir)
       .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
