@@ -501,6 +501,109 @@ object TextQueries extends QueryModule {
            WHERE round(CAST(inter AS DOUBLE) / n_a, 4) >= 0.9
            ORDER BY id_a, id_b"""))
 
+  // Exact duplicated-window (substring-level) dedup signal — the class
+  // Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+  // Better", public literature) call exact-substring dedup, recast at
+  // k-token window granularity for a relational engine: every distinct
+  // 8-token sliding window of every document, a window "duplicated" iff
+  // its text occurs in ≥2 documents; per doc, the duplicated-window
+  // fraction is the removal/trim signal (doc-level Jaccard misses a
+  // boilerplate paragraph pasted into otherwise-distinct pages — this
+  // catches it).
+  //
+  // Scale posture: windows never shuffle as TEXT. Each window is reduced
+  // to a 128-bit key (two independently-seeded xxhash64s) in the
+  // projection over the scan, so both exchanges — the groupBy(wh) count
+  // and the join back — carry ~24 B/row; at 10^12 corpus windows the
+  // expected 128-bit collision count is ~10^-14 (a 64-bit key would
+  // already be colliding at that scale). The count side is a partial-agg
+  // groupBy (hot boilerplate windows combine map-side); the join back is
+  // an equi-join AQE can skew-split, deliberately NOT a
+  // count-over-Window (WindowExec buffers whole partitions — a
+  // boilerplate window shared by 10^8 docs would buffer 10^8 rows in
+  // one task). Catalyst's ReuseExchange dedups the shared scan→hash
+  // subplan, so the window set is computed once.
+  private val qDedupSubstring = Q(
+    "q_dedup_substring",
+    (s, d) => {
+      val wins = Tables.documents(s, d)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("w"))
+        .select(col("doc_id"),
+          struct(xxhash64(col("w")).as("h1"),
+            xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+      val counts = wins.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      wins.join(counts, "wh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_windows"))
+        .withColumn("dup_frac",
+          round(col("dup_windows").cast("double") / col("n_windows"), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+             FROM documents),
+           w AS (
+             SELECT doc_id,
+               CASE WHEN len(toks) <= 7 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+                                        FOR i IN range(1, len(toks) - 6)]) END AS ws
+             FROM t WHERE len(toks) > 0),
+           e AS (SELECT doc_id, unnest(ws) AS w FROM w),
+           g AS (SELECT w, count(*) AS nd FROM e GROUP BY w)
+           SELECT e.doc_id,
+             count(*) AS n_windows,
+             CAST(sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+             round(CAST(sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 4) AS dup_frac
+           FROM e JOIN g USING (w)
+           GROUP BY e.doc_id ORDER BY doc_id"""))
+
+  // Corpus-level twin of q_dedup_substring: the top boilerplate windows
+  // themselves — WHAT is duplicated, not just how much per doc (the
+  // report a pipeline operator reads before writing a trim rule).
+  // Grouping is on the 128-bit key with min(w) carried as the exemplar:
+  // within an exact-duplicate group every w is the same string, so the
+  // exemplar is exact and doubles as the deterministic equal-count
+  // tiebreak the oracle replays. The exchange therefore carries ONE
+  // window-sized string per distinct window per input partition
+  // (map-side combine collapses repeats) — the q_vocab_topk heavy-hitter
+  // shape. At 10^12 distinct windows an exact top-k is inherently a full
+  // agg; the production screening pass is the sketched twin (CMS +
+  // heap, cf. q_sketch_cms) with this query as the exact replay over the
+  // screened suspects. TakeOrderedAndProject keeps the final cut at 20
+  // rows per partition, never a global sort.
+  private val qDedupSubstringTop = Q(
+    "q_dedup_substring_top",
+    (s, d) => {
+      val wins = Tables.documents(s, d)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("w"))
+        .select(col("w"),
+          struct(xxhash64(col("w")).as("h1"),
+            xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+      wins.groupBy(col("wh"))
+        .agg(count(lit(1)).as("n_docs"), min(col("w")).as("window_text"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("window_text"))
+        .limit(20)
+        .select(col("window_text"), col("n_docs"))
+    },
+    Some("""WITH t AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+             FROM documents),
+           w AS (
+             SELECT doc_id,
+               CASE WHEN len(toks) <= 7 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+                                        FOR i IN range(1, len(toks) - 6)]) END AS ws
+             FROM t WHERE len(toks) > 0),
+           e AS (SELECT doc_id, unnest(ws) AS w FROM w),
+           g AS (SELECT w AS window_text, count(*) AS n_docs FROM e GROUP BY w)
+           SELECT window_text, n_docs FROM g WHERE n_docs > 1
+           ORDER BY n_docs DESC, window_text LIMIT 20"""))
+
   // Unigram LM quality score (CCNet-style) via the shared
   // operators/LmScore implementation (also PipelineMain's enrichment
   // stage). Determinism: per-doc contributions fold in SORTED token
@@ -797,5 +900,5 @@ object TextQueries extends QueryModule {
     qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
     qDedupJaccardIncrAppended,
     qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
-    qSourceOverlap, qDedupContainment)
+    qSourceOverlap, qDedupContainment, qDedupSubstring, qDedupSubstringTop)
 }
