@@ -29,6 +29,7 @@ object IvfIndex {
   def save(path: String, cents: DataFrame, indexed: DataFrame): Unit = {
     val spark = indexed.sparkSession
     import spark.implicits._
+    Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     indexed.select(col("vec_id"), col("cell"), col("n2"))
       .write.mode("overwrite").parquet(s"$path/cells")
@@ -36,9 +37,13 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Load a saved IVF index → (centroids, cells). */
+  /** Load a saved IVF index → (centroids, cells). Tombstoned ids drop
+    * out of the ids-only cell table here, so every probe honors deletes.
+    */
   def load(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/cells"))
+    (spark.read.parquet(s"$path/centroids"),
+      Tombstones.exclude(spark.read.parquet(s"$path/cells"), spark, path,
+        "vec_id"))
 
   /** Incremental index maintenance: assign `vectors` (vec_id, embedding,
     * n2) to the artifact's FROZEN centroids and append the new (vec_id,

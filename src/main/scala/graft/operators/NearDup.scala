@@ -129,6 +129,7 @@ object NearDup {
       rowsPerBand: Int = DefaultRowsPerBand): Unit = {
     val spark = staticDocs.sparkSession
     import spark.implicits._
+    Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
     val s = staticDocs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .localCheckpoint() // feeds both the banding pass and the docs write
@@ -148,9 +149,14 @@ object NearDup {
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): BandIndex = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    // tombstoned ids drop out of BOTH halves at load: the banded half so
+    // deleted docs never become candidates, the docs half so stats and
+    // any direct consumer see only live docs
     BandIndex(
-      spark.read.parquet(s"$path/banded"),
-      spark.read.parquet(s"$path/docs"),
+      Tombstones.exclude(spark.read.parquet(s"$path/banded"), spark, path,
+        "doc_id"),
+      Tombstones.exclude(spark.read.parquet(s"$path/docs"), spark, path,
+        "doc_id"),
       meta.getAs[Int]("numHashes"),
       meta.getAs[Int]("bands"),
       meta.getAs[Int]("rowsPerBand"))
@@ -322,6 +328,7 @@ object NearDup {
       threshold: Double = DefaultThreshold): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
     val tau = threshold - 0.0001 // rounded-jaccard guard, as in jaccardPairs
     val c = corpus.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
@@ -376,10 +383,17 @@ object NearDup {
     val tauBuild = builtThreshold - 0.0001
     val tau = threshold - 0.0001
     val dfreq = spark.read.parquet(s"$path/dfreq")
-    val cPrefix = spark.read.parquet(s"$path/prefix")
+    // tombstoned ids drop out of the ids-only prefix scan (so deleted
+    // docs never become candidates) and the docs half (so stats count
+    // live docs). dfreq deliberately keeps the FULL frozen order —
+    // it is an ordering, not a membership list, and thinning it would
+    // change prefix ranks for no correctness gain.
+    val cPrefix = Tombstones.exclude(
+        spark.read.parquet(s"$path/prefix"), spark, path, "doc_id")
       .select(col("shingle").as("sh_c"), col("doc_id").as("matched_id"),
         col("n").as("n_c"))
-    val cDocs = spark.read.parquet(s"$path/docs")
+    val cDocs = Tombstones.exclude(
+      spark.read.parquet(s"$path/docs"), spark, path, "doc_id")
     val b = batch.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .localCheckpoint()

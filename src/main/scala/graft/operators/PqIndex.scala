@@ -49,6 +49,7 @@ object PqIndex {
       encoded: DataFrame, cents: Option[DataFrame] = None): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
+    Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
     val m = books.length
     val kWords = books(0).length
     books.zipWithIndex.flatMap { case (words, s) =>
@@ -83,7 +84,12 @@ object PqIndex {
       if (meta.getAs[Boolean]("hasCells"))
         Some(spark.read.parquet(s"$path/centroids"))
       else None
-    LoadedPq(books, spark.read.parquet(s"$path/codes"), cents)
+    // deleted ids drop out of the ids-only ADC scan side right here, so
+    // every probe path (plain and IVF-routed) honors tombstones for free
+    LoadedPq(books,
+      Tombstones.exclude(spark.read.parquet(s"$path/codes"), spark, path,
+        "vec_id"),
+      cents)
   }
 
   /** Incremental index maintenance — the daily-ingest shape: encode

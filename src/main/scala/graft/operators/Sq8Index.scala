@@ -74,6 +74,7 @@ object Sq8Index {
   def save(path: String, grid: Grid, codes: DataFrame): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
+    Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
     grid.lo.indices.map(i => (i, grid.lo(i), grid.step(i)))
       .toDF("pos", "lo", "step")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/grid")
@@ -87,7 +88,9 @@ object Sq8Index {
     val rows = spark.read.parquet(s"$path/grid").collect()
       .sortBy(_.getAs[Int]("pos"))
     (Grid(rows.map(_.getAs[Double]("lo")), rows.map(_.getAs[Double]("step"))),
-      spark.read.parquet(s"$path/codes"))
+      // tombstoned ids drop out of the ids-only code scan at load
+      Tombstones.exclude(spark.read.parquet(s"$path/codes"), spark, path,
+        "vec_id"))
   }
 
   /** Incremental maintenance: encode new vectors with the FROZEN grid

@@ -512,11 +512,13 @@ object TextQueries extends QueryModule {
   // catches it).
   //
   // Scale posture: windows never shuffle as TEXT. Each window is reduced
-  // to a 128-bit key (two independently-seeded xxhash64s) in the
-  // projection over the scan, so both exchanges — the groupBy(wh) count
-  // and the join back — carry ~24 B/row; at 10^12 corpus windows the
-  // expected 128-bit collision count is ~10^-14 (a 64-bit key would
-  // already be colliding at that scale). The count side is a partial-agg
+  // to a 128-bit key (two differently-seeded hashes of the same xxhash64
+  // family — h2 seed-chains through XXH64(1), so the halves are not
+  // independent and the ideal 2^-128 bound is optimistic, but the
+  // pair is still far beyond a single 64-bit key, which would already
+  // be colliding at 10^12 corpus windows). Both exchanges — the
+  // groupBy(wh) count and the join back — carry ~24 B/row. The count
+  // side is a partial-agg
   // groupBy (hot boilerplate windows combine map-side); the join back is
   // an equi-join AQE can skew-split, deliberately NOT a
   // count-over-Window (WindowExec buffers whole partitions — a
@@ -563,31 +565,30 @@ object TextQueries extends QueryModule {
   // Corpus-level twin of q_dedup_substring: the top boilerplate windows
   // themselves — WHAT is duplicated, not just how much per doc (the
   // report a pipeline operator reads before writing a trim rule).
-  // Grouping is on the 128-bit key with min(w) carried as the exemplar:
-  // within an exact-duplicate group every w is the same string, so the
-  // exemplar is exact and doubles as the deterministic equal-count
-  // tiebreak the oracle replays. The exchange therefore carries ONE
-  // window-sized string per distinct window per input partition
-  // (map-side combine collapses repeats) — the q_vocab_topk heavy-hitter
-  // shape. At 10^12 distinct windows an exact top-k is inherently a full
-  // agg; the production screening pass is the sketched twin (CMS +
-  // heap, cf. q_sketch_cms) with this query as the exact replay over the
-  // screened suspects. TakeOrderedAndProject keeps the final cut at 20
-  // rows per partition, never a global sort.
+  // Grouping is directly on the window TEXT: unlike q_dedup_substring
+  // (where only the hash key crosses the wire), this query must carry
+  // the window string through the exchange anyway as the report's
+  // output, so a hash key would save nothing and only add a collision
+  // mode that could merge two distinct windows and inflate n_docs.
+  // Map-side combine still collapses repeats, so the exchange carries
+  // ONE window-sized string per distinct window per input partition —
+  // the q_vocab_topk heavy-hitter shape. At 10^12 distinct windows an
+  // exact top-k is inherently a full agg; the production screening pass
+  // is the sketched twin (CMS + heap, cf. q_sketch_cms) with this query
+  // as the exact replay over the screened suspects.
+  // TakeOrderedAndProject keeps the final cut at 20 rows per partition,
+  // never a global sort.
   private val qDedupSubstringTop = Q(
     "q_dedup_substring_top",
     (s, d) => {
-      val wins = Tables.documents(s, d)
-        .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("w"))
-        .select(col("w"),
-          struct(xxhash64(col("w")).as("h1"),
-            xxhash64(lit(1), col("w")).as("h2")).as("wh"))
-      wins.groupBy(col("wh"))
-        .agg(count(lit(1)).as("n_docs"), min(col("w")).as("window_text"))
+      Tables.documents(s, d)
+        .select(explode(wordShingles(col("text"), 8)).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > 1)
-        .orderBy(col("n_docs").desc, col("window_text"))
+        .orderBy(col("n_docs").desc, col("w"))
         .limit(20)
-        .select(col("window_text"), col("n_docs"))
+        .select(col("w").as("window_text"), col("n_docs"))
     },
     Some("""WITH t AS (
              SELECT doc_id,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.wordShingles
 import graft.functions.VectorFunctions.normSq
-import graft.operators.{ArtifactPaths, IvfIndex, NearDup, PqIndex}
+import graft.operators.{ArtifactPaths, IvfIndex, NearDup, PqIndex, Tombstones}
 
 /** CLI surface for the persisted-index lifecycle — the commands a
   * standing pipeline actually runs: build once, append daily, query
@@ -20,8 +20,19 @@ import graft.operators.{ArtifactPaths, IvfIndex, NearDup, PqIndex}
   *   build-pq | build-ivf | build-ivfpq | build-sq8 | build-jaccard | build-band
   *   append-pq | append-ivf | append-sq8 | append-jaccard | append-band
   *   query-pq | query-ivf | query-ivfpq | query-sq8 | query-jaccard | query-band
+  *   delete-pq | delete-ivf | delete-ivfpq | delete-sq8 | delete-jaccard |
+  *     delete-band   (takedown path: `ids=3,17,42` appends to the
+  *     artifact's tombstone table — O(removed), no rebuild; every later
+  *     probe excludes them. See operators/Tombstones.)
   *   stats-jaccard   (probe-selectivity report — the rebuild-cadence
   *     signal: one JSON line with candidates/verified/index sizes)
+  *   check-jaccard   (the signal's CONSUMER: same report, then exit 1 if
+  *     candidate selectivity has degraded past thresholds — a scheduler
+  *     gates "rebuild now" on this exit code instead of a calendar.
+  *     Thresholds: maxratio= max candidates per verified match (df drift
+  *     erodes prefix selectivity → ratio climbs; default 50), maxcand=
+  *     max candidates per batch doc (catches the degenerate corpus where
+  *     nothing verifies so the ratio is undefined; default 20).)
   *
   * Options (strict — unknown or duplicate keys exit 2, same posture as
   * StreamMain):
@@ -48,6 +59,23 @@ object IndexMain {
     sys.exit(2)
   }
 
+  /** The check-jaccard verdict, separated from main's sys.exit wiring so
+    * IndexCheckSpec can drive it against real ProbeStats. Degraded ⇔
+    * candidate selectivity has eroded past either threshold:
+    *   - candidates/verified > maxRatio (df drift: prefixes stopped being
+    *     rare, the filter admits junk the verifier rejects), or
+    *   - candidates/batchDoc > maxCand (the degenerate corpus where
+    *     nothing verifies, so the ratio is undefined but the probe is
+    *     still paying for a near-unfiltered join).
+    */
+  def jaccardDegraded(s: graft.operators.NearDup.ProbeStats,
+      maxRatio: Double, maxCand: Double): Boolean = {
+    val candPerDoc =
+      if (s.batchDocs == 0) 0.0 else s.candidates.toDouble / s.batchDocs
+    (s.verified > 0 && s.candidates.toDouble / s.verified > maxRatio) ||
+      candPerDoc > maxCand
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3)
       fail("usage: IndexMain <command> <sfDir> <indexDir> [k=v ...]")
@@ -62,7 +90,7 @@ object IndexMain {
     if (keys.distinct.length != keys.length)
       fail(s"duplicate option key in '${rest.mkString(" ")}'")
     val known = Set("split", "m", "k", "dim", "cells", "tau", "topk",
-      "pool", "nprobe")
+      "pool", "nprobe", "ids", "maxratio", "maxcand")
     keys.filterNot(known).foreach(k => fail(s"unknown option '$k'"))
     val kv = split0.map(a => (a(0), a(1))).toMap
     def num(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
@@ -191,19 +219,49 @@ object IndexMain {
           .orderBy(col("doc_id"), col("matched_id"))
           .show(100, truncate = false)
 
-      case "stats-jaccard" =>
+      case "delete-pq" | "delete-ivf" | "delete-ivfpq" | "delete-sq8" |
+          "delete-jaccard" | "delete-band" =>
+        // takedown path — one handler for all six kinds: tombstones are
+        // kind-agnostic (an id set the probe-time anti-join consults)
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val idList = kv.getOrElse("ids",
+            fail(s"$cmd requires ids=<comma-separated id list>"))
+          .split(",").map(s => s.trim.toLong).toSeq
+        if (idList.isEmpty) fail(s"$cmd requires a non-empty ids= list")
+        import spark.implicits._
+        Tombstones.deleteIds(dir, idList.toDF("id"))
+        println(s"""{"deleted":${idList.length},""" +
+          s""""tombstones_total":${Tombstones.count(spark, dir)}}""")
+
+      case "stats-jaccard" | "check-jaccard" =>
         // the rebuild-cadence signal: candidates/verified rising (df
-        // drift eroding prefix selectivity) means rebuild the index
+        // drift eroding prefix selectivity) means rebuild the index.
+        // check-jaccard additionally CONSUMES it: exit 1 past thresholds
+        // so a scheduler can gate "rebuild now" on data, not calendar.
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
         val s = NearDup.jaccardProbeStats(docs("mod10eq0"), spark, dir,
           dbl("tau", 0.8))
         val ratio =
           if (s.verified == 0) "null"
           else f"${s.candidates.toDouble / s.verified}%.2f"
+        val candPerDoc =
+          if (s.batchDocs == 0) 0.0 else s.candidates.toDouble / s.batchDocs
+        val status =
+          if (cmd == "stats-jaccard") ""
+          else {
+            val degraded = jaccardDegraded(s, dbl("maxratio", 50.0),
+              dbl("maxcand", 20.0))
+            s""","cand_per_batch_doc":${f"$candPerDoc%.2f"}""" +
+              s""","status":"${if (degraded) "rebuild" else "ok"}""""
+          }
         println(s"""{"batch_docs":${s.batchDocs},""" +
           s""""candidates":${s.candidates},"verified":${s.verified},""" +
           s""""cand_per_verified":$ratio,"indexed_docs":${s.indexedDocs},""" +
-          s""""prefix_rows":${s.prefixRows},"vocab":${s.vocab}}""")
+          s""""prefix_rows":${s.prefixRows},"vocab":${s.vocab}$status}""")
+        if (status.contains("\"rebuild\"")) {
+          spark.stop()
+          sys.exit(1)
+        }
 
       case other => fail(s"unknown command '$other'")
     }

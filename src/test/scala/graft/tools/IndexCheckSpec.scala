@@ -1,0 +1,78 @@
+package graft.tools
+
+import graft.SparkSpec
+import graft.operators.NearDup
+import org.apache.spark.sql.functions._
+
+/** check-jaccard (VERDICT r7 #4): the rebuild-cadence signal's CONSUMER.
+  * The verdict function must stay quiet on a healthy fresh index and trip
+  * on a drift-degraded one — driven here by REAL ProbeStats from real
+  * indexes, not hand-built numbers, so the thresholds are exercised
+  * against the actual kernel.
+  */
+class IndexCheckSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+  }
+
+  test("healthy fresh index reads ok at the default thresholds") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val dir = tmpDir("graft_check_ok").toString
+    NearDup.saveJaccardIndex(docs.filter(col("doc_id") % 10 > 1), dir)
+    val s = NearDup.jaccardProbeStats(
+      docs.filter(col("doc_id") % 10 === 0), spark, dir)
+    IndexMain.jaccardDegraded(s, maxRatio = 50.0, maxCand = 20.0) shouldBe false
+  }
+
+  test("df drift after heavy append trips the degraded verdict") {
+    // The drift story the saveJaccardIndex staleness contract warns
+    // about, made concrete. Day 0: a library of 200 one-phrase docs plus
+    // ONE doc carrying a 10-word "viral" block, so the block's shingles
+    // freeze at df = 1 — maximally rare, guaranteed prefix slots (their
+    // words sort before the library's, winning the df tie). Then the
+    // corpus grows by append: 150 docs, each the viral block + a library
+    // phrase — every shingle KNOWN to the frozen order (unseen df-0
+    // shingles would harmlessly eat the prefix instead; this is the
+    // drift case, not the unseen case). Under the frozen order every
+    // appended doc still indexes the viral shingles as its "rare"
+    // prefix, and a probe batch carrying the block (with held-out
+    // phrases, so nothing verifies at τ = 0.8) collides with all of
+    // them: candidates ≈ |batch| × |appended|, verified = 0 — exactly
+    // the candidates-per-doc blowup check-jaccard exists to catch.
+    val viral = (1 to 10).map(i => s"aaa$i").mkString(" ")
+    def phrase(i: Int) = (1 to 20).map(k => s"lib${i}w$k").mkString(" ")
+    val day0 = docsDf(
+      (300L, viral) +: (1 to 200).map(i => (i.toLong, phrase(i))))
+    val dir = tmpDir("graft_check_drift").toString
+    NearDup.saveJaccardIndex(day0, dir)
+
+    val appended = docsDf(
+      (1 to 150).map(i => (1000L + i, s"$viral ${phrase(i)}")))
+    NearDup.appendToJaccardIndex(appended, spark, dir)
+
+    val batch = docsDf(
+      (1 to 50).map(j => (2000L + j, s"$viral ${phrase(150 + j)}")))
+    val s = NearDup.jaccardProbeStats(batch, spark, dir)
+
+    // the blowup is real: every batch doc collides with every viral doc
+    assert(s.candidates >= s.batchDocs * 100,
+      s"expected a candidate blowup, got $s")
+    s.verified shouldBe 0
+    IndexMain.jaccardDegraded(s, maxRatio = 50.0, maxCand = 20.0) shouldBe true
+
+    // and a REBUILD (recomputing df over the grown corpus — viral
+    // shingles now common, out of every prefix) restores health
+    val rebuilt = tmpDir("graft_check_rebuilt").toString
+    NearDup.saveJaccardIndex(day0.union(appended), rebuilt)
+    val s2 = NearDup.jaccardProbeStats(batch, spark, rebuilt)
+    assert(s2.candidates < s.candidates / 10,
+      s"rebuild should collapse candidates: before=${s.candidates} after=${s2.candidates}")
+    IndexMain.jaccardDegraded(s2, maxRatio = 50.0, maxCand = 20.0) shouldBe false
+  }
+}
