@@ -130,6 +130,7 @@ object NearDup {
     val spark = staticDocs.sparkSession
     import spark.implicits._
     Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
+    clearKeyedAppends(path) // ...and folds keyed appends into the base
     val s = staticDocs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .localCheckpoint() // feeds both the banding pass and the docs write
@@ -149,17 +150,43 @@ object NearDup {
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): BandIndex = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    // the loaded scan = base dirs + every COMMITTED keyed append
+    // (appendToBandIndexKeyed): an append whose docs/_SUCCESS marker is
+    // missing was interrupted mid-write and is invisible here, exactly
+    // like a half-written save is invisible to ArtifactPaths.exists
+    val keyed = committedAppendKeys(path)
+    def half(name: String) = spark.read.parquet(
+      (s"$path/$name" +: keyed.map(k => s"$path/appends/$k/$name")): _*)
     // tombstoned ids drop out of BOTH halves at load: the banded half so
     // deleted docs never become candidates, the docs half so stats and
     // any direct consumer see only live docs
     BandIndex(
-      Tombstones.exclude(spark.read.parquet(s"$path/banded"), spark, path,
-        "doc_id"),
-      Tombstones.exclude(spark.read.parquet(s"$path/docs"), spark, path,
-        "doc_id"),
+      Tombstones.exclude(half("banded"), spark, path, "doc_id"),
+      Tombstones.exclude(half("docs"), spark, path, "doc_id"),
       meta.getAs[Int]("numHashes"),
       meta.getAs[Int]("bands"),
       meta.getAs[Int]("rowsPerBand"))
+  }
+
+  /** Keys of committed keyed appends, in stable order. */
+  private def committedAppendKeys(path: String): Seq[String] = {
+    val d = new java.io.File(s"$path/appends")
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(k => new java.io.File(k, "docs/_SUCCESS").isFile)
+      .map(_.getName).sorted
+  }
+
+  /** Rebuild-time compaction of keyed appends (saveBandIndex): the fresh
+    * base already contains every live doc, so stale append subtrees must
+    * not survive to double-count them.
+    */
+  private def clearKeyedAppends(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.exists()) f.delete(): Unit
+    }
+    rm(new java.io.File(s"$path/appends"))
   }
 
   /** docs must have (doc_id, sh: array<string> of distinct shingles).
@@ -517,6 +544,36 @@ object NearDup {
       .select(col("bandKey"), col("doc_id"))
       .write.mode("append").parquet(s"$path/banded")
     s.write.mode("append").parquet(s"$path/docs")
+  }
+
+  /** IDEMPOTENT keyed append — the form a streaming maintainer needs
+    * (StreamingOps.nearDupMaintainingSink): batch `key`'s rows land under
+    * `$path/appends/$key/{banded,docs}` with OVERWRITE semantics, so an
+    * at-least-once replay of the same micro-batch REWRITES its own
+    * subtree instead of double-appending rows (the index-maintenance
+    * analog of idempotentParquetSink — plain appendToBandIndex would
+    * duplicate every replayed doc, and duplicated docs rows multiply
+    * verified match rows through the re-attach join). `docs` is written
+    * LAST: its parquet _SUCCESS marker is the append's commit point, and
+    * loadBandIndex ignores uncommitted append subtrees, so a crash
+    * mid-append leaves the artifact readable at its previous state.
+    * Same frozen-parameters contract as appendToBandIndex; caller owns
+    * doc_id uniqueness ACROSS keys (within a key, replay overwrites).
+    */
+  def appendToBandIndexKeyed(newDocs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      key: String): Unit = {
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_' ||
+      c == '-' || c == '='), s"append key '$key' must be a filesystem-safe token")
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val s = newDocs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint() // feeds both the banding pass and the docs write
+    withBandKeys(s, meta.getAs[Int]("numHashes"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("rowsPerBand"))
+      .select(col("bandKey"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/appends/$key/banded")
+    s.write.mode("overwrite").parquet(s"$path/appends/$key/docs")
   }
 
   /** Asymmetric containment near-dup: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|,

@@ -20,8 +20,11 @@ object MultimodalQueries extends QueryModule {
              CAST(doc_id % 1080 + 1 AS INT) AS height
            FROM documents ORDER BY media_id"""))
 
-  // Decode/feature-extract path (stubbed decoder): rows-only check +
-  // MultimodalSpec pins determinism and batch shape.
+  // Decode/feature-extract path: real javax.imageio decode for payloads
+  // a JDK codec claims, byte-statistics fallback otherwise (the fixture's
+  // text payloads all take the fallback, so this stays deterministic).
+  // Rows-only check + MultimodalSpec pins determinism, real-decode
+  // routing, and batch shape.
   private val qFeatures = Q(
     "q_multimodal_features",
     (s, d) => Multimodal.extractFeatures(Multimodal.mediaTable(s, d))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup] [index=<dir>]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup] [index=<dir>] [maintain=1]"
   *
   * The optional third argument picks the ingest throttle: files=N →
   * maxFilesPerTrigger, bytes=N → maxBytesPerTrigger (both A7 analogs —
@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * cross-document near-dups. With index=<dir> the static corpus index is
   * a persisted artifact (NearDup.saveBandIndex — built on first run,
   * LOADED on every restart) instead of being re-signed + re-banded per
-  * run.
+  * run. With maintain=1 (requires index=) the job runs the full standing
+  * duty cycle via foreachBatch: each micro-batch probes the CURRENT
+  * artifact, writes its matches under $outDir/data/batch=N, and appends
+  * itself to the index with the idempotent keyed append — docs ingested
+  * by earlier batches are matchable by later ones
+  * (StreamingOps.nearDupMaintainingSink).
   *
   * Prints one line per micro-batch and a final row count. Append-mode
   * watermark semantics on a finite replay: windows newer than
@@ -46,18 +51,21 @@ object StreamMain {
     val dupKeys = split.collect { case (_, Array(k, _)) => k }
       .groupBy(identity).collect { case (k, vs) if vs.length > 1 => k }
     val kvArgs = split.collect { case (_, Array(k, v)) => (k, v) }.toMap
-    val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index")
+    val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index", "maintain")
     val indexWithoutNearDup =
       kvArgs.contains("index") && kvArgs.getOrElse("op", "window") != "neardup"
+    val maintainWithoutIndex =
+      kvArgs.contains("maintain") && !kvArgs.contains("index")
     if (malformed.nonEmpty || badKeys.nonEmpty || dupKeys.nonEmpty ||
         (kvArgs.contains("files") && kvArgs.contains("bytes")) ||
-        indexWithoutNearDup) {
+        indexWithoutNearDup || maintainWithoutIndex) {
       System.err.println(
         s"bad options ${(malformed ++ badKeys ++ dupKeys).mkString(", ")}" +
         (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
            " (files= and bytes= are mutually exclusive)" else "") +
         (if (indexWithoutNearDup) " (index= requires op=neardup)" else "") +
-        ": use files=N | bytes=N | op=window|neardup | index=<dir>")
+        (if (maintainWithoutIndex) " (maintain=1 requires index=)" else "") +
+        ": use files=N | bytes=N | op=window|neardup | index=<dir> | maintain=1")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -131,9 +139,15 @@ object StreamMain {
               NearDup.saveBandIndex(
                 shingled(spark.read.parquet(srcDir)).select(col("doc_id"), col("sh")),
                 idxPath)
-            StreamingOps.nearDupMatches(shingled(raw),
-              NearDup.loadBandIndex(spark, idxPath), "10 minutes",
-              NearDup.DefaultThreshold)
+            if (kvArgs.contains("maintain"))
+              // maintain=1: the stream is the shingled ingest itself; the
+              // foreachBatch sink probes AND appends per batch (matches
+              // land under $outDir/data/batch=N; see nearDupMaintainingSink)
+              shingled(raw)
+            else
+              StreamingOps.nearDupMatches(shingled(raw),
+                NearDup.loadBandIndex(spark, idxPath), "10 minutes",
+                NearDup.DefaultThreshold)
           case None =>
             val static = shingled(spark.read.parquet(srcDir))
             StreamingOps.nearDupMatches(shingled(raw), static, "10 minutes")
@@ -144,12 +158,20 @@ object StreamMain {
         null
     }
 
-    val q = out.writeStream
-      .format("parquet")
-      .option("path", s"$outDir/data")
-      .option("checkpointLocation", s"$outDir/checkpoint")
-      .outputMode("append")
-      .start()
+    val q =
+      if (kvArgs.contains("maintain"))
+        out.writeStream
+          .foreachBatch(StreamingOps.nearDupMaintainingSink(
+            kvArgs("index"), s"$outDir/data") _)
+          .option("checkpointLocation", s"$outDir/checkpoint")
+          .start()
+      else
+        out.writeStream
+          .format("parquet")
+          .option("path", s"$outDir/data")
+          .option("checkpointLocation", s"$outDir/checkpoint")
+          .outputMode("append")
+          .start()
     q.processAllAvailable()
     q.stop()
 

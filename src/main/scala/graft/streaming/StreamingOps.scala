@@ -133,6 +133,44 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("matched_id"), col("jaccard"))
   }
 
+  /** The standing ingest job's full duty cycle as a `foreachBatch` sink:
+    * each micro-batch is (1) matched against the CURRENT persisted band
+    * index — reloaded per batch, so docs appended by EARLIER batches are
+    * already matchable — (2) its verified matches written to
+    * `$outDir/batch=$batchId` (overwrite = idempotent on replay, same
+    * recipe as idempotentParquetSink), and (3) appended to the artifact
+    * via the KEYED idempotent append (`NearDup.appendToBandIndexKeyed`,
+    * key = batchId) so the index the next batch probes includes this one.
+    *
+    * Crash-safety composes from the parts: a replayed batch rewrites both
+    * its match output and its own append subtree; an append that crashed
+    * mid-write has no commit marker and is invisible to the reload, so
+    * the probe side never sees a torn index. Per-batch reload costs a
+    * parquet listing + meta read (the banded/docs scans stay lazy), which
+    * is the price of making intra-run self-reference exact; a job that
+    * only needs matches against a FROZEN corpus should keep using
+    * nearDupMatches with a loaded index (no per-batch work at all).
+    *
+    * The batch must carry (doc_id, sh) — shingled upstream, like every
+    * near-dup kernel here. Matches batch-vs-INDEX only (batch-internal
+    * pairs surface on the next batch via the appended index — never
+    * within their own batch; run verifiedPairs on the batch if same-batch
+    * pairs matter).
+    */
+  def nearDupMaintainingSink(indexPath: String, outDir: String,
+      threshold: Double = graft.operators.NearDup.DefaultThreshold)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.NearDup
+    val spark = batch.sparkSession
+    val b = batch.select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint() // feeds the match join AND the append
+    val idx = NearDup.loadBandIndex(spark, indexPath)
+    NearDup.matchAgainstBandIndex(b, idx, threshold)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    NearDup.appendToBandIndexKeyed(b, spark, indexPath, batchId.toString)
+  }
+
   /** Stream-static enrichment join: a broadcastable static dimension joined
     * to the stream — no stream-side shuffle, no state.
     */

@@ -43,6 +43,68 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.FakeDecoder.frameOffsets(0, 30) shouldBe Seq.empty
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] =
+    imgBytes("png", w, h, rgb)
+
+  private def imgBytes(fmt: String, w: Int, h: Int,
+      rgb: (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = (rgb._1 << 16) | (rgb._2 << 8) | rgb._3
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("ImageDecoder decodes a real PNG: dimensions, channels, exact means") {
+    val bytes = pngBytes(17, 9, (255, 0, 128))
+    val d = Multimodal.ImageDecoder.decode(bytes).get
+    d.width shouldBe 17
+    d.height shouldBe 9
+    d.channels shouldBe 3
+    // solid color → exact per-channel means
+    d.feat(0) shouldBe 1.0 // R
+    d.feat(1) shouldBe 0.0 // G
+    d.feat(2) shouldBe (128.0 / 255.0) +- 1e-6
+    d.feat(4) shouldBe 0.0 // solid color → zero luminance stddev
+    d.feat(7) shouldBe (17.0 / 9.0) +- 1e-6
+  }
+
+  test("ImageDecoder decodes BMP too; refuses text bytes and truncated PNGs") {
+    val bmp = Multimodal.ImageDecoder.decode(imgBytes("bmp", 5, 4, (10, 20, 30))).get
+    bmp.width shouldBe 5
+    bmp.height shouldBe 4
+    Multimodal.ImageDecoder.decode(
+      "not an image at all just text".getBytes("UTF-8")) shouldBe None
+    // corrupt payload with a valid PNG magic must fall back, not throw
+    Multimodal.ImageDecoder.decode(pngBytes(8, 8, (1, 2, 3)).take(20)) shouldBe None
+    Multimodal.ImageDecoder.decode(Array.emptyByteArray) shouldBe None
+    Multimodal.ImageDecoder.decode(null) shouldBe None
+  }
+
+  test("extractFeatures routes decodable payloads through the real decoder") {
+    val sp = spark; import sp.implicits._
+    val png = pngBytes(12, 6, (40, 80, 120))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, 12, 6, 0),
+      Multimodal.MediaRow(2L, "audio", "plain bytes payload".getBytes("UTF-8"), 0, 0, 16000))
+    val feats = Multimodal.extractFeatures(media.toDS())
+      .collect().sortBy(_.media_id)
+    // real path: pixel means of the PNG, not byte statistics of its file
+    feats(0).feat.toSeq shouldBe
+      Multimodal.ImageDecoder.decode(png).get.feat.toSeq
+    // fallback path: byte statistics of the raw payload
+    feats(1).feat.toSeq shouldBe
+      Multimodal.FakeDecoder.decode(media(1).payload).toSeq
+
+    val meta = Multimodal.decodeMeta(media.toDS()).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    meta(0) shouldBe ((1L, true, 12, 6))
+    meta(1) shouldBe ((2L, false, 0, 0))
+  }
+
   test("metadata-only query prunes the payload column at the parquet scan") {
     val scan = Multimodal.mediaMeta(spark, sfDir)
       .queryExecution.executedPlan.collectLeaves().mkString

@@ -380,6 +380,58 @@ class StreamingSpec extends SparkSpec {
       (10L, 100L, 0.95), (12L, 200L, 1.0))
   }
 
+  test("maintaining sink: stream probes AND appends, so later batches match earlier ingests") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.NearDup
+    val shA = (0 until 20).map(i => s"alpha$i")
+    val shB = (0 until 20).map(i => s"beta$i")
+    val dir = tmpDir("graft_bandidx_maint").toString
+    NearDup.saveBandIndex(Seq((100L, shA)).toDF("doc_id", "sh"), dir)
+
+    val outDir = tmpDir("graft_maint_out").toString
+    val input = MemoryStream[ShDoc]
+    val q = input.toDF().writeStream
+      .foreachBatch(nearDupMaintainingSink(dir, s"$outDir/data") _)
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+    // batch 0: a brand-new doc — unrelated to the initial corpus
+    input.addData(ShDoc(10, ts(1), shB))
+    q.processAllAvailable()
+    // batch 1: near-dup of doc 10 — which arrived ON THE STREAM, not in
+    // the initial corpus: only a maintained index can match it
+    input.addData(ShDoc(20, ts(2), shB.tail))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(s"$outDir/data")
+      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    rows shouldBe Set((20L, 10L, 0.95))
+
+    // the artifact now holds corpus + both streamed batches
+    val idx = NearDup.loadBandIndex(spark, dir)
+    idx.docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet shouldBe
+      Set(100L, 10L, 20L)
+
+    // at-least-once replay of batch 1 rewrites its own append subtree —
+    // no duplicate docs rows, identical future matches
+    val replay = Seq((20L, shB.tail)).toDF("doc_id", "sh")
+    nearDupMaintainingSink(dir, s"$outDir/data")(replay, 1L)
+    val idx2 = NearDup.loadBandIndex(spark, dir)
+    idx2.docs.count() shouldBe 3
+    matchRowsOf(NearDup.matchAgainstBandIndex(
+      Seq((30L, shB)).toDF("doc_id", "sh"), idx2)) shouldBe
+      Set((30L, 10L, 1.0), (30L, 20L, 0.95))
+
+    // a torn append (no docs/_SUCCESS commit marker) is invisible to load
+    new java.io.File(s"$dir/appends/torn/banded").mkdirs()
+    NearDup.loadBandIndex(spark, dir).docs.count() shouldBe 3
+  }
+
+  private def matchRowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
   test("stream-static join enriches from a broadcast dimension") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
