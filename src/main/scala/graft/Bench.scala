@@ -64,6 +64,17 @@ object Bench {
     val (eligible, excluded) = picked.sortBy(_._1).partition {
       case (name, _) => sf.forall(s => bounds.get(name).forall(_ >= s))
     }
+    // Pre-stage loaded-twin artifacts OUTSIDE the timed region: the
+    // *_loaded/*_appended registry twins build their fingerprint-keyed
+    // artifact on first invocation (build-if-absent), so without this an
+    // empty tmpdir charges a one-time index BUILD to pass 1 of a query
+    // that exists to measure PROBE cost. One untimed pass per twin makes
+    // every timed pass probe-only and decouples medians from tmpdir state.
+    eligible
+      .filter { case (n, _) => n.contains("_loaded") || n.contains("_appended") }
+      .foreach { case (_, fn) =>
+        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      }
     // Sorted-name execution order: Map iteration order reshuffles whenever
     // the registry grows, silently changing which queries run warm (JIT,
     // FS cache) — sorted order keeps anchors comparable across rounds.

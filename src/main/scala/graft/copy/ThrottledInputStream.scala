@@ -7,8 +7,9 @@ import java.io.{FilterInputStream, IOException, InputStream}
   * (reference/service/ThrottledInputStream.java:17-68): when a window has
   * consumed its byte budget, sleep out the window remainder, then reset.
   * The cap is per-stream — N concurrent copies consume N× the configured
-  * bandwidth, exactly like the reference (see SURVEY.md §7.4); a
-  * cluster-global cap would need a shared token bucket, out of scope.
+  * bandwidth, exactly like the reference (see SURVEY.md §7.4). For the
+  * cluster-global semantic the reference can't give, see GlobalThrottle:
+  * streams sharing one TokenBucket cap their AGGREGATE.
   *
   * Interruption during the sleep surfaces as IOException("Throttled read
   * interrupted") with the interrupt flag restored.
