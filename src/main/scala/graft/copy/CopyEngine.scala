@@ -231,6 +231,11 @@ final class CopyEngine(
 object CopyEngine {
   private val BufferSize = 64 * 1024 // reference/service/HdfsCopyService.java:25
 
+  /** Hadoop-conf key for the per-executor share of a cluster-global copy
+    * bandwidth cap (MB/s); 0/absent = no global cap. See GlobalThrottle.
+    */
+  val GlobalMbpsKey = "graft.copy.global.mbps"
+
   /** DFS over listStatus starting at (but excluding) `start`, paths
     * relative to `rootUri` — the MAIN copy root's URI path, so subtree
     * walks compose into one listing. Runs on the driver (small trees) or
@@ -283,9 +288,23 @@ object CopyEngine {
       val digest = if (checksumEnabled) MessageDigest.getInstance("MD5") else null
       var total = 0L
       val rawIn = srcFs.open(src)
-      val in = bwMbPerSec match {
+      val perStream = bwMbPerSec match {
         case Some(bw) => new ThrottledInputStream(rawIn, bw.toLong * 1024 * 1024)
         case None => rawIn
+      }
+      // Cluster-global cap (GlobalThrottle): `graft.copy.global.mbps` in
+      // the Hadoop conf (serialized to every task) is this EXECUTOR's
+      // budget share — the submitter divides the cluster cap by executor
+      // count; in local mode the share IS the global cap. All tasks in
+      // this JVM rendezvous on one bucket, so their aggregate stays
+      // ≤ share·(1+ε) however many copy in parallel — the semantic the
+      // per-stream limiter can't give (N streams = N× cap). Composes
+      // with the per-stream cap: both limits hold.
+      val in = conf.getInt(GlobalMbpsKey, 0) match {
+        case mbps if mbps > 0 =>
+          new GloballyThrottledInputStream(perStream,
+            GlobalThrottle.bucket("copy-global", mbps.toLong * 1024 * 1024))
+        case _ => perStream
       }
       try {
         val out = dstFs.create(dst, true)

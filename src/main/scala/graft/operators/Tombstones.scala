@@ -58,8 +58,12 @@ object Tombstones {
   def exclude(df: DataFrame, spark: SparkSession, path: String,
       idCol: String): DataFrame =
     if (!exists(path)) df
-    else df.join(broadcast(ids(spark, path)),
-      df(idCol).cast("long") === col("id"), "left_anti")
+    else {
+      // side-qualified join key: an input that itself carries an `id`
+      // column must not capture the tombstone side's
+      val t = ids(spark, path)
+      df.join(broadcast(t), df(idCol).cast("long") === t("id"), "left_anti")
+    }
 
   def count(spark: SparkSession, path: String): Long =
     if (exists(path)) ids(spark, path).count() else 0L

@@ -131,11 +131,18 @@ object Extra extends QueryModule {
       s.read.option("header", "true").schema(src.schema).csv(tmp)
         .agg(
           count(lit(1)).as("cnt"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          // DECIMAL sums: order-independent and engine-exact, so the
+          // check isolates CSV round-trip fidelity (the subject under
+          // test) from fp summation order, which diverged at the 10×
+          // fixture (SCALE.md §sf1-oracle)
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"))
     },
-    Some("""SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price
+    Some("""SELECT count(*) AS cnt,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
            FROM lineitem"""))
 
   // Deterministic stratified sampling — the data-mixing primitive of a

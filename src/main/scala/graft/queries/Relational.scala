@@ -65,10 +65,16 @@ object Relational extends QueryModule {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net"))
-      .orderBy(col("l_orderkey"), col("l_linenumber")),
+      // TOTAL order — (l_orderkey, l_linenumber) is NOT unique in the
+      // fixture (duplicate line keys exist), and a tie left to engine
+      // whim diverged between Spark and DuckDB the first time a scaled
+      // fixture reshuffled input order (SCALE.md §sf1-oracle). Every
+      // output column rides the sort, so only full-duplicate rows tie —
+      // and those are interchangeable under the value compare.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("net")),
     Some("""SELECT l_orderkey, l_linenumber,
              round(l_extendedprice * (1 - l_discount), 4) AS net
-           FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+           FROM lineitem ORDER BY l_orderkey, l_linenumber, net"""))
 
   private val qFilter = Q(
     "q_filter_in_between",
@@ -342,11 +348,21 @@ object Relational extends QueryModule {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // DECIMAL money arithmetic: a double sum is order-nondeterministic
+      // (fp addition isn't associative), and at the 10× fixture the
+      // engines' different summation orders landed on opposite sides of
+      // a cent boundary after round(…, 2) (SCALE.md §sf1-oracle). Exact
+      // decimal multiply/sum is the same on any row order and any
+      // engine — the TPC-H spec types money DECIMAL for this reason.
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20),
     Some("""SELECT c_custkey, c_name, n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+               (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+               AS DOUBLE) AS revenue
            FROM lineitem, orders, customer, nation
            WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
              AND o_custkey = c_custkey AND c_nationkey = n_nationkey

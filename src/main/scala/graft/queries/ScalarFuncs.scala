@@ -80,7 +80,14 @@ object ScalarFuncs extends QueryModule {
         round(expr("ln(l_extendedprice)"), 6).as("ln_price"),
         round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
         pmod(col("l_orderkey"), lit(7)).as("mod7"))
-      .orderBy(col("l_orderkey"), col("l_linenumber")),
+      // r1 + absdiff make the sort TOTAL up to full-duplicate rows:
+      // duplicate (orderkey, linenumber) keys exist in the fixture, and
+      // a value-bearing tie left unsorted diverged between engines the
+      // first time a scaled fixture reshuffled input order (SCALE.md
+      // §sf1-oracle). The remaining cols are functions of the sorted
+      // ones (price, quantity, discount, orderkey), so no freedom is left.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("r1"),
+        col("absdiff"), col("qty_sq")),
     Some("""SELECT l_orderkey, l_linenumber,
              round(l_extendedprice, 1) AS r1,
              CAST(floor(l_extendedprice) AS BIGINT) AS flr,
@@ -90,7 +97,8 @@ object ScalarFuncs extends QueryModule {
              round(ln(l_extendedprice), 6) AS ln_price,
              round(sqrt(l_quantity), 6) AS sqrt_qty,
              l_orderkey % 7 AS mod7
-           FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+           FROM lineitem
+           ORDER BY l_orderkey, l_linenumber, r1, absdiff, qty_sq"""))
 
   private val qCond = Q(
     "q_cond_funcs",

@@ -338,7 +338,11 @@ object WindowSetOps extends QueryModule {
         "measure", "val")
       .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
         round(col("val"), 4).as("val"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+      // val joins the sort to make it TOTAL: duplicate (orderkey,
+      // linenumber) keys exist in the fixture, so a (key, measure) tie
+      // with different values is engine-whim order (SCALE.md §sf1-oracle)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"),
+        col("val")),
     Some("""SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val
            FROM (
              SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
@@ -349,7 +353,7 @@ object WindowSetOps extends QueryModule {
              UNION ALL
              SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE)
              FROM lineitem WHERE l_orderkey < 100) t
-           ORDER BY l_orderkey, l_linenumber, measure"""))
+           ORDER BY l_orderkey, l_linenumber, measure, val"""))
 
   override def queries: Seq[Q] = Seq(
     qWinRank, qWinNtile, qWinLagLead, qWinLastValue, qWinFrame,

@@ -57,6 +57,29 @@ class CopyEngineSpec extends SparkSpec {
     ms should be > 1500L
   }
 
+  test("cluster-global cap: parallel directory copy bounded in AGGREGATE, not per stream") {
+    // 8 files × 1 MiB fan out across executor slots; a global 4 MB/s cap
+    // must make the ITEM take ≥ ~1.5 s even though each stream alone
+    // would finish instantly — the semantic the per-stream limiter can't
+    // give (8 streams at 4 MB/s each would aggregate 32 MB/s).
+    GlobalThrottle.reset("copy-global")
+    val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
+    (1 to 8).foreach(i => write(srcDir, s"f$i.bin", bytes(1024 * 1024)))
+    val gconf = new Configuration()
+    gconf.setInt(CopyEngine.GlobalMbpsKey, 4)
+    val t0 = System.nanoTime()
+    val r = engine.copyPath(gconf, srcDir.toString, dstDir.resolve("out").toString, None)
+    val sec = (System.nanoTime() - t0) / 1e9
+    r.bytesCopied shouldBe 8L * 1024 * 1024
+    r.checksumVerified shouldBe true
+    // 8 MiB at 4 MB/s ⇒ ideal ~2.1 s; burst (1 s of budget) + charge-
+    // after overshoot admit the first chunk free, so require ≥ 1.2 s —
+    // far above the unthrottled run (< 0.3 s) and ~6× above what a
+    // per-stream-only cap would allow this fan-out to take
+    sec should be > 1.2
+    GlobalThrottle.reset("copy-global")
+  }
+
   test("directory copy mirrors nested structure") {
     val srcDir = tmpDir("src"); val dstDir = tmpDir("dst")
     val a = bytes(1000); val b = bytes(2000); val c = bytes(50)
