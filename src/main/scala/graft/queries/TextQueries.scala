@@ -444,6 +444,53 @@ object TextQueries extends QueryModule {
     },
     qDedupJaccardIncremental.oracle)
 
+  // Tombstone-delete twin (r8, VERDICT r7 #1): the takedown path under a
+  // VALUE oracle, not just specs. The corpus index is built over the
+  // full corpus (doc_id % 10 ≠ 0), then the day-2 slice
+  // (doc_id % 10 = 2, chosen because it contains real matched ids at
+  // the driver gate scale, so the oracle is NON-vacuous) is DELETED via the tombstone table
+  // (operators/Tombstones — O(removed) id rows, no rebuild; the probe's
+  // ids-only candidate side anti-joins them out at load). Oracle: the
+  // DuckDB all-pairs replay of batch × (corpus MINUS the deleted slice)
+  // — a green row proves the delete removes exactly the tombstoned ids'
+  // pairs and nothing else, i.e. probe-after-delete ==
+  // probe-against-rebuilt-without-ids at oracle strength.
+  private val qDedupJaccardIncrDeleted = Q(
+    "q_dedup_jaccard_incr_deleted",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, NearDup, Tombstones}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      val path = ArtifactPaths.keyed("jacidx", s"$d/documents.parquet",
+        "tau=0.8,shingle=3,corpus=mod10ne0,deleted=mod10eq2,v=1")
+      // two-phase build (save, then delete): commit on a marker written
+      // after BOTH phases, same posture as the appended twin — a crash
+      // between save and delete must not leave a complete-LOOKING index
+      // still serving the to-be-deleted ids
+      val done = new java.io.File(s"$path/delete.done")
+      if (!done.isFile) {
+        NearDup.saveJaccardIndex(docs.filter(col("doc_id") % 10 =!= 0), path)
+        Tombstones.deleteIds(path,
+          docs.filter(col("doc_id") % 10 === 2).select(col("doc_id")))
+        done.createNewFile()
+      }
+      NearDup.jaccardMatchesAgainstLoaded(
+          docs.filter(col("doc_id") % 10 === 0), s, path)
+        .orderBy(col("doc_id"), col("matched_id"))
+    },
+    Some(s"""WITH $shingleCte,
+           p AS (
+             SELECT a.doc_id AS doc_id, b.doc_id AS matched_id,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+             FROM s a JOIN s b
+               ON a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 2))
+           SELECT doc_id, matched_id,
+             round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+           FROM p
+           WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8
+           ORDER BY doc_id, matched_id"""))
+
   // Appended-index twin (r7 index maintenance): the corpus index is built
   // on day-0 docs (doc_id % 10 > 1) and day-1 docs (doc_id % 10 = 1) are
   // APPENDED under the frozen day-0 shingle order
@@ -899,7 +946,7 @@ object TextQueries extends QueryModule {
     qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
     qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
-    qDedupJaccardIncrAppended,
+    qDedupJaccardIncrAppended, qDedupJaccardIncrDeleted,
     qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
     qSourceOverlap, qDedupContainment, qDedupSubstring, qDedupSubstringTop)
 }

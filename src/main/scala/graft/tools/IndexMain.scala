@@ -24,6 +24,15 @@ import graft.operators.{ArtifactPaths, IvfIndex, NearDup, PqIndex, Tombstones}
   *     delete-band   (takedown path: `ids=3,17,42` appends to the
   *     artifact's tombstone table — O(removed), no rebuild; every later
   *     probe excludes them. See operators/Tombstones.)
+  *   compact-pq | compact-ivf | compact-ivfpq | compact-sq8 |
+  *     compact-jaccard | compact-band   (storage reclaim after deletes:
+  *     rewrite the artifact WITHOUT tombstoned rows into `dest=<dir>` —
+  *     the source stays untouched and readable throughout, and dest
+  *     commits meta-last, so a crashed compaction costs nothing. ANN
+  *     kinds rewrite codes/cells under the frozen codebooks/centroids/
+  *     grid; jaccard/band re-derive from the live docs half — for
+  *     jaccard that also REFRESHES the frozen df order from the live
+  *     corpus, resetting accumulated drift (the check-jaccard remedy).)
   *   stats-jaccard   (probe-selectivity report — the rebuild-cadence
   *     signal: one JSON line with candidates/verified/index sizes)
   *   check-jaccard   (the signal's CONSUMER: same report, then exit 1 if
@@ -90,7 +99,7 @@ object IndexMain {
     if (keys.distinct.length != keys.length)
       fail(s"duplicate option key in '${rest.mkString(" ")}'")
     val known = Set("split", "m", "k", "dim", "cells", "tau", "topk",
-      "pool", "nprobe", "ids", "maxratio", "maxcand")
+      "pool", "nprobe", "ids", "maxratio", "maxcand", "dest")
     keys.filterNot(known).foreach(k => fail(s"unknown option '$k'"))
     val kv = split0.map(a => (a(0), a(1))).toMap
     def num(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
@@ -232,6 +241,43 @@ object IndexMain {
         Tombstones.deleteIds(dir, idList.toDF("id"))
         println(s"""{"deleted":${idList.length},""" +
           s""""tombstones_total":${Tombstones.count(spark, dir)}}""")
+
+      case "compact-pq" | "compact-ivf" | "compact-ivfpq" | "compact-sq8" |
+          "compact-jaccard" | "compact-band" =>
+        // load already excludes tombstones, so compact = load + save to
+        // a fresh dest; the save clears dest's (nonexistent) tombstones
+        // and commits meta-last — crash-safe without touching the source
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val dest = kv.getOrElse("dest",
+          fail(s"$cmd requires dest=<directory for the compacted artifact>"))
+        if (new java.io.File(dest).getCanonicalPath ==
+            new java.io.File(dir).getCanonicalPath)
+          fail("dest must differ from the source index dir (in-place " +
+            "compaction would destroy the source on a crash)")
+        cmd match {
+          case "compact-pq" | "compact-ivfpq" =>
+            val idx = PqIndex.load(spark, dir)
+            PqIndex.save(dest, idx.books, idx.codes, idx.cents)
+          case "compact-ivf" =>
+            val (cents, cells) = IvfIndex.load(spark, dir)
+            IvfIndex.save(dest, cents, cells)
+          case "compact-sq8" =>
+            import graft.operators.Sq8Index
+            val (grid, codes) = Sq8Index.load(spark, dir)
+            Sq8Index.save(dest, grid, codes)
+          case "compact-jaccard" =>
+            val thr = spark.read.parquet(s"$dir/meta").collect()(0).getDouble(0)
+            val live = Tombstones.exclude(
+              spark.read.parquet(s"$dir/docs"), spark, dir, "doc_id")
+            NearDup.saveJaccardIndex(
+              live.select(col("doc_id"), col("sh")), dest, thr)
+          case "compact-band" =>
+            val idx = NearDup.loadBandIndex(spark, dir)
+            NearDup.saveBandIndex(idx.docs, dest, idx.numHashes, idx.bands,
+              idx.rowsPerBand)
+        }
+        println(s"""{"compacted":"$dest","tombstones_dropped":""" +
+          s"""${Tombstones.count(spark, dir)}}""")
 
       case "stats-jaccard" | "check-jaccard" =>
         // the rebuild-cadence signal: candidates/verified rising (df

@@ -177,6 +177,47 @@ class TombstoneSpec extends SparkSpec {
         NearDup.loadBandIndex(spark, dirB)))
   }
 
+  test("compaction (load + save to dest) drops tombstoned rows and probes identically") {
+    // the IndexMain compact-* kernel: load already excludes tombstones,
+    // so a re-save under the same frozen parameters is the storage-
+    // reclaim form of the artifact — identical probes, zero tombstones
+    val e = embeddings.localCheckpoint()
+    val books = PqIndex.train(spark, e, dim = 64, m = 8, k = 16)
+    val dead = deadVec(e).localCheckpoint()
+    val dir = tmpDir("graft_pq_compact_src").toString
+    PqIndex.save(dir, books, PqIndex.encode(e, books))
+    Tombstones.deleteIds(dir, dead)
+    val dest = tmpDir("graft_pq_compact_dst").toString
+    val idx = PqIndex.load(spark, dir)
+    PqIndex.save(dest, idx.books, idx.codes, idx.cents)
+
+    Tombstones.count(spark, dest) shouldBe 0L
+    val cIdx = PqIndex.load(spark, dest)
+    cIdx.codes.count() shouldBe (e.count() - dead.count())
+    val q = queriesOf(e)
+    annRows(PqIndex.topKFrom(q, cIdx.codes, e, cIdx.books, k = 5, pool = 25)
+      .orderBy(col("qid"), col("rn"))) shouldBe
+      annRows(PqIndex.topKFrom(q, idx.codes, e, idx.books, k = 5, pool = 25)
+        .orderBy(col("qid"), col("rn")))
+
+    // jaccard flavor: compaction re-derives from the live docs half and
+    // REFRESHES the frozen order — matches must equal the tombstoned
+    // probe (both are lossless filters over the same live corpus)
+    val corpus = documents.filter(col("doc_id") % 10 =!= 0).localCheckpoint()
+    val batch = documents.filter(col("doc_id") % 10 === 0).localCheckpoint()
+    val deadDocs = corpus.filter(col("doc_id") % 3 === 1).select(col("doc_id"))
+    val jdir = tmpDir("graft_jac_compact_src").toString
+    NearDup.saveJaccardIndex(corpus, jdir)
+    Tombstones.deleteIds(jdir, deadDocs)
+    val jdest = tmpDir("graft_jac_compact_dst").toString
+    val thr = spark.read.parquet(s"$jdir/meta").collect()(0).getDouble(0)
+    val live = Tombstones.exclude(
+      spark.read.parquet(s"$jdir/docs"), spark, jdir, "doc_id")
+    NearDup.saveJaccardIndex(live.select(col("doc_id"), col("sh")), jdest, thr)
+    matchRows(NearDup.jaccardMatchesAgainstLoaded(batch, spark, jdest)) shouldBe
+      matchRows(NearDup.jaccardMatchesAgainstLoaded(batch, spark, jdir))
+  }
+
   test("deletes are idempotent, suppress later appends, and a rebuild compacts them") {
     val corpus = documents.filter(col("doc_id") % 10 > 1).localCheckpoint()
     val day1 = documents.filter(col("doc_id") % 10 === 1).localCheckpoint()
