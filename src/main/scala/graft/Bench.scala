@@ -71,7 +71,9 @@ object Bench {
     // that exists to measure PROBE cost. One untimed pass per twin makes
     // every timed pass probe-only and decouples medians from tmpdir state.
     eligible
-      .filter { case (n, _) => n.contains("_loaded") || n.contains("_appended") }
+      .filter { case (n, _) =>
+        n.contains("_loaded") || n.contains("_appended") || n.contains("_deleted")
+      }
       .foreach { case (_, fn) =>
         try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
