@@ -8,7 +8,12 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup] [index=<dir>] [maintain=1]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann] [index=<dir>] [maintain=1]"
+  *
+  * op=ann (requires index=) is the standing retrieval service: replay an
+  * embeddings fixture as the query stream, probe the persisted PQ
+  * artifact per micro-batch (StreamingOps.annTopKSink — built over the
+  * same fixture on first run), top-k per query under data/batch=N.
   *
   * The optional third argument picks the ingest throttle: files=N →
   * maxFilesPerTrigger, bytes=N → maxBytesPerTrigger (both A7 analogs —
@@ -52,8 +57,8 @@ object StreamMain {
       .groupBy(identity).collect { case (k, vs) if vs.length > 1 => k }
     val kvArgs = split.collect { case (_, Array(k, v)) => (k, v) }.toMap
     val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index", "maintain")
-    val indexWithoutNearDup =
-      kvArgs.contains("index") && kvArgs.getOrElse("op", "window") != "neardup"
+    val indexWithoutNearDup = kvArgs.contains("index") &&
+      !Set("neardup", "ann").contains(kvArgs.getOrElse("op", "window"))
     val maintainWithoutIndex =
       kvArgs.contains("maintain") && !kvArgs.contains("index")
     if (malformed.nonEmpty || badKeys.nonEmpty || dupKeys.nonEmpty ||
@@ -63,9 +68,9 @@ object StreamMain {
         s"bad options ${(malformed ++ badKeys ++ dupKeys).mkString(", ")}" +
         (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
            " (files= and bytes= are mutually exclusive)" else "") +
-        (if (indexWithoutNearDup) " (index= requires op=neardup)" else "") +
+        (if (indexWithoutNearDup) " (index= requires op=neardup|ann)" else "") +
         (if (maintainWithoutIndex) " (maintain=1 requires index=)" else "") +
-        ": use files=N | bytes=N | op=window|neardup | index=<dir> | maintain=1")
+        ": use files=N | bytes=N | op=window|neardup|ann | index=<dir> | maintain=1")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -152,14 +157,44 @@ object StreamMain {
             val static = shingled(spark.read.parquet(srcDir))
             StreamingOps.nearDupMatches(shingled(raw), static, "10 minutes")
         }
+      case "ann" =>
+        // streaming ANN retrieval (StreamingOps.annTopKSink): replay an
+        // embeddings fixture as the query stream against a persisted PQ
+        // artifact (built over the SAME fixture if absent). Sink is
+        // foreachBatch (started below) — this branch only returns the
+        // projected query stream.
+        import graft.functions.VectorFunctions.normSq
+        import graft.operators.{ArtifactPaths, PqIndex}
+        val idxPath = kvArgs.getOrElse("index",
+          { System.err.println("op=ann requires index=<dir>"); sys.exit(2) })
+        if (!ArtifactPaths.exists(idxPath)) {
+          val e = spark.read.parquet(srcDir)
+            .select(col("vec_id"), col("embedding"),
+              normSq(col("embedding")).as("n2"))
+            .localCheckpoint()
+          val books = PqIndex.train(spark, e, dim = 64, m = 8, k = 16)
+          PqIndex.save(idxPath, books, PqIndex.encode(e, books))
+        }
+        raw.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          normSq(col("embedding")).as("qn2"))
       case other =>
-        System.err.println(s"bad op '$other': use window or neardup")
+        System.err.println(s"bad op '$other': use window, neardup or ann")
         sys.exit(2)
         null
     }
 
     val q =
-      if (kvArgs.contains("maintain"))
+      if (op == "ann") {
+        import graft.functions.VectorFunctions.normSq
+        val corpus = spark.read.parquet(srcDir)
+          .select(col("vec_id"), col("embedding"),
+            normSq(col("embedding")).as("n2"))
+        out.writeStream
+          .foreachBatch(StreamingOps.annTopKSink(kvArgs("index"), corpus,
+            s"$outDir/data", k = 5, pool = 25) _)
+          .option("checkpointLocation", s"$outDir/checkpoint")
+          .start()
+      } else if (kvArgs.contains("maintain"))
         out.writeStream
           .foreachBatch(StreamingOps.nearDupMaintainingSink(
             kvArgs("index"), s"$outDir/data") _)

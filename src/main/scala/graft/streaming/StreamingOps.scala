@@ -171,6 +171,33 @@ object StreamingOps {
     NearDup.appendToBandIndexKeyed(b, spark, indexPath, batchId.toString)
   }
 
+  /** Streaming ANN retrieval — the standing query-service shape over a
+    * persisted PQ artifact (operators/PqIndex): each micro-batch of
+    * query vectors (qid, qv, qn2) runs the ADC scan + exact pool
+    * re-rank against the LOADED index and lands its top-k under
+    * `$outDir/batch=$batchId` (overwrite = idempotent on replay). The
+    * index is reloaded per batch — a parquet listing + tiny codebook
+    * read — so deletes (Tombstones) and appends applied to the artifact
+    * between triggers take effect on the next batch without restarting
+    * the job. Per-batch the query side is collected driver-side to
+    * build the m×k ADC tables (bounded by the trigger size — the same
+    * bounded-|Q| contract as the batch path); the corpus codes NEVER
+    * shuffle, so a standing retrieval job is a sequence of small
+    * broadcast probes against an immutable artifact. `corpus` is the
+    * float re-rank side (vec_id, embedding, n2) — scanned only for pool
+    * survivors.
+    */
+  def annTopKSink(indexPath: String, corpus: DataFrame, outDir: String,
+      k: Int, pool: Int)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.PqIndex
+    val spark = batch.sparkSession
+    val idx = PqIndex.load(spark, indexPath)
+    PqIndex.topKFrom(batch.select(col("qid"), col("qv"), col("qn2"))
+        .localCheckpoint(),
+        idx.codes, corpus, idx.books, k, pool)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
   /** Stream-static enrichment join: a broadcastable static dimension joined
     * to the stream — no stream-side shuffle, no state.
     */

@@ -6,6 +6,9 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 import StreamingOps._
 
+// top-level so Spark can generate its encoder without an outer-scope ref
+case class QVec(qid: Long, qv: Seq[Float], qn2: Double)
+
 /** Golden tests for the streaming operators: MemoryStream feeds with
   * controlled event times; watermark/late-data/session/dedup semantics have
   * no DuckDB oracle (SURVEY.md §5.2 #3), so expected outputs are asserted
@@ -431,6 +434,59 @@ class StreamingSpec extends SparkSpec {
 
   private def matchRowsOf(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("streaming ANN retrieval: per-batch top-k equals the batch probe; deletes apply next batch") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{PqIndex, Tombstones}
+    import graft.functions.VectorFunctions.normSq
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      .localCheckpoint()
+    val books = PqIndex.train(spark, e, dim = 64, m = 8, k = 16)
+    val dir = tmpDir("graft_pq_stream").toString
+    PqIndex.save(dir, books, PqIndex.encode(e, books))
+
+    val qRows = e.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"), col("n2")).collect()
+      .map(r => QVec(r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val outDir = tmpDir("graft_ann_stream_out").toString
+    val input = MemoryStream[QVec]
+    val q = input.toDF().writeStream
+      .foreachBatch(nearAnnSink(dir, e, s"$outDir/data") _)
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+    input.addData(qRows.take(2): _*)
+    q.processAllAvailable()
+    // artifact mutates BETWEEN batches: delete one known neighbor — the
+    // per-batch reload must pick it up without restarting the job
+    val batch1 = spark.read.parquet(s"$outDir/data/batch=0")
+    val victim = batch1.filter(col("rn") === 1)
+      .select(col("nid")).collect()(0).getLong(0)
+    Tombstones.deleteIds(dir, Seq(victim).toDF("id"))
+    input.addData(qRows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch 0 equals the batch-path probe over the full index
+    val idx = PqIndex.load(spark, dir) // note: loads WITH the tombstone now
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val qDf = (ids: Seq[QVec]) => ids.toDF("qid", "qv", "qn2")
+    // batch 1 ran after the delete: equals the batch probe against the
+    // tombstoned index, and never returns the victim
+    val got1 = rows(spark.read.parquet(s"$outDir/data/batch=1")
+      .orderBy(col("qid"), col("rn")))
+    val want1 = rows(PqIndex.topKFrom(qDf(qRows.drop(2).toSeq), idx.codes, e,
+      idx.books, k = 5, pool = 25).orderBy(col("qid"), col("rn")))
+    got1 shouldBe want1
+    got1.map(_._3) should not contain victim
+  }
+
+  private def nearAnnSink(dir: String, corpus: org.apache.spark.sql.DataFrame,
+      out: String)(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+    annTopKSink(dir, corpus, out, k = 5, pool = 25)(b, id)
 
   test("stream-static join enriches from a broadcast dimension") {
     val sp = spark; import sp.implicits._
