@@ -206,6 +206,46 @@ object Extra extends QueryModule {
                THEN 1 ELSE 0 END)
            GROUP BY source ORDER BY source"""))
 
+  // Temperature-based mixture reweighting (the mT5/XLM-R multilingual
+  // recipe, public literature): language l is sampled ∝ n_l^α with
+  // α < 1, boosting low-resource languages relative to proportional
+  // sampling. α = 0.5 here DELIBERATELY: n^0.5 = sqrt(n) is correctly
+  // rounded under IEEE-754 in every engine, whereas a general pow()
+  // differs in the last ulp across libm implementations and would make
+  // the oracle flaky. The normalizer Z = Σ√n_l folds in SORTED language
+  // order via a sequential HOF fold on BOTH engines (the q_lm_score
+  // determinism recipe) — a 6-term double sum is not associative enough
+  // to leave to engine whim at a rounding boundary. Plan shape: one
+  // partial+final agg to 6 language rows, a 1-row broadcast scalar for
+  // Z, map-side arithmetic — nothing scales with corpus size except the
+  // first agg.
+  private val qSampleTemperature = Q(
+    "q_sample_temperature",
+    (s, d) => {
+      val byLang = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", sqrt(col("n_docs").cast("double")))
+      val z = byLang.agg(expr(
+        """aggregate(array_sort(collect_list(struct(lang, w))),
+           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)""").as("z"))
+      byLang.crossJoin(broadcast(z))
+        .withColumn("p_samp", round(col("w") / col("z"), 6))
+        .withColumn("target_docs",
+          round(lit(10000) * col("w") / col("z"), 0).cast("long"))
+        .select(col("lang"), col("n_docs"), col("p_samp"), col("target_docs"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH g AS (
+             SELECT lang, count(*) AS n_docs, sqrt(count(*)) AS w
+             FROM documents GROUP BY lang),
+           z AS (
+             SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(w ORDER BY lang)), (a, x) -> a + x) AS z FROM g)
+           SELECT lang, n_docs, round(w / z.z, 6) AS p_samp,
+             CAST(round(10000 * w / z.z, 0) AS BIGINT) AS target_docs
+           FROM g, z ORDER BY lang"""))
+
   // Exact-k deterministic sample — eval-set carving: order by a
   // multiplicative key hash and take exactly k. Plans as
   // TakeOrderedAndProject (per-partition top-k + merge), never a global
@@ -383,7 +423,8 @@ object Extra extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
-    qCsvRoundtrip, qSampleStratified, qSampleMixture, qSampleExactK,
+    qCsvRoundtrip, qSampleStratified, qSampleMixture, qSampleTemperature,
+    qSampleExactK,
     qSampleTokenBudget, qSplitTrainTest, qZorder, qSketchHll, qSketchKll,
     qSketchCms)
 }

@@ -62,6 +62,54 @@ object VectorQueries extends QueryModule {
     // makes the exclusion contractual for any sf > 0.1 bench
     scaleBound = Some(0.15))
 
+  // Semantic dedup at CLUSTER granularity — operator composition: the
+  // exact cosine pair generator above feeds the same pointer-jumping
+  // connected-components operator the jaccard family uses
+  // (operators/DedupClusters), labeling each semantic duplicate group
+  // with one keeper — the dedup decision a pipeline actually applies
+  // (drop all but one per cluster), not just the pair list. Oracle: the
+  // recursive transitive-closure CTE over DuckDB's own cosine pairs —
+  // both stages value-checked end to end. Inherits the pair stage's
+  // scaleBound (exact O(n²) baseline, oracle scale only); the corpus
+  // path swaps in the LSH pair generator (q_dedup_embedding_lsh) ahead
+  // of the identical clusters operator, exactly as the jaccard family
+  // swaps prefix-filter for all-pairs.
+  private val qEmbeddingClusters = Q(
+    "q_dedup_embedding_clusters",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+        col("n2").as("n2_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+        col("n2").as("n2_b"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos",
+          dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+        .filter(col("cos") > 0.45)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.DedupClusters.keepers(pairs)
+    },
+    Some("""WITH RECURSIVE jp AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) > 0.45),
+           e AS MATERIALIZED (
+             SELECT id_a AS u, id_b AS v FROM jp
+             UNION
+             SELECT id_b AS u, id_a AS v FROM jp),
+           reach(u, v) AS (
+             SELECT u, v FROM e
+             UNION
+             SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+           lbl AS (
+             SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM reach GROUP BY u)
+           SELECT cluster_id, cluster_id AS keeper, count(*) AS n_members
+           FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""),
+    scaleBound = Some(0.15))
+
   // LSH-routed embedding near-dup (the 100 TB path for the query above):
   // every vector lands in 8 × b-bit hyperplane buckets; candidate pairs
   // are bucket-equi-join collisions (ids only through the distinct), then
@@ -483,7 +531,8 @@ object VectorQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    qCosineNearDup, qEmbeddingLsh, qBruteTopK, qAnnLsh, qIvf, qSq8, qCentroids,
+    qCosineNearDup, qEmbeddingClusters, qEmbeddingLsh, qBruteTopK, qAnnLsh,
+    qIvf, qSq8, qCentroids,
     qHardNegatives, qHardNegativesLsh, qPq, qIvfPq,
     qPqLoaded, qIvfLoaded, qIvfPqLoaded, qSq8Loaded)
 }
