@@ -206,6 +206,33 @@ object Extra extends QueryModule {
                THEN 1 ELSE 0 END)
            GROUP BY source ORDER BY source"""))
 
+  // JSON-lines round-trip (the third leg of the format-sink trio next to
+  // q_csv_roundtrip / q_orc_roundtrip): write the projection as JSONL,
+  // read it back with an explicit schema, aggregate — the oracle reads
+  // the ORIGINAL parquet, so a green row proves the JSON text round-trip
+  // lost nothing. DECIMAL sums for the same order-independence reason as
+  // the CSV twin (SCALE.md §sf1-oracle).
+  private val qJsonRoundtrip = Q(
+    "q_json_roundtrip",
+    (s, d) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_jsonrt_" +
+        s"${d.hashCode.abs}_${ProcessHandle.current().pid()}/li"
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      src.write.mode("overwrite").json(tmp)
+      s.read.schema(src.schema).json(tmp)
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"))
+    },
+    Some("""SELECT count(*) AS cnt,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+           FROM lineitem"""))
+
   // Temperature-based mixture reweighting (the mT5/XLM-R multilingual
   // recipe, public literature): language l is sampled ∝ n_l^α with
   // α < 1, boosting low-resource languages relative to proportional
@@ -423,8 +450,8 @@ object Extra extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
-    qCsvRoundtrip, qSampleStratified, qSampleMixture, qSampleTemperature,
-    qSampleExactK,
+    qCsvRoundtrip, qJsonRoundtrip, qSampleStratified, qSampleMixture,
+    qSampleTemperature, qSampleExactK,
     qSampleTokenBudget, qSplitTrainTest, qZorder, qSketchHll, qSketchKll,
     qSketchCms)
 }

@@ -148,6 +148,45 @@ object TextQueries extends QueryModule {
              FROM documents) t
            GROUP BY token ORDER BY freq DESC, token LIMIT 50"""))
 
+  // One BPE training iteration (Sennrich et al. 2016, public literature)
+  // as a relational query — the tokenizer-training primitive: from word
+  // frequencies, count ADJACENT SYMBOL PAIRS weighted by word frequency
+  // (character bigrams at step 0; later steps substitute merged symbols,
+  // same plan) and emit the top merge candidates with a deterministic
+  // tiebreak. Scale posture: this is the inner loop of BPE training at
+  // corpus scale — word-freq agg shuffles (word, count) pairs once,
+  // pair extraction is a map-side explode over the DISTINCT-WORD table
+  // (tiny vs the corpus: pair counting never rescans raw text), partial
+  // agg combines hot pairs map-side, TakeOrderedAndProject caps the cut.
+  private val qBpeMergeStep = Q(
+    "q_bpe_merge_step",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      words
+        .filter(length(col("word")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH w AS (
+             SELECT word, count(*) AS freq FROM (
+               SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0)) AS word
+               FROM documents) t GROUP BY word),
+           p AS (
+             SELECT pair, sum(freq) AS pair_freq FROM (
+               SELECT freq,
+                 unnest([substr(word, i, 2) FOR i IN range(1, len(word))]) AS pair
+               FROM w WHERE len(word) >= 2) t GROUP BY pair)
+           SELECT pair, CAST(pair_freq AS BIGINT) AS pair_freq FROM p
+           ORDER BY pair_freq DESC, pair LIMIT 20"""))
+
   // Approximate heavy hitters over the token stream (Karp-Papadimitriou-
   // Shenker frequent-items sketch via DataFrameStatFunctions.freqItems):
   // one pass, O(1/support) state per partition, merge at the driver — the
@@ -943,7 +982,7 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
-    qVocabTopK, qVocabApprox, qPiiScrub, qSeqPack, qBm25, qLmScore,
+    qVocabTopK, qVocabApprox, qBpeMergeStep, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
     qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
     qDedupJaccardIncrAppended, qDedupJaccardIncrDeleted,
