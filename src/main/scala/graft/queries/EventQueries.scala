@@ -385,7 +385,97 @@ object EventQueries extends QueryModule {
              GROUP BY event_type, next_type)
            ORDER BY n DESC, event_type, next_type LIMIT 10"""))
 
+  // PageRank (k=3, d=0.85, weighted) over the event-transition graph —
+  // the iterative sparse matrix-vector computation (the other classic
+  // iterative graph op next to DedupClusters' connected components),
+  // used in data curation as a link-authority quality signal. Each
+  // iteration is: edges ⋈ ranks on src (ranks is O(|nodes|) and rides
+  // the same src-hash partitioning every round — one reusable
+  // exchange), then a per-dst fold of incoming contributions. Dangling
+  // nodes keep the standard simplified semantics (their mass leaks;
+  // identical on both engines).
+  //
+  // Determinism: the per-dst inflow folds doubles in SORTED src order
+  // via a HOF fold on both engines (the LmScore pattern) — a plain
+  // sum() would be summation-order-nondeterministic across layouts.
+  // In-degree here is ≤ |event types|, so the collect_list is bounded;
+  // the production variant at web scale swaps the fold for plain sum()
+  // and accepts fp-association noise below the rounding cut. The
+  // fixed-k loop unrolls to k CTE stages in the oracle, so DuckDB
+  // replays every iteration value-exactly.
+  private val qPagerank = Q(
+    "q_pagerank",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tss"), col("event_id"))
+      val edges = Tables.events(s, d)
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .select(col("user_id"), col("tss"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("src"), col("next_type").as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        // materialize the O(|types|²) edge table once — without this,
+        // every iteration (and nodes/outw) replays the scan + window
+        .localCheckpoint()
+      val outw = edges.groupBy(col("src"))
+        .agg(sum(col("w")).cast("double").as("ow"))
+      val e = edges.join(outw, "src")
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val n = nodes.count().toDouble // O(|event types|) driver scalar
+      var ranks = nodes.withColumn("r", lit(1.0 / n))
+      for (_ <- 1 to 3) {
+        val contribs = e.join(ranks, col("src") === col("node"))
+          .select(col("dst"), col("src"),
+            (col("r") * col("w") / col("ow")).as("c"))
+        val folded = contribs.groupBy(col("dst"))
+          .agg(aggregate(array_sort(collect_list(struct(col("src"), col("c")))),
+            lit(0.0), (acc, x) => acc + x.getField("c")).as("inflow"))
+        ranks = nodes.join(folded, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("inflow"), lit(0.0)))
+              .as("r"))
+      }
+      ranks.select(col("node"), round(col("r"), 6).as("rank"))
+        .orderBy(col("node"))
+    },
+    Some("""WITH seq AS (
+             SELECT event_type,
+                    lead(event_type, 1) OVER (PARTITION BY user_id
+                      ORDER BY date_trunc('second', ts), event_id) AS next_type
+             FROM events),
+           e0 AS (SELECT event_type AS src, next_type AS dst, count(*) AS w
+                  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+           outw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM e0 GROUP BY src),
+           e AS (SELECT e0.src, e0.dst, e0.w, outw.ow FROM e0 JOIN outw USING (src)),
+           nodes AS (SELECT DISTINCT src AS node FROM e0
+                     UNION SELECT DISTINCT dst FROM e0),
+           nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+           c1 AS (SELECT e.dst, list_reduce(list(r0.r * e.w / e.ow ORDER BY e.src),
+                         (a, b) -> a + b) AS inflow
+                  FROM e JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+           r1 AS (SELECT nodes.node,
+                    0.15 / nn.n + 0.85 * coalesce(c1.inflow, 0.0) AS r
+                  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nodes.node),
+           c2 AS (SELECT e.dst, list_reduce(list(r1.r * e.w / e.ow ORDER BY e.src),
+                         (a, b) -> a + b) AS inflow
+                  FROM e JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+           r2 AS (SELECT nodes.node,
+                    0.15 / nn.n + 0.85 * coalesce(c2.inflow, 0.0) AS r
+                  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nodes.node),
+           c3 AS (SELECT e.dst, list_reduce(list(r2.r * e.w / e.ow ORDER BY e.src),
+                         (a, b) -> a + b) AS inflow
+                  FROM e JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+           r3 AS (SELECT nodes.node,
+                    0.15 / nn.n + 0.85 * coalesce(c3.inflow, 0.0) AS r
+                  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nodes.node)
+           SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node"""))
+
   override def queries: Seq[Q] = Seq(
     qTumbling, qSliding, qHourly, qAsOf, qAsOfFwd, qSessionize, qEnrich,
-    qIntervalJoin, qDedupFirst, qFunnel, qCohort, qFunnelSteps, qEventPaths)
+    qIntervalJoin, qDedupFirst, qFunnel, qCohort, qFunnelSteps, qEventPaths,
+    qPagerank)
 }

@@ -757,6 +757,37 @@ object TextQueries extends QueryModule {
                                AND sha256(c.text) = sha256(d.text))
            ORDER BY d.doc_id"""))
 
+  // Bloom-gated incremental exact dedup: the set-membership sketch
+  // (HLL/KLL/CMS's missing sibling) applied to the daily-ingest shape.
+  // A one-pass BloomFilterAggregate over the corpus keys yields a
+  // fixed-size filter; the batch probes it codegen'd
+  // (BloomFilterMightContain literal) — definitely-new rows SKIP the
+  // anti-join exchange entirely, only maybe-rows (true dups + ~fpp of
+  // the batch) are confirmed exactly. The oracle is the plain
+  // batch-minus-corpus anti-join, so a green row PROVES the gate
+  // lossless (no false negatives) regardless of which rows took which
+  // path. At 100 TB: the corpus contributes one digest-column scan
+  // (filter is O(cardinality) bytes, not O(corpus bytes)) and a
+  // mostly-new crawl batch keeps (1-fpp) of its rows out of the
+  // shuffle. See operators/BloomGate scaladoc.
+  private val qDedupBloomGate = Q(
+    "q_dedup_bloom_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.BloomGate.newRows(
+          batch = docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), col("text")),
+          corpus = docs.filter(col("doc_id") % 10 =!= 0).select(col("text")),
+          keyName = "text", expectedItems = 100000L, fpp = 0.01)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 10 = 0
+             AND NOT EXISTS (SELECT 1 FROM documents c
+                             WHERE c.doc_id % 10 <> 0 AND c.text = d.text)
+           ORDER BY d.doc_id"""))
+
   // MinHash + LSH banding near-dup: signature → band keys → explode →
   // bucket self-join → verified by true shingle-Jaccard. The standard
   // scale path: shuffle is on (bandKey) only; O(n·bands) rows.
@@ -983,7 +1014,8 @@ object TextQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qBpeMergeStep, qPiiScrub, qSeqPack, qBm25, qLmScore,
-    qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupJaccard,
+    qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupBloomGate,
+    qDedupJaccard,
     qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
     qDedupJaccardIncrAppended, qDedupJaccardIncrDeleted,
     qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
