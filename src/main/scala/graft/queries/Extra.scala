@@ -172,6 +172,34 @@ object Extra extends QueryModule {
                  CASE WHEN c_mktsegment = 'BUILDING' THEN 200 ELSE 100 END
            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  // Per-source quota cap — the C4/CommonCrawl per-host curation rule
+  // ("no domain may contribute more than N documents"): keep the N docs
+  // per source with the smallest key-hash (a deterministic "random" N —
+  // no RNG state, reproducible on any engine/layout; doc_id tiebreak
+  // makes the order total). The rank filter rides Spark's
+  // WindowGroupLimit pushdown (per-partition k-heaps BEFORE the
+  // partition sort — the q_win_topk plan shape), so at 100 TB each
+  // exchange partition carries at most N rows per source key.
+  private val qSampleSourceCap = Q(
+    "q_sample_source_cap",
+    (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(keyHash(col("doc_id"), 1000000000L), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""SELECT source, doc_id FROM (
+             SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ((doc_id % 1000000000) * 2654435761) % 1000000000,
+                          doc_id) AS rk
+             FROM documents) t
+           WHERE rk <= 20 ORDER BY source, doc_id"""))
+
   // Weighted mixture resampling — the training-mix primitive: per-source
   // fractional rates (src0 ×2.5 upsampled, src1 ×0.25 downsampled, rest
   // ×1.0) realized as integer copy counts: ⌊rate⌋ copies always, +1 when
@@ -450,7 +478,8 @@ object Extra extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
-    qCsvRoundtrip, qJsonRoundtrip, qSampleStratified, qSampleMixture,
+    qCsvRoundtrip, qJsonRoundtrip, qSampleStratified, qSampleSourceCap,
+    qSampleMixture,
     qSampleTemperature, qSampleExactK,
     qSampleTokenBudget, qSplitTrainTest, qZorder, qSketchHll, qSketchKll,
     qSketchCms)
