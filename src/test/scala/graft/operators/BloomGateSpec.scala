@@ -49,6 +49,26 @@ class BloomGateSpec extends SparkSpec {
       .count() shouldBe 2L
   }
 
+  test("plan shape: the definitely-new branch carries no join") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+    // parquet-backed inputs: local Seqs collapse under
+    // ConvertToLocalRelation and the union folds away at optimize time
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0).select($"text".as("k"))
+    val batch = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("id"), $"text".as("k"))
+    val plan = BloomGate.newRows(batch, corpus, "k", 1000L, 0.01)
+      .queryExecution.optimizedPlan
+    val union = plan.collectFirst { case u: Union => u }.get
+    // first branch = !mightContain filter straight off the scan — the
+    // rows that never pay the exchange; second = the confirm anti-join
+    assert(union.children.head.collect { case j: Join => j }.isEmpty,
+      "definite branch must not join")
+    assert(union.children.last.collect { case j: Join => j }.nonEmpty,
+      "confirm branch must anti-join")
+  }
+
   test("null keys follow anti-join semantics (null never matches)") {
     val sp = spark; import sp.implicits._
     val corpus = Seq(Some("x"), None).map(Tuple1(_)).toDF("k")
