@@ -1,5 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLongArray
+
+/** Cumulative task-metric counters for the bench. Wall-clock on this
+  * box swings up to 10x under host contention on identical code (the
+  * r8 adjudication: a 2.31x driver artifact vs a 1.28x quiet-box rerun
+  * of the same binaries), so each query is also measured in
+  * contention-invariant units: summed executor CPU time and
+  * shuffle/input BYTE counts. Bytes are a pure function of the plan —
+  * if a query's bytes are flat across passes/rounds while wall-clock
+  * drifts, the drift is environment; if bytes grow, the plan (or an
+  * accumulated artifact) changed. The 2x gate is adjudicable from CPU
+  * time alone, from a single contended run.
+  */
+private final class TaskMetricsTap extends SparkListener {
+  // idx: 0=cpuNs 1=runMs 2=shufReadB 3=shufWriteB 4=inputB 5=spillB 6=tasks
+  private val acc = new AtomicLongArray(7)
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      acc.addAndGet(0, m.executorCpuTime)
+      acc.addAndGet(1, m.executorRunTime)
+      acc.addAndGet(2, m.shuffleReadMetrics.totalBytesRead)
+      acc.addAndGet(3, m.shuffleWriteMetrics.bytesWritten)
+      acc.addAndGet(4, m.inputMetrics.bytesRead)
+      acc.addAndGet(5, m.memoryBytesSpilled + m.diskBytesSpilled)
+      acc.addAndGet(6, 1L)
+    }
+  }
+  def snapshot(): Array[Long] = Array.tabulate(7)(acc.get)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,6 +67,16 @@ object Bench {
       }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tap = new TaskMetricsTap
+    spark.sparkContext.addSparkListener(tap)
+    // Listener delivery is async; drain the bus around each timed region
+    // so TaskMetrics deltas attribute to the right query. A drain timeout
+    // degrades that pass's metric delta (wall-clock is unaffected) —
+    // never fails the bench.
+    def drain(): Unit =
+      try org.apache.spark.graft.ListenerFlush
+        .waitUntilEmpty(spark.sparkContext, 30000)
+      catch { case _: Throwable => () }
     // Untimed warmup: JIT + codegen + parquet-footer caches, so the first
     // timed query doesn't absorb JVM startup (it skewed ~3-4 s onto
     // whichever query the map iterated first).
@@ -84,14 +126,24 @@ object Bench {
     // run absorbs that query's codegen/shuffle warm-up and the median
     // reflects the warm steady state the anchor wants.
     val timed = eligible.map { case (name, fn) =>
-      val ts = (1 to passes).map { _ =>
+      val passData = (1 to passes).map { _ =>
+        drain(); val s0 = tap.snapshot()
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        drain(); val s1 = tap.snapshot()
+        (wall, Array.tabulate(s0.length)(i => s1(i) - s0(i)))
       }
-      (name, ts.sorted.apply(ts.size / 2), ts)
+      val ts = passData.map(_._1)
+      // Per-field medians across passes: CPU medians absorb a contended
+      // pass the same way wall medians do; byte fields are plan-pure and
+      // should be identical across passes — raw arrays are kept so a
+      // non-flat byte trace is visible in the artifact itself.
+      val med = Array.tabulate(7)(i =>
+        passData.map(_._2(i)).sorted.apply(passes / 2))
+      (name, ts.sorted.apply(ts.size / 2), ts, med, passData.map(_._2))
     }
-    val results = timed.map { case (name, med, _) => name -> med }
+    val results = timed.map { case (name, med, _, _, _) => name -> med }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would make the line unparseable JSON —
@@ -106,20 +158,39 @@ object Bench {
     // bench_full.json for the complete map (medians + raw per-pass arrays).
     val skippedJson = excluded.map { case (n, _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
+    val totalCpu = timed.map(_._4(0)).sum / 1e9
     val fullJson = {
       val meds = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
-      val raw = timed.map { case (k, _, ts) =>
+      val raw = timed.map { case (k, _, ts, _, _) =>
         "\"" + k + "\":[" + ts.mkString(",") + "]"
       }.mkString(",")
+      // Contention-invariant family: per-query median executor CPU sec,
+      // plus the byte/task counters (median across passes) and the raw
+      // per-pass shuffle-read/input byte traces. cpu_sec is the gate
+      // metric; shr/shw/inp/spill bytes pin the plan; tasks pins fan-out.
+      val cpu = timed.map { case (k, _, _, m, _) =>
+        "\"" + k + "\":" + m(0) / 1e9
+      }.mkString(",")
+      val metrics = timed.map { case (k, _, _, m, _) =>
+        s""""$k":{"cpu_sec":${m(0) / 1e9},"run_sec":${m(1) / 1e3},""" +
+          s""""shr_b":${m(2)},"shw_b":${m(3)},"inp_b":${m(4)},""" +
+          s""""spill_b":${m(5)},"tasks":${m(6)}}"""
+      }.mkString(",")
+      val rawBytes = timed.map { case (k, _, _, _, perPass) =>
+        s""""$k":{"shr_b":[${perPass.map(_(2)).mkString(",")}],""" +
+          s""""inp_b":[${perPass.map(_(4)).mkString(",")}]}"""
+      }.mkString(",")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""cpu_total_sec":$totalCpu,""" +
         s""""cpus":$cpus,"sf":"$sfDir","mode":"median$passes",""" +
-        s""""skipped":$skippedJson,"queries":{$meds},"raw":{$raw}}"""
+        s""""skipped":$skippedJson,"queries":{$meds},"cpu":{$cpu},""" +
+        s""""task_metrics":{$metrics},"raw_bytes":{$rawBytes},"raw":{$raw}}"""
     }
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(fullPath,
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val budget = 1500 // chars for the whole line; tail capture is 2000
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"mode":"median$passes","skipped":${excluded.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
     val slowestFirst = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 2 // closing "}}"
