@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
@@ -36,8 +36,30 @@ import org.apache.spark.sql.types.BinaryType
   * touch an exchange; the confirm join's stream side shrinks to
   * |dups| + fpp·|batch|. Keys are pre-hashed with xxhash64, so only
   * 8-byte longs enter the aggregate regardless of key width.
+  *
+  * Sizing caveat: `BloomFilterAggregate` silently clamps both its item
+  * and bit arguments against the session confs
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+  * `maxNumBits` (defaults 4M items / 8 MiB — sized for AQE's injected
+  * runtime filters, not a corpus gate). [[buildBloom]] raises both
+  * confs to the request before aggregating, so the stated 10⁹-key
+  * posture is actually achievable; the realized `bitSize` equals the
+  * standard-formula request (BloomGateSpec pins this past the default
+  * cap). At multi-GiB filter sizes the literal-embedded probe plan
+  * ships the filter once per task binary — at that point prefer
+  * probing from the persisted artifact on a cadence rather than
+  * rebuilding per batch.
   */
 object BloomGate {
+
+  private val MaxItemsConf =
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+  private val MaxBitsConf =
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+
+  /** Standard sizing: m = -n·ln(p)/(ln 2)² bits. */
+  def bitsFor(expectedItems: Long, fpp: Double): Long = math.ceil(
+    -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
 
   /** Serialized Bloom filter over xxhash64(key) for every row of `df`
     * (xxhash64 folds a null key to its seed, so null rows land in the
@@ -51,8 +73,17 @@ object BloomGate {
       fpp: Double): Array[Byte] = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"bad bloom params: n=$expectedItems p=$fpp")
-    val numBits = math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = bitsFor(expectedItems, fpp)
+    // BloomFilterAggregate Math.min-clamps n and numBits against the
+    // session caps (meant for AQE runtime filters); without raising them
+    // a >4M-item build silently degrades to a far higher realized fpp.
+    val conf = df.sparkSession.conf
+    def raise(k: String, needed: Long, dflt: Long): Unit = {
+      val cur = conf.getOption(k).map(_.toLong).getOrElse(dflt)
+      if (cur < needed) conf.set(k, needed.toString)
+    }
+    raise(MaxItemsConf, expectedItems, 4000000L)
+    raise(MaxBitsConf, numBits, 67108864L)
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(key)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
@@ -72,18 +103,182 @@ object BloomGate {
   /** Rows of `batch` whose `keyName` value does not occur in
     * `corpus(keyName)` — exact (anti-join semantics), bloom-accelerated:
     * definitely-new rows short-circuit past the join; only maybe-rows
-    * are confirmed against the corpus keys.
+    * are confirmed against the corpus keys. The probe predicate is
+    * applied inline in the two filters (no temp column, so a batch
+    * column of any name survives untouched). `expectedItems < 0`
+    * (the default) sizes the filter from a corpus key count — one
+    * cheap digest-column count, never a guessed constant that
+    * silently under-sizes at a larger scale factor.
     */
   def newRows(batch: DataFrame, corpus: DataFrame, keyName: String,
-      expectedItems: Long, fpp: Double): DataFrame = {
-    val bytes =
-      buildBloom(corpus.select(col(keyName)), col(keyName), expectedItems, fpp)
-    if (bytes == null) return batch // empty corpus: everything is new
-    val flagged = batch.withColumn("__bloom_maybe",
-      mightContain(bytes, col(keyName)))
-    val definite = flagged.filter(!col("__bloom_maybe")).drop("__bloom_maybe")
-    val confirmed = flagged.filter(col("__bloom_maybe")).drop("__bloom_maybe")
-      .join(corpus.select(col(keyName)).distinct(), Seq(keyName), "left_anti")
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val n =
+      if (expectedItems > 0) expectedItems
+      else math.max(corpus.select(col(keyName)).count(), 1L)
+    val bytes = buildBloom(corpus.select(col(keyName)), col(keyName), n, fpp)
+    gated(batch, corpus.select(col(keyName)).distinct(), keyName, bytes)
+  }
+
+  /** The two-path gate given a prebuilt filter: definitely-new rows
+    * bypass the confirm join; maybe-rows anti-join `corpusKeys`
+    * (single `keyName` column, distinct). Null filter = empty corpus.
+    */
+  private def gated(batch: DataFrame, corpusKeys: DataFrame,
+      keyName: String, bloomBytes: Array[Byte]): DataFrame = {
+    if (bloomBytes == null || bloomBytes.isEmpty) return batch
+    val probe = mightContain(bloomBytes, col(keyName))
+    val definite = batch.filter(!probe)
+    val confirmed = batch.filter(probe)
+      .join(corpusKeys, Seq(keyName), "left_anti")
     definite.unionByName(confirmed)
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted artifact — the seventh index kind (build once / probe many)
+  // ---------------------------------------------------------------------
+  // Layout under `dir`:
+  //   keys/    (id LONG, key <keyType>)  — the exact-confirm side
+  //   filter/  one row (filter BINARY)   — the serialized Bloom filter
+  //   meta/    (rows, expected_items, fpp, num_bits)  — written LAST, so
+  //            its _SUCCESS is the commit marker (ArtifactPaths.exists)
+  //
+  // Takedown posture: a Bloom filter admits NO deletes — a tombstoned id
+  // stays set in the filter until the next rebuild/compact. That is a
+  // SKIP-RATE degradation only, never a correctness one: load() excludes
+  // tombstoned rows from the keys table, so a batch row matching only a
+  // deleted key routes through the maybe path and the confirm anti-join
+  // correctly declares it new. Rebuild (save) clears tombstones and
+  // restores the skip rate.
+
+  /** Snapshot of a loaded artifact: `filter` (empty iff the corpus was
+    * empty), `keys` with tombstones already excluded, and the build
+    * parameters for append/check.
+    */
+  final case class LoadedBloom(filter: Array[Byte], keys: DataFrame,
+      rows: Long, expectedItems: Long, fpp: Double)
+
+  /** Build + persist: corpus keys, their Bloom filter, meta-last.
+    * `expectedItems < 0` sizes from the stored key count. Rebuild
+    * semantics: clears tombstones (the input already excludes removed
+    * rows — stale tombstones must not suppress fresh ids).
+    */
+  def save(dir: String, corpus: DataFrame, idName: String, keyName: String,
+      expectedItems: Long = -1L, fpp: Double = 0.01): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Tombstones.clear(dir)
+    corpus.select(col(idName).cast("long").as("id"), col(keyName).as("key"))
+      .write.mode("overwrite").parquet(s"$dir/keys")
+    val keys = spark.read.parquet(s"$dir/keys")
+    val rows = keys.count()
+    val n = if (expectedItems > 0) expectedItems else math.max(rows, 1L)
+    val bytes = buildBloom(keys, col("key"), n, fpp)
+    Seq(Tuple1(if (bytes == null) Array.empty[Byte] else bytes)).toDF("filter")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/filter")
+    Seq((rows, n, fpp, bitsFor(n, fpp)))
+      .toDF("rows", "expected_items", "fpp", "num_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load(spark: SparkSession, dir: String): LoadedBloom = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val filter = spark.read.parquet(s"$dir/filter")
+      .collect()(0).getAs[Array[Byte]]("filter")
+    LoadedBloom(filter,
+      Tombstones.exclude(spark.read.parquet(s"$dir/keys"), spark, dir, "id"),
+      meta.getAs[Long]("rows"), meta.getAs[Long]("expected_items"),
+      meta.getAs[Double]("fpp"))
+  }
+
+  /** Probe-only gate against a persisted artifact: same exact-anti-join
+    * answer as [[newRows]], but the corpus contributes zero scans — the
+    * filter is loaded bytes and the confirm side is the artifact's keys
+    * table (tombstone-excluded).
+    */
+  def newRowsAgainstLoaded(batch: DataFrame, keyName: String,
+      spark: SparkSession, dir: String): DataFrame = {
+    val idx = load(spark, dir)
+    gated(batch, idx.keys.select(col("key").as(keyName)).distinct(),
+      keyName, idx.filter)
+  }
+
+  /** Incremental maintenance — the daily-ingest shape: OR-merge a
+    * filter built over the new rows (at the artifact's FROZEN sizing,
+    * so the two filters are bit-compatible) into the stored filter and
+    * append the new keys. Write order is crash-shaped: filter first
+    * (over-containment is harmless — a key in the filter but not in
+    * `keys` just rides the maybe path and confirms new), keys second,
+    * meta last. A replayed append is idempotent for gate semantics
+    * (OR is idempotent; duplicate key rows collapse in the confirm
+    * side's distinct). Saturation (rows outgrowing expected_items)
+    * degrades the realized fpp — probeStats/check-bloom is the
+    * rebuild-cadence signal for exactly that.
+    */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      idName: String, keyName: String): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val idx = load(spark, dir)
+    val add = batch.select(col(idName).cast("long").as("id"),
+      col(keyName).as("key"))
+    val addBytes = buildBloom(add, col("key"), idx.expectedItems, idx.fpp)
+    val merged =
+      if (addBytes == null) idx.filter
+      else if (idx.filter.isEmpty) addBytes
+      else {
+        val f = BloomFilter.readFrom(idx.filter)
+        f.mergeInPlace(BloomFilter.readFrom(addBytes))
+        val out = new java.io.ByteArrayOutputStream()
+        f.writeTo(out)
+        out.toByteArray
+      }
+    import spark.implicits._
+    Seq(Tuple1(merged)).toDF("filter")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/filter")
+    add.write.mode("append").parquet(s"$dir/keys")
+    val rows = spark.read.parquet(s"$dir/keys").count()
+    Seq((rows, idx.expectedItems, idx.fpp,
+        bitsFor(idx.expectedItems, idx.fpp)))
+      .toDF("rows", "expected_items", "fpp", "num_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Observed-fpp report for a probe batch — the rebuild-cadence
+    * signal (the check-jaccard pattern): maybe-rows that the exact
+    * confirm rejects are false positives; their rate over the
+    * not-actually-present batch rows is the realized fpp. Climbing
+    * past the requested fpp means the filter has saturated (appends
+    * outgrew expected_items) and the skip-rate benefit is eroding —
+    * results stay exact regardless (no false negatives).
+    */
+  final case class BloomStats(batchRows: Long, maybeRows: Long,
+      trueDups: Long, falsePositives: Long, observedFpp: Double,
+      rows: Long, expectedItems: Long, requestedFpp: Double)
+
+  def probeStats(batch: DataFrame, keyName: String, spark: SparkSession,
+      dir: String): BloomStats = {
+    val idx = load(spark, dir)
+    val keys = idx.keys.select(col("key").as(keyName)).distinct()
+    val batchRows = batch.count()
+    if (idx.filter.isEmpty)
+      return BloomStats(batchRows, 0, 0, 0, 0.0, idx.rows,
+        idx.expectedItems, idx.fpp)
+    val maybe = batch.filter(mightContain(idx.filter, col(keyName)))
+    val maybeRows = maybe.count()
+    val trueDups = maybe.join(keys, Seq(keyName), "left_semi").count()
+    val fp = maybeRows - trueDups
+    val notPresent = batchRows - trueDups
+    val observed = if (notPresent == 0) 0.0 else fp.toDouble / notPresent
+    BloomStats(batchRows, maybeRows, trueDups, fp, observed, idx.rows,
+      idx.expectedItems, idx.fpp)
+  }
+
+  /** The check-bloom verdict (separated from CLI exit wiring, the
+    * jaccardDegraded pattern): degraded ⇔ realized fpp has drifted past
+    * `maxFpp` OR appends have outgrown the build sizing by
+    * `maxSaturation`× (the leading indicator — fpp follows).
+    */
+  def bloomDegraded(s: BloomStats, maxFpp: Double,
+      maxSaturation: Double): Boolean =
+    s.observedFpp > maxFpp ||
+      s.rows.toDouble / math.max(s.expectedItems, 1L) > maxSaturation
 }

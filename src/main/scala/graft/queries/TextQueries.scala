@@ -770,23 +770,56 @@ object TextQueries extends QueryModule {
   // (filter is O(cardinality) bytes, not O(corpus bytes)) and a
   // mostly-new crawl batch keeps (1-fpp) of its rows out of the
   // shuffle. See operators/BloomGate scaladoc.
+  private val bloomGateOracle =
+    """SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 10 = 0
+             AND NOT EXISTS (SELECT 1 FROM documents c
+                             WHERE c.doc_id % 10 <> 0 AND c.text = d.text)
+           ORDER BY d.doc_id"""
+
   private val qDedupBloomGate = Q(
     "q_dedup_bloom_gate",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // expectedItems defaulted (<0): sized from a corpus key count, so
+      // the fpp the gate realizes is the fpp requested at ANY scale
+      // factor — a fixed constant silently under-sizes at sf1+
       graft.operators.BloomGate.newRows(
           batch = docs.filter(col("doc_id") % 10 === 0)
             .select(col("doc_id"), col("text")),
           corpus = docs.filter(col("doc_id") % 10 =!= 0).select(col("text")),
-          keyName = "text", expectedItems = 100000L, fpp = 0.01)
+          keyName = "text", fpp = 0.01)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
-    Some("""SELECT d.doc_id FROM documents d
-           WHERE d.doc_id % 10 = 0
-             AND NOT EXISTS (SELECT 1 FROM documents c
-                             WHERE c.doc_id % 10 <> 0 AND c.text = d.text)
-           ORDER BY d.doc_id"""))
+    Some(bloomGateOracle))
+
+  // Loaded twin — the standing daily-batch shape: filter + corpus keys
+  // persisted once under ArtifactPaths (meta-last commit marker), every
+  // later batch probes WITHOUT touching the corpus table (zero corpus
+  // scans at probe time; the confirm side is the artifact's keys).
+  // Same oracle as the build-per-call form, so a green row proves the
+  // persisted gate is exactly the anti-join too. Deletes: tombstones
+  // correct the confirm side at load, so takedowns stay exact; the
+  // filter itself is rebuild-only (see BloomGate takedown posture).
+  private val qDedupBloomGateLoaded = Q(
+    "q_dedup_bloom_gate_loaded",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, BloomGate}
+      val docs = Tables.documents(s, d)
+      val path = ArtifactPaths.keyed("bloom", s"$d/documents.parquet",
+        "fpp=0.01,corpus=mod10ne0,v=1")
+      if (!ArtifactPaths.exists(path))
+        BloomGate.save(path, docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", fpp = 0.01)
+      BloomGate.newRowsAgainstLoaded(
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), col("text")),
+          "text", s, path)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(bloomGateOracle))
 
   // MinHash + LSH banding near-dup: signature → band keys → explode →
   // bucket self-join → verified by true shingle-Jaccard. The standard
@@ -1015,6 +1048,7 @@ object TextQueries extends QueryModule {
     qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qBpeMergeStep, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupBloomGate,
+    qDedupBloomGateLoaded,
     qDedupJaccard,
     qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
     qDedupJaccardIncrAppended, qDedupJaccardIncrDeleted,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.wordShingles
 import graft.functions.VectorFunctions.normSq
-import graft.operators.{ArtifactPaths, IvfIndex, NearDup, PqIndex, Tombstones}
+import graft.operators.{ArtifactPaths, BloomGate, IvfIndex, NearDup, PqIndex, Tombstones}
 
 /** CLI surface for the persisted-index lifecycle — the commands a
   * standing pipeline actually runs: build once, append daily, query
@@ -33,6 +33,17 @@ import graft.operators.{ArtifactPaths, IvfIndex, NearDup, PqIndex, Tombstones}
   *     grid; jaccard/band re-derive from the live docs half — for
   *     jaccard that also REFRESHES the frozen df order from the live
   *     corpus, resetting accumulated drift (the check-jaccard remedy).)
+  *   build-bloom | append-bloom | query-bloom | delete-bloom |
+  *     compact-bloom   (the seventh index kind: exact-dedup Bloom gate —
+  *     persisted filter + corpus keys. Bloom admits no deletes, so
+  *     delete-bloom tombstones correct only the exact-confirm side
+  *     (results stay exact; the skip rate for deleted keys is forfeit
+  *     until compact/rebuild re-derives the filter from live keys).)
+  *   stats-bloom | check-bloom   (observed-fpp drift report / gate:
+  *     maybe-rows the exact confirm rejects are false positives;
+  *     check-bloom exits 1 when observed fpp > maxfpp (default 0.05)
+  *     or keys outgrow the build sizing by saturation= (default 2x) —
+  *     the rebuild-now signal for a filter that appends have saturated.)
   *   stats-jaccard   (probe-selectivity report — the rebuild-cadence
   *     signal: one JSON line with candidates/verified/index sizes)
   *   check-jaccard   (the signal's CONSUMER: same report, then exit 1 if
@@ -99,7 +110,8 @@ object IndexMain {
     if (keys.distinct.length != keys.length)
       fail(s"duplicate option key in '${rest.mkString(" ")}'")
     val known = Set("split", "m", "k", "dim", "cells", "tau", "topk",
-      "pool", "nprobe", "ids", "maxratio", "maxcand", "dest")
+      "pool", "nprobe", "ids", "maxratio", "maxcand", "dest", "fpp",
+      "maxfpp", "saturation")
     keys.filterNot(known).foreach(k => fail(s"unknown option '$k'"))
     val kv = split0.map(a => (a(0), a(1))).toMap
     def num(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
@@ -115,6 +127,7 @@ object IndexMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.LogHygiene.suppressBoundedWindowWarn()
 
     def withSplit(df: DataFrame, id: String, dflt: String): DataFrame =
       kv.getOrElse("split", dflt) match {
@@ -134,6 +147,11 @@ object IndexMain {
     def docs(dflt: String): DataFrame =
       withSplit(graft.Tables.documents(spark, sfDir), "doc_id", dflt)
         .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+
+    // bloom gate keys on raw text (exact dedup), not shingles
+    def rawDocs(dflt: String): DataFrame =
+      withSplit(graft.Tables.documents(spark, sfDir), "doc_id", dflt)
+        .select(col("doc_id"), col("text"))
 
     def annQueries(e: DataFrame): DataFrame =
       e.filter(col("vec_id") < 10)
@@ -167,6 +185,9 @@ object IndexMain {
         NearDup.saveJaccardIndex(docs("mod10gt1"), dir, dbl("tau", 0.8))
       case "build-band" =>
         NearDup.saveBandIndex(docs("mod10gt1"), dir)
+      case "build-bloom" =>
+        BloomGate.save(dir, rawDocs("mod10gt1"), "doc_id", "text",
+          fpp = dbl("fpp", 0.01))
 
       case "append-pq" | "append-ivfpq" =>
         PqIndex.append(spark, dir, vectors("mod10eq1"))
@@ -178,6 +199,9 @@ object IndexMain {
         NearDup.appendToJaccardIndex(docs("mod10eq1"), spark, dir)
       case "append-band" =>
         NearDup.appendToBandIndex(docs("mod10eq1"), spark, dir)
+      case "append-bloom" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        BloomGate.append(spark, dir, rawDocs("mod10eq1"), "doc_id", "text")
 
       case "query-pq" =>
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
@@ -227,9 +251,14 @@ object IndexMain {
         NearDup.matchAgainstBandIndex(batch, idx)
           .orderBy(col("doc_id"), col("matched_id"))
           .show(100, truncate = false)
+      case "query-bloom" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        BloomGate.newRowsAgainstLoaded(rawDocs("mod10eq0"), "text", spark, dir)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+          .show(100, truncate = false)
 
       case "delete-pq" | "delete-ivf" | "delete-ivfpq" | "delete-sq8" |
-          "delete-jaccard" | "delete-band" =>
+          "delete-jaccard" | "delete-band" | "delete-bloom" =>
         // takedown path — one handler for all six kinds: tombstones are
         // kind-agnostic (an id set the probe-time anti-join consults)
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
@@ -243,7 +272,7 @@ object IndexMain {
           s""""tombstones_total":${Tombstones.count(spark, dir)}}""")
 
       case "compact-pq" | "compact-ivf" | "compact-ivfpq" | "compact-sq8" |
-          "compact-jaccard" | "compact-band" =>
+          "compact-jaccard" | "compact-band" | "compact-bloom" =>
         // load already excludes tombstones, so compact = load + save to
         // a fresh dest; the save clears dest's (nonexistent) tombstones
         // and commits meta-last — crash-safe without touching the source
@@ -275,9 +304,42 @@ object IndexMain {
             val idx = NearDup.loadBandIndex(spark, dir)
             NearDup.saveBandIndex(idx.docs, dest, idx.numHashes, idx.bands,
               idx.rowsPerBand)
+          case "compact-bloom" =>
+            // re-derives the filter from live (tombstone-excluded) keys —
+            // the only way deleted keys leave the filter (Bloom admits no
+            // deletes); also resets append saturation to a fresh sizing
+            val idx = BloomGate.load(spark, dir)
+            BloomGate.save(dest, idx.keys, "id", "key", fpp = idx.fpp)
         }
         println(s"""{"compacted":"$dest","tombstones_dropped":""" +
           s"""${Tombstones.count(spark, dir)}}""")
+
+      case "stats-bloom" | "check-bloom" =>
+        // observed-fpp drift gate (the check-jaccard pattern for the
+        // bloom kind): realized fpp is measured against the exact
+        // confirm side, so the report needs no ground truth beyond the
+        // artifact itself; exit 1 = rebuild/compact now.
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val s = BloomGate.probeStats(rawDocs("mod10eq0"), "text", spark, dir)
+        val saturation = s.rows.toDouble / math.max(s.expectedItems, 1L)
+        val status =
+          if (cmd == "stats-bloom") ""
+          else {
+            val degraded = BloomGate.bloomDegraded(s, dbl("maxfpp", 0.05),
+              dbl("saturation", 2.0))
+            s""","status":"${if (degraded) "rebuild" else "ok"}""""
+          }
+        println(s"""{"batch_rows":${s.batchRows},""" +
+          s""""maybe_rows":${s.maybeRows},"true_dups":${s.trueDups},""" +
+          s""""false_positives":${s.falsePositives},""" +
+          s""""observed_fpp":${f"${s.observedFpp}%.6f"},""" +
+          s""""requested_fpp":${s.requestedFpp},"indexed_rows":${s.rows},""" +
+          s""""expected_items":${s.expectedItems},""" +
+          s""""saturation":${f"$saturation%.2f"}$status}""")
+        if (status.contains("\"rebuild\"")) {
+          spark.stop()
+          sys.exit(1)
+        }
 
       case "stats-jaccard" | "check-jaccard" =>
         // the rebuild-cadence signal: candidates/verified rising (df

@@ -69,6 +69,119 @@ class BloomGateSpec extends SparkSpec {
       "confirm branch must anti-join")
   }
 
+  test("a batch column named __bloom_maybe survives the gate untouched") {
+    // regression: the old implementation materialized a temp column of
+    // this name and dropped it, vaporizing a caller's homonym column
+    val sp = spark; import sp.implicits._
+    val corpus = Seq("x", "y").toDF("k")
+    val batch = Seq((1L, "x", true), (2L, "z", false))
+      .toDF("id", "k", "__bloom_maybe")
+    val out = BloomGate.newRows(batch, corpus, "k", 100L, 0.01)
+    out.columns.toSeq should contain("__bloom_maybe")
+    out.select($"id", $"__bloom_maybe").as[(Long, Boolean)]
+      .collect().toSeq shouldBe Seq((2L, false))
+  }
+
+  test("sizing past the AQE conf caps: realized bitSize equals the request") {
+    val sp = spark; import sp.implicits._
+    // 10M items at 1% fpp needs ~95.9M bits — above BOTH default caps
+    // (4M items, 67.1M bits); without the conf raise BloomFilterAggregate
+    // silently clamps and the realized filter is ~30% under-sized
+    val n = 10000000L
+    val want = BloomGate.bitsFor(n, 0.01)
+    assert(want > 67108864L, "test must exceed the default bit cap")
+    val corpus = (0 until 100).map(i => s"k$i").toDF("k")
+    val bytes = BloomGate.buildBloom(corpus, $"k", n, 0.01)
+    val realized = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+    // BloomFilterImpl rounds bits up to a word multiple
+    assert(realized.bitSize() >= want && realized.bitSize() < want + 64,
+      s"realized ${realized.bitSize()} != requested $want: conf clamp bit")
+  }
+
+  private def tmpIdx(): String =
+    java.nio.file.Files.createTempDirectory("bloomidx").toString + "/idx"
+
+  test("loaded twin: persisted gate equals the anti-join, corpus-free probe") {
+    val sp = spark; import sp.implicits._
+    val corpus = (0 until 400).map(i => (i.toLong, s"doc $i")).toDF("id", "k")
+    val batch = ((0 until 200).map(i => (5000L + i, s"doc $i")) ++
+      (0 until 200).map(i => (9000L + i, s"new $i"))).toDF("id", "k")
+    val dir = tmpIdx()
+    BloomGate.save(dir, corpus, "id", "k", fpp = 0.01)
+    assert(ArtifactPaths.exists(dir), "meta-last commit marker missing")
+    val gated = BloomGate.newRowsAgainstLoaded(batch, "k", spark, dir)
+      .select($"id").as[Long].collect().sorted
+    val exact = batch.join(corpus.select($"k"), Seq("k"), "left_anti")
+      .select($"id").as[Long].collect().sorted
+    gated shouldBe exact
+    exact.length shouldBe 200
+  }
+
+  test("append OR-merges losslessly: probe equals the full-union anti-join") {
+    val sp = spark; import sp.implicits._
+    val day0 = (0 until 300).map(i => (i.toLong, s"d0 $i")).toDF("id", "k")
+    val day1 = (0 until 300).map(i => (1000L + i, s"d1 $i")).toDF("id", "k")
+    val dir = tmpIdx()
+    BloomGate.save(dir, day0, "id", "k", fpp = 0.01)
+    BloomGate.append(spark, dir, day1, "id", "k")
+    // batch overlaps both generations plus fresh rows
+    val batch = (Seq((1L, "d0 7"), (2L, "d1 7"), (3L, "fresh a"),
+      (4L, "fresh b"))).toDF("id", "k")
+    val gated = BloomGate.newRowsAgainstLoaded(batch, "k", spark, dir)
+      .select($"id").as[Long].collect().sorted
+    gated shouldBe Array(3L, 4L)
+    // no false negatives across generations: every indexed key is maybe
+    val idx = BloomGate.load(spark, dir)
+    day0.union(day1)
+      .filter(!BloomGate.mightContain(idx.filter, $"k"))
+      .count() shouldBe 0L
+  }
+
+  test("tombstone delete: exact via the confirm side; filter is rebuild-only") {
+    val sp = spark; import sp.implicits._
+    val corpus = (0 until 100).map(i => (i.toLong, s"doc $i")).toDF("id", "k")
+    val dir = tmpIdx()
+    BloomGate.save(dir, corpus, "id", "k", fpp = 0.01)
+    Tombstones.deleteIds(dir, Seq(7L).toDF("id"))
+    val batch = Seq((1L, "doc 7"), (2L, "doc 8"), (3L, "brand new"))
+      .toDF("id", "k")
+    // doc 7's only holder is deleted -> the row is NEW again (it rides
+    // the maybe path — the filter still contains it — and the
+    // tombstone-excluded confirm side lets it through)
+    BloomGate.newRowsAgainstLoaded(batch, "k", spark, dir)
+      .select($"id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+    // compact re-derives the filter from live keys: doc 7 leaves it
+    val dest = tmpIdx()
+    val live = BloomGate.load(spark, dir).keys
+    BloomGate.save(dest, live, "id", "key", fpp = 0.01)
+    val fresh = BloomGate.load(spark, dest)
+    Seq("doc 7").toDF("k")
+      .filter(BloomGate.mightContain(fresh.filter, $"k"))
+      .count() shouldBe 0L
+  }
+
+  test("drift gate: append saturation trips bloomDegraded; rebuild clears it") {
+    val sp = spark; import sp.implicits._
+    val day0 = (0 until 50).map(i => (i.toLong, s"d0 $i")).toDF("id", "k")
+    val dir = tmpIdx()
+    // deliberately tiny sizing: 50 expected items...
+    BloomGate.save(dir, day0, "id", "k", fpp = 0.01)
+    // ...then 5000 appended keys saturate the filter 100x over
+    val day1 = (0 until 5000).map(i => (1000L + i, s"d1 $i")).toDF("id", "k")
+    BloomGate.append(spark, dir, day1, "id", "k")
+    val probes = (0 until 2000).map(i => (9L + i, s"out $i")).toDF("id", "k")
+    val s = BloomGate.probeStats(probes.select($"k", $"id"), "k", spark, dir)
+    assert(s.falsePositives > 0, "saturated filter should false-positive")
+    assert(BloomGate.bloomDegraded(s, maxFpp = 0.05, maxSaturation = 2.0),
+      s"saturation ${s.rows}/${s.expectedItems} must trip the gate")
+    // rebuild at derived sizing restores the posture
+    val dest = tmpIdx()
+    BloomGate.save(dest, day0.union(day1), "id", "k", fpp = 0.01)
+    val s2 = BloomGate.probeStats(probes.select($"k", $"id"), "k", spark, dest)
+    assert(!BloomGate.bloomDegraded(s2, maxFpp = 0.05, maxSaturation = 2.0),
+      s"rebuilt index observed_fpp ${s2.observedFpp} should pass")
+  }
+
   test("null keys follow anti-join semantics (null never matches)") {
     val sp = spark; import sp.implicits._
     val corpus = Seq(Some("x"), None).map(Tuple1(_)).toDF("k")
