@@ -43,6 +43,7 @@ object PipelineMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.LogHygiene.suppressBoundedWindowWarn()
     // session-ready to summary-line wall clock: the pipeline bench anchor
     // (BASELINE.md) reads this, so it excludes sbt/JVM/session startup
     val tStart = System.nanoTime()

@@ -88,15 +88,24 @@ object IvfIndex {
     * refined by one Lloyd step (mean of assigned vectors per cell).
     */
   def centroids(spark: SparkSession, vectors: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
     val n = vectors.count()
     val stride = math.max(1L, n / k)
+    // deterministic TakeOrdered (bare limit() takes whichever rows arrive
+    // first), then number the ≤k survivors on the DRIVER: assign() below
+    // collects the centroid matrix anyway, so an O(k) collect here is the
+    // same bound — and it replaces the former single-partition ranking
+    // window (the one whitelisted WindowExec "No Partition Defined" spam
+    // source in every bench/test log)
     val seeds = vectors
       .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-      .orderBy(col("vec_id")) // deterministic TakeOrdered — bare limit()
-      .limit(k)               // takes whichever rows arrive first
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-      .select(col("cell"), col("embedding").as("cvec"), col("n2").as("cn2"))
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(col("embedding"), col("n2"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0), r.getDouble(1)) }
+      .toSeq.toDF("cell", "cvec", "cn2")
 
     // one Lloyd refinement: mean of members per cell, element-wise
     val assigned = assign(vectors, seeds)

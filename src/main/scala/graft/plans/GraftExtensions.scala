@@ -16,6 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // any graft session gets the WindowExec-warning demotion: the two
+    // deliberate bounded global passes otherwise spam every log while
+    // ScaleLint below is the actual (plan-aware) unbounded-window alarm
+    LogHygiene.suppressBoundedWindowWarn()
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }

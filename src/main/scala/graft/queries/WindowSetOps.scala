@@ -50,6 +50,12 @@ object WindowSetOps extends QueryModule {
       val k = 4
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
         .withColumn("bin", floor(col("o_totalprice")).cast("long"))
+      // cumulative offsets over #bins AGGREGATED rows — the
+      // lint-sanctioned bounded global pass (constant-key partition
+      // specs get eliminated by the optimizer, so the runtime
+      // "No Partition Defined" warning for this deliberate shape is
+      // instead silenced by LogHygiene; ScaleLint still flags any
+      // global window over an UNBOUNDED producer at plan time)
       val binCounts = o.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
       val wBins = Window.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -86,6 +86,7 @@ object StreamMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.LogHygiene.suppressBoundedWindowWarn()
 
     // The streaming file source needs a DIRECTORY; the fixture is a single
     // parquet file — stage it into a DETERMINISTIC dir derived from the

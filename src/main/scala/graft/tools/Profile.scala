@@ -24,6 +24,7 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.LogHygiene.suppressBoundedWindowWarn()
 
     time("tokens only") {
       Tables.documents(spark, d).select(tokenCount(col("text")).as("n"))

@@ -65,6 +65,7 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.LogHygiene.suppressBoundedWindowWarn()
 
     // Dimensions stay fixed (the realistic fact-growth-at-fixed-dims
     // shape: new orders/events arrive, the customer/part/supplier
