@@ -125,11 +125,19 @@ object Bench {
     // The N passes per query run back-to-back (not pass-major): the first
     // run absorbs that query's codegen/shuffle warm-up and the median
     // reflects the warm steady state the anchor wants.
+    // A query that throws (e.g. a ScaleLint violation in fail mode)
+    // must not masquerade as a fast pass: record the first error per
+    // query and surface the count on the headline + messages in the
+    // full artifact, while still timing the remaining queries.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val timed = eligible.map { case (name, fn) =>
       val passData = (1 to passes).map { _ =>
         drain(); val s0 = tap.snapshot()
         val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try { run(fn(spark, sfDir)) } catch {
+          case e: Throwable => errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         drain(); val s1 = tap.snapshot()
         (wall, Array.tabulate(s0.length)(i => s1(i) - s0(i)))
@@ -180,17 +188,22 @@ object Bench {
         s""""$k":{"shr_b":[${perPass.map(_(2)).mkString(",")}],""" +
           s""""inp_b":[${perPass.map(_(4)).mkString(",")}]}"""
       }.mkString(",")
+      val errJson = errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ") + "\""
+      }.mkString(",")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
         s""""cpu_total_sec":$totalCpu,""" +
         s""""cpus":$cpus,"sf":"$sfDir","mode":"median$passes",""" +
-        s""""skipped":$skippedJson,"queries":{$meds},"cpu":{$cpu},""" +
+        s""""skipped":$skippedJson,"errors":{$errJson},""" +
+        s""""queries":{$meds},"cpu":{$cpu},""" +
         s""""task_metrics":{$metrics},"raw_bytes":{$rawBytes},"raw":{$raw}}"""
     }
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(fullPath,
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val budget = 1500 // chars for the whole line; tail capture is 2000
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"errors":${errors.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
     val slowestFirst = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 2 // closing "}}"

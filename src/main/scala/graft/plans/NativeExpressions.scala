@@ -451,3 +451,80 @@ case class TokenStats(child: Expression, stopwords: Array[String])
   override protected def withNewChildInternal(c: Expression): TokenStats =
     copy(child = c)
 }
+
+/** Hashed char-n-gram linear scorer — the inference half of a
+  * fastText-style learned quality classifier (Joulin et al. 2016,
+  * "Bag of Tricks for Efficient Text Classification"): every char
+  * n-gram of the (caller-lowercased) text hashes into one of `dim`
+  * buckets and the document's logit is the sum of the bucket weights —
+  * a linear model over hashed bag-of-ngrams, evaluated in one pass.
+  *
+  * Arithmetic is EXACT by construction so a SQL oracle can replay it:
+  * weights are fixed-point integers (scale 1000) and the returned
+  * logit is their integer sum; any float (mean score, sigmoid) is
+  * derived OUTSIDE the expression from the two exact integers. The
+  * bucket hash is the md5-prefix fold the fingerprint operator already
+  * uses (engine-independent, available in DuckDB), not murmur.
+  *
+  * Scale posture: map-side projection only — the weight vector rides
+  * the expression as an O(dim) literal (a trained model is a few KB;
+  * at fastText's 2M-bucket default it would move to a broadcast), the
+  * corpus text never shuffles, and scoring fuses into the scan
+  * projection like every other scalar here.
+  *
+  * CodegenFallback per the file's convention: per-row cost is the
+  * internal ngram/md5 loop, so interpreted dispatch around a tight JVM
+  * loop is already the optimum.
+  *
+  * Returns struct(n_grams LONG, logit LONG); null text → null.
+  */
+case class HashedNgramLogit(child: Expression, n: Int, dim: Int,
+    weights: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0 && dim > 0 && weights.length == dim,
+    s"ngram_logit: need weights.length == dim, got ${weights.length} != $dim")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("logit", LongType, nullable = false)))
+  override def prettyName: String = "ngram_logit"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs a string input, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    // String (UTF-16) indexing: BMP chars are one unit each, matching
+    // DuckDB's per-character substr for every fixture script (CJK incl.);
+    // the md5 is over the ngram's UTF-8 bytes on both engines.
+    val s = input.asInstanceOf[UTF8String].toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val total = s.length - n + 1
+    var grams = 0L
+    var logit = 0L
+    var i = 0
+    while (i < total) {
+      val bytes = s.substring(i, i + n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.reset()
+      val d = md.digest(bytes)
+      // first 8 hex chars == first 4 bytes, big-endian, unsigned
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      logit += weights((h % dim).toInt)
+      grams += 1L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](grams, logit))
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedNgramLogit =
+    copy(child = c)
+}

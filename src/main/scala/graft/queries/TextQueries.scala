@@ -82,6 +82,82 @@ object TextQueries extends QueryModule {
            WHERE n_chars BETWEEN 100 AND 10000 AND lang IN ('en','es','de')
            GROUP BY lang, source ORDER BY lang, source"""))
 
+  // Learned quality classifier (fastText-style inference): hashed char
+  // trigrams → pinned fixed-point weight vector → mean logit + exact
+  // integer threshold. The DuckDB oracle replays the ENTIRE dot product
+  // in exact arithmetic (md5-fold bucket hash, integer weights, integer
+  // sum) — the only float is one final division, derived identically on
+  // both engines. See functions/QualityClassifier + plans
+  // .HashedNgramLogit. The single `gl` alias is multi-referenced, which
+  // blocks CollapseProject from inlining the md5 loop once per output
+  // column (spec-pinned).
+  private val qualityClassifierGrams =
+    """list_transform(range(1, greatest(len(lt) - 1, 1)),
+                      i -> substr(lt, i, 3))"""
+
+  private val qualityClassifierLogit =
+    """CAST(coalesce(list_sum(list_transform(ngs, ng ->
+          ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(substr(md5(ng), 1, 8), ''),
+                c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+            (a, x) -> a * 16 + x) % 256) * 2654435761 % 2003) - 1001)),
+        0) AS BIGINT)"""
+
+  private val qQualityClassifier = Q(
+    "q_quality_classifier",
+    (s, d) => {
+      import graft.functions.QualityClassifier._
+      Tables.documents(s, d)
+        .select(col("doc_id"), ngramLogit(lower(col("text"))).as("gl"))
+        .select(col("doc_id"),
+          col("gl.n_grams").as("n_grams"),
+          col("gl.logit").as("logit"),
+          score(col("gl.n_grams"), col("gl.logit")).as("score"),
+          pass(col("gl.n_grams"), col("gl.logit")).cast("int").as("pass"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+           g AS (SELECT doc_id, $qualityClassifierGrams AS ngs FROM t),
+           w AS (SELECT doc_id, CAST(len(ngs) AS BIGINT) AS n_grams,
+                   $qualityClassifierLogit AS logit
+                 FROM g)
+           SELECT doc_id, n_grams, logit,
+             round(CAST(logit AS DOUBLE) /
+               (1000.0 * greatest(n_grams, 1)), 4) AS score,
+             CAST(n_grams > 0 AND logit * 20 >= n_grams * 1000 AS INT) AS pass
+           FROM w ORDER BY doc_id"""))
+
+  // The classifier used the way q_quality_filter uses its heuristics —
+  // gate then aggregate — proving threshold parity end to end: the
+  // DuckDB replay applies the SAME exact-integer keep decision before
+  // the rollup, so a green row means Spark and the oracle kept
+  // precisely the same documents.
+  private val qQualityClassifierFilter = Q(
+    "q_quality_classifier_filter",
+    (s, d) => {
+      import graft.functions.QualityClassifier._
+      Tables.documents(s, d)
+        .withColumn("gl", ngramLogit(lower(col("text"))))
+        .filter(pass(col("gl.n_grams"), col("gl.logit")))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
+                   lower(text) AS lt FROM documents),
+           g AS (SELECT doc_id, lang, source, n_chars,
+                   $qualityClassifierGrams AS ngs FROM t),
+           w AS (SELECT lang, source, n_chars,
+                   CAST(len(ngs) AS BIGINT) AS n_grams,
+                   $qualityClassifierLogit AS logit
+                 FROM g)
+           SELECT lang, source, count(*) AS n_docs,
+             round(avg(n_chars), 4) AS avg_chars
+           FROM w
+           WHERE n_grams > 0 AND logit * 20 >= n_grams * 1000
+           GROUP BY lang, source ORDER BY lang, source"""))
+
   // Language-ID heuristic — pure regexp counting, so DuckDB can replay
   // the whole decision tree (also pinned by known-vector spec).
   private val qLangId = Q(
@@ -1045,7 +1121,8 @@ object TextQueries extends QueryModule {
            ORDER BY 1, 2"""))
 
   override def queries: Seq[Q] = Seq(
-    qTextStats, qQuality, qQualityFilter, qLangId, qFingerprint,
+    qTextStats, qQuality, qQualityFilter, qQualityClassifier,
+    qQualityClassifierFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qBpeMergeStep, qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupBloomGate,
     qDedupBloomGateLoaded,
