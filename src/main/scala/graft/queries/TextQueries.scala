@@ -263,6 +263,70 @@ object TextQueries extends QueryModule {
            SELECT pair, CAST(pair_freq AS BIGINT) AS pair_freq FROM p
            ORDER BY pair_freq DESC, pair LIMIT 20"""))
 
+  // BPE TRAINING LOOP (operators/BpeTrainer) — k=3 merge iterations over
+  // the corpus word table, pair statistics maintained incrementally
+  // between steps (raw text scanned exactly once; see BpeTrainer
+  // scaladoc for the scale posture and the greedy-rewrite equivalence).
+  // The oracle unrolls all three iterations as CTE stages (the
+  // q_pagerank pattern): character seqs → pair counts → argmax with the
+  // same (freq DESC, lhs, rhs) tiebreak → delimiter-encoded string
+  // `replace` (exactly the greedy left-to-right non-overlapping
+  // rewrite) → recount. Spark's incremental pair table equals DuckDB's
+  // full recount at every step because the update arithmetic is exact
+  // longs — so a value-equal merge sequence proves the incremental
+  // maintenance correct end-to-end.
+  private val qBpeTrain = Q(
+    "q_bpe_train_k3",
+    (s, d) => {
+      val words = graft.operators.BpeTrainer.wordFreq(
+        Tables.documents(s, d), col("text"))
+      val merges = graft.operators.BpeTrainer.train(words, 3)
+      graft.operators.BpeTrainer.mergesDf(s, merges)
+        .select(col("step"), col("lhs"), col("rhs"), col("pair_freq"))
+        .orderBy(col("step"))
+    },
+    Some("""WITH w AS (
+             SELECT word, count(*) AS freq FROM (
+               SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> len(x) > 0 AND NOT regexp_matches(x, '[\x01\x02\x03]'))) AS word
+               FROM documents) t GROUP BY word),
+           s0 AS (SELECT freq,
+                    [substr(word, i, 1) FOR i IN range(1, len(word) + 1)] AS seq
+                  FROM w),
+           p0 AS (SELECT pr[1] AS lhs, pr[2] AS rhs, sum(freq) AS f FROM (
+                    SELECT freq,
+                      unnest([[seq[i], seq[i+1]] FOR i IN range(1, len(seq))]) AS pr
+                    FROM s0 WHERE len(seq) >= 2) t GROUP BY 1, 2),
+           m0 AS (SELECT lhs, rhs, f FROM p0 ORDER BY f DESC, lhs, rhs LIMIT 1),
+           s1 AS (SELECT freq,
+                    string_split(substr(e, 2, len(e) - 2), chr(2) || chr(1)) AS seq
+                  FROM (SELECT s0.freq, replace(
+                      chr(1) || array_to_string(s0.seq, chr(2) || chr(1)) || chr(2),
+                      chr(1) || m.lhs || chr(2) || chr(1) || m.rhs || chr(2),
+                      chr(1) || m.lhs || m.rhs || chr(2)) AS e
+                    FROM s0, m0 m) t),
+           p1 AS (SELECT pr[1] AS lhs, pr[2] AS rhs, sum(freq) AS f FROM (
+                    SELECT freq,
+                      unnest([[seq[i], seq[i+1]] FOR i IN range(1, len(seq))]) AS pr
+                    FROM s1 WHERE len(seq) >= 2) t GROUP BY 1, 2),
+           m1 AS (SELECT lhs, rhs, f FROM p1 ORDER BY f DESC, lhs, rhs LIMIT 1),
+           s2 AS (SELECT freq,
+                    string_split(substr(e, 2, len(e) - 2), chr(2) || chr(1)) AS seq
+                  FROM (SELECT s1.freq, replace(
+                      chr(1) || array_to_string(s1.seq, chr(2) || chr(1)) || chr(2),
+                      chr(1) || m.lhs || chr(2) || chr(1) || m.rhs || chr(2),
+                      chr(1) || m.lhs || m.rhs || chr(2)) AS e
+                    FROM s1, m1 m) t),
+           p2 AS (SELECT pr[1] AS lhs, pr[2] AS rhs, sum(freq) AS f FROM (
+                    SELECT freq,
+                      unnest([[seq[i], seq[i+1]] FOR i IN range(1, len(seq))]) AS pr
+                    FROM s2 WHERE len(seq) >= 2) t GROUP BY 1, 2),
+           m2 AS (SELECT lhs, rhs, f FROM p2 ORDER BY f DESC, lhs, rhs LIMIT 1)
+           SELECT CAST(1 AS INTEGER) AS step, lhs, rhs, CAST(f AS BIGINT) AS pair_freq FROM m0
+           UNION ALL SELECT 2, lhs, rhs, CAST(f AS BIGINT) FROM m1
+           UNION ALL SELECT 3, lhs, rhs, CAST(f AS BIGINT) FROM m2
+           ORDER BY step"""))
+
   // Approximate heavy hitters over the token stream (Karp-Papadimitriou-
   // Shenker frequent-items sketch via DataFrameStatFunctions.freqItems):
   // one pass, O(1/support) state per partition, merge at the driver — the
@@ -1123,7 +1187,8 @@ object TextQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qQualityClassifier,
     qQualityClassifierFilter, qLangId, qFingerprint,
-    qVocabTopK, qVocabApprox, qBpeMergeStep, qPiiScrub, qSeqPack, qBm25, qLmScore,
+    qVocabTopK, qVocabApprox, qBpeMergeStep, qBpeTrain, qPiiScrub, qSeqPack,
+    qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupBloomGate,
     qDedupBloomGateLoaded,
     qDedupJaccard,

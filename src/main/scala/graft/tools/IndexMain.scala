@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.wordShingles
 import graft.functions.VectorFunctions.normSq
-import graft.operators.{ArtifactPaths, BloomGate, IvfIndex, NearDup, PqIndex, Tombstones}
+import graft.operators.{ArtifactPaths, BloomGate, BpeTrainer, IvfIndex, NearDup, PqIndex, Tombstones}
 
 /** CLI surface for the persisted-index lifecycle — the commands a
   * standing pipeline actually runs: build once, append daily, query
@@ -370,6 +370,31 @@ object IndexMain {
           spark.stop()
           sys.exit(1)
         }
+
+      case "train-bpe" =>
+        // tokenizer-training lifecycle: learn k merges from the corpus
+        // word table (one raw-text scan; incremental pair stats — see
+        // BpeTrainer) and persist them as the vocab artifact (meta-last)
+        val words = withSplit(graft.Tables.documents(spark, sfDir),
+          "doc_id", "all")
+        val wf = BpeTrainer.wordFreq(words, col("text")).localCheckpoint()
+        val n = wf.count()
+        val merges = BpeTrainer.train(wf, num("k", 10))
+        BpeTrainer.saveVocab(spark, dir, merges, n)
+        println(s"""{"merges":${merges.size},"words":$n}""")
+
+      case "segment-bpe" =>
+        // apply a persisted vocab to the corpus: pure map-side projection
+        // (chain of codegen'd string replaces), no shuffle
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete vocab at $dir")
+        val merges = BpeTrainer.loadVocab(spark, dir)
+        val toks = withSplit(graft.Tables.documents(spark, sfDir),
+          "doc_id", "all")
+          .select(size(BpeTrainer.segmenter(col("text"), merges)).as("n"))
+          .agg(count(lit(1)).as("docs"), sum(col("n")).as("tokens"))
+          .collect()(0)
+        println(s"""{"docs":${toks.getLong(0)},"tokens":${toks.getLong(1)},""" +
+          s""""merges":${merges.size}}""")
 
       case other => fail(s"unknown command '$other'")
     }
