@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -403,22 +404,29 @@ object EventQueries extends QueryModule {
   // and accepts fp-association noise below the rounding cut. The
   // fixed-k loop unrolls to k CTE stages in the oracle, so DuckDB
   // replays every iteration value-exactly.
+  /** The event-transition graph: consecutive event types per user →
+    * weighted (src, dst, w) edges, materialized once (without the
+    * localCheckpoint every PageRank iteration would replay the
+    * scan + window).
+    */
+  private def transitionEdges(s: SparkSession, d: String) = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tss"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("tss", date_trunc("second", col("ts")))
+      .select(col("user_id"), col("tss"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("src"), col("next_type").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+  }
+
   private val qPagerank = Q(
     "q_pagerank",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tss"), col("event_id"))
-      val edges = Tables.events(s, d)
-        .withColumn("tss", date_trunc("second", col("ts")))
-        .select(col("user_id"), col("tss"), col("event_id"), col("event_type"))
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .select(col("event_type").as("src"), col("next_type").as("dst"))
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("w"))
-        // materialize the O(|types|²) edge table once — without this,
-        // every iteration (and nodes/outw) replays the scan + window
-        .localCheckpoint()
+      val edges = transitionEdges(s, d)
       val outw = edges.groupBy(col("src"))
         .agg(sum(col("w")).cast("double").as("ow"))
       val e = edges.join(outw, "src")
@@ -474,8 +482,28 @@ object EventQueries extends QueryModule {
                   FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nodes.node)
            SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node"""))
 
+  // PageRank with FULL standard semantics (operators/PageRank): iterate
+  // to L∞ convergence (eps=1e-10, the strictest stop that still
+  // converges fast on a damped walk) with dangling-mass redistribution,
+  // so total rank mass is conserved at exactly 1 — the hardened form of
+  // q_pagerank's documented fixed-k/leaky simplifications. No DuckDB
+  // oracle by declared design: the iteration count is data-dependent
+  // (an unrollable CTE would hard-code k), so the driver records the
+  // rows-only check and PageRankSpec pins values — exact equality vs a
+  // plain-Scala power iteration replaying the same sorted fold order,
+  // mass conservation, convergence vs the cap, and the O(1) plan-depth
+  // guarantee of the per-iteration localCheckpoint.
+  private val qPagerankConverged = Q(
+    "q_pagerank_converged",
+    (s, d) => {
+      val res = graft.operators.PageRank.run(s, transitionEdges(s, d),
+        damping = 0.85, eps = 1e-10, maxIter = 60)
+      res.ranks.select(col("node"), round(col("r"), 6).as("rank"))
+        .orderBy(col("node"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qTumbling, qSliding, qHourly, qAsOf, qAsOfFwd, qSessionize, qEnrich,
     qIntervalJoin, qDedupFirst, qFunnel, qCohort, qFunnelSteps, qEventPaths,
-    qPagerank)
+    qPagerank, qPagerankConverged)
 }
