@@ -435,6 +435,70 @@ class StreamingSpec extends SparkSpec {
   private def matchRowsOf(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  test("crash recovery: kill after docs write but before commit marker — " +
+      "index serves pre-crash state, checkpoint restart converges") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.NearDup
+    val shA = (0 until 20).map(i => s"alpha$i")
+    val shB = (0 until 20).map(i => s"beta$i")
+    val dir = tmpDir("graft_bandidx_crash").toString
+    NearDup.saveBandIndex(Seq((100L, shA)).toDF("doc_id", "sh"), dir)
+    val outDir = tmpDir("graft_crash_out").toString
+    val ckpt = tmpDir("graft_crash_ckpt").toString
+
+    // run 1's sink dies in the EXACT kill window the scaladoc claims is
+    // safe: batch 0's banded AND docs parquet are fully written, but the
+    // process is gone before the docs/_SUCCESS commit marker lands
+    // (parquet writes the marker at job commit, so deleting it after the
+    // write IS that interleaving). The throw aborts the micro-batch, so
+    // the checkpoint never records batch 0 as committed.
+    var killed = false
+    def sink(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      if (batchId == 0L && !killed) {
+        killed = true
+        NearDup.appendToBandIndexKeyed(
+          batch.select(col("doc_id"), col("sh")), spark, dir, "0")
+        val marker = new java.io.File(s"$dir/appends/0/docs/_SUCCESS")
+        assert(marker.isFile)
+        assert(marker.delete())
+        throw new RuntimeException("kill between docs write and marker")
+      } else nearDupMaintainingSink(dir, s"$outDir/data")(batch, batchId)
+
+    val input = MemoryStream[ShDoc]
+    def start() = input.toDF().writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    input.addData(ShDoc(10, ts(1), shB))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+
+    // torn append is INVISIBLE: the artifact serves its pre-crash state —
+    // doc 10 absent from the docs half AND from candidate generation
+    val torn = NearDup.loadBandIndex(spark, dir)
+    torn.docs.collect().map(_.getLong(0)).toSet shouldBe Set(100L)
+    matchRowsOf(NearDup.matchAgainstBandIndex(
+      Seq((30L, shB)).toDF("doc_id", "sh"), torn)) shouldBe Set.empty
+
+    // run 2: SAME checkpoint — the engine re-delivers batch 0 (it never
+    // committed); the keyed overwrite rewrites the torn subtree and the
+    // artifact converges to exactly the once-delivered state
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val idx = NearDup.loadBandIndex(spark, dir)
+    idx.docs.collect().map(_.getLong(0)).toSet shouldBe Set(100L, 10L)
+    idx.docs.count() shouldBe 2 // replay rewrote, not double-appended
+    matchRowsOf(NearDup.matchAgainstBandIndex(
+      Seq((30L, shB)).toDF("doc_id", "sh"), idx)) shouldBe Set((30L, 10L, 1.0))
+    // the replayed batch's own match output landed (empty: doc 10 probed
+    // the pre-crash corpus {100}, no near-dup there)
+    spark.read.parquet(s"$outDir/data/batch=0").count() shouldBe 0
+  }
+
   test("streaming ANN retrieval: per-batch top-k equals the batch probe; deletes apply next batch") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
