@@ -327,6 +327,87 @@ object TextQueries extends QueryModule {
            UNION ALL SELECT 3, lhs, rhs, CAST(f AS BIGINT) FROM m2
            ORDER BY step"""))
 
+  // The trained tokenizer APPLIED: learn the same 3 merges, then segment
+  // every document through the compiled replace chain (BpeTrainer
+  // .segmenter — map-side, no shuffle beyond the training loop's own
+  // word-table work). The oracle re-derives the merges (same CTEs as
+  // q_bpe_train_k3) and replays the segmentation per word as the same
+  // 3-deep nested delimiter-encoded replace — so the replace-chain ==
+  // greedy-rewrite equivalence is value-checked over the whole corpus,
+  // not just the spec fixture. Output is per-doc subword count + the
+  // first-15-token prefix (bounded row width at any scale).
+  private val qBpeSegment = Q(
+    "q_bpe_segment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.BpeTrainer.train(
+        graft.operators.BpeTrainer.wordFreq(docs, col("text")), 3)
+      docs.select(col("doc_id"),
+          graft.operators.BpeTrainer.segmenter(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_subwords"),
+          array_join(slice(col("toks"), 1, 15), " ").as("head"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+             SELECT word, count(*) AS freq FROM (
+               SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> len(x) > 0 AND NOT regexp_matches(x, '[\x01\x02\x03]'))) AS word
+               FROM documents) t GROUP BY word),
+           s0 AS (SELECT freq,
+                    [substr(word, i, 1) FOR i IN range(1, len(word) + 1)] AS seq
+                  FROM w),
+           p0 AS (SELECT pr[1] AS lhs, pr[2] AS rhs, sum(freq) AS f FROM (
+                    SELECT freq,
+                      unnest([[seq[i], seq[i+1]] FOR i IN range(1, len(seq))]) AS pr
+                    FROM s0 WHERE len(seq) >= 2) t GROUP BY 1, 2),
+           m0 AS (SELECT lhs, rhs FROM p0 ORDER BY f DESC, lhs, rhs LIMIT 1),
+           s1 AS (SELECT freq,
+                    string_split(substr(e, 2, len(e) - 2), chr(2) || chr(1)) AS seq
+                  FROM (SELECT s0.freq, replace(
+                      chr(1) || array_to_string(s0.seq, chr(2) || chr(1)) || chr(2),
+                      chr(1) || m.lhs || chr(2) || chr(1) || m.rhs || chr(2),
+                      chr(1) || m.lhs || m.rhs || chr(2)) AS e
+                    FROM s0, m0 m) t),
+           p1 AS (SELECT pr[1] AS lhs, pr[2] AS rhs, sum(freq) AS f FROM (
+                    SELECT freq,
+                      unnest([[seq[i], seq[i+1]] FOR i IN range(1, len(seq))]) AS pr
+                    FROM s1 WHERE len(seq) >= 2) t GROUP BY 1, 2),
+           m1 AS (SELECT lhs, rhs FROM p1 ORDER BY f DESC, lhs, rhs LIMIT 1),
+           s2 AS (SELECT freq,
+                    string_split(substr(e, 2, len(e) - 2), chr(2) || chr(1)) AS seq
+                  FROM (SELECT s1.freq, replace(
+                      chr(1) || array_to_string(s1.seq, chr(2) || chr(1)) || chr(2),
+                      chr(1) || m.lhs || chr(2) || chr(1) || m.rhs || chr(2),
+                      chr(1) || m.lhs || m.rhs || chr(2)) AS e
+                    FROM s1, m1 m) t),
+           p2 AS (SELECT pr[1] AS lhs, pr[2] AS rhs, sum(freq) AS f FROM (
+                    SELECT freq,
+                      unnest([[seq[i], seq[i+1]] FOR i IN range(1, len(seq))]) AS pr
+                    FROM s2 WHERE len(seq) >= 2) t GROUP BY 1, 2),
+           m2 AS (SELECT lhs, rhs FROM p2 ORDER BY f DESC, lhs, rhs LIMIT 1),
+           seg AS (
+             SELECT doc_id, flatten([
+                 string_split(substr(r, 2, len(r) - 2), chr(2) || chr(1))
+                 FOR r IN [
+                   replace(replace(replace(
+                       chr(1) || array_to_string(
+                         [substr(wd, i, 1) FOR i IN range(1, len(wd) + 1)],
+                         chr(2) || chr(1)) || chr(2),
+                     chr(1) || a.lhs || chr(2) || chr(1) || a.rhs || chr(2),
+                     chr(1) || a.lhs || a.rhs || chr(2)),
+                     chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+                     chr(1) || b.lhs || b.rhs || chr(2)),
+                     chr(1) || c.lhs || chr(2) || chr(1) || c.rhs || chr(2),
+                     chr(1) || c.lhs || c.rhs || chr(2))
+                   FOR wd IN list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> len(x) > 0 AND NOT regexp_matches(x, '[\x01\x02\x03]'))
+                 ]]) AS toks
+             FROM documents, m0 a, m1 b, m2 c)
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_subwords,
+             array_to_string(toks[1:15], ' ') AS head
+           FROM seg ORDER BY doc_id"""))
+
   // Approximate heavy hitters over the token stream (Karp-Papadimitriou-
   // Shenker frequent-items sketch via DataFrameStatFunctions.freqItems):
   // one pass, O(1/support) state per partition, merge at the driver — the
@@ -1187,8 +1268,8 @@ object TextQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qQualityClassifier,
     qQualityClassifierFilter, qLangId, qFingerprint,
-    qVocabTopK, qVocabApprox, qBpeMergeStep, qBpeTrain, qPiiScrub, qSeqPack,
-    qBm25, qLmScore,
+    qVocabTopK, qVocabApprox, qBpeMergeStep, qBpeTrain, qBpeSegment,
+    qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupBloomGate,
     qDedupBloomGateLoaded,
     qDedupJaccard,
