@@ -131,6 +131,17 @@ object Bench {
     // full artifact, while still timing the remaining queries.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val timed = eligible.map { case (name, fn) =>
+      // Between queries (untimed): force a GC so ContextCleaner reaps the
+      // PREVIOUS query's private localCheckpoint blocks. Spark only
+      // triggers this on its periodic GC (default every 30 min), so in a
+      // long registry run checkpoint blocks from every past query pile up
+      // in storage memory — at the 10× fixture that pressure inflated
+      // mid-run queries ~3x in wall AND task CPU (q10: 9.9 s/172 CPU-s
+      // mid-run vs 2.8 s/~15 CPU-s standalone, identical plan and bytes)
+      // — cross-query contamination the per-query metrics exist to rule
+      // out. Block deletion is async; the GC plus the listener drain
+      // below gives the cleaner its window.
+      System.gc()
       val passData = (1 to passes).map { _ =>
         drain(); val s0 = tap.snapshot()
         val t0 = System.nanoTime()
