@@ -46,6 +46,15 @@ object Multimodal {
     */
   object ImageDecoder {
 
+    // ImageIO.read wraps the stream in an ImageInputStream whose cache
+    // defaults to a DISK temp file — created and deleted per call, even
+    // when no reader claims the bytes. At the 10× fixture that filesystem
+    // churn under 32-way task concurrency cost ~10 ms/doc (521 CPU-s for
+    // 50k docs, 60× the per-doc cost of the single-task sf0.1 run —
+    // found by the r9 sf1 bench leg, SCALE.md §sf1-bench). Payloads are
+    // already in memory; cache in memory.
+    javax.imageio.ImageIO.setUseCache(false)
+
     final case class Decoded(width: Int, height: Int, channels: Int,
         feat: Array[Double])
 
