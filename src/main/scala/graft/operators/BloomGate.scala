@@ -141,6 +141,9 @@ object BloomGate {
   //   filter/  one row (filter BINARY)   — the serialized Bloom filter
   //   meta/    (rows, expected_items, fpp, num_bits)  — written LAST, so
   //            its _SUCCESS is the commit marker (ArtifactPaths.exists)
+  //   appends/<key>/keys/  — committed keyed appends (streaming
+  //            maintenance; each subtree's _SUCCESS is its own commit
+  //            marker, torn ones are invisible to load)
   //
   // Takedown posture: a Bloom filter admits NO deletes — a tombstoned id
   // stays set in the filter until the next rebuild/compact. That is a
@@ -167,6 +170,9 @@ object BloomGate {
     val spark = corpus.sparkSession
     import spark.implicits._
     Tombstones.clear(dir)
+    // rebuild compaction: the fresh base holds every live key, so stale
+    // keyed-append subtrees must not survive to double-count them
+    clearKeyedAppends(dir)
     corpus.select(col(idName).cast("long").as("id"), col(keyName).as("key"))
       .write.mode("overwrite").parquet(s"$dir/keys")
     val keys = spark.read.parquet(s"$dir/keys")
@@ -180,14 +186,39 @@ object BloomGate {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  def load(spark: SparkSession, dir: String): LoadedBloom = {
+  def load(spark: SparkSession, dir: String,
+      excludeAppend: Option[String] = None): LoadedBloom = {
     val meta = spark.read.parquet(s"$dir/meta").collect()(0)
     val filter = spark.read.parquet(s"$dir/filter")
       .collect()(0).getAs[Array[Byte]]("filter")
+    // base keys + committed keyed appends (keys/_SUCCESS as the commit
+    // marker — a torn appendKeyed is invisible, the loadBandIndex rule).
+    // `excludeAppend` carves out ONE append subtree: the streaming sink
+    // probes with its own batch key excluded, so a replayed batch sees
+    // exactly the pre-batch corpus and rewrites identical output.
+    val keyDirs = s"$dir/keys" +: committedAppendKeys(dir)
+      .filterNot(excludeAppend.contains).map(k => s"$dir/appends/$k/keys")
     LoadedBloom(filter,
-      Tombstones.exclude(spark.read.parquet(s"$dir/keys"), spark, dir, "id"),
+      Tombstones.exclude(spark.read.parquet(keyDirs: _*), spark, dir, "id"),
       meta.getAs[Long]("rows"), meta.getAs[Long]("expected_items"),
       meta.getAs[Double]("fpp"))
+  }
+
+  /** Keys of committed keyed appends, in stable order. */
+  private def committedAppendKeys(dir: String): Seq[String] = {
+    val d = new java.io.File(s"$dir/appends")
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(k => new java.io.File(k, "keys/_SUCCESS").isFile)
+      .map(_.getName).sorted
+  }
+
+  private def clearKeyedAppends(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.exists()) f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/appends"))
   }
 
   /** Probe-only gate against a persisted artifact: same exact-anti-join
@@ -196,8 +227,9 @@ object BloomGate {
     * table (tombstone-excluded).
     */
   def newRowsAgainstLoaded(batch: DataFrame, keyName: String,
-      spark: SparkSession, dir: String): DataFrame = {
-    val idx = load(spark, dir)
+      spark: SparkSession, dir: String,
+      excludeAppend: Option[String] = None): DataFrame = {
+    val idx = load(spark, dir, excludeAppend)
     gated(batch, idx.keys.select(col("key").as(keyName)).distinct(),
       keyName, idx.filter)
   }
@@ -214,23 +246,27 @@ object BloomGate {
     * degrades the realized fpp — probeStats/check-bloom is the
     * rebuild-cadence signal for exactly that.
     */
+  /** OR of two bit-compatible serialized filters (same frozen sizing). */
+  private def orMerge(base: Array[Byte], add: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    if (add == null) base
+    else if (base.isEmpty) add
+    else {
+      val f = BloomFilter.readFrom(base)
+      f.mergeInPlace(BloomFilter.readFrom(add))
+      val out = new java.io.ByteArrayOutputStream()
+      f.writeTo(out)
+      out.toByteArray
+    }
+  }
+
   def append(spark: SparkSession, dir: String, batch: DataFrame,
       idName: String, keyName: String): Unit = {
-    import org.apache.spark.util.sketch.BloomFilter
     val idx = load(spark, dir)
     val add = batch.select(col(idName).cast("long").as("id"),
       col(keyName).as("key"))
     val addBytes = buildBloom(add, col("key"), idx.expectedItems, idx.fpp)
-    val merged =
-      if (addBytes == null) idx.filter
-      else if (idx.filter.isEmpty) addBytes
-      else {
-        val f = BloomFilter.readFrom(idx.filter)
-        f.mergeInPlace(BloomFilter.readFrom(addBytes))
-        val out = new java.io.ByteArrayOutputStream()
-        f.writeTo(out)
-        out.toByteArray
-      }
+    val merged = orMerge(idx.filter, addBytes)
     import spark.implicits._
     Seq(Tuple1(merged)).toDF("filter")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/filter")
@@ -240,6 +276,36 @@ object BloomGate {
         bitsFor(idx.expectedItems, idx.fpp)))
       .toDF("rows", "expected_items", "fpp", "num_bits")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Idempotent keyed append — the streaming-maintenance twin of
+    * [[append]] (NearDup.appendToBandIndexKeyed's layout rule): new keys
+    * land in a per-key overwrite subtree `appends/<key>/keys` whose
+    * `_SUCCESS` is the commit marker, so a replayed micro-batch REWRITES
+    * its own subtree instead of double-appending. Write order is
+    * crash-shaped and deliberately filter-FIRST: a key set in the filter
+    * but absent from the keys table just rides the maybe path and
+    * confirms new (over-containment is harmless), while the reverse
+    * order could let a crash window admit a duplicate (key in the table,
+    * not yet in the filter ⇒ probe says definitely-new). The filter
+    * OR-merge is idempotent, so a replayed merge of the same keys is a
+    * no-op on the bits. Meta is untouched (base build parameters);
+    * [[probeStats]] counts actual live keys for the saturation signal.
+    */
+  def appendKeyed(spark: SparkSession, dir: String, batch: DataFrame,
+      idName: String, keyName: String, key: String): Unit = {
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_' ||
+      c == '-' || c == '='), s"append key '$key' must be a filesystem-safe token")
+    val idx = load(spark, dir, excludeAppend = Some(key))
+    val add = batch.select(col(idName).cast("long").as("id"),
+      col(keyName).as("key"))
+      .localCheckpoint() // feeds the filter build AND the keys write
+    val addBytes = buildBloom(add, col("key"), idx.expectedItems, idx.fpp)
+    val merged = orMerge(idx.filter, addBytes)
+    import spark.implicits._
+    Seq(Tuple1(merged)).toDF("filter")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/filter")
+    add.write.mode("overwrite").parquet(s"$dir/appends/$key/keys")
   }
 
   /** Observed-fpp report for a probe batch — the rebuild-cadence
@@ -259,8 +325,12 @@ object BloomGate {
     val idx = load(spark, dir)
     val keys = idx.keys.select(col("key").as(keyName)).distinct()
     val batchRows = batch.count()
+    // actual live keys (base + committed keyed appends, tombstones out),
+    // not the base-build meta row count: saturation from streaming
+    // appends must register in the rebuild-cadence signal
+    val liveRows = idx.keys.count()
     if (idx.filter.isEmpty)
-      return BloomStats(batchRows, 0, 0, 0, 0.0, idx.rows,
+      return BloomStats(batchRows, 0, 0, 0, 0.0, liveRows,
         idx.expectedItems, idx.fpp)
     val maybe = batch.filter(mightContain(idx.filter, col(keyName)))
     val maybeRows = maybe.count()
@@ -268,7 +338,7 @@ object BloomGate {
     val fp = maybeRows - trueDups
     val notPresent = batchRows - trueDups
     val observed = if (notPresent == 0) 0.0 else fp.toDouble / notPresent
-    BloomStats(batchRows, maybeRows, trueDups, fp, observed, idx.rows,
+    BloomStats(batchRows, maybeRows, trueDups, fp, observed, liveRows,
       idx.expectedItems, idx.fpp)
   }
 

@@ -476,11 +476,45 @@ object Extra extends QueryModule {
         lit(42)).as("sk"))
       .orderBy(col("l_returnflag")))
 
+  // Two-phase salted aggregation (operators/Salting) — the skew-immune
+  // form of groupBy(hot key): phase 1 splits every key into 16 salted
+  // sub-keys for the partial aggregate, phase 2 combines the ≤16
+  // partials per key. event_type is the fixture's genuinely hot key
+  // (a handful of values over the whole table — at 100 TB one key's
+  // rows would swamp a single reducer; salted, no reducer state ever
+  // exceeds 1/16th of a key). The salt values themselves are
+  // partition-dependent and CANNOT affect the result: every
+  // commutative-semigroup partial/combine pair folds to the same
+  // per-key answer regardless of how rows split. Sums ride DECIMAL so
+  // the two-phase fold is order-invariant and the oracle's single-phase
+  // GROUP BY replays it value-exactly (the q10 money-arithmetic rule).
+  private val qAggSalted = Q(
+    "q_agg_salted",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("dv", col("value").cast("decimal(18,6)"))
+      graft.operators.Salting.saltedAgg(ev, Seq("event_type"), 16,
+        partial = Seq(count(lit(1)).as("pn"), sum(col("dv")).as("ps"),
+          min(col("value")).as("pmin"), max(col("value")).as("pmax")),
+        combine = Seq(sum(col("pn")).as("n"), sum(col("ps")).as("sv"),
+          min(col("pmin")).as("mn"), max(col("pmax")).as("mx")))
+        .select(col("event_type"), col("n"),
+          round(col("sv").cast("double"), 4).as("sum_value"),
+          round(col("mn"), 4).as("min_value"),
+          round(col("mx"), 4).as("max_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+             round(min(value), 4) AS min_value,
+             round(max(value), 4) AS max_value
+           FROM events GROUP BY event_type ORDER BY event_type"""))
+
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
     qCsvRoundtrip, qJsonRoundtrip, qSampleStratified, qSampleSourceCap,
     qSampleMixture,
     qSampleTemperature, qSampleExactK,
     qSampleTokenBudget, qSplitTrainTest, qZorder, qSketchHll, qSketchKll,
-    qSketchCms)
+    qSketchCms, qAggSalted)
 }

@@ -1265,6 +1265,65 @@ object TextQueries extends QueryModule {
            LEFT JOIN tx ON tx.ta = sa.source AND tx.tb = sb.source
            ORDER BY 1, 2"""))
 
+  // Cross-source n-gram concentration — the token-granular twin of the
+  // source-pair contamination matrix above: an n-gram whose occurrences
+  // concentrate in one source (low entropy over its per-source counts)
+  // is source-specific boilerplate or template leakage; one spread
+  // evenly is generic vocabulary. Runs over word BIGRAMS (the fixture's
+  // unigram vocabulary is ~31 words — bigrams give a ~900-key graded
+  // space; at web scale the same plan runs on any shingle width).
+  // Entropy H = ln(tot) − (Σ c·ln c)/tot over per-source counts, the
+  // Σ folded in sorted source order (the q_lm_score determinism recipe)
+  // so Spark and DuckDB sum bit-identically. Scale posture: corpus
+  // collapses to (bigram, source) partial-agg counts before any
+  // per-gram work — the fold sees ≤|sources| rows per gram and the
+  // report rides TakeOrderedAndProject; nothing downstream of the
+  // explode is proportional to corpus bytes.
+  private val qSourceEntropy = Q(
+    "q_source_entropy",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"),
+          tokens(lower(col("text"))).as("t"))
+      val bg = t.select(col("source"), explode(expr(
+        """CASE WHEN size(t) < 2 THEN array()
+           ELSE transform(sequence(1, size(t) - 1),
+                          i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+           END""")).as("bg"))
+      bg.groupBy(col("bg"), col("source")).agg(count(lit(1)).as("c"))
+        .groupBy(col("bg"))
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_sources"),
+          aggregate(array_sort(collect_list(struct(col("source"), col("c")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("c").cast("double") *
+              log(x.getField("c").cast("double"))).as("clnc"))
+        .filter(col("tot") >= 20)
+        .select(col("bg"), col("tot"), col("n_sources"),
+          round(log(col("tot").cast("double")) - col("clnc") / col("tot").cast("double"),
+            6).as("entropy"))
+        .orderBy(col("entropy"), col("bg"))
+        .limit(50)
+    },
+    Some("""WITH t AS (SELECT source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS t
+           FROM documents),
+           b AS (SELECT source, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1]) END) AS bg
+                 FROM t),
+           bc AS (SELECT bg, source, count(*) AS c FROM b GROUP BY 1, 2),
+           e AS (SELECT bg, CAST(sum(c) AS BIGINT) AS tot,
+                   count(*) AS n_sources,
+                   list_reduce(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                    ORDER BY source),
+                               (a, x) -> a + x) AS clnc
+                 FROM bc GROUP BY bg)
+           SELECT bg, tot, n_sources,
+             round(ln(CAST(tot AS DOUBLE)) - clnc / CAST(tot AS DOUBLE), 6) AS entropy
+           FROM e WHERE tot >= 20
+           ORDER BY entropy, bg LIMIT 50"""))
+
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qQualityClassifier,
     qQualityClassifierFilter, qLangId, qFingerprint,
@@ -1276,5 +1335,6 @@ object TextQueries extends QueryModule {
     qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
     qDedupJaccardIncrAppended, qDedupJaccardIncrDeleted,
     qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
-    qSourceOverlap, qDedupContainment, qDedupSubstring, qDedupSubstringTop)
+    qSourceOverlap, qSourceEntropy, qDedupContainment, qDedupSubstring,
+    qDedupSubstringTop)
 }

@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann] [index=<dir>] [maintain=1]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup] [index=<dir>] [maintain=1]"
   *
   * op=ann (requires index=) is the standing retrieval service: replay an
   * embeddings fixture as the query stream, probe the persisted PQ
   * artifact per micro-batch (StreamingOps.annTopKSink — built over the
   * same fixture on first run), top-k per query under data/batch=N.
+  *
+  * op=bloomdedup (requires index=) is the standing exact-dedup ingest:
+  * replay a documents fixture against a persisted Bloom artifact that
+  * starts empty and is maintained by the stream itself — first-seen docs
+  * land under data/batch=N, duplicates are dropped, keys append per batch
+  * (StreamingOps.bloomDedupSink).
   *
   * The optional third argument picks the ingest throttle: files=N →
   * maxFilesPerTrigger, bytes=N → maxBytesPerTrigger (both A7 analogs —
@@ -58,7 +64,7 @@ object StreamMain {
     val kvArgs = split.collect { case (_, Array(k, v)) => (k, v) }.toMap
     val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index", "maintain")
     val indexWithoutNearDup = kvArgs.contains("index") &&
-      !Set("neardup", "ann").contains(kvArgs.getOrElse("op", "window"))
+      !Set("neardup", "ann", "bloomdedup").contains(kvArgs.getOrElse("op", "window"))
     val maintainWithoutIndex =
       kvArgs.contains("maintain") && !kvArgs.contains("index")
     if (malformed.nonEmpty || badKeys.nonEmpty || dupKeys.nonEmpty ||
@@ -68,9 +74,9 @@ object StreamMain {
         s"bad options ${(malformed ++ badKeys ++ dupKeys).mkString(", ")}" +
         (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
            " (files= and bytes= are mutually exclusive)" else "") +
-        (if (indexWithoutNearDup) " (index= requires op=neardup|ann)" else "") +
+        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup)" else "") +
         (if (maintainWithoutIndex) " (maintain=1 requires index=)" else "") +
-        ": use files=N | bytes=N | op=window|neardup|ann | index=<dir> | maintain=1")
+        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup | index=<dir> | maintain=1")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -178,8 +184,29 @@ object StreamMain {
         }
         raw.select(col("vec_id").as("qid"), col("embedding").as("qv"),
           normSq(col("embedding")).as("qn2"))
+      case "bloomdedup" =>
+        // streaming exact-dedup ingest (StreamingOps.bloomDedupSink):
+        // replay a documents fixture as the ingest stream against a
+        // persisted Bloom artifact that starts EMPTY — the stream itself
+        // populates it, so first occurrences land in the sink and every
+        // later duplicate (intra-batch or cross-batch) is dropped. The
+        // fixture is dup-prone by construction, so the run demonstrates
+        // the full probe → confirm → keyed-append duty cycle.
+        import graft.operators.{ArtifactPaths, BloomGate}
+        val idxPath = kvArgs.getOrElse("index",
+          { System.err.println("op=bloomdedup requires index=<dir>"); sys.exit(2) })
+        def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("doc_id"), sha2(col("text"), 256).as("key"),
+          col("source"), col("n_chars"))
+        if (!ArtifactPaths.exists(idxPath))
+          // expected sizing from the fixture the stream will replay, so
+          // the empty-start filter is sized for what it will absorb
+          BloomGate.save(idxPath, keyed(spark.read.parquet(srcDir)).limit(0),
+            "doc_id", "key",
+            expectedItems = spark.read.parquet(srcDir).count().max(1L))
+        keyed(raw)
       case other =>
-        System.err.println(s"bad op '$other': use window, neardup or ann")
+        System.err.println(s"bad op '$other': use window, neardup, ann or bloomdedup")
         sys.exit(2)
         null
     }
@@ -195,7 +222,20 @@ object StreamMain {
             s"$outDir/data", k = 5, pool = 25) _)
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
-      } else if (kvArgs.contains("maintain"))
+      } else if (op == "bloomdedup") {
+        // jobKey from the checkpoint path: stable across restarts of THIS
+        // checkpointed query, distinct per job — see bloomDedupSink
+        val jobKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(new java.io.File(s"$outDir/checkpoint").getAbsolutePath
+            .getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        out.writeStream
+          .foreachBatch(StreamingOps.bloomDedupSink(
+            kvArgs("index"), s"$outDir/data", "doc_id", "key", jobKey) _)
+          .option("checkpointLocation", s"$outDir/checkpoint")
+          .start()
+      }
+      else if (kvArgs.contains("maintain"))
         out.writeStream
           .foreachBatch(StreamingOps.nearDupMaintainingSink(
             kvArgs("index"), s"$outDir/data") _)
@@ -217,6 +257,10 @@ object StreamMain {
       val self = sink.filter(col("doc_id") === col("matched_id")).count()
       println(s"""{"sink_rows":$n,"self_matches":$self,""" +
         s""""cross_matches":${n - self},"state":"finished"}""")
+    } else if (op == "bloomdedup") {
+      val ingested = spark.read.parquet(srcDir).count()
+      println(s"""{"sink_rows":$n,"ingested":$ingested,""" +
+        s""""dups_dropped":${ingested - n},"state":"finished"}""")
     } else
       println(s"""{"sink_rows":$n,"state":"finished"}""")
     spark.stop()

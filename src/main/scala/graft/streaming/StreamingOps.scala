@@ -171,6 +171,57 @@ object StreamingOps {
     NearDup.appendToBandIndexKeyed(b, spark, indexPath, batchId.toString)
   }
 
+  /** Streaming exact-dedup ingest against the persisted Bloom artifact
+    * (operators/BloomGate) — the Bloom member of the streaming
+    * index-maintenance family (nearDupMaintainingSink is the near-dup
+    * twin): each micro-batch collapses intra-batch duplicate keys
+    * min-id-wins (the exact-dedup keeper rule), probes the LOADED
+    * artifact (definitely-new rows bypass the confirm join — the
+    * codegen'd literal probe), lands the surviving first-seen rows
+    * under `batch=N` (overwrite = idempotent), and appends their keys
+    * via the crash-shaped keyed append (filter first, keys subtree
+    * with its own `_SUCCESS` commit marker).
+    *
+    * Replay exactness: the probe EXCLUDES the batch's own append
+    * subtree, so a replayed batch — even one whose append committed
+    * before the crash — sees exactly the pre-batch corpus and rewrites
+    * byte-identical output. The artifact is reloaded per trigger, so
+    * tombstone deletes, external appends, and compactions take effect
+    * on the next batch without restarting the job. Scale posture: the
+    * corpus contributes zero scans per trigger (loaded filter bytes +
+    * ids-only confirm side); Bloom admits no deletes, so sustained
+    * ingest degrades only the skip rate until check-bloom signals a
+    * rebuild (results stay exact throughout).
+    *
+    * `jobKey` scopes the append subtrees: the self-exclusion key is
+    * `<jobKey>-<batchId>`, so it must be STABLE across restarts of the
+    * same checkpointed query (replay finds its own subtree) but DISTINCT
+    * across different jobs feeding one artifact — a fresh-checkpoint job
+    * restarts batch ids at 0, and with a shared key it would wrongly
+    * exclude the previous job's batch-0 keys from its own probe and
+    * re-admit their duplicates. Derive it from the checkpoint identity
+    * (StreamMain hashes the checkpoint path).
+    */
+  def bloomDedupSink(indexPath: String, outDir: String, idName: String,
+      keyName: String, jobKey: String = "job")(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.BloomGate
+    val spark = batch.sparkSession
+    val cols = batch.columns
+    val firstSeen = batch.groupBy(col(keyName))
+      .agg(min_by(
+        struct(cols.filter(_ != keyName).map(batch.col).toIndexedSeq: _*),
+        batch.col(idName)).as("__first"))
+      .select(cols.map(c => if (c == keyName) col(keyName)
+        else col(s"__first.$c").as(c)).toIndexedSeq: _*)
+    val fresh = BloomGate.newRowsAgainstLoaded(firstSeen, keyName, spark,
+        indexPath, excludeAppend = Some(s"$jobKey-$batchId"))
+      .localCheckpoint() // feeds the sink write AND the keyed append
+    fresh.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    BloomGate.appendKeyed(spark, indexPath, fresh, idName, keyName,
+      s"$jobKey-$batchId")
+  }
+
   /** Streaming ANN retrieval — the standing query-service shape over a
     * persisted PQ artifact (operators/PqIndex): each micro-batch of
     * query vectors (qid, qv, qn2) runs the ADC scan + exact pool

@@ -9,6 +9,8 @@ import StreamingOps._
 // top-level so Spark can generate its encoder without an outer-scope ref
 case class QVec(qid: Long, qv: Seq[Float], qn2: Double)
 
+case class BDoc(doc_id: Long, key: String, v: String)
+
 /** Golden tests for the streaming operators: MemoryStream feeds with
   * controlled event times; watermark/late-data/session/dedup semantics have
   * no DuckDB oracle (SURVEY.md §5.2 #3), so expected outputs are asserted
@@ -497,6 +499,76 @@ class StreamingSpec extends SparkSpec {
     // the replayed batch's own match output landed (empty: doc 10 probed
     // the pre-crash corpus {100}, no near-dup there)
     spark.read.parquet(s"$outDir/data/batch=0").count() shouldBe 0
+  }
+
+  test("bloom dedup sink: first-seen lands, dups drop within and across batches; replay identical") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.BloomGate
+    val dir = tmpDir("graft_bloomidx_stream").toString
+    // empty-start artifact, sized for what the stream will absorb
+    BloomGate.save(dir, Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "key", "v"), "doc_id", "key", expectedItems = 100)
+    val outDir = tmpDir("graft_bloom_out").toString
+    val input = MemoryStream[BDoc]
+    val q = input.toDF().writeStream
+      .foreachBatch(bloomDedupSink(dir, s"$outDir/data", "doc_id", "key") _)
+      .option("checkpointLocation", s"${tmpDir("graft_bloom_ckpt")}")
+      .start()
+    // batch 0: k1 twice (intra-batch dup — min doc_id wins), k2 once
+    input.addData(BDoc(5, "k1", "late"), BDoc(1, "k1", "first"),
+      BDoc(2, "k2", "x"))
+    q.processAllAvailable()
+    // batch 1: k1 again (cross-batch dup, only the maintained artifact
+    // can know) + brand-new k3
+    input.addData(BDoc(7, "k1", "dup"), BDoc(8, "k3", "new"))
+    q.processAllAvailable()
+    q.stop()
+
+    def sinkRows() = spark.read.parquet(s"$outDir/data")
+      .select(col("doc_id"), col("key"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    sinkRows() shouldBe Set((1L, "k1", "first"), (2L, "k2", "x"),
+      (8L, "k3", "new"))
+    BloomGate.load(spark, dir).keys.count() shouldBe 3
+
+    // at-least-once replay of batch 1 (its append already committed):
+    // the probe excludes the batch's own subtree, so output and artifact
+    // are byte-identical — no dup rows, no double-counted keys
+    bloomDedupSink(dir, s"$outDir/data", "doc_id", "key")(
+      Seq(BDoc(7, "k1", "dup"), BDoc(8, "k3", "new")).toDF(), 1L)
+    sinkRows() shouldBe Set((1L, "k1", "first"), (2L, "k2", "x"),
+      (8L, "k3", "new"))
+    BloomGate.load(spark, dir).keys.count() shouldBe 3
+
+    // a later batch sees stream-ingested keys as dups
+    bloomDedupSink(dir, s"$outDir/data", "doc_id", "key")(
+      Seq(BDoc(9, "k3", "x2"), BDoc(10, "k4", "y")).toDF(), 2L)
+    spark.read.parquet(s"$outDir/data/batch=2")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(10L)
+    BloomGate.load(spark, dir).keys.count() shouldBe 4
+
+    // a DIFFERENT job feeding the same artifact restarts batch ids at 0;
+    // its distinct jobKey means batch 0 does NOT exclude this job's
+    // batch-0 subtree — stream-ingested k1 is correctly a dup for it
+    val outDir2 = tmpDir("graft_bloom_out2").toString
+    bloomDedupSink(dir, s"$outDir2/data", "doc_id", "key", "job2")(
+      Seq(BDoc(13, "k1", "again"), BDoc(14, "k6", "new")).toDF(), 0L)
+    spark.read.parquet(s"$outDir2/data/batch=0")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(14L)
+    BloomGate.load(spark, dir).keys.count() shouldBe 5
+
+    // crash window the scaladoc claims safe: filter merged but keys
+    // subtree uncommitted (filter-FIRST order) — over-containment only:
+    // the key probes maybe, the confirm side doesn't have it, row is new
+    BloomGate.appendKeyed(spark, dir,
+      Seq(BDoc(11, "k5", "z")).toDF(), "doc_id", "key", "crash")
+    val marker = new java.io.File(s"$dir/appends/crash/keys/_SUCCESS")
+    assert(marker.isFile && marker.delete())
+    BloomGate.load(spark, dir).keys.count() shouldBe 5 // torn = invisible
+    BloomGate.newRowsAgainstLoaded(
+      Seq(BDoc(12, "k5", "z2")).toDF(), "key", spark, dir)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(12L)
   }
 
   test("streaming ANN retrieval: per-batch top-k equals the batch probe; deletes apply next batch") {
