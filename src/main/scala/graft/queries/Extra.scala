@@ -510,11 +510,49 @@ object Extra extends QueryModule {
              round(max(value), 4) AS max_value
            FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // Equi-depth (equal-count) histogram — the data-dependent-boundary
+  // counterpart of q_histogram's fixed-width buckets, the standard shape
+  // for quantile bucketing / feature binning. The naive SQL is
+  // ntile()/row_number() OVER (ORDER BY …) — a single-partition window
+  // that dies at scale; here the global ordinal comes from
+  // operators/GlobalIndex (range exchange + broadcast partition offsets,
+  // the same exchange a global sort pays anyway) and the bucket id is
+  // exact integer arithmetic ((ord-1)·k DIV n — no doubles anywhere near
+  // the boundary), so DuckDB's window-function replay agrees row-for-row.
+  // Total order (o_totalprice, o_orderkey) makes the ordinal — and hence
+  // every bucket boundary — deterministic under any partitioning.
+  private val qAggEquidepth = Q(
+    "q_agg_equidepth",
+    (s, d) => {
+      import graft.operators.GlobalIndex
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val n = o.count() // one O(1) driver scalar, the q_pagerank precedent
+      GlobalIndex.withOrdinal(o, "ord", col("o_totalprice"), col("o_orderkey"))
+        .withColumn("bucket", expr(s"CAST(((ord - 1) * 8) DIV $n AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("o_totalprice")), 4).as("min_price"),
+          round(max(col("o_totalprice")), 4).as("max_price"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+            4).as("sum_price"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH o AS (
+             SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS r,
+               count(*) OVER () AS n
+             FROM orders)
+           SELECT (r * 8) // n AS bucket, count(*) AS n_rows,
+             round(min(o_totalprice), 4) AS min_price,
+             round(max(o_totalprice), 4) AS max_price,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+           FROM o GROUP BY 1 ORDER BY 1"""))
+
   override def queries: Seq[Q] = Seq(
     qPercentile, qApproxPercentile, qGroupingSets, qJsonMap, qTableDigest,
     qCsvRoundtrip, qJsonRoundtrip, qSampleStratified, qSampleSourceCap,
     qSampleMixture,
     qSampleTemperature, qSampleExactK,
     qSampleTokenBudget, qSplitTrainTest, qZorder, qSketchHll, qSketchKll,
-    qSketchCms, qAggSalted)
+    qSketchCms, qAggSalted, qAggEquidepth)
 }
