@@ -1,0 +1,109 @@
+package graft.copy
+
+import java.io.IOException
+import java.nio.file.Files
+import org.apache.hadoop.conf.Configuration
+import graft.SparkSpec
+
+/** Range-split single-file parallel copy (RangedCopy): byte fidelity via
+  * disjoint positional writes, partition-exact range math, small-file
+  * fallback, per-range read-back mismatch detection (with the bad dest
+  * left in place — the CopyEngine parity rule), and error messages.
+  */
+class RangedCopySpec extends SparkSpec {
+
+  private def conf = new Configuration()
+
+  private def writeRandom(bytes: Int, seed: Long = 7L): java.nio.file.Path = {
+    val p = tmpDir("graft_ranged_src").resolve("big.bin")
+    val buf = new Array[Byte](bytes)
+    new java.util.Random(seed).nextBytes(buf)
+    Files.write(p, buf)
+    p
+  }
+
+  test("ranges partition [0, length) exactly, remainder in the last range") {
+    val rs = RangedCopy.ranges(10L * 1024 * 1024 + 123, 1024 * 1024)
+    rs.size shouldBe 11
+    rs.head.offset shouldBe 0L
+    rs.map(_.len).sum shouldBe 10L * 1024 * 1024 + 123
+    rs.sliding(2).foreach { case Seq(a, b) =>
+      b.offset shouldBe a.offset + a.len
+    }
+    rs.last.len shouldBe 123
+    RangedCopy.ranges(0L, 1024) shouldBe empty
+  }
+
+  test("multi-range copy is byte-identical and verified; bytes sum") {
+    val src = writeRandom(5 * 1024 * 1024 + 789)
+    val dst = tmpDir("graft_ranged_dst").resolve("copy.bin")
+    val r = RangedCopy.copyFile(spark, conf, src.toString, dst.toString,
+      rangeBytes = 512 * 1024)
+    r.bytesCopied shouldBe 5 * 1024 * 1024 + 789
+    r.checksumVerified shouldBe true
+    Files.readAllBytes(dst) shouldBe Files.readAllBytes(src)
+  }
+
+  test("single-range file falls back to the single-stream path") {
+    val src = writeRandom(64 * 1024)
+    val dst = tmpDir("graft_ranged_dst1").resolve("small.bin")
+    val r = RangedCopy.copyFile(spark, conf, src.toString, dst.toString,
+      rangeBytes = 1024 * 1024)
+    r.bytesCopied shouldBe 64 * 1024
+    r.checksumVerified shouldBe true
+    Files.readAllBytes(dst) shouldBe Files.readAllBytes(src)
+  }
+
+  test("checksum disabled: bytes land, verified=false (reference rule)") {
+    val src = writeRandom(3 * 1024 * 1024)
+    val dst = tmpDir("graft_ranged_dst2").resolve("nocheck.bin")
+    val r = RangedCopy.copyFile(spark, conf, src.toString, dst.toString,
+      checksumEnabled = false, rangeBytes = 1024 * 1024)
+    r.checksumVerified shouldBe false
+    Files.readAllBytes(dst) shouldBe Files.readAllBytes(src)
+  }
+
+  test("a corrupted range fails its read-back verify; bad dest stays in place") {
+    val src = writeRandom(4 * 1024 * 1024)
+    val dst = tmpDir("graft_ranged_dst3").resolve("corrupt.bin")
+    // corrupt ONE byte inside range 2, after its write, before its verify
+    val hook: (String, RangedCopy.RangeSpec) => Unit = { (path, spec) =>
+      if (spec.idx == 2) {
+        val raf = new java.io.RandomAccessFile(path, "rw")
+        try {
+          raf.seek(spec.offset + 17)
+          val b = raf.read()
+          raf.seek(spec.offset + 17)
+          raf.write(b ^ 0xff)
+        } finally raf.close()
+      }
+    }
+    val e = intercept[IOException] {
+      RangedCopy.copyFile(spark, conf, src.toString, dst.toString,
+        rangeBytes = 1024 * 1024, postWriteHook = Some(hook))
+    }
+    e.getMessage should startWith("Checksum mismatch for ")
+    e.getMessage should include("range 2 @ ")
+    // bad dest file left in place, full length (reference parity)
+    Files.size(dst) shouldBe 4 * 1024 * 1024
+  }
+
+  test("missing source and directory source raise the engine's messages") {
+    val dst = tmpDir("graft_ranged_dst4").resolve("x.bin")
+    val missing = intercept[IOException] {
+      RangedCopy.copyFile(spark, conf, "/no/such/file.bin", dst.toString)
+    }
+    missing.getMessage shouldBe "Source path does not exist: /no/such/file.bin"
+    val dir = tmpDir("graft_ranged_srcdir")
+    val isDir = intercept[IOException] {
+      RangedCopy.copyFile(spark, conf, dir.toString, dst.toString)
+    }
+    isDir.getMessage should include("Ranged copy is for files")
+    val hdfsDst = intercept[IOException] {
+      val src = writeRandom(2 * 1024 * 1024, seed = 11L)
+      RangedCopy.copyFile(spark, conf, src.toString,
+        "hdfs://nn/none.bin", rangeBytes = 1024 * 1024)
+    }
+    hdfsDst.getMessage should include("needs a file: destination")
+  }
+}
