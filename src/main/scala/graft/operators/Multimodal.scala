@@ -12,8 +12,11 @@ import graft.Tables
   * `ImageDecoder` routes payloads through `javax.imageio` (PNG, BMP,
   * GIF, JPEG — whatever readers the JVM registers; zero external deps)
   * and derives an 8-dim pixel-statistics feature from the decoded
-  * raster. Payloads no registered reader accepts — audio, video, or
-  * image formats this container lacks codecs for — fall back to
+  * raster; `AudioDecoder` routes through `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM — the Java Sound guarantees) and derives an 8-dim
+  * sample-statistics feature (RMS, zero-crossings, silence ratio, ...)
+  * from the decoded frames. Payloads no registered reader accepts —
+  * video, or formats this container lacks codecs for — fall back to
   * `FakeDecoder`'s deterministic byte-statistics stub, so the pipeline
   * shape is identical either way and swapping in a richer codec stack
   * widens the real path without touching the plumbing.
@@ -105,6 +108,92 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via the JDK's built-in `javax.sound.sampled`
+    * readers (WAV/AIFF/AU with PCM payloads are guaranteed by the Java
+    * Sound spec; zero external deps — the ImageDecoder rule applied to
+    * the audio modality). Non-audio bytes are rejected FAST by header
+    * sniffing (`UnsupportedAudioFileException` before any full parse),
+    * which keeps the fallback path cheap for image/video blobs.
+    */
+  object AudioDecoder {
+
+    final case class DecodedAudio(sampleRate: Int, channels: Int,
+        frames: Long, feat: Array[Double])
+
+    /** Decode and reduce to the 8-dim feature contract shared with the
+      * other decoders: duration (s, normalized to a 600 s box), sample
+      * rate /48 kHz, channels /8, mean |amplitude|, RMS, zero-crossing
+      * rate, peak |amplitude|, silence ratio (<1% full scale) — all from
+      * REAL samples (frames averaged across channels), amplitudes in
+      * [-1, 1]. Rounded to 1e-6 like the others so parquet round-trips
+      * exactly. PCM 8/16-bit, either endianness, any channel count.
+      */
+    def decode(payload: Array[Byte]): Option[DecodedAudio] = {
+      if (payload == null || payload.length < 12) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          import javax.sound.sampled.AudioFormat.Encoding._
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val enc = fmt.getEncoding
+          if (ch <= 0 || (bits != 8 && bits != 16) ||
+              (enc != PCM_SIGNED && enc != PCM_UNSIGNED)) return None
+          val bytes = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * ch
+          val nFrames = bytes.length / frameBytes
+          if (nFrames == 0) return None
+          var sAbs = 0.0; var sSq = 0.0; var peak = 0.0
+          var zc = 0L; var silent = 0L
+          var prevSign = 0
+          var f = 0
+          while (f < nFrames) {
+            var c = 0; var acc = 0.0
+            while (c < ch) {
+              val off = f * frameBytes + c * bytesPerSample
+              val v =
+                if (bits == 8) {
+                  if (enc == PCM_SIGNED) bytes(off).toDouble / 128.0
+                  else ((bytes(off) & 0xFF) - 128).toDouble / 128.0
+                } else {
+                  val (b0, b1) =
+                    if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
+                    else (bytes(off + 1), bytes(off))
+                  val raw = (b0 << 8) | (b1 & 0xFF) // b0 carries the sign
+                  if (enc == PCM_SIGNED) raw.toDouble / 32768.0
+                  else ((raw & 0xFFFF) - 32768).toDouble / 32768.0
+                }
+              acc += v; c += 1
+            }
+            val x = acc / ch
+            val ax = math.abs(x)
+            sAbs += ax; sSq += x * x
+            if (ax > peak) peak = ax
+            if (ax < 0.01) silent += 1
+            val sign = if (x > 0) 1 else if (x < 0) -1 else 0
+            if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+            if (sign != 0) prevSign = sign
+            f += 1
+          }
+          val n = nFrames.toDouble
+          val sr = fmt.getSampleRate
+          def r6(v: Double) = math.rint(v * 1e6) / 1e6
+          Some(DecodedAudio(sr.toInt, ch, nFrames, Array(
+            r6(n / sr / 600.0), r6(sr / 48000.0), r6(ch / 8.0),
+            r6(sAbs / n), r6(math.sqrt(sSq / n)),
+            r6(zc / math.max(1.0, n - 1)), r6(peak), r6(silent / n))))
+        } finally in.close()
+      } catch {
+        // not audio, or a claimed-but-corrupt payload: data-quality event,
+        // not a job-killer — fall through to the byte-statistics path
+        case _: Exception => None
+      }
+    }
+  }
+
   /** Deterministic byte-statistics decoder: the fallback for payloads no
     * registered ImageIO reader accepts (audio/video, codec-missing image
     * formats — this container has no media codecs beyond the JDK's).
@@ -164,8 +253,10 @@ object Multimodal {
         val payload = if (m.payload == null) Array.emptyByteArray else m.payload
         digest.reset()
         val hex = digest.digest(payload).map("%02x".format(_)).mkString
-        // real decode when a JDK codec claims the bytes; stub otherwise
+        // real decode when a JDK codec claims the bytes (image first,
+        // then audio — each rejects foreign headers fast); stub otherwise
         val feat = ImageDecoder.decode(payload).map(_.feat)
+          .orElse(AudioDecoder.decode(payload).map(_.feat))
           .getOrElse(FakeDecoder.decode(payload))
         MediaFeatures(m.media_id, m.modality, payload.length.toLong, hex, feat)
       }

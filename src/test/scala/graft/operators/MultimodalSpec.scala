@@ -83,12 +83,65 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.ImageDecoder.decode(null) shouldBe None
   }
 
+  /** PCM WAV bytes from explicit 16-bit mono samples (little-endian). */
+  private def wavBytes(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      raw(2 * i) = (samples(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioDecoder decodes a real PCM WAV: rate, frames, exact sample stats") {
+    // 0.1 s square wave: +16384 for 4 frames, -16384 for 4, at 8 kHz
+    val a = 16384.toShort
+    val samples = Array.tabulate(800)(i => if ((i / 4) % 2 == 0) a else (-a).toShort)
+    val d = Multimodal.AudioDecoder.decode(wavBytes(samples)).get
+    d.sampleRate shouldBe 8000
+    d.channels shouldBe 1
+    d.frames shouldBe 800L
+    d.feat(0) shouldBe (0.1 / 600.0) +- 1e-6     // duration
+    d.feat(1) shouldBe (8000.0 / 48000.0) +- 1e-6 // sample rate
+    d.feat(2) shouldBe 0.125                      // 1 channel / 8
+    d.feat(3) shouldBe 0.5                        // mean |x|: exactly half scale
+    d.feat(4) shouldBe 0.5                        // rms of a square wave == amplitude
+    d.feat(5) shouldBe (199.0 / 799.0) +- 1e-6    // sign flips at every 4th frame
+    d.feat(6) shouldBe 0.5                        // peak
+    d.feat(7) shouldBe 0.0                        // nothing under the silence floor
+  }
+
+  test("AudioDecoder: silence reads as silence; refuses text and truncated WAVs") {
+    val silent = Multimodal.AudioDecoder.decode(wavBytes(new Array[Short](100))).get
+    silent.feat(3) shouldBe 0.0 // mean
+    silent.feat(4) shouldBe 0.0 // rms
+    silent.feat(7) shouldBe 1.0 // all-silent ratio
+    Multimodal.AudioDecoder.decode(
+      "definitely not audio".getBytes("UTF-8")) shouldBe None
+    Multimodal.AudioDecoder.decode(
+      wavBytes(Array.fill(50)(123.toShort)).take(16)) shouldBe None
+    Multimodal.AudioDecoder.decode(null) shouldBe None
+    // an image payload is refused by the audio sniffer (and vice versa:
+    // a WAV is refused by ImageIO), so the decode chain cannot misroute
+    Multimodal.AudioDecoder.decode(pngBytes(4, 4, (1, 2, 3))) shouldBe None
+    Multimodal.ImageDecoder.decode(wavBytes(Array.fill(8)(5.toShort))) shouldBe None
+  }
+
   test("extractFeatures routes decodable payloads through the real decoder") {
     val sp = spark; import sp.implicits._
     val png = pngBytes(12, 6, (40, 80, 120))
+    val wav = wavBytes(Array.tabulate(64)(i => if (i % 2 == 0) 8192 else -8192)
+      .map(_.toShort))
     val media = Seq(
       Multimodal.MediaRow(1L, "image", png, 12, 6, 0),
-      Multimodal.MediaRow(2L, "audio", "plain bytes payload".getBytes("UTF-8"), 0, 0, 16000))
+      Multimodal.MediaRow(2L, "audio", "plain bytes payload".getBytes("UTF-8"), 0, 0, 16000),
+      Multimodal.MediaRow(3L, "audio", wav, 0, 0, 8000))
     val feats = Multimodal.extractFeatures(media.toDS())
       .collect().sortBy(_.media_id)
     // real path: pixel means of the PNG, not byte statistics of its file
@@ -97,6 +150,9 @@ class MultimodalSpec extends SparkSpec {
     // fallback path: byte statistics of the raw payload
     feats(1).feat.toSeq shouldBe
       Multimodal.FakeDecoder.decode(media(1).payload).toSeq
+    // real audio path: sample statistics of the decoded PCM frames
+    feats(2).feat.toSeq shouldBe
+      Multimodal.AudioDecoder.decode(wav).get.feat.toSeq
 
     val meta = Multimodal.decodeMeta(media.toDS()).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getInt(3)))
