@@ -118,4 +118,26 @@ object DedupClusters {
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id"), col("cluster_id").as("keeper"), col("n_members"))
       .orderBy(col("cluster_id"))
+
+  /** Keeper by QUALITY: per cluster keep the highest-scoring member,
+    * ties to the smallest doc_id — the production curation rule
+    * (min-id keeps an arbitrary page; a dedup pass should keep the best
+    * one). `scores` is (doc_id, score); only cluster members join it
+    * (one equi join on ids — the score table never re-shuffles per
+    * cluster), and the argmax is a single `max_by` over a (score,
+    * −doc_id) struct, so the whole selection is one partial+final agg.
+    */
+  def keepersBy(pairs: DataFrame, scores: DataFrame,
+      maxIter: Int = 10): DataFrame =
+    components(pairs, maxIter)
+      .join(scores, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"),
+          struct(col("score"), (-col("doc_id")).as("neg"))).as("keeper"),
+        max(col("score")).as("keeper_score"))
+      .select(col("cluster_id"), col("keeper"), col("keeper_score"),
+        col("n_members"))
+      .orderBy(col("cluster_id"))
 }

@@ -1114,6 +1114,72 @@ object TextQueries extends QueryModule {
              count(*) AS n_members
            FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
 
+  // Quality-aware cluster keeper — the production form of the
+  // drop-all-but-one decision above: per near-dup cluster keep the
+  // HIGHEST-quality member (q_quality_score's heuristic), ties to the
+  // smallest doc_id, instead of the arbitrary min-id page. Same CC
+  // machinery; the keeper selection is one members⋈scores equi join +
+  // a max_by over a (score, −doc_id) struct — one extra partial+final
+  // agg over O(#clustered docs) rows, nothing corpus-sized. The quality
+  // score is the rounded 3-criteria average ({0, ⅓, ⅔, 1} exactly), so
+  // cross-engine argmax equality is never a float-tie coin flip.
+  private val qDedupClustersBest = Q(
+    "q_dedup_clusters_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.DedupClusters.keepersBy(
+        graft.operators.NearDup.jaccardPairs(
+            docs.select(col("doc_id"), wordShingles(col("text"), 3).as("sh")))
+          .select(col("id_a"), col("id_b")),
+        docs.select(col("doc_id"),
+          qualityScore(col("text"), col("n_chars")).as("score")))
+    },
+    Some(s"""WITH RECURSIVE $jaccardCtePrefix,
+           jp AS (
+             SELECT id_a, id_b FROM p
+             WHERE round(CAST(inter AS DOUBLE) / uni, 4) >= 0.8),
+           e AS MATERIALIZED (
+             SELECT id_a AS u, id_b AS v FROM jp
+             UNION
+             SELECT id_b AS u, id_a AS v FROM jp),
+           reach(u, v) AS (
+             SELECT u, v FROM e
+             UNION
+             SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+           lbl AS (
+             SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM reach GROUP BY u),
+           qt AS (
+             SELECT doc_id, n_chars, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+             FROM documents),
+           qm AS (
+             SELECT doc_id,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                      / len(toks) END AS mtl,
+               CASE WHEN len(text) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                      / len(text) END AS pr,
+               n_chars
+             FROM qt),
+           q AS (
+             SELECT doc_id,
+               round((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END +
+                      CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END +
+                      CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS score
+             FROM qm),
+           m AS (
+             SELECT lbl.cluster_id, lbl.doc_id, q.score
+             FROM lbl JOIN q ON q.doc_id = lbl.doc_id),
+           best AS (SELECT cluster_id, max(score) AS mq FROM m GROUP BY 1)
+           SELECT m.cluster_id,
+             min(CASE WHEN m.score = best.mq THEN m.doc_id END) AS keeper,
+             round(best.mq, 4) AS keeper_score,
+             count(*) AS n_members
+           FROM m JOIN best ON m.cluster_id = best.cluster_id
+           GROUP BY m.cluster_id, best.mq ORDER BY m.cluster_id"""))
+
   // Blocked fuzzy (edit-distance) matching — entity resolution over part
   // names. The naive form is an all-pairs levenshtein (O(n²) — dead at
   // any scale); the engine's plan BLOCKS first on cheap equality keys
@@ -1334,7 +1400,8 @@ object TextQueries extends QueryModule {
     qDedupJaccard,
     qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
     qDedupJaccardIncrAppended, qDedupJaccardIncrDeleted,
-    qDedupMinhash, qDedupSimhash, qDedupClusters, qFuzzyMatch, qOovRate,
+    qDedupMinhash, qDedupSimhash, qDedupClusters, qDedupClustersBest,
+    qFuzzyMatch, qOovRate,
     qSourceOverlap, qSourceEntropy, qDedupContainment, qDedupSubstring,
     qDedupSubstringTop)
 }

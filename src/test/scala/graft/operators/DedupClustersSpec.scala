@@ -38,6 +38,20 @@ class DedupClustersSpec extends SparkSpec {
     k.toSeq shouldBe Seq((5L, 5L, 3L), (20L, 20L, 2L))
   }
 
+  test("keepersBy: highest score wins, ties break to the smallest doc_id") {
+    val sp = spark; import sp.implicits._
+    val pairs = Seq((5L, 7L), (7L, 9L), (20L, 21L), (30L, 31L)).toDF("id_a", "id_b")
+    val scores = Seq(
+      (5L, 0.3333), (7L, 1.0), (9L, 0.6667), // clear winner: 7
+      (20L, 0.6667), (21L, 0.6667),          // tie → smaller id 20
+      (30L, 0.0), (31L, 0.0)                 // all-zero tie → 30
+    ).toDF("doc_id", "score")
+    val k = DedupClusters.keepersBy(pairs, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    k.toSeq shouldBe Seq(
+      (5L, 7L, 1.0, 3L), (20L, 20L, 0.6667, 2L), (30L, 30L, 0.0, 2L))
+  }
+
   test("concurrency-safe on a shared session: parallel components + queries agree with sequential") {
     val sp = spark; import sp.implicits._
     // the r5 blemish was a session-global shuffle-partitions override
