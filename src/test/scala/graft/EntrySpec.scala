@@ -15,6 +15,19 @@ class EntrySpec extends SparkSpec {
     qnames.size should be >= 70
   }
 
+  test("no oracle SQL carries a doubled backslash (escape-corruption guard)") {
+    // A two-backslash run in the IN-MEMORY oracle string reaches DuckDB as
+    // a literal backslash inside regex patterns, silently turning '\s+'
+    // whitespace splits into match-nothing splits (the late-r9 incident:
+    // an over-broad editor replace doubled four plain-string sites and the
+    // shingle dedup oracles went empty). Plain """ strings must write \s;
+    // s-interpolated ones write \\s (processed to \s). Either way the
+    // runtime string must never hold two consecutive backslashes.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      withClue(s"$name: ") { sql should not include "\\\\" }
+    }
+  }
+
   test("every query runs at sf0.001 and yields a readable schema") {
     SparkEntry.queries.foreach { case (name, fn) =>
       withClue(name) {
