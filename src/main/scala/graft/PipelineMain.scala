@@ -14,7 +14,8 @@ import graft.operators.DedupClusters
   *   0. expectations gate — refuse empty docs / duplicate ids up front
   *   1. exact dedup      — sha256 hash-groupBy, keep min doc_id
   *   2. near-dup dedup   — shingle MinHash → LSH bands → verified pairs →
-  *                         connected components → keep cluster keeper
+  *                         connected components → keep each cluster's
+  *                         best-quality member (ties to smallest id)
   *   3. quality filter   — length band + mean-token-length + punctuation
   *   3.5 decontamination — drop the eval split and any train doc sharing
   *                         a 3-token shingle with it (q_decontaminate)
@@ -78,13 +79,21 @@ object PipelineMain {
 
     // 2. near-dup dedup: the shared MinHash/LSH + Jaccard pipeline
     //    (operators.NearDup — same parameters as q_dedup_minhash_lsh) →
-    //    connected components → drop everything but each cluster's keeper
+    //    connected components → keep each cluster's BEST-QUALITY member
+    //    (q_dedup_clusters_best rule: quality argmax, ties to min id —
+    //    a dedup pass should keep the best page, not an arbitrary one).
+    //    components() runs once; keeper selection reuses its labels.
     val withShingles = afterExact
       .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
     val verified = graft.operators.NearDup.verifiedPairs(withShingles)
       .select("id_a", "id_b")
-    val dropNearDups = DedupClusters.components(verified)
-      .filter(col("doc_id") =!= col("cluster_id")) // keep keepers only
+    val labels = DedupClusters.components(verified).localCheckpoint()
+    val keepers = DedupClusters.keepersByLabels(labels,
+        afterExact.select(col("doc_id"),
+          qualityScore(col("text"), col("n_chars")).as("score")))
+      .select(col("keeper"))
+    val dropNearDups = labels
+      .join(keepers, labels("doc_id") === keepers("keeper"), "left_anti")
       .select(col("doc_id"))
     val afterNear = afterExact.join(dropNearDups, Seq("doc_id"), "left_anti")
       .persist()

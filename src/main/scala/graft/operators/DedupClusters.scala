@@ -129,7 +129,14 @@ object DedupClusters {
     */
   def keepersBy(pairs: DataFrame, scores: DataFrame,
       maxIter: Int = 10): DataFrame =
-    components(pairs, maxIter)
+    keepersByLabels(components(pairs, maxIter), scores)
+
+  /** Same selection over PRECOMPUTED component labels (doc_id,
+    * cluster_id) — for callers (the pipeline) that already ran
+    * [[components]] and must not pay the pointer-jumping loop twice.
+    */
+  def keepersByLabels(labels: DataFrame, scores: DataFrame): DataFrame =
+    labels
       .join(scores, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(
