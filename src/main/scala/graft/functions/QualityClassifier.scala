@@ -43,13 +43,24 @@ object QualityClassifier {
     ColumnBridge.column(graft.plans.HashedNgramLogit(
       ColumnBridge.expression(text), N, weights.length, weights))
 
-  /** Mean-logit score in [−1.001, 1.001], 4-decimal rounded: the only
-    * float in the path, derived from the two exact integers by one
-    * division — deterministic across engines.
+  /** Mean-logit score in [−1.001, 1.001] at 4-decimal precision,
+    * computed ENTIRELY in integer arithmetic (half-up on the magnitude):
+    * score·10⁴ = sign · ⌊(|logit|·10⁴ + 500·n) / (1000·n)⌋, then one
+    * exact division by 10⁴. The earlier round(double/double, 4) form
+    * was believed engine-deterministic; the sf1 value leg caught a doc
+    * whose quotient sat on a .00005 boundary where Spark's HALF_UP and
+    * DuckDB's round split by one ulp of output (SCALE.md §sf1-oracle
+    * convention: money/score arithmetic goes exact, not rounded). All
+    * intermediates stay < 2⁵³ even at book-length documents, so the
+    * long→double passage is lossless.
     */
-  def score(nGrams: Column, logit: Column): Column =
-    round(logit.cast("double") / (lit(Scale.toDouble) *
-      greatest(nGrams, lit(1L)).cast("double")), 4)
+  def score(nGrams: Column, logit: Column): Column = {
+    val n = greatest(nGrams, lit(1L))
+    val d = lit(1000L) * n
+    val mag = abs(logit) * lit(10000L) + lit(500L) * n
+    val se4 = ((mag - pmod(mag, d)) / d).cast("long")
+    (when(logit < 0, -se4).otherwise(se4)).cast("double") / lit(10000.0)
+  }
 
   /** Keep decision at τ = TauNum/Scale, in EXACT integer arithmetic
     * (cross-multiplied, no float compare): n_grams > 0 ∧

@@ -122,8 +122,12 @@ object TextQueries extends QueryModule {
                    $qualityClassifierLogit AS logit
                  FROM g)
            SELECT doc_id, n_grams, logit,
-             round(CAST(logit AS DOUBLE) /
-               (1000.0 * greatest(n_grams, 1)), 4) AS score,
+             CAST(CASE WHEN logit < 0
+               THEN -(((-logit) * 10000 + 500 * greatest(n_grams, 1))
+                      // (1000 * greatest(n_grams, 1)))
+               ELSE ((logit * 10000 + 500 * greatest(n_grams, 1))
+                     // (1000 * greatest(n_grams, 1))) END AS DOUBLE)
+               / 10000.0 AS score,
              CAST(n_grams > 0 AND logit * 20 >= n_grams * 1000 AS INT) AS pass
            FROM w ORDER BY doc_id"""))
 
