@@ -117,6 +117,24 @@ class BloomGateSpec extends SparkSpec {
     exact.length shouldBe 200
   }
 
+  test("rebuild in place clears keyed appends — no double-counted keys") {
+    val sp = spark; import sp.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val dir = tmpIdx()
+    BloomGate.save(dir, base, "id", "k", expectedItems = 100)
+    BloomGate.appendKeyed(spark, dir, Seq((3L, "c")).toDF("id", "k"),
+      "id", "k", "job-0")
+    BloomGate.load(spark, dir).keys.count() shouldBe 3
+    // rebuild with every live key: the stale append subtree must not
+    // survive to re-add key c a second time
+    BloomGate.save(dir, base.union(Seq((3L, "c")).toDF("id", "k")),
+      "id", "k", expectedItems = 100)
+    val idx = BloomGate.load(spark, dir)
+    idx.keys.count() shouldBe 3
+    idx.keys.select($"key").as[String].collect().sorted shouldBe
+      Array("a", "b", "c")
+  }
+
   test("append OR-merges losslessly: probe equals the full-union anti-join") {
     val sp = spark; import sp.implicits._
     val day0 = (0 until 300).map(i => (i.toLong, s"d0 $i")).toDF("id", "k")
