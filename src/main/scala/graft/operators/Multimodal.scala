@@ -128,8 +128,21 @@ object Multimodal {
       * [-1, 1]. Rounded to 1e-6 like the others so parquet round-trips
       * exactly. PCM 8/16-bit, either endianness, any channel count.
       */
+    /** Container magics the JDK readers accept: RIFF (WAV), FORM (AIFF),
+      * .snd (AU). Checked BEFORE AudioSystem: its rejection path is an
+      * UnsupportedAudioFileException per call, and throwing one per
+      * non-audio payload cost a measured 2.9× CPU on the mixed-modality
+      * feature pass (0.44 → 1.29 CPU-s at sf0.1) — byte compares reject
+      * for free.
+      */
+    private def looksLikeAudio(p: Array[Byte]): Boolean =
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd')
+
     def decode(payload: Array[Byte]): Option[DecodedAudio] = {
       if (payload == null || payload.length < 12) return None
+      if (!looksLikeAudio(payload)) return None
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
