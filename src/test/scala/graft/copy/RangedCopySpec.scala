@@ -88,6 +88,29 @@ class RangedCopySpec extends SparkSpec {
     Files.size(dst) shouldBe 4 * 1024 * 1024
   }
 
+  test("cluster-global cap bounds the RANGE fan-out in aggregate") {
+    // 8 × 1 MiB ranges of one file fan out across slots; a global 4 MB/s
+    // cap must bound their AGGREGATE (8 MiB ⇒ ideal ~2.1 s) even though
+    // each range stream alone is unthrottled — the SURVEY claim that the
+    // global bucket composes with ranged fan-out, pinned.
+    GlobalThrottle.reset("copy-global")
+    val src = writeRandom(8 * 1024 * 1024, seed = 3L)
+    val dst = tmpDir("graft_ranged_gcap").resolve("capped.bin")
+    val gconf = conf
+    gconf.setInt(CopyEngine.GlobalMbpsKey, 4)
+    val t0 = System.nanoTime()
+    val r = RangedCopy.copyFile(spark, gconf, src.toString, dst.toString,
+      rangeBytes = 1024 * 1024)
+    val sec = (System.nanoTime() - t0) / 1e9
+    r.bytesCopied shouldBe 8L * 1024 * 1024
+    r.checksumVerified shouldBe true
+    Files.readAllBytes(dst) shouldBe Files.readAllBytes(src)
+    // burst (1 s of budget) + charge-after overshoot admit the first
+    // chunks free: require ≥ 1.2 s, the CopyEngineSpec bound
+    sec should be > 1.2
+    GlobalThrottle.reset("copy-global")
+  }
+
   test("missing source and directory source raise the engine's messages") {
     val dst = tmpDir("graft_ranged_dst4").resolve("x.bin")
     val missing = intercept[IOException] {
