@@ -108,6 +108,73 @@ object Multimodal {
     }
   }
 
+  /** Real image RESIZE — the remaining member of the multimodal
+    * operator quartet (decode ✓, feature-extract ✓, resize, frame-sample
+    * = documented video stub): decode via `javax.imageio`, scale the
+    * longest side down to `maxDim` (never upscales — a training-data
+    * resize normalizes oversized images, it doesn't fabricate pixels)
+    * with bilinear interpolation, re-encode as PNG (the one format the
+    * ImageIO spec guarantees writable). Payloads at-or-under the bound
+    * pass through byte-identical (no decode-recode churn on the common
+    * already-small case); payloads no reader claims return None and the
+    * caller keeps the original (the decode-chain fallback rule).
+    */
+  object ImageResizer {
+
+    final case class Resized(width: Int, height: Int, payload: Array[Byte])
+
+    def resize(payload: Array[Byte], maxDim: Int): Option[Resized] = {
+      require(maxDim > 0, s"maxDim must be positive: $maxDim")
+      if (payload == null || payload.length < 8) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) return None
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return None
+        if (math.max(w, h) <= maxDim) return Some(Resized(w, h, payload))
+        val scale = maxDim.toDouble / math.max(w, h)
+        val nw = math.max(1, math.round(w * scale).toInt)
+        val nh = math.max(1, math.round(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(Resized(nw, nh, bos.toByteArray))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Resize pass over a media table — partition-batched like
+    * [[extractFeatures]]: images over `maxDim` come back as re-encoded
+    * PNGs with their new dims, everything else (small images, audio,
+    * video, corrupt bytes) passes through untouched with resized=false.
+    * Payloads never shuffle: this is a projection over the scan, and at
+    * 100 TB the resize is exactly where the byte volume SHRINKS before
+    * any downstream stage sees it.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        ImageResizer.resize(m.payload, maxDim) match {
+          case Some(r) =>
+            val changed = !(r.payload eq m.payload)
+            (m.media_id, m.modality, changed, r.width, r.height, r.payload)
+          case None =>
+            (m.media_id, m.modality, false, 0, 0, m.payload)
+        }
+      }
+    }.toDF("media_id", "modality", "resized", "out_width", "out_height",
+      "payload")
+  }
+
   /** Real audio decode via the JDK's built-in `javax.sound.sampled`
     * readers (WAV/AIFF/AU with PCM payloads are guaranteed by the Java
     * Sound spec; zero external deps — the ImageDecoder rule applied to

@@ -99,6 +99,40 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("ImageResizer: downscale with aspect kept, no-op under bound, refusal passthrough") {
+    // 64×32 solid color → maxDim 16 ⇒ 16×8, still the same solid color
+    val big = pngBytes(64, 32, (200, 40, 90))
+    val r = Multimodal.ImageResizer.resize(big, 16).get
+    r.width shouldBe 16
+    r.height shouldBe 8
+    val back = Multimodal.ImageDecoder.decode(r.payload).get
+    back.width shouldBe 16
+    back.height shouldBe 8
+    back.feat(0) shouldBe (200.0 / 255.0) +- 0.01 // bilinear keeps solid color
+    back.feat(4) shouldBe 0.0 +- 0.01             // still (near-)zero stddev
+    // at-or-under the bound: byte-identical passthrough, no re-encode
+    val small = pngBytes(10, 5, (1, 2, 3))
+    val same = Multimodal.ImageResizer.resize(small, 16).get
+    same.payload shouldBe theSameInstanceAs(small)
+    same.width shouldBe 10
+    // non-image bytes refuse
+    Multimodal.ImageResizer.resize("not pixels".getBytes("UTF-8"), 16) shouldBe None
+
+    // dataset pass: image shrinks, audio/corrupt pass through untouched
+    val sp = spark; import sp.implicits._
+    val wav = wavBytes(Array.fill(32)(100.toShort))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", big, 64, 32, 0),
+      Multimodal.MediaRow(2L, "audio", wav, 0, 0, 8000))
+    val out = Multimodal.resizeImages(media.toDS(), 16)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getInt(3),
+        r.getAs[Array[Byte]]("payload").length)).sortBy(_._1)
+    out(0)._2 shouldBe true
+    out(0)._3 shouldBe 16
+    out(0)._4 should be < big.length
+    out(1) shouldBe ((2L, false, 0, wav.length))
+  }
+
   test("AudioDecoder decodes a real PCM WAV: rate, frames, exact sample stats") {
     // 0.1 s square wave: +16384 for 4 frames, -16384 for 4, at 8 kHz
     val a = 16384.toShort
