@@ -274,9 +274,80 @@ object Multimodal {
     }
   }
 
+  /** Real video frame-sampling for MOTION-JPEG streams — the one video
+    * container decodable with zero external deps: MJPEG is concatenated
+    * JPEG frames, each delimited by the SOI/EOI markers (FFD8 … FFD9),
+    * and this JVM registers the JPEG reader (ImageDecoder's registry
+    * rule). Frame SPLITTING is a byte scan — no decode of skipped
+    * frames, which is the entire point of sampling: at 100 TB of video,
+    * every-Nth-frame extraction reads the blob once and decodes 1/N of
+    * it. Sampled frames route through [[ImageDecoder]] for real pixel
+    * features. Inter-frame APP-segment thumbnails could in principle
+    * fool the EOI scan (JPEG entropy data itself 0xFF-stuffs, so a bare
+    * FFD9 inside a frame is the terminator by spec); camera-style MJPEG
+    * concatenations — and anything this engine writes — don't embed
+    * them. Codec-bearing containers (MP4/H.264 …) remain out of reach
+    * of a pure-JDK build and keep the byte-offsets stub below.
+    */
+  object FrameSampler {
+
+    /** Byte ranges [start, end) of each JPEG frame in the stream. */
+    def frameRanges(p: Array[Byte]): Seq[(Int, Int)] = {
+      if (p == null || p.length < 4) return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < p.length - 1) {
+        if (p(i) == 0xFF.toByte && p(i + 1) == 0xD8.toByte) {
+          var j = i + 2
+          var end = -1
+          while (end < 0 && j < p.length - 1) {
+            if (p(j) == 0xFF.toByte && p(j + 1) == 0xD9.toByte) end = j + 2
+            j += 1
+          }
+          if (end < 0) return out.toSeq // torn tail frame: ignore
+          out += ((i, end))
+          i = end
+        } else i += 1
+      }
+      out.toSeq
+    }
+
+    final case class Frame(idx: Int, width: Int, height: Int,
+        feat: Array[Double])
+
+    /** Every `everyN`-th frame (0, N, 2N, …) decoded to the shared
+      * 8-dim feature contract. Non-MJPEG payloads yield no frames.
+      */
+    def sample(payload: Array[Byte], everyN: Int): Seq[Frame] = {
+      require(everyN > 0, s"everyN must be positive: $everyN")
+      frameRanges(payload).zipWithIndex
+        .collect { case ((s, e), idx) if idx % everyN == 0 =>
+          ImageDecoder.decode(java.util.Arrays.copyOfRange(payload, s, e))
+            .map(d => Frame(idx, d.width, d.height, d.feat))
+        }
+        .flatten
+    }
+  }
+
+  /** Frame-sample pass over a media table: one output row per sampled
+    * frame of each MJPEG payload (media_id, frame_idx, dims, feature);
+    * payloads that aren't MJPEG contribute no rows. Projection-shaped
+    * like every derivation here — blobs never shuffle, and the explode
+    * emits features (~100 B), not frames.
+    */
+  def sampleVideoFrames(media: Dataset[MediaRow], everyN: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        FrameSampler.sample(m.payload, everyN).map(f =>
+          (m.media_id, f.idx, f.width, f.height, f.feat))
+      }
+    }.toDF("media_id", "frame_idx", "frame_width", "frame_height", "feat")
+  }
+
   /** Deterministic byte-statistics decoder: the fallback for payloads no
-    * registered ImageIO reader accepts (audio/video, codec-missing image
-    * formats — this container has no media codecs beyond the JDK's).
+    * registered ImageIO reader accepts (codec-missing formats — this
+    * container has no media codecs beyond the JDK's).
     */
   object FakeDecoder {
     /** "Decode" bytes to an 8-dim feature: windowed byte statistics. A real

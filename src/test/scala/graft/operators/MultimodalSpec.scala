@@ -99,6 +99,38 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("FrameSampler: every-Nth MJPEG frame decodes to real pixels; non-video yields none") {
+    // an MJPEG stream = concatenated JPEG frames with distinct colors
+    val colors = Seq((250, 10, 10), (10, 250, 10), (10, 10, 250),
+      (200, 200, 10), (10, 200, 200))
+    val frames = colors.map(c => imgBytes("jpg", 12, 8, c))
+    val mjpeg = frames.reduce(_ ++ _)
+    Multimodal.FrameSampler.frameRanges(mjpeg).size shouldBe 5
+    val sampled = Multimodal.FrameSampler.sample(mjpeg, 2)
+    sampled.map(_.idx) shouldBe Seq(0, 2, 4)
+    sampled.foreach { f =>
+      f.width shouldBe 12
+      f.height shouldBe 8
+    }
+    // decoded pixels are the frame's color (JPEG is lossy: wide-ish band)
+    sampled.head.feat(0) should be > 0.85 // red frame: R channel dominant
+    sampled.head.feat(1) should be < 0.25
+    // a torn tail frame is ignored, committed frames still sample
+    Multimodal.FrameSampler.frameRanges(mjpeg.dropRight(1)).size shouldBe 4
+    // non-video payloads produce no frames
+    Multimodal.FrameSampler.sample("just text".getBytes("UTF-8"), 2) shouldBe empty
+    Multimodal.FrameSampler.sample(null, 2) shouldBe empty
+
+    // dataset pass: one row per sampled frame, nothing for non-video
+    val sp = spark; import sp.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", mjpeg, 12, 8, 0),
+      Multimodal.MediaRow(2L, "audio", "bytes".getBytes("UTF-8"), 0, 0, 0))
+    val out = Multimodal.sampleVideoFrames(media.toDS(), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    out.toSeq.sorted shouldBe Seq((1L, 0, 12), (1L, 2, 12), (1L, 4, 12))
+  }
+
   test("ImageResizer: downscale with aspect kept, no-op under bound, refusal passthrough") {
     // 64×32 solid color → maxDim 16 ⇒ 16×8, still the same solid color
     val big = pngBytes(64, 32, (200, 40, 90))
