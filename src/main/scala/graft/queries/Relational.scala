@@ -313,11 +313,19 @@ object Relational extends QueryModule {
         .join(nation, col("s_nationkey") === col("n_nationkey"))
         .join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // DECIMAL money arithmetic (the q10 rule): the double sum flipped
+        // a cent at the 10× fixture (r9 sf1 leg — NATION_1 12.93 vs
+        // 12.94 after round(…,2)); exact decimal multiply/sum is the
+        // same on any row order and any engine.
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some("""SELECT n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+               (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+               AS DOUBLE) AS revenue
            FROM customer, orders, lineitem, supplier, nation, region
            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
