@@ -41,11 +41,16 @@ import org.apache.spark.util.SerializableConfiguration
   * range's offset; the bad destination file stays in place (reference
   * parity, CopyEngine rule).
   *
-  * Throttling composes like everywhere else in the engine: `bw` caps each
-  * RANGE stream (so the file's aggregate is bw × concurrent ranges — the
-  * per-stream semantic, documented in SURVEY §7.4), and the cluster-global
-  * token bucket (`graft.copy.global.mbps`, GlobalThrottle) caps the
-  * JVM-wide aggregate regardless of range fan-out.
+  * Throttling: `bandwidthMbPerSec` keeps its CopyEngine meaning — it caps
+  * THIS FILE's aggregate rate. The per-file budget is divided across the
+  * ranges that can run concurrently (bw·2²⁰ / min(ranges, slots) bytes/s
+  * per stream), so a caller reusing a CopyRequest-style bandwidth value
+  * gets the same file-level cap whether the file goes single-stream or
+  * ranged — NOT a silent bw × fan-out multiplication. (Directory fan-out
+  * keeps the reference's per-item semantic — SURVEY §7.4; that is N
+  * files, not one.) The cluster-global token bucket
+  * (`graft.copy.global.mbps`, GlobalThrottle) still caps the JVM-wide
+  * aggregate on top, regardless of range fan-out.
   */
 object RangedCopy {
 
@@ -116,7 +121,14 @@ object RangedCopy {
     import spark.implicits._
     val sconf = new SerializableConfiguration(conf)
     val srcStr = sourcePath
-    val bw = bandwidthMbPerSec
+    // Per-file budget divided across the ranges that can run at once:
+    // tasks queue beyond the executor slots, so at most min(ranges, slots)
+    // streams are concurrent — each gets budget/concurrency bytes/s and
+    // the file's aggregate stays ≤ the requested bandwidth (see scaladoc).
+    val concurrency = math.max(1,
+      math.min(specs.size, spark.sparkContext.defaultParallelism))
+    val bwBytes = bandwidthMbPerSec.map(b =>
+      math.max(1L, b.toLong * 1024 * 1024 / concurrency))
     val checksum = checksumEnabled
     val hook = postWriteHook
     val par = math.min(specs.size, spark.sparkContext.defaultParallelism * 2)
@@ -124,7 +136,7 @@ object RangedCopy {
       .repartition(par)
       .mapPartitions { it =>
         val c = sconf.value
-        it.map(sp => copyRange(c, srcStr, local, sp, bw, checksum, hook))
+        it.map(sp => copyRange(c, srcStr, local, sp, bwBytes, checksum, hook))
       }
       .collect() // O(#ranges) tiny rows — payload never crosses the driver
 
@@ -139,7 +151,7 @@ object RangedCopy {
     * back as rows (the copyOne rule).
     */
   private[copy] def copyRange(conf: Configuration, srcPath: String,
-      localDst: String, spec: RangeSpec, bwMbPerSec: Option[Int],
+      localDst: String, spec: RangeSpec, bwBytesPerSec: Option[Long],
       checksumEnabled: Boolean,
       postWriteHook: Option[(String, RangeSpec) => Unit] = None): RangeResult = {
     try {
@@ -149,8 +161,8 @@ object RangedCopy {
       var total = 0L
 
       val rawIn = srcFs.open(src)
-      val perStream: java.io.InputStream = bwMbPerSec match {
-        case Some(b) => new ThrottledInputStream(rawIn, b.toLong * 1024 * 1024)
+      val perStream: java.io.InputStream = bwBytesPerSec match {
+        case Some(b) => new ThrottledInputStream(rawIn, b)
         case None => rawIn
       }
       val in = conf.getInt(CopyEngine.GlobalMbpsKey, 0) match {

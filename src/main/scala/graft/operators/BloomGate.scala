@@ -165,8 +165,42 @@ object BloomGate {
     * semantics: clears tombstones (the input already excludes removed
     * rows — stale tombstones must not suppress fresh ids).
     */
+  // --- Single-writer enforcement (maintenance writes) -------------------
+  // append/appendKeyed are a read-modify-write on the shared filter bits:
+  // two concurrent writers both load the base filter, each ORs in only its
+  // own keys, and the second filter overwrite silently drops the first
+  // writer's bits even though its keys commit. A key present in keys/ but
+  // ABSENT from the filter is a manufactured Bloom false negative — the
+  // gated() definitely-new path then admits that key's future duplicates
+  // without ever reaching the confirm join, breaking the documented
+  // no-false-negative exactness. So every maintenance write takes a lease
+  // file (`_writer.lock`, atomic O_EXCL create): a second concurrent
+  // writer fails loudly instead of corrupting the artifact, and a crashed
+  // writer's stale lease (older than [[LeaseStaleMs]]) is broken by the
+  // next acquire. save() takes it too — a rebuild racing an append is the
+  // same lost-update shape.
+  val LeaseStaleMs: Long = 15L * 60 * 1000
+
+  private def withWriterLease[T](dir: String)(body: => T): T = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) d.mkdirs(): Unit
+    val lock = new java.io.File(d, "_writer.lock")
+    def acquire(): Boolean = lock.createNewFile()
+    if (!acquire()) {
+      val age = System.currentTimeMillis() - lock.lastModified()
+      if (age > LeaseStaleMs && lock.delete() && acquire()) ()
+      else throw new IllegalStateException(
+        s"Bloom artifact $dir is locked by another writer " +
+          s"(${lock.getPath}, age ${age}ms): maintenance writes are " +
+          "single-writer — concurrent appends would lose filter bits and " +
+          "manufacture Bloom false negatives. Remove the stale lock only " +
+          "if the owning writer is dead.")
+    }
+    try body finally { lock.delete(): Unit }
+  }
+
   def save(dir: String, corpus: DataFrame, idName: String, keyName: String,
-      expectedItems: Long = -1L, fpp: Double = 0.01): Unit = {
+      expectedItems: Long = -1L, fpp: Double = 0.01): Unit = withWriterLease(dir) {
     val spark = corpus.sparkSession
     import spark.implicits._
     Tombstones.clear(dir)
@@ -261,7 +295,7 @@ object BloomGate {
   }
 
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-      idName: String, keyName: String): Unit = {
+      idName: String, keyName: String): Unit = withWriterLease(dir) {
     val idx = load(spark, dir)
     val add = batch.select(col(idName).cast("long").as("id"),
       col(keyName).as("key"))
@@ -293,13 +327,32 @@ object BloomGate {
     * [[probeStats]] counts actual live keys for the saturation signal.
     */
   def appendKeyed(spark: SparkSession, dir: String, batch: DataFrame,
-      idName: String, keyName: String, key: String): Unit = {
+      idName: String, keyName: String, key: String): Unit = withWriterLease(dir) {
     require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_' ||
       c == '-' || c == '='), s"append key '$key' must be a filesystem-safe token")
     val idx = load(spark, dir, excludeAppend = Some(key))
     val add = batch.select(col(idName).cast("long").as("id"),
       col(keyName).as("key"))
       .localCheckpoint() // feeds the filter build AND the keys write
+    // Overwrite guard: a replayed micro-batch legitimately rewrites its
+    // own subtree with the SAME rows (idempotence), but a committed
+    // subtree holding a DIFFERENT key set means two distinct jobs collided
+    // on one append key (e.g. a shared jobKey after a checkpoint wipe) —
+    // overwriting would permanently drop the earlier job's keys from the
+    // exact-confirm side while their bits stay set in the filter, so their
+    // future duplicates would be admitted forever. Refuse loudly instead.
+    val subtree = s"$dir/appends/$key/keys"
+    if (new java.io.File(s"$subtree/_SUCCESS").isFile) {
+      val existing = spark.read.parquet(subtree)
+      val differs = existing.exceptAll(add).head(1).nonEmpty ||
+        add.exceptAll(existing).head(1).nonEmpty
+      if (differs) throw new IllegalStateException(
+        s"appendKeyed: committed append subtree '$key' under $dir holds a " +
+          "different key set than the incoming batch — two jobs are " +
+          "colliding on one append key (distinct jobKey per job, stable " +
+          "across restarts of the same checkpointed query). Overwriting " +
+          "would drop the earlier job's keys from the confirm side.")
+    }
     val addBytes = buildBloom(add, col("key"), idx.expectedItems, idx.fpp)
     val merged = orMerge(idx.filter, addBytes)
     import spark.implicits._

@@ -136,8 +136,14 @@ object Multimodal {
         val scale = maxDim.toDouble / math.max(w, h)
         val nw = math.max(1, math.round(w * scale).toInt)
         val nh = math.max(1, math.round(h * scale).toInt)
-        val out = new java.awt.image.BufferedImage(nw, nh,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // Preserve the alpha channel: re-encoding a transparent PNG/GIF
+        // onto an RGB canvas would silently composite transparent pixels
+        // onto black for every downstream consumer. PNG (the re-encode
+        // target) carries ARGB natively; opaque sources stay RGB.
+        val imgType =
+          if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else java.awt.image.BufferedImage.TYPE_INT_RGB
+        val out = new java.awt.image.BufferedImage(nw, nh, imgType)
         val g = out.createGraphics()
         try {
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
@@ -282,34 +288,81 @@ object Multimodal {
     * frames, which is the entire point of sampling: at 100 TB of video,
     * every-Nth-frame extraction reads the blob once and decodes 1/N of
     * it. Sampled frames route through [[ImageDecoder]] for real pixel
-    * features. Inter-frame APP-segment thumbnails could in principle
-    * fool the EOI scan (JPEG entropy data itself 0xFF-stuffs, so a bare
-    * FFD9 inside a frame is the terminator by spec); camera-style MJPEG
-    * concatenations — and anything this engine writes — don't embed
-    * them. Codec-bearing containers (MP4/H.264 …) remain out of reach
-    * of a pure-JDK build and keep the byte-offsets stub below.
+    * features. The splitter walks JPEG MARKER SEGMENTS (not a bare FFD9
+    * byte scan): APPn/COM segments are skipped by their declared 2-byte
+    * length, so an EXIF/JFIF thumbnail embedding its own SOI/EOI inside
+    * an APP1 segment cannot terminate the outer frame early, and only an
+    * EOI reached through the entropy stream (where 0xFF is stuffed as
+    * FF00 by spec) ends a frame. Codec-bearing containers (MP4/H.264 …)
+    * remain out of reach of a pure-JDK build and keep the byte-offsets
+    * stub below.
     */
   object FrameSampler {
 
-    /** Byte ranges [start, end) of each JPEG frame in the stream. */
+    /** Byte ranges [start, end) of each JPEG frame in the stream — a
+      * marker-segment walk per frame. An unparseable / torn frame stops
+      * the scan (everything before it is returned, the torn-tail rule).
+      */
     def frameRanges(p: Array[Byte]): Seq[(Int, Int)] = {
       if (p == null || p.length < 4) return Seq.empty
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       var i = 0
       while (i < p.length - 1) {
         if (p(i) == 0xFF.toByte && p(i + 1) == 0xD8.toByte) {
-          var j = i + 2
-          var end = -1
-          while (end < 0 && j < p.length - 1) {
-            if (p(j) == 0xFF.toByte && p(j + 1) == 0xD9.toByte) end = j + 2
-            j += 1
-          }
-          if (end < 0) return out.toSeq // torn tail frame: ignore
+          val end = frameEnd(p, i)
+          if (end < 0) return out.toSeq // torn/corrupt tail frame: ignore
           out += ((i, end))
           i = end
         } else i += 1
       }
       out.toSeq
+    }
+
+    /** End offset (exclusive) of the JPEG frame whose SOI is at `soi`,
+      * or -1 if the frame is torn or structurally invalid. Walks marker
+      * segments: standalone markers (TEM, RSTn) advance 2 bytes; sized
+      * segments (APPn, COM, DQT, SOF, DHT, …) advance by their declared
+      * length — which is what makes an APP1-embedded thumbnail (its own
+      * SOI…EOI inside the segment body) invisible to the walk; after SOS
+      * the entropy-coded stream is scanned for the next true marker
+      * (0xFF followed by anything but 0x00 stuffing or RSTn), which by
+      * spec is either another header segment (progressive scans) or the
+      * frame's EOI.
+      */
+    private def frameEnd(p: Array[Byte], soi: Int): Int = {
+      var j = soi + 2
+      while (j < p.length - 1) {
+        if (p(j) != 0xFF.toByte) return -1 // expected a marker here
+        // fill bytes: a marker may be preceded by any number of 0xFFs
+        while (j < p.length - 1 && p(j + 1) == 0xFF.toByte) j += 1
+        if (j >= p.length - 1) return -1
+        val m = p(j + 1) & 0xFF
+        if (m == 0xD9) return j + 2 // EOI
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) j += 2 // TEM/RSTn
+        else if (m == 0xDA) { // SOS: skip its header, then entropy data
+          if (j + 3 >= p.length) return -1
+          val len = ((p(j + 2) & 0xFF) << 8) | (p(j + 3) & 0xFF)
+          if (len < 2) return -1
+          var k = j + 2 + len
+          var next = -1
+          while (next < 0 && k < p.length - 1) {
+            if (p(k) == 0xFF.toByte) {
+              val b = p(k + 1) & 0xFF
+              // FF00 = stuffed data byte; FFD0-D7 = restart, stay in scan
+              if (b == 0x00 || (b >= 0xD0 && b <= 0xD7)) k += 2
+              else next = k // a real marker terminates the entropy scan
+            } else k += 1
+          }
+          if (next < 0) return -1
+          j = next // loop re-dispatches: EOI ends, DHT/SOS continue
+        } else { // sized segment (APPn, COM, DQT, SOFn, DHT, DRI, …)
+          if (j + 3 >= p.length) return -1
+          val len = ((p(j + 2) & 0xFF) << 8) | (p(j + 3) & 0xFF)
+          if (len < 2) return -1
+          j += 2 + len
+        }
+      }
+      -1
     }
 
     final case class Frame(idx: Int, width: Int, height: Int,

@@ -199,11 +199,16 @@ object StreamingOps {
     * across different jobs feeding one artifact — a fresh-checkpoint job
     * restarts batch ids at 0, and with a shared key it would wrongly
     * exclude the previous job's batch-0 keys from its own probe and
-    * re-admit their duplicates. Derive it from the checkpoint identity
-    * (StreamMain hashes the checkpoint path).
+    * re-admit their duplicates (worse: its appendKeyed overwrite would
+    * DROP the earlier job's keys from the confirm side for good). The
+    * parameter therefore has NO default — derive it from the checkpoint
+    * identity (StreamMain hashes the checkpoint path), and appendKeyed
+    * independently refuses to overwrite a committed subtree whose key
+    * set differs from the incoming batch, so even a collided jobKey
+    * fails loudly instead of silently losing keys.
     */
   def bloomDedupSink(indexPath: String, outDir: String, idName: String,
-      keyName: String, jobKey: String = "job")(
+      keyName: String, jobKey: String)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.BloomGate
     val spark = batch.sparkSession

@@ -88,6 +88,29 @@ class RangedCopySpec extends SparkSpec {
     Files.size(dst) shouldBe 4 * 1024 * 1024
   }
 
+  test("bandwidthMbPerSec caps the FILE's aggregate, not each range") {
+    // 8 × 1 MiB ranges with a 2 MB/s FILE budget on local[4]: the budget
+    // divides across the 4 concurrent ranges (512 KiB/s per stream), so
+    // each 1 MiB range must sleep out at least one throttle window and
+    // the two waves take ≳2 s. Under the old per-range semantic each
+    // stream would get the full 2 MB/s, a 1 MiB range would fit inside
+    // one burst window with zero sleeps, and the copy would finish in
+    // well under 0.5 s — a CopyRequest-style bandwidth value silently
+    // meaning fan-out× what it says.
+    val src = writeRandom(8 * 1024 * 1024, seed = 21L)
+    val dst = tmpDir("graft_ranged_filebw").resolve("filebw.bin")
+    val t0 = System.nanoTime()
+    val r = RangedCopy.copyFile(spark, conf, src.toString, dst.toString,
+      bandwidthMbPerSec = Some(2), rangeBytes = 1024 * 1024)
+    val sec = (System.nanoTime() - t0) / 1e9
+    r.bytesCopied shouldBe 8L * 1024 * 1024
+    r.checksumVerified shouldBe true
+    Files.readAllBytes(dst) shouldBe Files.readAllBytes(src)
+    // 8 MiB at 2 MB/s aggregate ⇒ ideal 4 s; window-burst admits each
+    // stream's first second of budget free ⇒ require ≥ 1.2 s
+    sec should be > 1.2
+  }
+
   test("cluster-global cap bounds the RANGE fan-out in aggregate") {
     // 8 × 1 MiB ranges of one file fan out across slots; a global 4 MB/s
     // cap must bound their AGGREGATE (8 MiB ⇒ ideal ~2.1 s) even though

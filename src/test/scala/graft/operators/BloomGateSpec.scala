@@ -200,6 +200,55 @@ class BloomGateSpec extends SparkSpec {
       s"rebuilt index observed_fpp ${s2.observedFpp} should pass")
   }
 
+  test("single-writer lease: a held lock rejects maintenance writes; " +
+      "a stale lease is broken") {
+    val sp = spark; import sp.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val dir = tmpIdx()
+    BloomGate.save(dir, base, "id", "k", expectedItems = 100)
+    // simulate a live concurrent writer holding the lease
+    val lock = new java.io.File(dir, "_writer.lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] {
+      BloomGate.append(spark, dir, Seq((3L, "c")).toDF("id", "k"), "id", "k")
+    }
+    e.getMessage should include("locked by another writer")
+    // the artifact is untouched by the refused write
+    BloomGate.load(spark, dir).keys.count() shouldBe 2
+    // a crashed writer's stale lease (older than the TTL) is broken
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - BloomGate.LeaseStaleMs - 60000))
+    BloomGate.append(spark, dir, Seq((3L, "c")).toDF("id", "k"), "id", "k")
+    BloomGate.load(spark, dir).keys.count() shouldBe 3
+    // the successful write released its own lease
+    assert(!lock.exists())
+  }
+
+  test("appendKeyed: identical replay rewrites; a DIFFERENT key set on a " +
+      "committed subtree is refused (jobKey collision)") {
+    val sp = spark; import sp.implicits._
+    val base = Seq((1L, "a")).toDF("id", "k")
+    val dir = tmpIdx()
+    BloomGate.save(dir, base, "id", "k", expectedItems = 100)
+    BloomGate.appendKeyed(spark, dir, Seq((2L, "b"), (3L, "c")).toDF("id", "k"),
+      "id", "k", "job-0")
+    // at-least-once replay with the same rows: idempotent, no error
+    BloomGate.appendKeyed(spark, dir, Seq((3L, "c"), (2L, "b")).toDF("id", "k"),
+      "id", "k", "job-0")
+    BloomGate.load(spark, dir).keys.count() shouldBe 3
+    // a second job colliding on the same append key (fresh checkpoint,
+    // batch ids restarting at 0) must fail loudly, not drop b/c
+    val e = intercept[IllegalStateException] {
+      BloomGate.appendKeyed(spark, dir, Seq((9L, "z")).toDF("id", "k"),
+        "id", "k", "job-0")
+    }
+    e.getMessage should include("different key set")
+    // earlier job's keys survive the refused overwrite
+    BloomGate.load(spark, dir).keys
+      .select($"key").as[String].collect().sorted shouldBe
+      Array("a", "b", "c")
+  }
+
   test("null keys follow anti-join semantics (null never matches)") {
     val sp = spark; import sp.implicits._
     val corpus = Seq(Some("x"), None).map(Tuple1(_)).toDF("k")

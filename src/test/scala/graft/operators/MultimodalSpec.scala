@@ -131,6 +131,48 @@ class MultimodalSpec extends SparkSpec {
     out.toSeq.sorted shouldBe Seq((1L, 0, 12), (1L, 2, 12), (1L, 4, 12))
   }
 
+  test("FrameSampler: APP1-embedded thumbnail (own SOI/EOI) does not split the frame early") {
+    // an EXIF-style thumbnail is a complete JPEG (with its own SOI/EOI)
+    // living INSIDE an APP1 segment; a naive FFD9 byte scan would split
+    // the outer frame at the thumbnail's EOI — the marker walk skips the
+    // whole segment by its declared length
+    val thumb = imgBytes("jpg", 4, 4, (10, 10, 10))
+    val frame = imgBytes("jpg", 12, 8, (250, 10, 10))
+    val segLen = thumb.length + 2
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      ((segLen >> 8) & 0xFF).toByte, (segLen & 0xFF).toByte) ++ thumb
+    val withThumb = frame.take(2) ++ app1 ++ frame.drop(2)
+    val second = imgBytes("jpg", 12, 8, (10, 250, 10))
+    val stream = withThumb ++ second
+    val ranges = Multimodal.FrameSampler.frameRanges(stream)
+    ranges shouldBe Seq((0, withThumb.length),
+      (withThumb.length, stream.length))
+    // both frames still decode to real pixels despite the thumbnail
+    val sampled = Multimodal.FrameSampler.sample(stream, 1)
+    sampled.map(_.idx) shouldBe Seq(0, 1)
+    sampled.head.feat(0) should be > 0.85 // outer red frame, not the thumb
+    sampled(1).feat(1) should be > 0.85 // green frame
+  }
+
+  test("ImageResizer preserves the alpha channel on transparent PNGs") {
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    // left half opaque red, right half fully transparent
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0xFFFF0000 else 0x00000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val r = Multimodal.ImageResizer.resize(bos.toByteArray, 16).get
+    r.width shouldBe 16
+    r.height shouldBe 8
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    out.getColorModel.hasAlpha shouldBe true
+    // pixels away from the opaque/transparent boundary keep their alpha
+    ((out.getRGB(1, 4) >>> 24) & 0xFF) shouldBe 255
+    ((out.getRGB(14, 4) >>> 24) & 0xFF) shouldBe 0
+  }
+
   test("ImageResizer: downscale with aspect kept, no-op under bound, refusal passthrough") {
     // 64×32 solid color → maxDim 16 ⇒ 16×8, still the same solid color
     val big = pngBytes(64, 32, (200, 40, 90))

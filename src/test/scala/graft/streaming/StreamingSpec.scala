@@ -512,7 +512,7 @@ class StreamingSpec extends SparkSpec {
     val outDir = tmpDir("graft_bloom_out").toString
     val input = MemoryStream[BDoc]
     val q = input.toDF().writeStream
-      .foreachBatch(bloomDedupSink(dir, s"$outDir/data", "doc_id", "key") _)
+      .foreachBatch(bloomDedupSink(dir, s"$outDir/data", "doc_id", "key", "job") _)
       .option("checkpointLocation", s"${tmpDir("graft_bloom_ckpt")}")
       .start()
     // batch 0: k1 twice (intra-batch dup — min doc_id wins), k2 once
@@ -535,14 +535,14 @@ class StreamingSpec extends SparkSpec {
     // at-least-once replay of batch 1 (its append already committed):
     // the probe excludes the batch's own subtree, so output and artifact
     // are byte-identical — no dup rows, no double-counted keys
-    bloomDedupSink(dir, s"$outDir/data", "doc_id", "key")(
+    bloomDedupSink(dir, s"$outDir/data", "doc_id", "key", "job")(
       Seq(BDoc(7, "k1", "dup"), BDoc(8, "k3", "new")).toDF(), 1L)
     sinkRows() shouldBe Set((1L, "k1", "first"), (2L, "k2", "x"),
       (8L, "k3", "new"))
     BloomGate.load(spark, dir).keys.count() shouldBe 3
 
     // a later batch sees stream-ingested keys as dups
-    bloomDedupSink(dir, s"$outDir/data", "doc_id", "key")(
+    bloomDedupSink(dir, s"$outDir/data", "doc_id", "key", "job")(
       Seq(BDoc(9, "k3", "x2"), BDoc(10, "k4", "y")).toDF(), 2L)
     spark.read.parquet(s"$outDir/data/batch=2")
       .collect().map(_.getLong(0)).toSet shouldBe Set(10L)
