@@ -510,6 +510,43 @@ object Extra extends QueryModule {
              round(max(value), 4) AS max_value
            FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // Salted equi-join (operators/Salting.saltedJoin) — the manual fallback
+  // for the one skew case AQE cannot split at runtime: a single hot key
+  // whose rows overwhelm one reducer (AQE subdivides skewed PARTITIONS,
+  // but a partition holding exactly one key can't be subdivided without
+  // a salt). The fixture's event_type is the hot-key shape (5 values ×
+  // ~2k rows each at sf0.01); the right side is a per-type dim derived
+  // from the same table, replicated saltFactor× so the join runs on
+  // (event_type, __salt). The salt is positional and CANNOT affect the
+  // result — the oracle replays the PLAIN inner join and the outputs
+  // must hash-match value-exactly (sums ride DECIMAL so the spread-out
+  // fold is order-invariant, the q_agg_salted rule). The `weighted`
+  // column mixes both sides, so a dropped/duplicated replica row would
+  // flip the hash.
+  private val qJoinSalted = Q(
+    "q_join_salted",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value").cast("decimal(18,6)").as("dv"))
+      val dim = Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+      graft.operators.Salting.saltedJoin(ev, dim, "event_type", 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("dv")).cast("double"), 4).as("sum_value"),
+          max(col("type_n")).as("type_n"),
+          round(sum(col("dv") * col("type_n")).cast("double"), 4).as("weighted"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH dim AS (
+             SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type)
+           SELECT e.event_type, count(*) AS n,
+             round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+             max(d.type_n) AS type_n,
+             round(CAST(sum(CAST(e.value AS DECIMAL(18,6)) * d.type_n) AS DOUBLE), 4) AS weighted
+           FROM events e JOIN dim d USING (event_type)
+           GROUP BY e.event_type ORDER BY event_type"""))
+
   // Equi-depth (equal-count) histogram — the data-dependent-boundary
   // counterpart of q_histogram's fixed-width buckets, the standard shape
   // for quantile bucketing / feature binning. The naive SQL is
@@ -554,5 +591,5 @@ object Extra extends QueryModule {
     qSampleMixture,
     qSampleTemperature, qSampleExactK,
     qSampleTokenBudget, qSplitTrainTest, qZorder, qSketchHll, qSketchKll,
-    qSketchCms, qAggSalted, qAggEquidepth)
+    qSketchCms, qAggSalted, qJoinSalted, qAggEquidepth)
 }

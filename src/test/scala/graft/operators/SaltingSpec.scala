@@ -51,4 +51,34 @@ class SaltingSpec extends SparkSpec {
       .filter(col("k") === "HOT").select("__salt").distinct().count()
     nSalts should be > 1L
   }
+
+  test("salted join plan: right side replicates saltFactor x and the join " +
+      "rides (key, salt)") {
+    val sp = spark; import sp.implicits._
+    // k must be non-constant: a literal key would constant-fold the
+    // k = k conjunct out of the optimized join condition
+    val fact = sp.range(1000)
+      .select(when(col("id") % 10 =!= 0, "HOT")
+        .otherwise(concat(lit("k"), pmod(col("id"), lit(10)))).as("k"),
+        col("id").as("fact_id"))
+    val dim = sp.range(10)
+      .select(concat(lit("k"), col("id")).as("k"), col("id").as("dim_v"))
+      .union(sp.range(1).select(lit("HOT").as("k"), lit(-1L).as("dim_v")))
+    val sj = Salting.saltedJoin(fact, dim, "k", saltFactor = 8)
+    // plan shape: the right side carries an explode (Generate) that
+    // replicates each dim row saltFactor times, and the equi-join keys
+    // include the salt — the hot key's rows hash to 8 reducers, not 1
+    val optimized = sj.queryExecution.optimizedPlan.toString
+    optimized should include("explode")
+    optimized should include("__salt")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joinKeys = sj.queryExecution.optimizedPlan.collect {
+      case j: Join => j.condition.map(_.toString).getOrElse("")
+    }
+    joinKeys.exists(c => c.contains("__salt") && c.contains("k")) shouldBe true
+    // value-level replication proof: each dim key joins from all 8 salted
+    // replicas, so the HOT fact rows distribute over every replica and
+    // the total row count still equals the plain join's
+    sj.count() shouldBe fact.join(dim, Seq("k"), "inner").count()
+  }
 }
