@@ -622,4 +622,56 @@ object NearDup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /** Document pairs sharing at least one duplicated k-token window — the
+    * DOCUMENT-PAIR form of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — public
+    * literature; the standard production setting is a 50-token overlap,
+    * `DefaultSpanTokens`). Where q_dedup_substring scores each doc by its
+    * duplicated-window FRACTION, this answers the question the dedup
+    * decision actually needs: WHICH documents share a span, so the pair
+    * list can feed [[DedupClusters]] exactly like the jaccard family.
+    *
+    * `docs` must carry (doc_id, text); windows are built by the same
+    * wordShingles kernel as the substring queries and reduced to 128-bit
+    * keys (two-seed xxhash64 struct) before ANY exchange — window text
+    * never crosses the wire, both the df count and the self-join carry
+    * ~24 B/row (the q_dedup_substring posture).
+    *
+    * `maxDf` is part of the declared semantics, not a tuning knob: a
+    * window shared by f documents contributes f·(f−1)/2 pairs, so one
+    * boilerplate span (site chrome, license text) shared by 10⁶ docs
+    * would emit 5·10¹¹ pairs from a single key. Spans with df > maxDf
+    * are boilerplate by definition — they belong to the trim-rule report
+    * (q_dedup_substring_top) and a global strip rule, not to pairwise
+    * dedup. The cap bounds the self-join's per-key fan-out at maxDf², the
+    * same blocked-candidates contract as every other pair generator here.
+    *
+    * Returns (id_a, id_b, n_shared) with id_a < id_b; n_shared counts the
+    * distinct shared duplicated windows (each doc's windows are distinct
+    * by construction).
+    */
+  val DefaultSpanTokens = 50
+
+  def tokenSpanPairs(docs: DataFrame, spanTokens: Int = DefaultSpanTokens,
+      maxDf: Int = 20): DataFrame = {
+    require(spanTokens > 0 && maxDf >= 2,
+      s"bad span params: spanTokens=$spanTokens maxDf=$maxDf")
+    val wins = docs
+      .select(col("doc_id"), explode(wordShingles(col("text"), spanTokens)).as("w"))
+      .select(col("doc_id"),
+        struct(xxhash64(col("w")).as("h1"),
+          xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+    val shared = wins.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDf)
+      .select(col("wh"))
+    // ids-only self-join on the capped window keys; ReuseExchange dedups
+    // the shared scan→hash subplan with the df count above
+    val dup = wins.join(shared, "wh")
+    dup.select(col("wh"), col("doc_id").as("id_a"))
+      .join(dup.select(col("wh").as("wh_b"), col("doc_id").as("id_b")),
+        col("wh") === col("wh_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

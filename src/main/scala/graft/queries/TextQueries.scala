@@ -916,6 +916,76 @@ object TextQueries extends QueryModule {
            SELECT window_text, n_docs FROM g WHERE n_docs > 1
            ORDER BY n_docs DESC, window_text LIMIT 20"""))
 
+  // Shared DuckDB prefix for the token-span pair queries: 15-token
+  // windows (the fixture's docs run 10-99 tokens; the operator default is
+  // the literature-standard 50 — Lee et al. 2022), distinct per doc, df
+  // counted corpus-wide, spans with 2 ≤ df ≤ 20 survive to pair
+  // formation (df > 20 = boilerplate, routed to the trim-rule report —
+  // the declared candidate-explosion cap, replayed here exactly).
+  private val tokenSpanCte =
+    """t AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+       w AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) <= 14 THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct([array_to_string(toks[i:i+14], ' ')
+                                    FOR i IN range(1, len(toks) - 13)]) END AS ws
+         FROM t WHERE len(toks) > 0),
+       ew AS (SELECT doc_id, unnest(ws) AS w FROM w),
+       g AS (SELECT w, count(*) AS nd FROM ew GROUP BY w),
+       hot AS (SELECT w FROM g WHERE nd BETWEEN 2 AND 20),
+       dupw AS (SELECT ew.doc_id, ew.w FROM ew JOIN hot USING (w))"""
+
+  // Token-window span dedup at DOCUMENT-PAIR granularity (Lee et al.
+  // 2022's exact-substring dedup re-expressed relationally): which doc
+  // pairs share a duplicated k-token span — the input the dedup DECISION
+  // needs, where q_dedup_substring only scores each doc's duplicated
+  // fraction. Scale posture in NearDup.tokenSpanPairs (128-bit keys on
+  // every exchange, df-capped per-key fan-out). Oracle replays the
+  // token windows, the df band, and the pair counts exactly.
+  private val qDedupTokenSpans = Q(
+    "q_dedup_token_spans",
+    (s, d) => graft.operators.NearDup.tokenSpanPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        spanTokens = 15, maxDf = 20)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH $tokenSpanCte
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           FROM dupw a JOIN dupw b ON a.w = b.w AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // The span pairs feeding the SAME connected-components keeper operator
+  // the jaccard and embedding families use (operators/DedupClusters) —
+  // operator composition, value-checked end to end: DuckDB recomputes
+  // the pairs AND the transitive closure (recursive CTE) and the keeper
+  // labels must match exactly.
+  private val qDedupTokenClusters = Q(
+    "q_dedup_token_clusters",
+    (s, d) => graft.operators.DedupClusters.keepers(
+      graft.operators.NearDup.tokenSpanPairs(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          spanTokens = 15, maxDf = 20)
+        .select(col("id_a"), col("id_b"))),
+    Some(s"""WITH RECURSIVE $tokenSpanCte,
+           jp AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM dupw a JOIN dupw b ON a.w = b.w AND a.doc_id < b.doc_id),
+           e2 AS MATERIALIZED (
+             SELECT id_a AS u, id_b AS v FROM jp
+             UNION
+             SELECT id_b AS u, id_a AS v FROM jp),
+           reach(u, v) AS (
+             SELECT u, v FROM e2
+             UNION
+             SELECT r.u, e2.v FROM reach r JOIN e2 ON r.v = e2.u),
+           lbl AS (
+             SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM reach GROUP BY u)
+           SELECT cluster_id, cluster_id AS keeper, count(*) AS n_members
+           FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
+
   // Unigram LM quality score (CCNet-style) via the shared
   // operators/LmScore implementation (also PipelineMain's enrichment
   // stage). Determinism: per-doc contributions fold in SORTED token
@@ -1407,5 +1477,5 @@ object TextQueries extends QueryModule {
     qDedupMinhash, qDedupSimhash, qDedupClusters, qDedupClustersBest,
     qFuzzyMatch, qOovRate,
     qSourceOverlap, qSourceEntropy, qDedupContainment, qDedupSubstring,
-    qDedupSubstringTop)
+    qDedupSubstringTop, qDedupTokenSpans, qDedupTokenClusters)
 }

@@ -218,6 +218,28 @@ class DedupSpec extends SparkSpec {
     covered.toDouble / jacc.size should be >= 0.9
   }
 
+  test("token spans: a planted 50-token overlap pairs at the default " +
+      "setting; boilerplate over the df cap forms no pairs") {
+    import graft.operators.NearDup
+    // docs 1 and 2 share a 50-token run (Lee et al.'s standard overlap);
+    // doc 3 is unrelated
+    val run = (1 to 50).map(i => s"shared$i").mkString(" ")
+    val d1 = s"intro one two three $run outro alpha"
+    val d2 = s"different lead-in $run and a different tail"
+    val d3 = (1 to 60).map(i => s"noise$i").mkString(" ")
+    val pairs = NearDup.tokenSpanPairs(docsDf((1L, d1), (2L, d2), (3L, d3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L))
+    // a boilerplate span shared by MORE than maxDf docs is excluded from
+    // pair formation (it belongs to the trim-rule report): 6 docs share
+    // the same 50-token run, maxDf=5 → zero pairs
+    val boiler = (1L to 6L).map(i => (i, s"doc$i unique lead $run tail$i"))
+    NearDup.tokenSpanPairs(docsDf(boiler: _*), maxDf = 5)
+      .count() shouldBe 0L
+    // ...and at the default cap (20) all 15 pairs of the 6-clique form
+    NearDup.tokenSpanPairs(docsDf(boiler: _*)).count() shouldBe 15L
+  }
+
   test("exact dedup keeps the minimum doc_id per hash group") {
     val dup = docsDf((7L, base), (3L, base), (9L, unrelated))
     val keep = dup.groupBy(sha2(col("text").cast("binary"), 256).as("h"))
