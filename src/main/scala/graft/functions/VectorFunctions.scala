@@ -41,6 +41,16 @@ object VectorFunctions {
       ColumnBridge.expression(vec), cells, cvecs, cn2s))
   }
 
+  /** Top-p nearest cells (graft.plans.NearestCells) — SOFT assignment for
+    * SemDeDup's boundary recovery; same zero-shuffle posture.
+    */
+  def nearestCells(vec: Column, cells: Array[Int],
+      cvecs: Array[Array[Float]], cn2s: Array[Double], p: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.NearestCells(
+      ColumnBridge.expression(vec), cells, cvecs, cn2s, p))
+  }
+
   def norm(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */

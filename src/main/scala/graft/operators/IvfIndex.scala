@@ -82,6 +82,27 @@ object IvfIndex {
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
   }
 
+  /** SOFT assignment: each vector's top-`p` nearest cells, exploded to
+    * (vec_id, cell) — one row per (vector, probed cell). Same map-side
+    * zero-shuffle posture as [[assign]] (centroid matrix collected once,
+    * shipped inside a native top-p expression). SemDeDup's boundary fix:
+    * a near-dup pair split by one k-means boundary still co-locates in
+    * some top-p cell; the corpus-side analog of the query-side
+    * [[probeCells]] (which ranks via a per-qid window — fine for bounded
+    * query sets, quadratic if applied to the corpus since k grows with n).
+    */
+  def assignTop(vectors: DataFrame, centroids: DataFrame, p: Int): DataFrame = {
+    val rows = centroids.select(col("cell"), col("cvec"), col("cn2"))
+      .collect().sortBy(_.getInt(0))
+    val cells = rows.map(_.getInt(0))
+    val cvecs = rows.map(_.getSeq[Float](1).toArray)
+    val cn2s  = rows.map(_.getDouble(2))
+    vectors
+      .withColumn("cell",
+        explode(nearestCells(col("embedding"), cells, cvecs, cn2s, p)))
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Deterministic coarse centroids: hash-sample ~k seed vectors (the
     * filter runs distributed; only the ≤k survivors pass through the tiny
     * ranking window — never rank the full table through one partition),

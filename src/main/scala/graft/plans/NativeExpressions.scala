@@ -320,6 +320,78 @@ case class NearestCell(
     copy(child = c)
 }
 
+/** Top-`p` nearest centroid cells for a vector — the SOFT-assignment twin
+  * of [[NearestCell]] (SemDeDup's boundary fix: a near-dup pair split by
+  * one k-means boundary still co-locates in some top-p cell). Same
+  * zero-shuffle posture: the centroid matrix is baked into the expression
+  * and the whole assignment is map-side. Returns the p cell ids ordered
+  * by ascending distance (ties broken by cell id, so assignment is
+  * deterministic under any centroid iteration order); fewer than p valid
+  * centroids → a shorter array; no valid centroid / null element → NULL.
+  */
+case class NearestCells(
+    child: Expression,
+    cells: Array[Int],
+    cvecs: Array[Array[Float]],
+    cn2s: Array[Double],
+    p: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) if cells.nonEmpty && p > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float>, a non-empty centroid set and p>0, got ${t.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    // p-best insertion arrays (p is tiny — 2..4 in practice)
+    val bd = Array.fill(p)(Double.MaxValue)
+    val bc = Array.fill(p)(Int.MaxValue)
+    var n = 0
+    var c = 0
+    while (c < cvecs.length) {
+      val cv = cvecs(c)
+      if (cv.length == dim) {
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          if (v.isNullAt(i)) return null
+          dot += v.getFloat(i).toDouble * cv(i).toDouble
+          i += 1
+        }
+        val d = cn2s(c) - 2.0 * dot
+        val id = cells(c)
+        // insert (d, id) if it beats the current worst slot
+        if (n < p || d < bd(p - 1) || (d == bd(p - 1) && id < bc(p - 1))) {
+          var j = math.min(n, p - 1)
+          while (j > 0 && (bd(j - 1) > d || (bd(j - 1) == d && bc(j - 1) > id))) {
+            bd(j) = bd(j - 1); bc(j) = bc(j - 1); j -= 1
+          }
+          bd(j) = d; bc(j) = id
+          if (n < p) n += 1
+        }
+      }
+      c += 1
+    }
+    if (n == 0) null
+    else org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(java.util.Arrays.copyOf(bc, n))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
 /** All random-hyperplane LSH bucket ids for a vector in ONE pass:
   * `seeds.length` tables × `nBits` Rademacher (±1) hyperplanes. Signs
   * come from a splitmix64 finalizer (public-domain constant-mixing

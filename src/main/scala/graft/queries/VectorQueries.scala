@@ -530,8 +530,31 @@ object VectorQueries extends QueryModule {
         .orderBy(col("qid"), col("rn"))
     })
 
+  // SemDeDup (Abbas et al. 2023 — public literature): the corpus-scale
+  // semantic-dedup route that REPLACES the scaleBound-fenced all-pairs
+  // pair stage above — k-means cells via the IVF trainer, exact cosine
+  // pairs WITHIN cells only (operators/SemDedup scaladoc has the full
+  // posture: ids-only self-join, occupancy-targeted cell count, broadcast
+  // float re-attach after pair selection). Same 0.45 threshold and output
+  // shape as the exact twin, so recall pins directly against it
+  // (TextVectorSpec, the LSH-twin pattern); every emitted pair is
+  // exact-verified ⇒ zero false positives by construction. No oracle
+  // (k-means cell assignment is engine-defined); NO scaleBound — this is
+  // the plan that rides any scale rung.
+  private val qEmbeddingSemDedup = Q(
+    "q_dedup_embedding_semdedup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val k = graft.operators.SemDedup.cellsFor(
+        Tables.embeddings(s, d).count())
+      graft.operators.SemDedup.pairs(s, e, k, 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
   override def queries: Seq[Q] = Seq(
-    qCosineNearDup, qEmbeddingClusters, qEmbeddingLsh, qBruteTopK, qAnnLsh,
+    qCosineNearDup, qEmbeddingClusters, qEmbeddingLsh, qEmbeddingSemDedup,
+    qBruteTopK, qAnnLsh,
     qIvf, qSq8, qCentroids,
     qHardNegatives, qHardNegativesLsh, qPq, qIvfPq,
     qPqLoaded, qIvfLoaded, qIvfPqLoaded, qSq8Loaded)
