@@ -33,7 +33,33 @@ private final class TaskMetricsTap extends SparkListener {
 }
 
 object Bench {
+
+  /** Per-query anchors (cpu seconds + shuffle-read bytes) for in-run
+    * adjudication — a flat TSV (`name cpu_sec shr_b`, regenerated from
+    * the committed bench artifact, see BASELINE.md §protocol) so the
+    * bench needs no JSON parser. Queries without an anchor row (new this
+    * round) are simply not gated. Missing/unreadable file → no anchors,
+    * bench behavior identical to pre-r10.
+    */
+  private def loadAnchors(path: String): Map[String, (Double, Long)] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().flatMap { l =>
+        val p = l.trim.split("\\s+")
+        if (p.length >= 3 && !l.trim.startsWith("#"))
+          try Some((p(0), (p(1).toDouble, p(2).toLong)))
+          catch { case _: Throwable => None }
+        else None
+      }.toMap
+      finally src.close()
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
+    // Before anything Spark: the WindowExec warning demotion must win
+    // even in harness environments whose logging config is applied at
+    // JVM start (the shipped classpath log4j2.properties is the second
+    // layer of the same fix).
+    graft.plans.LogHygiene.suppressBoundedWindowWarn()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // In-driver median-of-N (default 3): single-pass per-query numbers on
@@ -164,6 +190,49 @@ object Bench {
     }
     val results = timed.map { case (name, med, _, _, _) => name -> med }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // ---- In-run outlier adjudication (r9 verdict task: no judge
+    // re-measurement even in the worst machine mode). Anchors are the
+    // committed per-query medians; two checks:
+    //   1. BYTE DRIFT: shuffle-read bytes are a pure function of the
+    //      plan — drift beyond ±10% (the documented AQE-coalesce jitter
+    //      band, BASELINE.md §protocol) means the PLAN changed, not the
+    //      machine; flagged loudly in the artifact.
+    //   2. CPU > 2× anchor: re-run the suspect SOLO in a quiet tail pass
+    //      (sequential, post-registry, GC'd) and emit both numbers —
+    //      contended registry CPU inflates up to ~5× under full-registry
+    //      pressure on this box while solo collapses to ~1×; the solo
+    //      figure is the adjudicable one.
+    val anchorsPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "ANCHORS.tsv")
+    val anchors = if (sf.contains(0.1)) loadAnchors(anchorsPath)
+      else Map.empty[String, (Double, Long)] // anchors are sf0.1 medians
+    val byteDrift = timed.flatMap { case (name, _, _, m, _) =>
+      anchors.get(name).collect {
+        case (_, aShr) if aShr > 0 &&
+            math.abs(m(2) - aShr).toDouble / aShr > 0.10 =>
+          name -> (m(2).toDouble / aShr)
+      }
+    }
+    val cpuSuspects = timed.collect {
+      case (name, _, _, m, _)
+          if anchors.get(name).exists { case (aCpu, _) =>
+            aCpu > 0 && m(0) / 1e9 > 2.0 * aCpu } => name
+    }
+    val solo = cpuSuspects.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        System.gc()
+        val passData = (1 to passes).map { _ =>
+          drain(); val s0 = tap.snapshot()
+          val t0 = System.nanoTime()
+          try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+          val wall = (System.nanoTime() - t0) / 1e9
+          drain(); val s1 = tap.snapshot()
+          (wall, s1(0) - s0(0))
+        }
+        val w = passData.map(_._1).sorted.apply(passes / 2)
+        val c = passData.map(_._2).sorted.apply(passes / 2) / 1e9
+        (name, w, c)
+      }
+    }
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would make the line unparseable JSON —
     // regenerating the exact driver-parse failure this format exists to fix
@@ -203,10 +272,21 @@ object Bench {
         "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
           .replace("\n", " ") + "\""
       }.mkString(",")
+      // solo tail-pass results for every >2x-CPU suspect: the contended
+      // registry numbers stay in queries/cpu; these are the adjudicable
+      // quiet-box medians for the same binaries in the same run
+      val soloJson = solo.map { case (k, w, c) =>
+        s""""$k":{"wall_sec":$w,"cpu_sec":$c}"""
+      }.mkString(",")
+      val driftJson = byteDrift.map { case (k, r) =>
+        s""""$k":$r"""
+      }.mkString(",")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
         s""""cpu_total_sec":$totalCpu,""" +
         s""""cpus":$cpus,"sf":"$sfDir","mode":"median$passes",""" +
+        s""""anchors":"${if (anchors.isEmpty) "" else anchorsPath}",""" +
         s""""skipped":$skippedJson,"errors":{$errJson},""" +
+        s""""solo":{$soloJson},"byte_drift":{$driftJson},""" +
         s""""queries":{$meds},"cpu":{$cpu},""" +
         s""""task_metrics":{$metrics},"raw_bytes":{$rawBytes},"raw":{$raw}}"""
     }
@@ -214,7 +294,7 @@ object Bench {
     java.nio.file.Files.write(fullPath,
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val budget = 1500 // chars for the whole line; tail capture is 2000
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"errors":${errors.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"errors":${errors.size},"solo":${solo.size},"byte_drift":${byteDrift.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
     val slowestFirst = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 2 // closing "}}"
