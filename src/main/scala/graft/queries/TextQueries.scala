@@ -340,6 +340,44 @@ object TextQueries extends QueryModule {
   // greedy-rewrite equivalence is value-checked over the whole corpus,
   // not just the spec fixture. Output is per-doc subword count + the
   // first-15-token prefix (bounded row width at any scale).
+  // Unigram-LM tokenizer training (Kudo 2018 — operators/UnigramTrainer,
+  // the SentencePiece sibling of the BPE loop above): 3 Viterbi-EM
+  // rounds over the distinct-word table, pruned to 200 pieces. No oracle
+  // (the EM fixed point is engine-defined — an unrolled SQL replay would
+  // hard-code the Viterbi DP); UnigramTrainerSpec proves exact equality
+  // against an independently-written plain-Scala EM replay (the
+  // PageRankSpec parity pattern — counts are exact longs, so the
+  // distributed aggregation is order-invariant and parity is IEEE-exact).
+  private val qUnigramTrain = Q(
+    "q_unigram_train",
+    (s, d) => {
+      import graft.operators.{BpeTrainer, UnigramTrainer}
+      val vocab = UnigramTrainer.train(s,
+        BpeTrainer.wordFreq(Tables.documents(s, d), col("text")),
+        targetVocab = 200)
+      import s.implicits._
+      vocab.toDF("piece", "cnt", "logp")
+        .select(col("piece"), col("cnt"), round(col("logp"), 6).as("logp"))
+        .orderBy(col("piece"))
+    })
+
+  // The trained unigram vocabulary APPLIED corpus-wide: per-word Viterbi
+  // under the broadcast piece map — a map-side projection like
+  // q_bpe_segment (rows-only for the same reason as the trainer; the
+  // spec pins segmentation parity on the same replay).
+  private val qUnigramSegment = Q(
+    "q_unigram_segment",
+    (s, d) => {
+      import graft.operators.{BpeTrainer, UnigramTrainer}
+      val docs = Tables.documents(s, d)
+      val vocab = UnigramTrainer.train(s,
+        BpeTrainer.wordFreq(docs, col("text")), targetVocab = 200)
+      UnigramTrainer.segment(s, docs, vocab)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          substring(col("seg"), 1, 80).as("head"))
+        .orderBy(col("doc_id"))
+    })
+
   private val qBpeSegment = Q(
     "q_bpe_segment",
     (s, d) => {
@@ -1468,6 +1506,7 @@ object TextQueries extends QueryModule {
     qTextStats, qQuality, qQualityFilter, qQualityClassifier,
     qQualityClassifierFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qBpeMergeStep, qBpeTrain, qBpeSegment,
+    qUnigramTrain, qUnigramSegment,
     qPiiScrub, qSeqPack, qBm25, qLmScore,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupBloomGate,
     qDedupBloomGateLoaded,
