@@ -185,10 +185,16 @@ object IvfIndex {
         col("cell") === col("icell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
+    // corpus re-attach pinned broadcast: past the 10 MB auto-threshold the
+    // planner would flip this join to a shuffle and the candidate stream
+    // (already carrying qv from the broadcast probe join) would cross an
+    // exchange with float payloads — the sf10 ScaleLint catch. Holds to
+    // ~10⁷ corpus vectors; beyond that quantized (PQ/SQ8) pre-filtering
+    // is the documented route.
     val scored = pairIds
       .join(broadcast(queriesDf), "qid")
-      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        col("n2").as("nn2")), "nid")
+      .join(broadcast(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("n2").as("nn2"))), "nid")
       .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -230,11 +230,18 @@ object VectorQueries extends QueryModule {
         .join(cand, col("qtbl") === col("tbl") && col("qbkt") === col("bkt") &&
           col("qid") =!= col("nid"))
         .select(col("qid"), col("nid")).distinct()
+      // BOTH re-attach sides pinned broadcast (the q_dedup_embedding_lsh
+      // rule): past the 10 MB auto-threshold the planner flips the corpus
+      // re-attach to a shuffle and the pair stream crosses an exchange
+      // CARRYING qv/nv float payloads — caught live by ScaleLint in FAIL
+      // mode on the sf10 (200k-vector) leg. The hint holds to ~10⁷
+      // corpus vectors; beyond that the documented path is quantized
+      // (Sq8) pre-filtering before any float re-attach.
       val scored = pairIds
         .join(broadcast(e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("n2").as("qn2"))), "qid")
-        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-          col("n2").as("nn2")), "nid")
+        .join(broadcast(e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("n2").as("nn2"))), "nid")
         .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
       scored
@@ -514,11 +521,13 @@ object VectorQueries extends QueryModule {
         .join(cand, col("qtbl") === col("tbl") && col("qbkt") === col("bkt") &&
           col("qlabel") =!= col("nlabel"))
         .select(col("qid"), col("nid")).distinct()
+      // corpus re-attach pinned broadcast — same sf10 lint catch as
+      // q_sim_topk_ann_lsh (see the comment there)
       val scored = pairIds
         .join(broadcast(e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("embedding").as("qv"), col("n2").as("qn2"))), "qid")
-        .join(e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
-          col("embedding").as("nv"), col("n2").as("nn2")), "nid")
+        .join(broadcast(e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+          col("embedding").as("nv"), col("n2").as("nn2"))), "nid")
         .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
         .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"), col("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
