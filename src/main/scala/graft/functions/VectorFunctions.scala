@@ -51,6 +51,18 @@ object VectorFunctions {
       ColumnBridge.expression(vec), cells, cvecs, cn2s, p))
   }
 
+  /** Fused dequantize-and-dot over two byte-packed SQ8 code arrays
+    * (graft.plans.Sq8CodeDot): equals dot(dequantByte(a), dequantByte(b))
+    * bit-exactly while evaluating each code array once — the quantized
+    * pre-filter's hot loop.
+    */
+  def sq8Dot(a: Column, b: Column, lo: Array[Double],
+      step: Array[Double]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.Sq8CodeDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), lo, step))
+  }
+
   def norm(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */

@@ -173,10 +173,29 @@ object IvfIndex {
   /** topK with the candidate side (`cells`: vec_id, cell — e.g. a LOADED
     * artifact) separated from the scoring side (`corpus`: vec_id,
     * embedding, n2): the cell probe join touches only the payload-free
-    * assignment table; float vectors re-attach by id for candidates.
+    * assignment table.
+    *
+    * Candidate scoring routes through the SQ8 quantized pre-filter
+    * ([[Sq8Index.prefilterRerank]]) — the r10 verdict's task 1. The old
+    * shape pinned `broadcast()` on the full float-corpus re-attach,
+    * which was correct at the sf10 fixture but an OOM cliff past ~10⁷
+    * vectors; now candidate ids join the byte-packed code table through
+    * a shuffle (ids + ~dim-byte codes, shuffles scale), and only the
+    * per-query approx top-`pool` reach exact float re-rank, where the
+    * SMALL candidate-id set broadcasts and the corpus streams. Zero
+    * full-corpus broadcasts, zero float arrays on exchanges, at any
+    * corpus size.
+    *
+    * `quant` supplies pre-built (codes, grid) — e.g. a persisted
+    * [[Sq8Index]] artifact maintained next to the IVF cells, the
+    * production posture so the grid isn't re-trained per query batch;
+    * None trains + encodes from `corpus` inline (one agg scan + one
+    * map-side pass). `pool` < 0 → the 3·k convention of the SQ8 query.
     */
   def topKFrom(queriesDf: DataFrame, cells: DataFrame, corpus: DataFrame,
-      cents: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      cents: DataFrame, k: Int, nProbe: Int,
+      quant: Option[(DataFrame, Sq8Index.Grid)] = None,
+      pool: Int = -1): DataFrame = {
     val probes = probeCells(queriesDf, cents, nProbe)
     // candidate ids first, vectors re-attached after the distinct (same
     // payload-free-shuffle rationale as the LSH query)
@@ -185,20 +204,12 @@ object IvfIndex {
         col("cell") === col("icell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
-    // corpus re-attach pinned broadcast: past the 10 MB auto-threshold the
-    // planner would flip this join to a shuffle and the candidate stream
-    // (already carrying qv from the broadcast probe join) would cross an
-    // exchange with float payloads — the sf10 ScaleLint catch. Holds to
-    // ~10⁷ corpus vectors; beyond that quantized (PQ/SQ8) pre-filtering
-    // is the documented route.
-    val scored = pairIds
-      .join(broadcast(queriesDf), "qid")
-      .join(broadcast(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        col("n2").as("nn2"))), "nid")
-      .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))
+    val (codes, grid) = quant.getOrElse {
+      val g = Sq8Index.train(corpus)
+      (Sq8Index.encode(corpus, g), g)
+    }
+    Sq8Index.prefilterRerank(pairIds, queriesDf, codes, corpus, grid, k,
+        if (pool > 0) pool else 3 * k)
       .orderBy(col("qid"), col("rn"))
   }
 }

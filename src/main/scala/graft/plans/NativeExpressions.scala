@@ -86,6 +86,92 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused dequantize-and-dot over two byte-packed SQ8 code arrays
+  * (graft.operators.Sq8Index.packCodes layout: code value c+128 stored as
+  * signed byte). Per element i both sides reconstruct
+  * `(float)(lo_i + (c_i + 128) · step_i)` — bit-identical to
+  * `Sq8Index.dequantByte` — and the products accumulate in DOUBLE
+  * (FloatVecDot's fold), so the fused score equals
+  * `dot(dequantByte(a), dequantByte(b))` exactly while evaluating each
+  * code array ONCE. The compositional form re-ran the 64-element
+  * `transform` per use (dot + two norms = 4 evaluations/candidate row) —
+  * this expression is the quantized pre-filter's hot loop, executed once
+  * per candidate pair, hence full `doGenCode` like [[FloatVecDot]].
+  *
+  * The grid rides inside the serialized expression (2 × dim doubles),
+  * the [[NearestCell]] broadcast-literal posture. Length mismatch with
+  * the grid or between sides → NULL (corrupt input, never a prefix dot).
+  */
+case class Sq8CodeDot(left: Expression, right: Expression,
+    lo: Array[Double], step: Array[Double])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_code_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType) && lo.length == step.length)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<tinyint> inputs and matching grid " +
+        s"arrays, got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements() || n != lo.length) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xa = (lo(i) + (x.getByte(i).toInt + 128) * step(i)).toFloat
+      val yb = (lo(i) + (y.getByte(i).toInt + 128) * step(i)).toFloat
+      sum += xa.toDouble * yb.toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sq8lo", lo, "double[]")
+    val stRef = ctx.addReferenceObj("sq8step", step, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val xa = ctx.freshName("xa")
+      val yb = ctx.freshName("yb")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n != $loRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    float $xa = (float) ($loRef[$i] + (((int) $a.getByte($i)) + 128) * $stRef[$i]);
+         |    float $yb = (float) ($loRef[$i] + (((int) $b.getByte($i)) + 128) * $stRef[$i]);
+         |    $sum += (double) $xa * (double) $yb;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8CodeDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash (Charikar '02) over an array<string> token column: one
   * pass over the tokens, 64 vote counters, Murmur3-based per-token 64-bit
   * hash (two 32-bit murmurs with different seeds — deterministic and

@@ -138,34 +138,42 @@ object VectorQueries extends QueryModule {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
         .withColumn("buckets", lshBuckets(col("embedding"), bits, seeds))
+      // SQ8 quantized pre-filter (r10 verdict task 1, the SemDedup.pairs
+      // shape): each side of the bucket self-join carries its byte-packed
+      // SQ8 code (~dim B/row through the exchange — ids + codes, never
+      // float vectors), the approximate cosine is computed map-side in
+      // the join output, and only pairs clearing threshold - margin reach
+      // exact verification — where the SMALL survivor set broadcasts and
+      // the float corpus STREAMS. Replaces the double full-corpus
+      // broadcast, which held only to executor memory (~10⁷ vectors).
+      import graft.operators.{SemDedup, Sq8Index}
+      val grid = Sq8Index.train(e)
+      val coded = Sq8Index.packCodes(Sq8Index.encode(e, grid), grid)
       val binned = e.select(col("vec_id"),
-        posexplode(col("buckets")).as(Seq("tbl", "bkt")))
-      val aSide = binned.select(col("vec_id").as("id_a"), col("tbl"), col("bkt"))
+          posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+        .join(coded, "vec_id")
+      val aSide = binned.select(col("vec_id").as("id_a"), col("tbl"),
+        col("bkt"), col("bcode").as("code_a"), col("an2").as("an2_a"))
       val bSide = binned.select(col("vec_id").as("id_b"),
-        col("tbl").as("tbl_b"), col("bkt").as("bkt_b"))
+        col("tbl").as("tbl_b"), col("bkt").as("bkt_b"),
+        col("bcode").as("code_b"), col("an2").as("an2_b"))
       // equi keys (tbl, bkt) carry the join; id_a < id_b is a post-filter
-      // on the hash join, never a nested-loop condition
-      val pairIds = aSide.join(bSide,
+      // on the hash join, never a nested-loop condition; one fused
+      // Sq8CodeDot per pair, norms precomputed map-side in packCodes
+      val survivors = aSide.join(bSide,
           col("tbl") === col("tbl_b") && col("bkt") === col("bkt_b") &&
             col("id_a") < col("id_b"))
+        .withColumn("acos",
+          sq8Dot(col("code_a"), col("code_b"), grid.lo, grid.step) /
+            (sqrt(col("an2_a")) * sqrt(col("an2_b"))))
+        .filter(col("acos") > 0.45 - SemDedup.QuantMargin)
         .select(col("id_a"), col("id_b")).distinct()
-      // EXPLICIT broadcast on both verification re-attach sides: the
-      // corpus vector table is corpus-sized (n × ~260 B), not pair-sized,
-      // and past ~40k vectors it crosses the 10 MB auto-broadcast
-      // threshold — the planner then flips both re-attach joins to
-      // shuffles and the candidate-pair table crosses two exchanges
-      // CARRYING float vectors (measured at 30×: ~36M candidate pairs ×
-      // 256 B — the exact payload-on-shuffle class ScaleLint bans;
-      // 41 s → 13.7 s median when pinned broadcast, SCALE.md §stress).
-      // The hint holds to executor memory (~10⁷ vectors); beyond that a
-      // pair-verify needs quantized pre-filtering (Sq8Index codes) before
-      // any float re-attach — documented posture, not yet needed at any
-      // bench scale.
-      val va = broadcast(e.select(col("vec_id").as("id_a"),
-        col("embedding").as("v_a"), col("n2").as("n2_a")))
-      val vb = broadcast(e.select(col("vec_id").as("id_b"),
-        col("embedding").as("v_b"), col("n2").as("n2_b")))
-      pairIds.join(va, "id_a").join(vb, "id_b")
+      val withA = broadcast(survivors)
+        .join(e.select(col("vec_id").as("id_a"),
+          col("embedding").as("v_a"), col("n2").as("n2_a")), "id_a")
+      broadcast(withA)
+        .join(e.select(col("vec_id").as("id_b"),
+          col("embedding").as("v_b"), col("n2").as("n2_b")), "id_b")
         .withColumn("cos",
           dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
         .filter(col("cos") > 0.45)
@@ -230,24 +238,17 @@ object VectorQueries extends QueryModule {
         .join(cand, col("qtbl") === col("tbl") && col("qbkt") === col("bkt") &&
           col("qid") =!= col("nid"))
         .select(col("qid"), col("nid")).distinct()
-      // BOTH re-attach sides pinned broadcast (the q_dedup_embedding_lsh
-      // rule): past the 10 MB auto-threshold the planner flips the corpus
-      // re-attach to a shuffle and the pair stream crosses an exchange
-      // CARRYING qv/nv float payloads — caught live by ScaleLint in FAIL
-      // mode on the sf10 (200k-vector) leg. The hint holds to ~10⁷
-      // corpus vectors; beyond that the documented path is quantized
-      // (Sq8) pre-filtering before any float re-attach.
-      val scored = pairIds
-        .join(broadcast(e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("n2").as("qn2"))), "qid")
-        .join(broadcast(e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-          col("n2").as("nn2"))), "nid")
-        .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))
+      // Candidate scoring via the SQ8 quantized pre-filter (r10 verdict
+      // task 1): candidates join the byte-packed code table by id through
+      // a shuffle (ids + codes, never float vectors — shuffles scale),
+      // approx-score map-side, and only the per-query approx top-pool
+      // reach exact float re-rank where the SMALL survivor-id set
+      // broadcasts and the corpus streams (PqIndex.poolRerank). Replaces
+      // the full-corpus broadcast pin, which held only to ~10⁷ vectors.
+      import graft.operators.Sq8Index
+      val grid = Sq8Index.train(e)
+      Sq8Index.prefilterRerank(pairIds, annQueries(e),
+          Sq8Index.encode(e, grid), e, grid, k = 5, pool = 15)
         .orderBy(col("qid"), col("rn"))
     })
 
@@ -521,21 +522,21 @@ object VectorQueries extends QueryModule {
         .join(cand, col("qtbl") === col("tbl") && col("qbkt") === col("bkt") &&
           col("qlabel") =!= col("nlabel"))
         .select(col("qid"), col("nid")).distinct()
-      // corpus re-attach pinned broadcast — same sf10 lint catch as
-      // q_sim_topk_ann_lsh (see the comment there)
-      val scored = pairIds
-        .join(broadcast(e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-          col("embedding").as("qv"), col("n2").as("qn2"))), "qid")
-        .join(broadcast(e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
-          col("embedding").as("nv"), col("n2").as("nn2"))), "nid")
-        .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
-        .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"), col("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      // Same SQ8 pre-filter route as q_sim_topk_ann_lsh (see the comment
+      // there): the label-mismatch predicate already narrowed pairIds, so
+      // the quantized scorer sees only cross-label candidates. Labels
+      // re-attach LAST, to the ≤ 3·|Q| final rows — broadcast the tiny
+      // result, stream the ids+labels projection of the corpus.
+      import graft.operators.Sq8Index
+      val grid = Sq8Index.train(e)
+      val topk = Sq8Index.prefilterRerank(pairIds, annQueries(e),
+        Sq8Index.encode(e, grid), e, grid, k = 3, pool = 15)
+      val labels = e.select(col("vec_id"), col("label"))
+      broadcast(topk)
+        .join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
+        .join(labels.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
         .select(col("qid"), col("qlabel"), col("rn"), col("nid"),
-          col("nlabel"), round(col("cos"), 4).as("cos"))
+          col("nlabel"), col("cos"))
         .orderBy(col("qid"), col("rn"))
     })
 
