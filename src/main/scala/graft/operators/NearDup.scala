@@ -674,4 +674,44 @@ object NearDup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** MAXIMAL shared-span width per document pair — the other half of Lee
+    * et al. 2022's ExactSubstr next to [[tokenSpanPairs]] (which reports
+    * only fixed-width k-token matches): their suffix-array pass finds the
+    * longest shared substring of any length ≥ threshold; a suffix array
+    * is driver-bound at corpus scale, so this distributes the standard
+    * DOUBLING-LADDER approximation — run the window pass at widths
+    * k, 2k, 4k, … (`levels` rungs) and report each pair's largest
+    * matching width. A shared span of true length L ≥ k is reported as
+    * the largest rung ≤ L (within a factor 2 of the suffix-array answer),
+    * because a length-L overlap contains a w-token window for every
+    * w ≤ L. Each rung has the tokenSpanPairs scale posture (128-bit
+    * window keys before any exchange, df-band fan-out cap), so the whole
+    * ladder is ⌈levels⌉ linear passes — never a suffix sort.
+    *
+    * At each rung only documents with ≥ w tokens build windows (no
+    * whole-text fallback window): a 20-token exact duplicate must not
+    * report a "60-token" span — short exact twins are the exact-dedup
+    * family's job. Returns (id_a, id_b, span_tokens, n_shared) with
+    * id_a < id_b: `span_tokens` the maximal matching rung width,
+    * `n_shared` the distinct shared windows at that width.
+    */
+  def spanMaximalPairs(docs: DataFrame, baseTokens: Int = DefaultSpanTokens,
+      levels: Int = 3, maxDf: Int = 20): DataFrame = {
+    require(levels >= 1, s"need at least one ladder rung: levels=$levels")
+    // token count under the SAME tokenization as wordShingles (whitespace
+    // split, empty tokens dropped), so the ≥ w rung filter and the window
+    // builder can never disagree on a boundary-length document
+    val nTokens = size(filter(split(col("text"), "\\s+"),
+      t => length(t) > lit(0)))
+    val rungs = (0 until levels).map { l =>
+      val w = baseTokens << l
+      tokenSpanPairs(docs.filter(nTokens >= w), spanTokens = w, maxDf = maxDf)
+        .select(col("id_a"), col("id_b"), lit(w).as("w"), col("n_shared"))
+    }
+    rungs.reduce(_.unionAll(_))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("w")).as("span_tokens"),
+        max_by(col("n_shared"), col("w")).as("n_shared"))
+  }
 }

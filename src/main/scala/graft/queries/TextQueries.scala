@@ -1024,6 +1024,47 @@ object TextQueries extends QueryModule {
            SELECT cluster_id, cluster_id AS keeper, count(*) AS n_members
            FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
 
+  // One doubling-ladder rung of the maximal-span oracle: replays the
+  // Spark side exactly — windows at width `w` over docs with ≥ w tokens
+  // (no whole-text fallback), df band [2, 20], pair counts.
+  private def spanRungCte(w: Int) =
+    s"""ew$w AS (
+         SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${w - 1}], ' ')
+                     FOR i IN range(1, len(toks) - ${w - 2})])) AS s
+         FROM t WHERE len(toks) >= $w),
+       g$w AS (SELECT s, count(*) AS nd FROM ew$w GROUP BY s),
+       hot$w AS (SELECT s FROM g$w WHERE nd BETWEEN 2 AND 20),
+       dupw$w AS (SELECT ew$w.doc_id, ew$w.s FROM ew$w JOIN hot$w USING (s)),
+       p$w AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $w AS w,
+                 count(*) AS n_shared
+               FROM dupw$w a JOIN dupw$w b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)"""
+
+  // Maximal shared-span dedup (the suffix-array half of Lee et al. 2022,
+  // distributed as a doubling ladder — NearDup.spanMaximalPairs scaladoc
+  // has the approximation argument): widths 15/30/60 on this fixture
+  // (docs are 10–100 tokens), each pair reports its largest matching
+  // rung + the shared-window count at that rung. Oracle replays every
+  // rung (windows, ≥ w-token doc filter, df band) and the max_by fold.
+  private val qDedupSpanMaximal = Q(
+    "q_dedup_span_maximal",
+    (s, d) => graft.operators.NearDup.spanMaximalPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        baseTokens = 15, levels = 3, maxDf = 20)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH t AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+             FROM documents),
+           ${spanRungCte(15)},
+           ${spanRungCte(30)},
+           ${spanRungCte(60)},
+           allp AS (SELECT * FROM p15 UNION ALL SELECT * FROM p30
+                    UNION ALL SELECT * FROM p60)
+           SELECT id_a, id_b, max(w) AS span_tokens,
+             max_by(n_shared, w) AS n_shared
+           FROM allp GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // Unigram LM quality score (CCNet-style) via the shared
   // operators/LmScore implementation (also PipelineMain's enrichment
   // stage). Determinism: per-doc contributions fold in SORTED token
@@ -1516,5 +1557,6 @@ object TextQueries extends QueryModule {
     qDedupMinhash, qDedupSimhash, qDedupClusters, qDedupClustersBest,
     qFuzzyMatch, qOovRate,
     qSourceOverlap, qSourceEntropy, qDedupContainment, qDedupSubstring,
-    qDedupSubstringTop, qDedupTokenSpans, qDedupTokenClusters)
+    qDedupSubstringTop, qDedupTokenSpans, qDedupTokenClusters,
+    qDedupSpanMaximal)
 }

@@ -240,6 +240,30 @@ class DedupSpec extends SparkSpec {
     NearDup.tokenSpanPairs(docsDf(boiler: _*)).count() shouldBe 15L
   }
 
+  test("maximal span ladder: a 200-token overlap reports the 4k rung, " +
+      "a 50-token overlap the base rung; short exact twins never inflate") {
+    import graft.operators.NearDup
+    // ladder k=50 → rungs 50/100/200; pair (1,2) shares a 200-token run,
+    // pair (3,4) a 50-token run, doc 5 is unrelated noise
+    val big = (1 to 200).map(i => s"long$i").mkString(" ")
+    val small = (1 to 50).map(i => s"short$i").mkString(" ")
+    val docs = docsDf(
+      (1L, s"alpha lead $big tail one"),
+      (2L, s"other intro $big different coda"),
+      (3L, s"x y z $small p q"),
+      (4L, s"unrelated head $small another end"),
+      (5L, (1 to 210).map(i => s"noise$i").mkString(" ")),
+      // docs 6/7: identical 30-token EXACT twins — shorter than every
+      // rung, must not appear at all (no whole-text fallback window)
+      (6L, (1 to 30).map(i => s"twin$i").mkString(" ")),
+      (7L, (1 to 30).map(i => s"twin$i").mkString(" ")))
+    val out = NearDup.spanMaximalPairs(docs, baseTokens = 50, levels = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    out.keySet shouldBe Set((1L, 2L), (3L, 4L))
+    out((1L, 2L)) shouldBe 200 // ≥ 4k rung for the 200-token overlap
+    out((3L, 4L)) shouldBe 50  // base rung only for the 50-token overlap
+  }
+
   test("exact dedup keeps the minimum doc_id per hash group") {
     val dup = docsDf((7L, base), (3L, base), (9L, unrelated))
     val keep = dup.groupBy(sha2(col("text").cast("binary"), 256).as("h"))
