@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // log hygiene for OUR forked JVMs only — the config deliberately lives
+  // outside src/main/resources so the library jar does not impose a
+  // root-at-WARN logging policy on downstream hosts that embed it
+  s"-Dlog4j2.configurationFile=${(baseDirectory.value / "conf" / "log4j2.properties").getAbsolutePath}",
 )

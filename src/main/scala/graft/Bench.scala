@@ -205,10 +205,17 @@ object Bench {
     val anchorsPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "ANCHORS.tsv")
     val anchors = if (sf.contains(0.1)) loadAnchors(anchorsPath)
       else Map.empty[String, (Double, Long)] // anchors are sf0.1 medians
+    // Absolute floor on the drift flag (r10 verdict #3): a percentage
+    // band alone cries wolf on near-empty exchanges — q5's flagged
+    // "1.15×" was 184 BYTES of AQE-coalesce jitter on a broadcast-heavy
+    // plan. Drift below 64 KiB on both sides is measurement noise, not a
+    // plan change; only flag when at least one side is a real exchange.
+    val byteDriftFloorB = 64L * 1024
     val byteDrift = timed.flatMap { case (name, _, _, m, _) =>
       anchors.get(name).collect {
         case (_, aShr) if aShr > 0 &&
-            math.abs(m(2) - aShr).toDouble / aShr > 0.10 =>
+            math.abs(m(2) - aShr).toDouble / aShr > 0.10 &&
+            math.max(m(2), aShr) >= byteDriftFloorB =>
           name -> (m(2).toDouble / aShr)
       }
     }
@@ -217,13 +224,20 @@ object Bench {
           if anchors.get(name).exists { case (aCpu, _) =>
             aCpu > 0 && m(0) / 1e9 > 2.0 * aCpu } => name
     }
+    // Solo re-run errors are recorded, not swallowed: a suspect that
+    // fails its quiet-tail pass must not publish partial-execution
+    // medians as the adjudicable numbers — its entry is flagged instead.
+    val soloErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val solo = cpuSuspects.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         System.gc()
         val passData = (1 to passes).map { _ =>
           drain(); val s0 = tap.snapshot()
           val t0 = System.nanoTime()
-          try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+          try run(fn(spark, sfDir)) catch {
+            case e: Throwable => soloErrors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+          }
           val wall = (System.nanoTime() - t0) / 1e9
           drain(); val s1 = tap.snapshot()
           (wall, s1(0) - s0(0))
@@ -276,7 +290,14 @@ object Bench {
       // registry numbers stay in queries/cpu; these are the adjudicable
       // quiet-box medians for the same binaries in the same run
       val soloJson = solo.map { case (k, w, c) =>
-        s""""$k":{"wall_sec":$w,"cpu_sec":$c}"""
+        soloErrors.get(k) match {
+          // a failed solo pass publishes the error, never the medians —
+          // partial executions cannot masquerade as a fast clean run
+          case Some(err) =>
+            s""""$k":{"failed":true,"error":"${err.replace("\\", "\\\\")
+              .replace("\"", "\\\"").replace("\n", " ")}"}"""
+          case None => s""""$k":{"wall_sec":$w,"cpu_sec":$c}"""
+        }
       }.mkString(",")
       val driftJson = byteDrift.map { case (k, r) =>
         s""""$k":$r"""

@@ -181,22 +181,63 @@ object BloomGate {
   // same lost-update shape.
   val LeaseStaleMs: Long = 15L * 60 * 1000
 
+  // Lease mechanics (r10 advisor fix): the lock file carries a unique
+  // OWNER TOKEN, and every privileged action re-verifies ownership —
+  //   - release deletes the lock only if the token inside is still ours:
+  //     a writer that overran the stale window and had its lease broken
+  //     must not delete the NEW owner's lock (that unconditional delete
+  //     was exactly the lost-update reopening the lease exists to close);
+  //   - stale BREAK is an atomic rename-then-reacquire, not delete+
+  //     create: two waiters can both pass the age check, but rename of
+  //     the same source path succeeds for exactly one of them, whereas
+  //     the loser's delete() used to remove the winner's FRESH lock and
+  //     let both acquire;
+  //   - a daemon renewer touches the lock's mtime every LeaseStaleMs/3
+  //     while the body runs, so a legitimate long write (a corpus-scale
+  //     save can plausibly exceed 15 min) never looks stale to waiters.
   private def withWriterLease[T](dir: String)(body: => T): T = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) d.mkdirs(): Unit
     val lock = new java.io.File(d, "_writer.lock")
-    def acquire(): Boolean = lock.createNewFile()
-    if (!acquire()) {
+    val token = java.util.UUID.randomUUID().toString
+    def tryAcquire(): Boolean =
+      lock.createNewFile() && {
+        java.nio.file.Files.write(lock.toPath,
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      }
+    def ownedByUs(): Boolean =
+      try lock.exists() && new String(
+        java.nio.file.Files.readAllBytes(lock.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == token
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
       val age = System.currentTimeMillis() - lock.lastModified()
-      if (age > LeaseStaleMs && lock.delete() && acquire()) ()
-      else throw new IllegalStateException(
+      val graveyard = new java.io.File(d, s"_writer.lock.stale.$token")
+      val broke = age > LeaseStaleMs && lock.renameTo(graveyard)
+      if (broke) graveyard.delete(): Unit
+      if (!(broke && tryAcquire())) throw new IllegalStateException(
         s"Bloom artifact $dir is locked by another writer " +
           s"(${lock.getPath}, age ${age}ms): maintenance writes are " +
           "single-writer — concurrent appends would lose filter bits and " +
           "manufacture Bloom false negatives. Remove the stale lock only " +
           "if the owning writer is dead.")
     }
-    try body finally { lock.delete(): Unit }
+    val renewer = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(LeaseStaleMs / 3)
+          if (ownedByUs())
+            lock.setLastModified(System.currentTimeMillis()): Unit
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"bloom-lease-renew-$token")
+    renewer.setDaemon(true)
+    renewer.start()
+    try body finally {
+      renewer.interrupt()
+      if (ownedByUs()) lock.delete(): Unit
+    }
   }
 
   def save(dir: String, corpus: DataFrame, idName: String, keyName: String,

@@ -118,12 +118,25 @@ object IvfIndex {
     // same bound — and it replaces the former single-partition ranking
     // window (the one whitelisted WindowExec "No Partition Defined" spam
     // source in every bench/test log)
-    val seeds = vectors
+    val sampled = vectors
       .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
       .orderBy(col("vec_id"))
       .limit(k)
       .select(col("embedding"), col("n2"))
       .collect()
+    // the stride sample's expected yield is exactly k, but at small n the
+    // variance can take it to ZERO survivors — an empty centroid table
+    // would fail every downstream assignment. Fallback (taken only when
+    // the sample is empty, so established seed sets are unchanged):
+    // deterministic hash-ordered top-k — same TakeOrdered bound, never a
+    // full-table single-partition rank.
+    val seedRows = if (sampled.nonEmpty) sampled
+      else vectors
+        .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+        .limit(k)
+        .select(col("embedding"), col("n2"))
+        .collect()
+    val seeds = seedRows
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0), r.getDouble(1)) }
       .toSeq.toDF("cell", "cvec", "cn2")

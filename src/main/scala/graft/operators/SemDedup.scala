@@ -133,4 +133,138 @@ object SemDedup {
     DedupClusters.keepers(
       pairs(spark, vectors, k, threshold, nProbe)
         .select(col("id_a"), col("id_b")))
+
+  // ---------------------------------------------------------------------
+  // Persisted incremental artifact (r10 verdict task 4): the batch
+  // operator above re-trains k-means per run; the corpus posture
+  // everywhere else is build-once / append / probe. Here the cells AND
+  // the SQ8 grid are FROZEN at build time, new batches are assigned +
+  // encoded entirely map-side against the frozen model, and the ingest
+  // emits batch-vs-(standing ∪ batch) within-cell pairs — the daily
+  // semantic dedup a production pipeline actually runs. Centroid/grid
+  // drift as the corpus grows costs RECALL (retrain cadence), never
+  // correctness: every emitted pair is still exact-cosine verified.
+  //
+  // Artifact layout under `path` (meta written LAST is the
+  // ArtifactPaths.exists commit marker, the PqIndex/IvfIndex contract):
+  //   centroids/ (cell, cvec, cn2)          — k tiny rows, frozen
+  //   grid/      (pos, lo, step)            — frozen SQ8 grid
+  //   assign/    (vec_id, cell, bcode, an2) — soft top-p corpus rows
+  //   meta/      (k, n_probe, dim)
+  // ---------------------------------------------------------------------
+
+  /** Frozen-model assignment + encoding — one map-side pass plus the
+    * ids+codes join; the single implementation [[save]] and
+    * [[appendBatch]] share, so build-time and ingest-time rows cannot
+    * diverge (append == re-assigning the union at the frozen model).
+    */
+  private def assignWithCodes(vectors: DataFrame, cents: DataFrame,
+      grid: Sq8Index.Grid, nProbe: Int): DataFrame =
+    IvfIndex.assignTop(vectors, cents, nProbe)
+      .join(Sq8Index.packCodes(Sq8Index.encode(vectors, grid), grid),
+        "vec_id")
+      .select(col("vec_id"), col("cell"), col("bcode"), col("an2"))
+
+  def save(path: String, vectors: DataFrame, k: Int,
+      nProbe: Int = 3): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = IvfIndex.centroids(spark, vectors, k)
+    val grid = Sq8Index.train(vectors)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    grid.lo.indices.map(i => (i, grid.lo(i), grid.step(i)))
+      .toDF("pos", "lo", "step")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/grid")
+    assignWithCodes(vectors, cents, grid, nProbe)
+      .write.mode("overwrite").parquet(s"$path/assign")
+    Seq((k, nProbe, grid.lo.length)).toDF("k", "n_probe", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  final case class LoadedModel(cents: DataFrame, grid: Sq8Index.Grid,
+      nProbe: Int, assign: DataFrame)
+
+  def load(spark: SparkSession, path: String): LoadedModel = {
+    val gridRows = spark.read.parquet(s"$path/grid").collect()
+      .sortBy(_.getAs[Int]("pos"))
+    val grid = Sq8Index.Grid(gridRows.map(_.getAs[Double]("lo")),
+      gridRows.map(_.getAs[Double]("step")))
+    val nProbe = spark.read.parquet(s"$path/meta").collect()
+      .head.getAs[Int]("n_probe")
+    LoadedModel(spark.read.parquet(s"$path/centroids"), grid, nProbe,
+      spark.read.parquet(s"$path/assign"))
+  }
+
+  /** Daily-ingest step: assign `batch` (vec_id, embedding, n2) against
+    * the FROZEN cells + grid, emit the batch-vs-(standing ∪ batch)
+    * within-cell pairs above `threshold`, and append the batch rows to
+    * the standing assignment — standing-vs-standing pairs are never
+    * re-examined (they were emitted when those rows were the batch).
+    * `floats` must cover every vec_id in standing ∪ batch (the corpus
+    * float table — the topKFrom re-rank-side contract) for the exact
+    * verification re-attach. Pair arithmetic is identical to [[pairs]]:
+    * fused Sq8CodeDot margin pre-filter, broadcast-survivor exact
+    * verify, (id_a, id_b, cos) with id_a < id_b. Caller owns vec_id
+    * uniqueness vs the standing corpus. The pair frame is materialized
+    * (localCheckpoint) BEFORE the append writes, so the lazy standing
+    * scan can never observe the batch rows it is being compared against.
+    */
+  def appendBatch(spark: SparkSession, path: String, batch: DataFrame,
+      floats: DataFrame, threshold: Double): DataFrame = {
+    val m = load(spark, path)
+    val batchAssign = assignWithCodes(batch, m.cents, m.grid, m.nProbe)
+    // pin the pair frame BEFORE the append mutates assign/ underneath
+    // its standing-table scan (lazy evaluation would otherwise see the
+    // batch rows twice on a post-append action)
+    val result = batchPairs(m, batchAssign, floats, threshold)
+      .localCheckpoint()
+    batchAssign.write.mode("append").parquet(s"$path/assign")
+    result
+  }
+
+  /** Read-only twin of [[appendBatch]]: the same batch-vs-standing pair
+    * computation with NO artifact mutation — the registry-query /
+    * re-probe surface (idempotent under bench re-runs; the jaccard
+    * family's matchesAgainstLoaded posture).
+    */
+  def probeBatch(spark: SparkSession, path: String, batch: DataFrame,
+      floats: DataFrame, threshold: Double): DataFrame = {
+    val m = load(spark, path)
+    batchPairs(m, assignWithCodes(batch, m.cents, m.grid, m.nProbe),
+      floats, threshold)
+  }
+
+  private def batchPairs(m: LoadedModel, batchAssign: DataFrame,
+      floats: DataFrame, threshold: Double): DataFrame = {
+    val uni = m.assign.withColumn("is_batch", lit(false))
+      .unionAll(batchAssign.withColumn("is_batch", lit(true)))
+    val aSide = batchAssign.select(col("vec_id").as("id_a"), col("cell"),
+      col("bcode").as("code_a"), col("an2").as("an2_a"))
+    val bSide = uni.select(col("vec_id").as("id_b"),
+      col("cell").as("cell_b"), col("bcode").as("code_b"),
+      col("an2").as("an2_b"), col("is_batch"))
+    // batch × standing: every cross pair once (order normalized below);
+    // batch × batch: id_a < id_b so the self-product dedups
+    val survivors = aSide.join(bSide,
+        col("cell") === col("cell_b") &&
+          ((!col("is_batch") && col("id_a") =!= col("id_b")) ||
+            (col("is_batch") && col("id_a") < col("id_b"))))
+      .withColumn("acos",
+        sq8Dot(col("code_a"), col("code_b"), m.grid.lo, m.grid.step) /
+          (sqrt(col("an2_a")) * sqrt(col("an2_b"))))
+      .filter(col("acos") > threshold - QuantMargin)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val withA = broadcast(survivors)
+      .join(floats.select(col("vec_id").as("id_a"),
+        col("embedding").as("v_a"), col("n2").as("n2_a")), "id_a")
+    broadcast(withA)
+      .join(floats.select(col("vec_id").as("id_b"),
+        col("embedding").as("v_b"), col("n2").as("n2_b")), "id_b")
+      .withColumn("cos",
+        dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
 }

@@ -152,10 +152,20 @@ object Sq8Index {
     * any exchange, so downstream pair scoring evaluates each code array
     * exactly once (one fused [[graft.plans.Sq8CodeDot]] per pair) instead
     * of re-running the dequant transform for every use.
+    *
+    * Codes SATURATE at the grid edge ([0, 255]) before packing: vectors
+    * encoded under a FROZEN grid (incremental appends) can fall outside
+    * the trained [min, max] and the int-code path extrapolates there,
+    * but a byte can't — clamping is exactly the documented grid-drift
+    * posture (accuracy degrades at the range edges, correctness never:
+    * scores stay exact w.r.t. the stored codes and survivors are
+    * exact-rescored from floats).
     */
   def packCodes(codes: DataFrame, grid: Grid): DataFrame =
     codes.select(col("vec_id"),
-        transform(col("code"), c => (c - 128).cast("byte")).as("bcode"))
+        transform(col("code"), c =>
+          (greatest(lit(0), least(lit(255), c)) - 128).cast("byte"))
+          .as("bcode"))
       .withColumn("an2",
         graft.functions.VectorFunctions.sq8Dot(col("bcode"), col("bcode"),
           grid.lo, grid.step))

@@ -186,11 +186,17 @@ object UnigramTrainer {
       .as[(Long, String)]
       .map { case (id, text) =>
         val wordsArr = text.split("\\s+").filter(_.nonEmpty)
-        val segs = wordsArr.map(w =>
-          viterbi(w, bc.value, mpl).map(_.mkString("·")).getOrElse(w))
-        val nPieces = wordsArr.map(w =>
-          viterbi(w, bc.value, mpl).map(_.size).getOrElse(1)).sum
-        (id, wordsArr.length.toLong, nPieces.toLong, segs.mkString(" "))
+        // ONE Viterbi DP per word; both the joined string and the piece
+        // count derive from the same result (this pass dominates the
+        // corpus-wide map cost — running the DP twice doubled it)
+        var nPieces = 0L
+        val segs = wordsArr.map { w =>
+          viterbi(w, bc.value, mpl) match {
+            case Some(ps) => nPieces += ps.size; ps.mkString("·")
+            case None     => nPieces += 1; w
+          }
+        }
+        (id, wordsArr.length.toLong, nPieces, segs.mkString(" "))
       }
       .toDF("doc_id", "n_words", "n_pieces", "seg")
   }

@@ -562,9 +562,35 @@ object VectorQueries extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     })
 
+  // Incremental SemDeDup (r10 verdict task 4): cells + SQ8 grid frozen
+  // at build over the standing corpus (vec_id % 10 ≠ 0), today's batch
+  // (vec_id % 10 = 0) assigned map-side against the frozen model and
+  // probed for batch-vs-standing within-cell pairs — the daily-ingest
+  // semantic dedup. The registry row uses the read-only probe (idempotent
+  // under bench re-runs); the MUTATING append lifecycle is exercised by
+  // IndexMain (build-semdedup / append-semdedup) and SemDedupSpec. No
+  // oracle (k-means cells are engine-defined); spec pins append ==
+  // re-assign-at-frozen-model, planted cross-batch duplicate recovery,
+  // batch-purity, and exact-verified zero false positives.
+  private val qSemDedupIncremental = Q(
+    "q_dedup_semdedup_incremental",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, SemDedup}
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val k = SemDedup.cellsFor(base.count())
+      val path = ArtifactPaths.keyed("semdedup", s"$d/embeddings.parquet",
+        s"k=$k,p=3,corpus=mod10ne0,v=1")
+      if (!ArtifactPaths.exists(path)) SemDedup.save(path, base, k)
+      SemDedup.probeBatch(s, path, e.filter(col("vec_id") % 10 === 0),
+          e, 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qCosineNearDup, qEmbeddingClusters, qEmbeddingLsh, qEmbeddingSemDedup,
-    qBruteTopK, qAnnLsh,
+    qSemDedupIncremental, qBruteTopK, qAnnLsh,
     qIvf, qSq8, qCentroids,
     qHardNegatives, qHardNegativesLsh, qPq, qIvfPq,
     qPqLoaded, qIvfLoaded, qIvfPqLoaded, qSq8Loaded)

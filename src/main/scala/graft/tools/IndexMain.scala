@@ -44,6 +44,12 @@ import graft.operators.{ArtifactPaths, BloomGate, BpeTrainer, IvfIndex, NearDup,
   *     check-bloom exits 1 when observed fpp > maxfpp (default 0.05)
   *     or keys outgrow the build sizing by saturation= (default 2x) —
   *     the rebuild-now signal for a filter that appends have saturated.)
+  *   build-semdedup | append-semdedup | query-semdedup   (the eighth
+  *     kind: incremental SemDeDup — k-means cells + SQ8 grid frozen at
+  *     build; append-semdedup is the daily INGEST: emits the
+  *     batch-vs-standing duplicate pairs and grows the standing
+  *     assignment map-side under the frozen model; query-semdedup is
+  *     the read-only probe. tau= the cosine threshold, default 0.45.)
   *   stats-jaccard   (probe-selectivity report — the rebuild-cadence
   *     signal: one JSON line with candidates/verified/index sizes)
   *   check-jaccard   (the signal's CONSUMER: same report, then exit 1 if
@@ -188,6 +194,11 @@ object IndexMain {
       case "build-bloom" =>
         BloomGate.save(dir, rawDocs("mod10gt1"), "doc_id", "text",
           fpp = dbl("fpp", 0.01))
+      case "build-semdedup" =>
+        import graft.operators.SemDedup
+        val e = vectors("mod10gt1").localCheckpoint()
+        SemDedup.save(dir, e, num("k", SemDedup.cellsFor(e.count())),
+          num("nprobe", 3))
 
       case "append-pq" | "append-ivfpq" =>
         PqIndex.append(spark, dir, vectors("mod10eq1"))
@@ -202,6 +213,14 @@ object IndexMain {
       case "append-bloom" =>
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
         BloomGate.append(spark, dir, rawDocs("mod10eq1"), "doc_id", "text")
+      case "append-semdedup" =>
+        // the INGEST step: emits the batch-vs-standing duplicate pairs
+        // AND grows the standing assignment under the frozen model
+        import graft.operators.SemDedup
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val crossPairs = SemDedup.appendBatch(spark, dir,
+          vectors("mod10eq1"), vectors("all"), dbl("tau", 0.45))
+        println(s"""{"appended_pairs":${crossPairs.count()}}""")
 
       case "query-pq" =>
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
@@ -255,6 +274,14 @@ object IndexMain {
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
         BloomGate.newRowsAgainstLoaded(rawDocs("mod10eq0"), "text", spark, dir)
           .select(col("doc_id")).orderBy(col("doc_id"))
+          .show(100, truncate = false)
+      case "query-semdedup" =>
+        // read-only probe: batch-vs-standing pairs, no artifact mutation
+        import graft.operators.SemDedup
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        SemDedup.probeBatch(spark, dir, vectors("mod10eq0"),
+            vectors("all"), dbl("tau", 0.45))
+          .orderBy(col("id_a"), col("id_b"))
           .show(100, truncate = false)
 
       case "delete-pq" | "delete-ivf" | "delete-ivfpq" | "delete-sq8" |

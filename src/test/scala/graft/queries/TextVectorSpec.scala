@@ -231,6 +231,35 @@ class TextVectorSpec extends SparkSpec {
     exactHeavy.diff(sketch) shouldBe empty
   }
 
+  test("sq8_code_dot equals dot over dequantized byte codes bit-exactly") {
+    import graft.operators.Sq8Index
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.normSq(col("embedding")).as("n2"))
+    val grid = Sq8Index.train(e)
+    val coded = Sq8Index.packCodes(Sq8Index.encode(e, grid), grid)
+    // a bounded pair sample: adjacent ids
+    val pairs = coded.select(col("vec_id").as("ia"), col("bcode").as("ca"),
+        col("an2"))
+      .join(coded.select((col("vec_id") + 1).as("ia"), col("bcode").as("cb")),
+        "ia")
+      .withColumn("fused",
+        VectorFunctions.sq8Dot(col("ca"), col("cb"), grid.lo, grid.step))
+      .withColumn("composed", VectorFunctions.dot(
+        Sq8Index.dequantByte(col("ca"), grid),
+        Sq8Index.dequantByte(col("cb"), grid)))
+      .withColumn("n2composed", VectorFunctions.normSq(
+        Sq8Index.dequantByte(col("ca"), grid)))
+      .collect()
+    pairs.length should be > 10
+    // bit-exact: same per-element float reconstruction, same double fold
+    // (columns: ia, ca, an2, cb, fused, composed, n2composed)
+    pairs.foreach { r =>
+      r.getDouble(4) shouldBe r.getDouble(5)       // fused == composed dot
+      r.getDouble(2) shouldBe r.getDouble(6)       // packCodes an2 == normSq
+    }
+  }
+
   test("float_vec_dot: length mismatch and null elements propagate as NULL") {
     val sp = spark; import sp.implicits._
     val df = Seq(
