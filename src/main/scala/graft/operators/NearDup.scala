@@ -168,12 +168,16 @@ object NearDup {
       meta.getAs[Int]("rowsPerBand"))
   }
 
-  /** Keys of committed keyed appends, in stable order. */
-  private def committedAppendKeys(path: String): Seq[String] = {
+  /** Keys of committed keyed appends, in stable order. `leaf` is the
+    * subtree whose `_SUCCESS` marker commits the append (docs for the
+    * band index, wins for the span index).
+    */
+  private def committedAppendKeys(path: String,
+      leaf: String = "docs"): Seq[String] = {
     val d = new java.io.File(s"$path/appends")
     if (!d.isDirectory) Seq.empty
     else d.listFiles().toSeq
-      .filter(k => new java.io.File(k, "docs/_SUCCESS").isFile)
+      .filter(k => new java.io.File(k, s"$leaf/_SUCCESS").isFile)
       .map(_.getName).sorted
   }
 
@@ -713,5 +717,100 @@ object NearDup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("w")).as("span_tokens"),
         max_by(col("n_shared"), col("w")).as("n_shared"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted span-key index (r10 verdict task 7): the [[tokenSpanPairs]]
+  // window keys as a standing artifact for streaming ingest — build once
+  // over the corpus, probe each micro-batch, append the batch's keys via
+  // the keyed crash-shape (the band-index appendToBandIndexKeyed
+  // pattern). The artifact stores ONLY (doc_id, wh 128-bit window key)
+  // rows — window text never lands on disk or any exchange, exactly the
+  // batch operator's posture.
+  //
+  // Layout under `path`: wins/ (doc_id, wh) base; appends/<key>/wins/
+  // keyed subtrees (committed by their own _SUCCESS); meta/ (spanTokens)
+  // written LAST as the commit marker.
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, wh) window keys under the [[tokenSpanPairs]] hash scheme —
+    * the ONE key derivation build, probe, and append all share, so a
+    * probe can never sign with different windows than the index holds.
+    */
+  private def spanWindowKeys(docs: DataFrame, spanTokens: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(wordShingles(col("text"), spanTokens)).as("w"))
+      .select(col("doc_id"),
+        struct(xxhash64(col("w")).as("h1"),
+          xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+
+  def saveSpanIndex(docs: DataFrame, path: String,
+      spanTokens: Int = DefaultSpanTokens): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Tombstones.clear(path)
+    clearKeyedAppends(path)
+    spanWindowKeys(docs.select(col("doc_id"), col("text")), spanTokens)
+      .write.mode("overwrite").parquet(s"$path/wins")
+    Seq(Tuple1(spanTokens)).toDF("spanTokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load the span index → (wins, spanTokens): base + every COMMITTED
+    * keyed append except `excludeKey` (replay self-exclusion — a
+    * replayed batch whose append committed before a crash must see
+    * exactly the pre-batch corpus), tombstones excluded on doc_id.
+    */
+  def loadSpanIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeKey: Option[String] = None): (DataFrame, Int) = {
+    val spanTokens = spark.read.parquet(s"$path/meta")
+      .collect()(0).getAs[Int]("spanTokens")
+    val keyed = committedAppendKeys(path, leaf = "wins")
+      .filterNot(excludeKey.contains)
+    val wins = spark.read.parquet(
+      (s"$path/wins" +: keyed.map(k => s"$path/appends/$k/wins")): _*)
+    (Tombstones.exclude(wins, spark, path, "doc_id"), spanTokens)
+  }
+
+  /** Batch-vs-index span matches: (doc_id, matched_id, n_shared) — the
+    * batch doc shares `n_shared` distinct duplicated windows with the
+    * index doc. The probe joins 128-bit keys only; the boilerplate cap
+    * applies per probed window on the INDEX-side df (a window held by
+    * more than `maxDf` standing docs is boilerplate — trim-rule
+    * territory, not pairwise dedup), computed over the semi-joined
+    * relevant subset so the count pass touches only windows the batch
+    * actually probes.
+    */
+  def matchAgainstSpanIndex(batch: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxDf: Int = 20, excludeKey: Option[String] = None): DataFrame = {
+    val (idx, spanTokens) = loadSpanIndex(spark, path, excludeKey)
+    val bw = spanWindowKeys(batch.select(col("doc_id"), col("text")),
+      spanTokens)
+    val relevant = idx.join(bw.select(col("wh")).distinct(), "wh")
+    val ok = relevant.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= maxDf).select(col("wh"))
+    bw.join(relevant.join(ok, "wh")
+        .select(col("wh"), col("doc_id").as("matched_id")), "wh")
+      .filter(col("doc_id") =!= col("matched_id"))
+      .groupBy(col("doc_id"), col("matched_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Idempotent keyed append (the appendToBandIndexKeyed crash shape):
+    * the batch's window keys land under `appends/<key>/wins`, committed
+    * by that subtree's own `_SUCCESS`; a replayed batch overwrites its
+    * own subtree byte-identically, a torn append is invisible to load.
+    */
+  def appendToSpanIndexKeyed(batch: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      key: String): Unit = {
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_' ||
+      c == '-' || c == '='), s"append key '$key' must be a filesystem-safe token")
+    val spanTokens = spark.read.parquet(s"$path/meta")
+      .collect()(0).getAs[Int]("spanTokens")
+    spanWindowKeys(batch.select(col("doc_id"), col("text")), spanTokens)
+      .write.mode("overwrite").parquet(s"$path/appends/$key/wins")
   }
 }

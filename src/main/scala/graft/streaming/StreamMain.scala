@@ -8,12 +8,19 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup] [index=<dir>] [maintain=1]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup|spandedup] [index=<dir>] [maintain=1]"
   *
   * op=ann (requires index=) is the standing retrieval service: replay an
   * embeddings fixture as the query stream, probe the persisted PQ
   * artifact per micro-batch (StreamingOps.annTopKSink — built over the
   * same fixture on first run), top-k per query under data/batch=N.
+  *
+  * op=spandedup (requires index=) is the standing token-span dedup
+  * ingest: replay a documents fixture against a persisted span-key index
+  * that starts empty and is maintained by the stream itself — each
+  * batch's duplicated-window matches against EARLIER batches land under
+  * data/batch=N, its window keys append per batch
+  * (StreamingOps.spanDedupSink).
   *
   * op=bloomdedup (requires index=) is the standing exact-dedup ingest:
   * replay a documents fixture against a persisted Bloom artifact that
@@ -64,7 +71,8 @@ object StreamMain {
     val kvArgs = split.collect { case (_, Array(k, v)) => (k, v) }.toMap
     val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index", "maintain")
     val indexWithoutNearDup = kvArgs.contains("index") &&
-      !Set("neardup", "ann", "bloomdedup").contains(kvArgs.getOrElse("op", "window"))
+      !Set("neardup", "ann", "bloomdedup", "spandedup")
+        .contains(kvArgs.getOrElse("op", "window"))
     val maintainWithoutIndex =
       kvArgs.contains("maintain") && !kvArgs.contains("index")
     if (malformed.nonEmpty || badKeys.nonEmpty || dupKeys.nonEmpty ||
@@ -74,9 +82,9 @@ object StreamMain {
         s"bad options ${(malformed ++ badKeys ++ dupKeys).mkString(", ")}" +
         (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
            " (files= and bytes= are mutually exclusive)" else "") +
-        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup)" else "") +
+        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup|spandedup)" else "") +
         (if (maintainWithoutIndex) " (maintain=1 requires index=)" else "") +
-        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup | index=<dir> | maintain=1")
+        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup|spandedup | index=<dir> | maintain=1")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -205,8 +213,23 @@ object StreamMain {
             "doc_id", "key",
             expectedItems = spark.read.parquet(srcDir).count().max(1L))
         keyed(raw)
+      case "spandedup" =>
+        // streaming token-span dedup ingest (StreamingOps.spanDedupSink):
+        // replay a documents fixture against a persisted span-key index
+        // that starts EMPTY — the stream populates it, so each batch's
+        // matches are against strictly earlier batches (window keys at
+        // the registry's spanTokens=15 over the 10–100-token fixture).
+        import graft.operators.{ArtifactPaths, NearDup}
+        val idxPath = kvArgs.getOrElse("index",
+          { System.err.println("op=spandedup requires index=<dir>"); sys.exit(2) })
+        if (!ArtifactPaths.exists(idxPath))
+          NearDup.saveSpanIndex(
+            spark.read.parquet(srcDir).select(col("doc_id"), col("text"))
+              .limit(0),
+            idxPath, spanTokens = 15)
+        raw.select(col("doc_id"), col("text"))
       case other =>
-        System.err.println(s"bad op '$other': use window, neardup, ann or bloomdedup")
+        System.err.println(s"bad op '$other': use window, neardup, ann, bloomdedup or spandedup")
         sys.exit(2)
         null
     }
@@ -232,6 +255,17 @@ object StreamMain {
         out.writeStream
           .foreachBatch(StreamingOps.bloomDedupSink(
             kvArgs("index"), s"$outDir/data", "doc_id", "key", jobKey) _)
+          .option("checkpointLocation", s"$outDir/checkpoint")
+          .start()
+      } else if (op == "spandedup") {
+        // jobKey contract identical to bloomdedup (see spanDedupSink)
+        val jobKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(new java.io.File(s"$outDir/checkpoint").getAbsolutePath
+            .getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        out.writeStream
+          .foreachBatch(StreamingOps.spanDedupSink(
+            kvArgs("index"), s"$outDir/data", jobKey) _)
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       }
@@ -261,6 +295,10 @@ object StreamMain {
       val ingested = spark.read.parquet(srcDir).count()
       println(s"""{"sink_rows":$n,"ingested":$ingested,""" +
         s""""dups_dropped":${ingested - n},"state":"finished"}""")
+    } else if (op == "spandedup") {
+      val pairs = sink.select(col("doc_id"), col("matched_id")).distinct().count()
+      println(s"""{"sink_rows":$n,"cross_batch_pairs":$pairs,""" +
+        s""""state":"finished"}""")
     } else
       println(s"""{"sink_rows":$n,"state":"finished"}""")
     spark.stop()

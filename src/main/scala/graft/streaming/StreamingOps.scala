@@ -227,6 +227,39 @@ object StreamingOps {
       s"$jobKey-$batchId")
   }
 
+  /** Streaming token-span dedup ingest — the Lee et al. 2022 family's
+    * streaming member, next to [[bloomDedupSink]] (exact keys) and
+    * [[nearDupMaintainingSink]] (MinHash bands): each micro-batch's
+    * k-token window keys probe the persisted span-key index
+    * (NearDup.matchAgainstSpanIndex — 128-bit keys on every exchange,
+    * window text never leaves the map side; index-side df cap keeps
+    * boilerplate windows out of pair formation), matches land under
+    * `batch=N` (overwrite = idempotent on replay), and the batch's keys
+    * append via the keyed crash shape (torn appends invisible,
+    * replayed batches overwrite their own subtree).
+    *
+    * Replay exactness: the probe EXCLUDES the batch's own append
+    * subtree, so a replayed batch — even one whose append committed
+    * before the crash — sees exactly the pre-batch corpus and rewrites
+    * identical matches. Cross-batch duplicates surface when a later
+    * batch probes keys an earlier batch appended; intra-batch pairs are
+    * the batch operator's job (NearDup.tokenSpanPairs on the batch).
+    * `jobKey` contract identical to [[bloomDedupSink]] (stable per
+    * checkpointed query, distinct across jobs; no default).
+    */
+  def spanDedupSink(indexPath: String, outDir: String, jobKey: String,
+      maxDf: Int = 20)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.NearDup
+    val spark = batch.sparkSession
+    val b = batch.select(col("doc_id"), col("text"))
+      .localCheckpoint() // feeds the probe join AND the keyed append
+    val key = s"$jobKey-$batchId"
+    NearDup.matchAgainstSpanIndex(b, spark, indexPath, maxDf,
+        excludeKey = Some(key))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    NearDup.appendToSpanIndexKeyed(b, spark, indexPath, key)
+  }
+
   /** Streaming ANN retrieval — the standing query-service shape over a
     * persisted PQ artifact (operators/PqIndex): each micro-batch of
     * query vectors (qid, qv, qn2) runs the ADC scan + exact pool

@@ -11,6 +11,8 @@ case class QVec(qid: Long, qv: Seq[Float], qn2: Double)
 
 case class BDoc(doc_id: Long, key: String, v: String)
 
+case class SDoc(doc_id: Long, text: String)
+
 /** Golden tests for the streaming operators: MemoryStream feeds with
   * controlled event times; watermark/late-data/session/dedup semantics have
   * no DuckDB oracle (SURVEY.md §5.2 #3), so expected outputs are asserted
@@ -569,6 +571,76 @@ class StreamingSpec extends SparkSpec {
     BloomGate.newRowsAgainstLoaded(
       Seq(BDoc(12, "k5", "z2")).toDF(), "key", spark, dir)
       .collect().map(_.getLong(0)).toSet shouldBe Set(12L)
+  }
+
+  test("span dedup sink: cross-batch window match, replay identical, " +
+      "df cap holds, torn append invisible") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.NearDup
+    val dir = tmpDir("graft_spanidx_stream").toString
+    // empty-start artifact at a compact window width for the test corpus
+    NearDup.saveSpanIndex(Seq.empty[SDoc].toDF(), dir, spanTokens = 5)
+    val outDir = tmpDir("graft_span_out").toString
+    val run = (1 to 8).map(i => s"w$i").mkString(" ") // 8-token shared run
+    val noise = (n: Int) => (1 to 8).map(i => s"n$n$i").mkString(" ")
+    val input = MemoryStream[SDoc]
+    val q = input.toDF().writeStream
+      .foreachBatch(spanDedupSink(dir, s"$outDir/data", "job") _)
+      .option("checkpointLocation", s"${tmpDir("graft_span_ckpt")}")
+      .start()
+    // batch 0: doc 1 carries the run, doc 2 is noise — nothing to match
+    // yet (the index starts empty), but both docs' keys append
+    input.addData(SDoc(1, s"alpha beta $run tail one"), SDoc(2, noise(2)))
+    q.processAllAvailable()
+    // batch 1: doc 3 shares the run with (batch-0) doc 1 — the
+    // cross-batch match only a MAINTAINED index can surface
+    input.addData(SDoc(3, s"other lead $run coda"), SDoc(4, noise(4)))
+    q.processAllAvailable()
+    q.stop()
+
+    def matches(batch: Int) = spark.read
+      .parquet(s"$outDir/data/batch=$batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    matches(0) shouldBe empty
+    matches(1) shouldBe Set((3L, 1L))
+    // n_shared counts the distinct shared 5-token windows of an 8-token
+    // run: 8 - 5 + 1 = 4
+    spark.read.parquet(s"$outDir/data/batch=1")
+      .collect().map(_.getLong(2)).toSeq shouldBe Seq(4L)
+
+    // at-least-once replay of batch 1 (append already committed): the
+    // probe excludes the batch's own subtree → identical output, and the
+    // re-append overwrites its own subtree (no double keys)
+    val preCount = NearDup.loadSpanIndex(spark, dir)._1.count()
+    spanDedupSink(dir, s"$outDir/data", "job")(
+      Seq(SDoc(3, s"other lead $run coda"), SDoc(4, noise(4))).toDF(), 1L)
+    matches(1) shouldBe Set((3L, 1L))
+    NearDup.loadSpanIndex(spark, dir)._1.count() shouldBe preCount
+
+    // batch 2: doc 5 shares the run → matches BOTH earlier carriers
+    spanDedupSink(dir, s"$outDir/data", "job")(
+      Seq(SDoc(5, s"x y $run z")).toDF(), 2L)
+    matches(2) shouldBe Set((5L, 1L), (5L, 3L))
+
+    // df cap: the run's windows are now held by 3 standing docs — a
+    // probe with maxDf=2 treats them as boilerplate and forms no pairs
+    NearDup.matchAgainstSpanIndex(
+        Seq(SDoc(9, s"p q $run r")).toDF(), spark, dir, maxDf = 2)
+      .count() shouldBe 0L
+    NearDup.matchAgainstSpanIndex(
+        Seq(SDoc(9, s"p q $run r")).toDF(), spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((9L, 1L), (9L, 3L), (9L, 5L))
+
+    // torn append (keys written, _SUCCESS gone) is invisible to load
+    NearDup.appendToSpanIndexKeyed(
+      Seq(SDoc(6, noise(6))).toDF(), spark, dir, "crash")
+    val marker = new java.io.File(s"$dir/appends/crash/wins/_SUCCESS")
+    assert(marker.isFile && marker.delete())
+    NearDup.loadSpanIndex(spark, dir)._1
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L, 5L)
   }
 
   test("streaming ANN retrieval: per-batch top-k equals the batch probe; deletes apply next batch") {
