@@ -1096,6 +1096,81 @@ object TextQueries extends QueryModule {
                    / CAST(sum(tf) AS DOUBLE), 4) AS nll
            FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Perplexity-bucket mixture resampling — CCNet's curation recipe
+  // (Wenzek et al. 2020, "CCNet: Extracting high quality monolingual
+  // datasets from web crawl data" — public literature): score every doc
+  // with the unigram-LM NLL (the q_lm_score operator), split each
+  // LANGUAGE into equi-depth perplexity terciles (head = cleanest third),
+  // and resample with integer per-bucket copy weights (head×3, middle×2,
+  // tail×1 — the oversample-the-head move). Composition of existing
+  // operators end to end; scale posture: the per-language tercile rank
+  // comes from ONE GlobalIndex range-exchange ordinal on
+  // (lang, nll, doc_id) — per-language rank = ord − min(ord | lang), a
+  // tiny broadcast of per-language offsets — never a
+  // partition-by-language window (one task would own all of 'en' at
+  // corpus scale). Buckets are exact integer arithmetic
+  // ((rank·3) DIV n_lang), the q_agg_equidepth contract, so DuckDB's
+  // window replay agrees row-for-row; copies explode via sequence().
+  private val qSamplePplBuckets = Q(
+    "q_sample_ppl_buckets",
+    (s, d) => {
+      import graft.operators.GlobalIndex
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(graft.operators.LmScore.nll(
+          docs.select(col("doc_id"), tokens(lower(col("text"))).as("toks"))),
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("nll"))
+      val ord = GlobalIndex.withOrdinal(scored, "ord",
+        col("lang"), col("nll"), col("doc_id"))
+      val langStats = ord.groupBy(col("lang"))
+        .agg(min(col("ord")).as("off"), count(lit(1)).as("n_lang"))
+      ord.join(broadcast(langStats), "lang")
+        .withColumn("bucket",
+          expr("CAST(((ord - off) * 3) DIV n_lang AS BIGINT)"))
+        .withColumn("copies",
+          when(col("bucket") === 0, 3L).when(col("bucket") === 1, 2L)
+            .otherwise(1L))
+        .select(col("doc_id"), col("lang"), col("nll"), col("bucket"),
+          col("copies"),
+          explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    },
+    Some("""WITH toks AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+             FROM documents),
+           ts AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+           freq AS (SELECT token, count(*) AS cnt FROM ts GROUP BY token),
+           tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t,
+                          CAST(count(*) AS DOUBLE) AS v FROM freq),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM ts GROUP BY doc_id, token),
+           c AS (
+             SELECT tf.doc_id, tf.token, tf.tf,
+               CAST(tf.tf AS DOUBLE) * ln((CAST(freq.cnt AS DOUBLE) + 1.0) / (tot.t + tot.v)) AS c
+             FROM tf JOIN freq USING (token) CROSS JOIN tot),
+           lm AS (
+             SELECT doc_id,
+               round(-list_reduce(list(c ORDER BY token), (a, b) -> a + b)
+                     / CAST(sum(tf) AS DOUBLE), 4) AS nll
+             FROM c GROUP BY doc_id),
+           scored AS (
+             SELECT d.doc_id, d.lang, lm.nll
+             FROM lm JOIN documents d USING (doc_id)),
+           r AS (
+             SELECT doc_id, lang, nll,
+               row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) - 1 AS r,
+               count(*) OVER (PARTITION BY lang) AS n
+             FROM scored),
+           b AS (SELECT doc_id, lang, nll, (r * 3) // n AS bucket FROM r),
+           cp AS (SELECT doc_id, lang, nll, bucket,
+                    CAST(CASE bucket WHEN 0 THEN 3 WHEN 1 THEN 2
+                         ELSE 1 END AS BIGINT) AS copies
+                  FROM b)
+           SELECT doc_id, lang, nll, bucket, copies,
+             unnest(generate_series(1, copies)) AS copy_idx
+           FROM cp ORDER BY doc_id, copy_idx"""))
+
   // Incremental (batch-vs-corpus) exact dedup — the daily-ingest shape:
   // an incoming batch (doc_id % 10 = 0 stands in for "today's crawl") is
   // deduplicated first within itself (keep min doc_id per digest), then
@@ -1548,7 +1623,7 @@ object TextQueries extends QueryModule {
     qQualityClassifierFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qBpeMergeStep, qBpeTrain, qBpeSegment,
     qUnigramTrain, qUnigramSegment,
-    qPiiScrub, qSeqPack, qBm25, qLmScore,
+    qPiiScrub, qSeqPack, qBm25, qLmScore, qSamplePplBuckets,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupBloomGate,
     qDedupBloomGateLoaded,
     qDedupJaccard,
