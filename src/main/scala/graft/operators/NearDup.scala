@@ -798,6 +798,22 @@ object NearDup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Storage reclaim after deletes (the IndexMain compact-* contract):
+    * rewrite base + committed keyed appends MINUS tombstoned docs into
+    * `dest` as a fresh base (appends fold in); the source stays
+    * untouched and readable throughout, dest commits meta-last.
+    */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String): Unit = {
+    import spark.implicits._
+    val (wins, spanTokens) = loadSpanIndex(spark, src)
+    Tombstones.clear(dest)
+    clearKeyedAppends(dest)
+    wins.write.mode("overwrite").parquet(s"$dest/wins")
+    Seq(Tuple1(spanTokens)).toDF("spanTokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/meta")
+  }
+
   /** Idempotent keyed append (the appendToBandIndexKeyed crash shape):
     * the batch's window keys land under `appends/<key>/wins`, committed
     * by that subtree's own `_SUCCESS`; a replayed batch overwrites its

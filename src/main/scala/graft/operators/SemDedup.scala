@@ -169,6 +169,7 @@ object SemDedup {
       nProbe: Int = 3): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
     val cents = IvfIndex.centroids(spark, vectors, k)
     val grid = Sq8Index.train(vectors)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -191,8 +192,33 @@ object SemDedup {
       gridRows.map(_.getAs[Double]("step")))
     val nProbe = spark.read.parquet(s"$path/meta").collect()
       .head.getAs[Int]("n_probe")
+    // tombstoned ids drop out of the standing assignment at load (the
+    // shared takedown contract, operators/Tombstones): a deleted vector
+    // can never pair with a probe batch again, without a rebuild
     LoadedModel(spark.read.parquet(s"$path/centroids"), grid, nProbe,
-      spark.read.parquet(s"$path/assign"))
+      Tombstones.exclude(spark.read.parquet(s"$path/assign"), spark, path,
+        "vec_id"))
+  }
+
+  /** Storage reclaim after deletes (the IndexMain compact-* contract):
+    * rewrite the artifact WITHOUT tombstoned rows into `dest` under the
+    * SAME frozen centroids + grid — the source stays untouched and
+    * readable throughout; dest commits meta-last, so a crashed
+    * compaction costs nothing.
+    */
+  def compact(spark: SparkSession, src: String, dest: String): Unit = {
+    import spark.implicits._
+    val m = load(spark, src) // assign already tombstone-excluded
+    val meta = spark.read.parquet(s"$src/meta").collect().head
+    Tombstones.clear(dest)
+    m.cents.coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
+    m.grid.lo.indices.map(i => (i, m.grid.lo(i), m.grid.step(i)))
+      .toDF("pos", "lo", "step")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/grid")
+    m.assign.write.mode("overwrite").parquet(s"$dest/assign")
+    Seq((meta.getAs[Int]("k"), m.nProbe, m.grid.lo.length))
+      .toDF("k", "n_probe", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/meta")
   }
 
   /** Daily-ingest step: assign `batch` (vec_id, embedding, n2) against

@@ -44,12 +44,22 @@ import graft.operators.{ArtifactPaths, BloomGate, BpeTrainer, IvfIndex, NearDup,
   *     check-bloom exits 1 when observed fpp > maxfpp (default 0.05)
   *     or keys outgrow the build sizing by saturation= (default 2x) —
   *     the rebuild-now signal for a filter that appends have saturated.)
-  *   build-semdedup | append-semdedup | query-semdedup   (the eighth
-  *     kind: incremental SemDeDup — k-means cells + SQ8 grid frozen at
+  *   build-semdedup | append-semdedup | query-semdedup |
+  *     delete-semdedup | compact-semdedup   (the eighth kind:
+  *     incremental SemDeDup — k-means cells + SQ8 grid frozen at
   *     build; append-semdedup is the daily INGEST: emits the
   *     batch-vs-standing duplicate pairs and grows the standing
   *     assignment map-side under the frozen model; query-semdedup is
-  *     the read-only probe. tau= the cosine threshold, default 0.45.)
+  *     the read-only probe; deletes tombstone the standing assignment,
+  *     compact rewrites it under the frozen model. tau= the cosine
+  *     threshold, default 0.45.)
+  *   build-span | append-span | query-span | delete-span |
+  *     compact-span   (the ninth kind: token-span window-key index —
+  *     the streaming spanDedupSink's artifact, batch-driveable here:
+  *     build persists window keys at spantokens= (default 15), append
+  *     adds the day-1 slice under key= (default cli-day1, the keyed
+  *     crash shape), query probes the held-out batch at maxdf=
+  *     (default 20), compact folds appends and drops tombstones.)
   *   stats-jaccard   (probe-selectivity report — the rebuild-cadence
   *     signal: one JSON line with candidates/verified/index sizes)
   *   check-jaccard   (the signal's CONSUMER: same report, then exit 1 if
@@ -117,7 +127,7 @@ object IndexMain {
       fail(s"duplicate option key in '${rest.mkString(" ")}'")
     val known = Set("split", "m", "k", "dim", "cells", "tau", "topk",
       "pool", "nprobe", "ids", "maxratio", "maxcand", "dest", "fpp",
-      "maxfpp", "saturation")
+      "maxfpp", "saturation", "spantokens", "maxdf", "key")
     keys.filterNot(known).foreach(k => fail(s"unknown option '$k'"))
     val kv = split0.map(a => (a(0), a(1))).toMap
     def num(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
@@ -199,6 +209,9 @@ object IndexMain {
         val e = vectors("mod10gt1").localCheckpoint()
         SemDedup.save(dir, e, num("k", SemDedup.cellsFor(e.count())),
           num("nprobe", 3))
+      case "build-span" =>
+        NearDup.saveSpanIndex(rawDocs("mod10gt1"), dir,
+          num("spantokens", 15))
 
       case "append-pq" | "append-ivfpq" =>
         PqIndex.append(spark, dir, vectors("mod10eq1"))
@@ -213,6 +226,10 @@ object IndexMain {
       case "append-bloom" =>
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
         BloomGate.append(spark, dir, rawDocs("mod10eq1"), "doc_id", "text")
+      case "append-span" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        NearDup.appendToSpanIndexKeyed(rawDocs("mod10eq1"), spark, dir,
+          kv.getOrElse("key", "cli-day1"))
       case "append-semdedup" =>
         // the INGEST step: emits the batch-vs-standing duplicate pairs
         // AND grows the standing assignment under the frozen model
@@ -275,6 +292,12 @@ object IndexMain {
         BloomGate.newRowsAgainstLoaded(rawDocs("mod10eq0"), "text", spark, dir)
           .select(col("doc_id")).orderBy(col("doc_id"))
           .show(100, truncate = false)
+      case "query-span" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        NearDup.matchAgainstSpanIndex(rawDocs("mod10eq0"), spark, dir,
+            num("maxdf", 20))
+          .orderBy(col("doc_id"), col("matched_id"))
+          .show(100, truncate = false)
       case "query-semdedup" =>
         // read-only probe: batch-vs-standing pairs, no artifact mutation
         import graft.operators.SemDedup
@@ -285,8 +308,9 @@ object IndexMain {
           .show(100, truncate = false)
 
       case "delete-pq" | "delete-ivf" | "delete-ivfpq" | "delete-sq8" |
-          "delete-jaccard" | "delete-band" | "delete-bloom" =>
-        // takedown path — one handler for all six kinds: tombstones are
+          "delete-jaccard" | "delete-band" | "delete-bloom" |
+          "delete-semdedup" | "delete-span" =>
+        // takedown path — one handler for all kinds: tombstones are
         // kind-agnostic (an id set the probe-time anti-join consults)
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
         val idList = kv.getOrElse("ids",
@@ -299,7 +323,8 @@ object IndexMain {
           s""""tombstones_total":${Tombstones.count(spark, dir)}}""")
 
       case "compact-pq" | "compact-ivf" | "compact-ivfpq" | "compact-sq8" |
-          "compact-jaccard" | "compact-band" | "compact-bloom" =>
+          "compact-jaccard" | "compact-band" | "compact-bloom" |
+          "compact-semdedup" | "compact-span" =>
         // load already excludes tombstones, so compact = load + save to
         // a fresh dest; the save clears dest's (nonexistent) tombstones
         // and commits meta-last — crash-safe without touching the source
@@ -337,6 +362,10 @@ object IndexMain {
             // deletes); also resets append saturation to a fresh sizing
             val idx = BloomGate.load(spark, dir)
             BloomGate.save(dest, idx.keys, "id", "key", fpp = idx.fpp)
+          case "compact-semdedup" =>
+            graft.operators.SemDedup.compact(spark, dir, dest)
+          case "compact-span" =>
+            NearDup.compactSpanIndex(spark, dir, dest)
         }
         println(s"""{"compacted":"$dest","tombstones_dropped":""" +
           s"""${Tombstones.count(spark, dir)}}""")

@@ -107,6 +107,34 @@ class SemDedupSpec extends SparkSpec {
     d2pairs.foreach { case (a, b) => assert(a >= 200 || b >= 200) }
   }
 
+  test("tombstone delete suppresses a standing vector's pairs; " +
+      "compaction rewrites without tombstones under the frozen model") {
+    val sp = spark; import sp.implicits._
+    val dir = freshArtifact()
+    val pre = SemDedup.probeBatch(spark, dir, day1, base.unionAll(day1), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pre should contain((6L, 101L))
+    pre should contain((13L, 103L))
+    // takedown of base id 6: O(removed) tombstone row, no rebuild —
+    // its pair disappears from the next probe, others unaffected
+    Tombstones.deleteIds(dir, Seq(6L).toDF("id"))
+    val post = SemDedup.probeBatch(spark, dir, day1,
+        base.unionAll(day1), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    post should not contain ((6L, 101L))
+    post should contain((13L, 103L))
+    // compaction: dest drops the tombstoned row physically, keeps the
+    // frozen centroids/grid, and probes identically
+    val dest = tmpDir("semdedup_compact").toString + "/idx"
+    SemDedup.compact(spark, dir, dest)
+    ArtifactPaths.exists(dest) shouldBe true
+    Tombstones.count(spark, dest) shouldBe 0L
+    SemDedup.load(spark, dest).assign
+      .filter(col("vec_id") === 6).count() shouldBe 0L
+    SemDedup.probeBatch(spark, dest, day1, base.unionAll(day1), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe post
+  }
+
   test("probeBatch is read-only and equals the pairs an append would emit") {
     val dir = freshArtifact()
     val before = SemDedup.load(spark, dir).assign.count()

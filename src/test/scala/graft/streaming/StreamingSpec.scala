@@ -641,6 +641,26 @@ class StreamingSpec extends SparkSpec {
     NearDup.loadSpanIndex(spark, dir)._1
       .select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+
+    // takedown: tombstoning doc 1 removes it from every later probe
+    graft.operators.Tombstones.deleteIds(dir, Seq(1L).toDF("id"))
+    NearDup.matchAgainstSpanIndex(
+        Seq(SDoc(9, s"p q $run r")).toDF(), spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((9L, 3L), (9L, 5L))
+    // compaction folds the keyed appends into a fresh base, drops the
+    // tombstoned doc physically, and probes identically
+    val dest = tmpDir("graft_spanidx_compact").toString + "/idx"
+    NearDup.compactSpanIndex(spark, dir, dest)
+    graft.operators.ArtifactPaths.exists(dest) shouldBe true
+    new java.io.File(s"$dest/appends").isDirectory shouldBe false
+    NearDup.loadSpanIndex(spark, dest)._1
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet shouldBe Set(2L, 3L, 4L, 5L)
+    NearDup.matchAgainstSpanIndex(
+        Seq(SDoc(9, s"p q $run r")).toDF(), spark, dest)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((9L, 3L), (9L, 5L))
   }
 
   test("streaming ANN retrieval: per-batch top-k equals the batch probe; deletes apply next batch") {
