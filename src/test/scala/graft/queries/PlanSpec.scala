@@ -206,6 +206,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quantized pre-filter paths stay float-shuffle-free with " +
+      "auto-broadcast DISABLED (the corpus-scale plan, r11)") {
+    // at fixture scale the planner's auto-broadcast would hide an
+    // unpinned corpus join; disabling it forces the plan a 10⁹-vector
+    // corpus would get — every broadcast left is an explicit,
+    // size-bounded pin, and candidates must flow ids+codes only
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("q_sim_topk_ann_lsh", "q_hard_negatives_lsh", "q_sim_topk_ivf",
+          "q_dedup_embedding_semdedup", "q_dedup_embedding_lsh",
+          "q_dedup_semdedup_incremental").foreach { q =>
+        withClue(q) {
+          assertNoVectorAcrossShuffles(
+            graft.SparkEntry.queries(q)(spark, sfDir))
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("PQ ANN: no float-vector payload crosses any shuffle; rank is two-stage") {
     val df = graft.SparkEntry.queries("q_sim_topk_pq")(spark, sfDir)
     assertNoVectorAcrossShuffles(df)
