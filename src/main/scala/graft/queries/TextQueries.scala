@@ -1171,6 +1171,104 @@ object TextQueries extends QueryModule {
              unnest(generate_series(1, copies)) AS copy_idx
            FROM cp ORDER BY doc_id, copy_idx"""))
 
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  // public literature): select raw-corpus documents that look like a
+  // TARGET distribution using hashed n-gram importance weights. Features
+  // are word unigrams + bigrams hashed into B=1024 buckets (the
+  // md5-prefix integer both engines can compute — the q_fingerprint
+  // device); the target here is the fixture's English slice
+  // (lang = 'en'). Per document, log w = Σ_features ln p̂(b) − ln q̂(b)
+  // with add-1 smoothing over target/raw bucket counts; the top quarter
+  // by weight is selected. DSIR proper samples with Gumbel noise —
+  // deterministic top-k is the reproducible variant (zero RNG state, the
+  // sampling-family rule here).
+  //
+  // Scale posture: the bucket tables are B rows (broadcast); per-doc
+  // weights are one groupBy over the exploded features with the
+  // contributions folded in (bucket)-sorted order — contributions are a
+  // pure function of the bucket, so the sorted fold is bit-stable and
+  // DuckDB's list_reduce replays it exactly (the q_lm_score device);
+  // the global rank is a GlobalIndex range-exchange ordinal, never a
+  // single-partition window.
+  private val qSampleDsir = Q(
+    "q_sample_dsir",
+    (s, d) => {
+      import graft.operators.GlobalIndex
+      val B = 1024
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        tokens(lower(col("text"))).as("t"))
+      val nm1 = greatest(size(col("t")) - 1, lit(0))
+      val feats = toks.select(col("doc_id"), col("lang"),
+          explode(concat(col("t"),
+            zip_with(slice(col("t"), lit(1), nm1), slice(col("t"), lit(2), nm1),
+              (a, b) => concat_ws(" ", a, b)))).as("f"))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
+            lit(B.toLong)))
+      val tgtC = feats.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val rawC = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tot = feats.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double").as("tt"),
+        count(lit(1)).cast("double").as("tr"))
+      val contrib = feats
+        .join(broadcast(tgtC), Seq("b"), "left")
+        .join(broadcast(rawC), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("c",
+          log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + B)) -
+            log((col("cr") + lit(1.0)) / (col("tr") + B)))
+      val byDoc = contrib.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          round(aggregate(
+            array_sort(collect_list(struct(col("b"), col("c")))),
+            lit(0.0), (acc, x) => acc + x.getField("c")), 4).as("logw"))
+      val n = docs.count()
+      GlobalIndex.withOrdinal(byDoc, "rank", negate(col("logw")), col("doc_id"))
+        .withColumn("selected", col("rank") <= lit(n / 4))
+        .select(col("doc_id"), col("n_feats"), col("logw"), col("rank"),
+          col("selected"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+             SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+             FROM documents),
+           uni AS (SELECT doc_id, lang, unnest(toks) AS f FROM t),
+           bi AS (SELECT doc_id, lang,
+                    unnest([toks[i] || ' ' || toks[i+1]
+                            FOR i IN range(1, len(toks))]) AS f
+                  FROM t WHERE len(toks) >= 2),
+           feats AS (
+             SELECT doc_id, lang, f,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+                 string_split(substr(md5(f), 1, 8), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                 (a, x) -> a * 16 + x) % 1024 AS b
+             FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+           tc AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+           rc AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+           tot AS (SELECT CAST((SELECT count(*) FROM feats WHERE lang = 'en') AS DOUBLE) AS tt,
+                          CAST((SELECT count(*) FROM feats) AS DOUBLE) AS tr),
+           ctb AS (
+             SELECT f.doc_id, f.b,
+               ln((COALESCE(tc.ct, 0) + 1.0) / (tot.tt + 1024)) -
+                 ln((rc.cr + 1.0) / (tot.tr + 1024)) AS c
+             FROM feats f LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot),
+           w AS (
+             SELECT doc_id, count(*) AS n_feats,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(c ORDER BY b, c)), (a, x) -> a + x), 4) AS logw
+             FROM ctb GROUP BY doc_id),
+           r AS (
+             SELECT doc_id, n_feats, logw,
+               row_number() OVER (ORDER BY logw DESC, doc_id) AS rank,
+               (SELECT count(*) FROM documents) AS n
+             FROM w)
+           SELECT doc_id, n_feats, logw, rank, rank <= n // 4 AS selected
+           FROM r ORDER BY doc_id"""))
+
   // Incremental (batch-vs-corpus) exact dedup — the daily-ingest shape:
   // an incoming batch (doc_id % 10 = 0 stands in for "today's crawl") is
   // deduplicated first within itself (keep min doc_id per digest), then
@@ -1623,7 +1721,7 @@ object TextQueries extends QueryModule {
     qQualityClassifierFilter, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qBpeMergeStep, qBpeTrain, qBpeSegment,
     qUnigramTrain, qUnigramSegment,
-    qPiiScrub, qSeqPack, qBm25, qLmScore, qSamplePplBuckets,
+    qPiiScrub, qSeqPack, qBm25, qLmScore, qSamplePplBuckets, qSampleDsir,
     qDedupExact, qDedupExactSurvivors, qDedupIncremental, qDedupBloomGate,
     qDedupBloomGateLoaded,
     qDedupJaccard,
