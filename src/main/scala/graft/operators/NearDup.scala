@@ -826,7 +826,26 @@ object NearDup {
       c == '-' || c == '='), s"append key '$key' must be a filesystem-safe token")
     val spanTokens = spark.read.parquet(s"$path/meta")
       .collect()(0).getAs[Int]("spanTokens")
-    spanWindowKeys(batch.select(col("doc_id"), col("text")), spanTokens)
-      .write.mode("overwrite").parquet(s"$path/appends/$key/wins")
+    val wins = spanWindowKeys(batch.select(col("doc_id"), col("text")),
+      spanTokens).localCheckpoint() // feeds the guard compare AND the write
+    // Overwrite guard (the BloomGate.appendKeyed rule): a replayed
+    // micro-batch legitimately rewrites its own subtree with the SAME
+    // rows, but a committed subtree holding DIFFERENT rows means two
+    // jobs collided on one append key — overwriting would silently drop
+    // the earlier job's docs from the index, so their future span
+    // duplicates would be admitted forever. Refuse loudly instead.
+    val subtree = s"$path/appends/$key/wins"
+    if (new java.io.File(s"$subtree/_SUCCESS").isFile) {
+      val existing = spark.read.parquet(subtree)
+      val differs = existing.exceptAll(wins).head(1).nonEmpty ||
+        wins.exceptAll(existing).head(1).nonEmpty
+      if (differs) throw new IllegalStateException(
+        s"appendToSpanIndexKeyed: committed append subtree '$key' under " +
+          s"$path holds different window keys than the incoming batch — " +
+          "two jobs are colliding on one append key (distinct jobKey per " +
+          "job, stable across restarts of the same checkpointed query). " +
+          "Overwriting would drop the earlier job's docs from the index.")
+    }
+    wins.write.mode("overwrite").parquet(subtree)
   }
 }

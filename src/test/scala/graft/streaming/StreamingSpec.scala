@@ -642,6 +642,16 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L, 5L)
 
+    // jobKey collision guard (the BloomGate.appendKeyed rule): replaying
+    // the SAME batch under an existing key is idempotent, but a
+    // DIFFERENT batch under a committed key refuses loudly instead of
+    // silently dropping the earlier job's docs from the index
+    NearDup.appendToSpanIndexKeyed(
+      Seq(SDoc(5, s"x y $run z")).toDF(), spark, dir, "job-2") // replay: ok
+    an[IllegalStateException] should be thrownBy
+      NearDup.appendToSpanIndexKeyed(
+        Seq(SDoc(77, noise(7))).toDF(), spark, dir, "job-2")
+
     // takedown: tombstoning doc 1 removes it from every later probe
     graft.operators.Tombstones.deleteIds(dir, Seq(1L).toDF("id"))
     NearDup.matchAgainstSpanIndex(
