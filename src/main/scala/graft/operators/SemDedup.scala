@@ -166,38 +166,98 @@ object SemDedup {
       .select(col("vec_id"), col("cell"), col("bcode"), col("an2"))
 
   def save(path: String, vectors: DataFrame, k: Int,
-      nProbe: Int = 3): Unit = {
-    val spark = vectors.sparkSession
+      nProbe: Int = 3): Unit =
+    saveWith(path, vectors, vectors, k, nProbe)
+
+  /** Model-only build: train cells + grid on `trainVectors` but start
+    * with an EMPTY standing assignment — the empty-start posture of the
+    * streaming sinks (BloomGate's `save(limit(0))` pattern): the stream
+    * itself populates the standing side via keyed appends, while the
+    * model statistics come from a representative corpus sample.
+    */
+  def saveModel(path: String, trainVectors: DataFrame, k: Int,
+      nProbe: Int = 3): Unit =
+    saveWith(path, trainVectors, trainVectors.limit(0), k, nProbe)
+
+  private def saveWith(path: String, trainVectors: DataFrame,
+      indexVectors: DataFrame, k: Int, nProbe: Int): Unit = {
+    val spark = trainVectors.sparkSession
     import spark.implicits._
     Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
-    val cents = IvfIndex.centroids(spark, vectors, k)
-    val grid = Sq8Index.train(vectors)
+    clearKeyedAppends(path) // ...and folds keyed appends into the base
+    val cents = IvfIndex.centroids(spark, trainVectors, k)
+    val grid = Sq8Index.train(trainVectors)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     grid.lo.indices.map(i => (i, grid.lo(i), grid.step(i)))
       .toDF("pos", "lo", "step")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/grid")
-    assignWithCodes(vectors, cents, grid, nProbe)
+    assignWithCodes(indexVectors, cents, grid, nProbe)
       .write.mode("overwrite").parquet(s"$path/assign")
     Seq((k, nProbe, grid.lo.length)).toDF("k", "n_probe", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Keys of committed keyed appends (the NearDup/BloomGate shape): an
+    * append is committed by its `assign/_SUCCESS`; floats are written
+    * BEFORE assign, so a committed append always has its float side.
+    */
+  private def committedAppendKeys(path: String): Seq[String] = {
+    val d = new java.io.File(s"$path/appends")
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(k => new java.io.File(k, "assign/_SUCCESS").isFile)
+      .map(_.getName).sorted
+  }
+
+  private def clearKeyedAppends(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.exists()) f.delete(): Unit
+    }
+    rm(new java.io.File(s"$path/appends"))
+  }
+
   final case class LoadedModel(cents: DataFrame, grid: Sq8Index.Grid,
       nProbe: Int, assign: DataFrame)
 
-  def load(spark: SparkSession, path: String): LoadedModel = {
+  def load(spark: SparkSession, path: String,
+      excludeAppend: Option[String] = None): LoadedModel = {
     val gridRows = spark.read.parquet(s"$path/grid").collect()
       .sortBy(_.getAs[Int]("pos"))
     val grid = Sq8Index.Grid(gridRows.map(_.getAs[Double]("lo")),
       gridRows.map(_.getAs[Double]("step")))
     val nProbe = spark.read.parquet(s"$path/meta").collect()
       .head.getAs[Int]("n_probe")
-    // tombstoned ids drop out of the standing assignment at load (the
-    // shared takedown contract, operators/Tombstones): a deleted vector
-    // can never pair with a probe batch again, without a rebuild
+    // the standing scan = base assign + every COMMITTED keyed append
+    // except `excludeAppend` (streaming replay self-exclusion); then
+    // tombstoned ids drop out (the shared takedown contract,
+    // operators/Tombstones): a deleted vector can never pair with a
+    // probe batch again, without a rebuild
+    val keyed = committedAppendKeys(path).filterNot(excludeAppend.contains)
+    val assign = spark.read.parquet(
+      (s"$path/assign" +: keyed.map(k => s"$path/appends/$k/assign")): _*)
     LoadedModel(spark.read.parquet(s"$path/centroids"), grid, nProbe,
-      Tombstones.exclude(spark.read.parquet(s"$path/assign"), spark, path,
-        "vec_id"))
+      Tombstones.exclude(assign, spark, path, "vec_id"))
+  }
+
+  /** Float vectors persisted by STREAMED keyed appends (plus a `floats/`
+    * base written by [[compact]]) — the exact-verify re-attach side for
+    * vectors whose floats arrived on the stream rather than in a caller
+    * table. None when the artifact has no stored floats (pure batch-mode
+    * artifacts, where the caller owns the float table).
+    */
+  def storedFloats(spark: SparkSession, path: String,
+      excludeAppend: Option[String] = None): Option[DataFrame] = {
+    val base =
+      if (new java.io.File(s"$path/floats").isDirectory) Seq(s"$path/floats")
+      else Seq.empty
+    val keyed = committedAppendKeys(path).filterNot(excludeAppend.contains)
+      .filter(k => new java.io.File(s"$path/appends/$k/floats").isDirectory)
+      .map(k => s"$path/appends/$k/floats")
+    val dirs = base ++ keyed
+    if (dirs.isEmpty) None
+    else Some(Tombstones.exclude(spark.read.parquet(dirs: _*), spark, path,
+      "vec_id"))
   }
 
   /** Storage reclaim after deletes (the IndexMain compact-* contract):
@@ -208,14 +268,21 @@ object SemDedup {
     */
   def compact(spark: SparkSession, src: String, dest: String): Unit = {
     import spark.implicits._
-    val m = load(spark, src) // assign already tombstone-excluded
+    // load folds committed keyed appends into the standing view and
+    // excludes tombstones, so dest's BASE holds everything live
+    val m = load(spark, src)
     val meta = spark.read.parquet(s"$src/meta").collect().head
     Tombstones.clear(dest)
+    clearKeyedAppends(dest)
     m.cents.coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
     m.grid.lo.indices.map(i => (i, m.grid.lo(i), m.grid.step(i)))
       .toDF("pos", "lo", "step")
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/grid")
     m.assign.write.mode("overwrite").parquet(s"$dest/assign")
+    // streamed float subtrees fold into dest's floats/ base — later
+    // batches must still be able to exact-verify against them
+    storedFloats(spark, src).foreach(
+      _.write.mode("overwrite").parquet(s"$dest/floats"))
     Seq((meta.getAs[Int]("k"), m.nProbe, m.grid.lo.length))
       .toDF("k", "n_probe", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/meta")
@@ -245,6 +312,54 @@ object SemDedup {
     val result = batchPairs(m, batchAssign, floats, threshold)
       .localCheckpoint()
     batchAssign.write.mode("append").parquet(s"$path/assign")
+    result
+  }
+
+  /** Streaming twin of [[appendBatch]] — the KEYED idempotent ingest
+    * step (the BloomGate.appendKeyed / span-index crash shape): the
+    * probe excludes the batch's OWN append subtree (a replayed batch
+    * sees exactly the pre-batch corpus and re-emits identical pairs),
+    * the batch's floats land under `appends/<key>/floats` BEFORE its
+    * assignment (whose `_SUCCESS` is the commit marker — a committed
+    * append always has its float side), and a committed subtree holding
+    * a DIFFERENT batch refuses loudly (jobKey collision — overwriting
+    * would drop the earlier job's vectors from the standing side).
+    * Exact verification re-attaches floats from
+    * `baseFloats ∪ storedFloats ∪ batch` — streamed vectors' floats come
+    * from the artifact, so later batches can pair against them. One
+    * artifact, one ingest discipline: don't mix plain [[appendBatch]]
+    * (caller-owned floats) with keyed streaming appends on one path.
+    */
+  def appendBatchKeyed(spark: SparkSession, path: String, batch: DataFrame,
+      baseFloats: DataFrame, threshold: Double, key: String): DataFrame = {
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_' ||
+      c == '-' || c == '='), s"append key '$key' must be a filesystem-safe token")
+    val m = load(spark, path, excludeAppend = Some(key))
+    val batchAssign = assignWithCodes(batch, m.cents, m.grid, m.nProbe)
+      .localCheckpoint() // feeds the guard compare, the probe, AND the write
+    val subtree = s"$path/appends/$key/assign"
+    if (new java.io.File(s"$subtree/_SUCCESS").isFile) {
+      val existing = spark.read.parquet(subtree)
+      val differs = existing.exceptAll(batchAssign).head(1).nonEmpty ||
+        batchAssign.exceptAll(existing).head(1).nonEmpty
+      if (differs) throw new IllegalStateException(
+        s"appendBatchKeyed: committed append subtree '$key' under $path " +
+          "holds a different batch — two jobs are colliding on one append " +
+          "key (distinct jobKey per job, stable across restarts of the " +
+          "same checkpointed query). Overwriting would drop the earlier " +
+          "job's vectors from the standing side.")
+    }
+    val bFloats = batch.select(col("vec_id"), col("embedding"), col("n2"))
+    val floats = storedFloats(spark, path, excludeAppend = Some(key))
+      .map(sf => baseFloats.select(col("vec_id"), col("embedding"),
+        col("n2")).unionAll(sf))
+      .getOrElse(baseFloats.select(col("vec_id"), col("embedding"),
+        col("n2")))
+      .unionAll(bFloats)
+    val result = batchPairs(m, batchAssign, floats, threshold)
+      .localCheckpoint()
+    bFloats.write.mode("overwrite").parquet(s"$path/appends/$key/floats")
+    batchAssign.write.mode("overwrite").parquet(subtree)
     result
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup|spandedup] [index=<dir>] [maintain=1]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup|spandedup|semdedup] [index=<dir>] [maintain=1]"
   *
   * op=ann (requires index=) is the standing retrieval service: replay an
   * embeddings fixture as the query stream, probe the persisted PQ
@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * batch's duplicated-window matches against EARLIER batches land under
   * data/batch=N, its window keys append per batch
   * (StreamingOps.spanDedupSink).
+  *
+  * op=semdedup (requires index=) is the standing SEMANTIC dedup ingest:
+  * replay an embeddings fixture against a persisted SemDeDup artifact
+  * whose cells + SQ8 grid are trained on the fixture but whose standing
+  * assignment starts EMPTY (SemDedup.saveModel) — each batch's
+  * exact-verified duplicate pairs vs earlier batches land under
+  * data/batch=N, its assignment + floats append per batch
+  * (StreamingOps.semDedupSink).
   *
   * op=bloomdedup (requires index=) is the standing exact-dedup ingest:
   * replay a documents fixture against a persisted Bloom artifact that
@@ -71,7 +79,7 @@ object StreamMain {
     val kvArgs = split.collect { case (_, Array(k, v)) => (k, v) }.toMap
     val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index", "maintain")
     val indexWithoutNearDup = kvArgs.contains("index") &&
-      !Set("neardup", "ann", "bloomdedup", "spandedup")
+      !Set("neardup", "ann", "bloomdedup", "spandedup", "semdedup")
         .contains(kvArgs.getOrElse("op", "window"))
     val maintainWithoutIndex =
       kvArgs.contains("maintain") && !kvArgs.contains("index")
@@ -82,9 +90,9 @@ object StreamMain {
         s"bad options ${(malformed ++ badKeys ++ dupKeys).mkString(", ")}" +
         (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
            " (files= and bytes= are mutually exclusive)" else "") +
-        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup|spandedup)" else "") +
+        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup|spandedup|semdedup)" else "") +
         (if (maintainWithoutIndex) " (maintain=1 requires index=)" else "") +
-        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup|spandedup | index=<dir> | maintain=1")
+        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup|spandedup|semdedup | index=<dir> | maintain=1")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -228,8 +236,27 @@ object StreamMain {
               .limit(0),
             idxPath, spanTokens = 15)
         raw.select(col("doc_id"), col("text"))
+      case "semdedup" =>
+        // streaming semantic-dedup ingest (StreamingOps.semDedupSink):
+        // cells + grid train on the fixture the stream will replay (model
+        // statistics, not membership — the bloomdedup sizing posture);
+        // the standing assignment starts EMPTY and the stream populates
+        // it, so each batch's pairs are against strictly earlier batches.
+        import graft.functions.VectorFunctions.normSq
+        import graft.operators.{ArtifactPaths, SemDedup}
+        val idxPath = kvArgs.getOrElse("index",
+          { System.err.println("op=semdedup requires index=<dir>"); sys.exit(2) })
+        if (!ArtifactPaths.exists(idxPath)) {
+          val e = spark.read.parquet(srcDir)
+            .select(col("vec_id"), col("embedding"),
+              normSq(col("embedding")).as("n2"))
+            .localCheckpoint()
+          SemDedup.saveModel(idxPath, e, SemDedup.cellsFor(e.count()))
+        }
+        raw.select(col("vec_id"), col("embedding"),
+          normSq(col("embedding")).as("n2"))
       case other =>
-        System.err.println(s"bad op '$other': use window, neardup, ann, bloomdedup or spandedup")
+        System.err.println(s"bad op '$other': use window, neardup, ann, bloomdedup, spandedup or semdedup")
         sys.exit(2)
         null
     }
@@ -257,15 +284,29 @@ object StreamMain {
             kvArgs("index"), s"$outDir/data", "doc_id", "key", jobKey) _)
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
-      } else if (op == "spandedup") {
-        // jobKey contract identical to bloomdedup (see spanDedupSink)
+      } else if (op == "spandedup" || op == "semdedup") {
+        // jobKey contract identical to bloomdedup (see the sinks)
         val jobKey = java.security.MessageDigest.getInstance("MD5")
           .digest(new java.io.File(s"$outDir/checkpoint").getAbsolutePath
             .getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
+        val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          if (op == "spandedup")
+            StreamingOps.spanDedupSink(kvArgs("index"), s"$outDir/data",
+              jobKey) _
+          else {
+            // empty-start artifact → no build-corpus floats; streamed
+            // floats persist in the artifact (semDedupSink scaladoc)
+            import graft.functions.VectorFunctions.normSq
+            val emptyFloats = spark.read.parquet(srcDir)
+              .select(col("vec_id"), col("embedding"),
+                normSq(col("embedding")).as("n2"))
+              .limit(0)
+            StreamingOps.semDedupSink(kvArgs("index"), s"$outDir/data",
+              jobKey, emptyFloats) _
+          }
         out.writeStream
-          .foreachBatch(StreamingOps.spanDedupSink(
-            kvArgs("index"), s"$outDir/data", jobKey) _)
+          .foreachBatch(sink)
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       }
@@ -297,6 +338,10 @@ object StreamMain {
         s""""dups_dropped":${ingested - n},"state":"finished"}""")
     } else if (op == "spandedup") {
       val pairs = sink.select(col("doc_id"), col("matched_id")).distinct().count()
+      println(s"""{"sink_rows":$n,"cross_batch_pairs":$pairs,""" +
+        s""""state":"finished"}""")
+    } else if (op == "semdedup") {
+      val pairs = sink.select(col("id_a"), col("id_b")).distinct().count()
       println(s"""{"sink_rows":$n,"cross_batch_pairs":$pairs,""" +
         s""""state":"finished"}""")
     } else

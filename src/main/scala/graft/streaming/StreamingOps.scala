@@ -260,6 +260,35 @@ object StreamingOps {
     NearDup.appendToSpanIndexKeyed(b, spark, indexPath, key)
   }
 
+  /** Streaming incremental semantic dedup — the SemDeDup member of the
+    * streaming index-maintenance family (exact keys → [[bloomDedupSink]],
+    * MinHash bands → [[nearDupMaintainingSink]], token spans →
+    * [[spanDedupSink]], embeddings → here): each micro-batch of vectors
+    * (vec_id, embedding, n2) is assigned map-side against the artifact's
+    * FROZEN cells + SQ8 grid, probed for batch-vs-standing within-cell
+    * duplicate pairs (exact-verified — quantized margin pre-filter, then
+    * float rescore of survivors), landed under `batch=N` (overwrite =
+    * idempotent), and appended via the KEYED crash shape
+    * ([[graft.operators.SemDedup.appendBatchKeyed]]): the probe excludes
+    * the batch's own subtree (replay identity), batch floats persist in
+    * the artifact so LATER batches can exact-verify against streamed
+    * vectors, and a jobKey collision refuses loudly. `baseFloats` covers
+    * the build-time standing corpus (empty for a model-only /
+    * empty-start artifact — [[graft.operators.SemDedup.saveModel]]).
+    * `jobKey` contract identical to [[bloomDedupSink]] (no default).
+    */
+  def semDedupSink(indexPath: String, outDir: String, jobKey: String,
+      baseFloats: DataFrame, threshold: Double = 0.45)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.SemDedup
+    val spark = batch.sparkSession
+    val b = batch.select(col("vec_id"), col("embedding"), col("n2"))
+      .localCheckpoint() // feeds assignment, the probe, and the float write
+    SemDedup.appendBatchKeyed(spark, indexPath, b, baseFloats, threshold,
+        s"$jobKey-$batchId")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
   /** Streaming ANN retrieval — the standing query-service shape over a
     * persisted PQ artifact (operators/PqIndex): each micro-batch of
     * query vectors (qid, qv, qn2) runs the ADC scan + exact pool

@@ -80,7 +80,9 @@ import graft.operators.{ArtifactPaths, BloomGate, BpeTrainer, IvfIndex, NearDup,
   *     Appends assume ids disjoint from the indexed corpus (the
   *     operators' documented contract) — overriding splits so they
   *     overlap indexes those ids twice.
-  *   m= k= dim= cells= tau= topk= pool= nprobe=   numeric knobs
+  *   m= k= dim= cells= tau= topk= pool= nprobe= spantokens= maxdf=
+  *     numeric knobs; key= the span append-subtree key (default
+  *     cli-day1)
   *
   * Vectors come from `<sfDir>/embeddings.parquet` (vec_id, embedding →
   * n2 derived), documents from `<sfDir>/documents.parquet` (doc_id,

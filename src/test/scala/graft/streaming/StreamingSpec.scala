@@ -13,6 +13,8 @@ case class BDoc(doc_id: Long, key: String, v: String)
 
 case class SDoc(doc_id: Long, text: String)
 
+case class EVec(vec_id: Long, embedding: Seq[Float])
+
 /** Golden tests for the streaming operators: MemoryStream feeds with
   * controlled event times; watermark/late-data/session/dedup semantics have
   * no DuckDB oracle (SURVEY.md §5.2 #3), so expected outputs are asserted
@@ -671,6 +673,65 @@ class StreamingSpec extends SparkSpec {
         Seq(SDoc(9, s"p q $run r")).toDF(), spark, dest)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
       Set((9L, 3L), (9L, 5L))
+  }
+
+  test("semantic dedup sink: cross-batch pair via streamed floats, " +
+      "replay identical, jobKey collision guard") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.normSq
+    import graft.operators.SemDedup
+    def vec(cluster: Int, salt: Long): Seq[Float] = {
+      val v = Array.fill(8)(0.01f * ((salt % 7) + 1))
+      v(cluster * 2) = 1.0f
+      v(cluster * 2 + 1) = 0.1f * ((salt % 5) + 1)
+      v.toSeq
+    }
+    def vdf(rows: (Long, Seq[Float])*) =
+      rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"),
+          normSq(col("embedding")).as("n2"))
+    // model statistics train on a representative sample; the standing
+    // assignment starts EMPTY — the stream populates it
+    val trainSet = vdf((0L until 40L).map(i => (i, vec((i % 4).toInt, i))): _*)
+    val dir = tmpDir("graft_semdedup_stream").toString + "/idx"
+    SemDedup.saveModel(dir, trainSet, k = 4)
+    val emptyFloats = vdf()
+    val outDir = tmpDir("graft_semdedup_out").toString
+    val input = MemoryStream[EVec]
+    val q = input.toDF()
+      .withColumn("n2", normSq(col("embedding")))
+      .writeStream
+      .foreachBatch(semDedupSink(dir, s"$outDir/data", "job", emptyFloats, threshold = 0.9) _)
+      .option("checkpointLocation", s"${tmpDir("graft_semdedup_ckpt")}")
+      .start()
+    // batch 0: two unrelated vectors — nothing standing yet, no pairs
+    input.addData(EVec(101, vec(2, 6)), EVec(102, Seq.fill(8)(0.35f)))
+    q.processAllAvailable()
+    // batch 1: 201 duplicates batch-0's 102 — the pair is only findable
+    // because batch 0's FLOATS persisted in the artifact (exact verify
+    // re-attaches them from storedFloats, not from any caller table)
+    input.addData(EVec(201, Seq.fill(8)(0.35f)))
+    q.processAllAvailable()
+    q.stop()
+    def matches(b: Int) = spark.read.parquet(s"$outDir/data/batch=$b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    matches(0) shouldBe empty
+    matches(1) shouldBe Set((102L, 201L))
+
+    // at-least-once replay of batch 1 (append committed): identical
+    // output, standing row count unchanged (own subtree excluded, then
+    // overwritten with the same rows)
+    val pre = SemDedup.load(spark, dir).assign.count()
+    semDedupSink(dir, s"$outDir/data", "job", emptyFloats, threshold = 0.9)(
+      vdf((201L, Seq.fill(8)(0.35f))), 1L)
+    matches(1) shouldBe Set((102L, 201L))
+    SemDedup.load(spark, dir).assign.count() shouldBe pre
+
+    // a DIFFERENT batch under a committed key refuses loudly
+    an[IllegalStateException] should be thrownBy
+      SemDedup.appendBatchKeyed(spark, dir, vdf((999L, vec(1, 3))),
+        emptyFloats, 0.9, "job-1")
   }
 
   test("streaming ANN retrieval: per-batch top-k equals the batch probe; deletes apply next batch") {
