@@ -151,6 +151,9 @@ object SemDedup {
   //   grid/      (pos, lo, step)            — frozen SQ8 grid
   //   assign/    (vec_id, cell, bcode, an2) — soft top-p corpus rows
   //   meta/      (k, n_probe, dim)
+  //   appends/<key>/{floats,assign}/        — STREAMED keyed appends
+  //     ([[appendBatchKeyed]]; assign/_SUCCESS commits, floats first)
+  //   floats/                               — compact-folded stream floats
   // ---------------------------------------------------------------------
 
   /** Frozen-model assignment + encoding — one map-side pass plus the
