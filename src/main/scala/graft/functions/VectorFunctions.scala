@@ -92,4 +92,48 @@ object VectorFunctions {
     ColumnBridge.column(graft.plans.LshBuckets(
       ColumnBridge.expression(vec), nBits, seeds.toArray))
   }
+
+  /** Lossless pack of an `array<float>` embedding into BINARY
+    * (graft.plans.FloatVecPack: 4 little-endian IEEE-754 bytes per
+    * element). The output attribute is METADATA-MARKED as a packed
+    * vector, so ScaleLint's physical rule keeps seeing it on shuffle
+    * exchanges — packing must never silently evade the engine-wide
+    * float-payload guardrail. A shuffle of a packed vector is either a
+    * lint finding or an explicit, auditable [[packVecExempt]].
+    */
+  def packVec(a: Column, name: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.FloatVecPack(ColumnBridge.expression(a)))
+      .as(name, new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(graft.plans.ScaleLint.PackedVectorKey, true).build())
+  }
+
+  /** [[packVec]] with a deliberate-shuffle exemption: the attribute
+    * carries both the packed-vector mark AND an exemption reason, so the
+    * lint stays green while every exempted exchange remains greppable
+    * and reviewable at the call site. Use ONLY where the shuffled row
+    * count is bounded by construction (e.g. the exact-verify re-attach,
+    * O(surviving candidate pairs), never O(corpus) rows × O(corpus)
+    * replication).
+    */
+  def packVecExempt(a: Column, name: String, reason: String): Column = {
+    require(reason.trim.nonEmpty,
+      "packVecExempt needs a non-empty justification — it is the audit trail")
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.FloatVecPack(ColumnBridge.expression(a)))
+      .as(name, new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(graft.plans.ScaleLint.PackedVectorKey, true)
+        .putString(graft.plans.ScaleLint.PackedVectorExemptKey, reason)
+        .build())
+  }
+
+  /** Exact dot over two [[packVec]]-packed BINARY vectors
+    * (graft.plans.PackedFloatDot) — bit-identical to [[dot]] on the
+    * unpacked arrays (same IEEE floats, same DOUBLE fold order).
+    */
+  def packedDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.PackedFloatDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 }

@@ -26,9 +26,12 @@ import graft.functions.VectorFunctions._
   * blocked-candidates contract as every pair generator here. Candidate
   * pairs are scored APPROXIMATELY from the codes map-side in the join
   * output and only those clearing threshold - [[QuantMargin]] reach
-  * exact verification, where the small survivor set broadcasts and the
-  * float corpus streams — no full-corpus broadcast at any size (the r10
-  * shape broadcast the float corpus twice, a cliff past ~10⁷ vectors).
+  * exact verification, where survivor ids SHUFFLE-JOIN to packed-binary
+  * float vectors ([[exactVerifyPairs]]) — no broadcast whose size scales
+  * with the corpus OR the duplicate rate anywhere in the plan (the r10
+  * shape broadcast the float corpus twice, a cliff past ~10⁷ vectors;
+  * the r11 shape broadcast the survivor pairs, a cliff at high dup
+  * rates).
   *
   * Semantics vs the exact baseline: every emitted pair is exact-cosine
   * verified, so the output is a strict SUBSET of the all-pairs answer
@@ -85,8 +88,8 @@ object SemDedup {
     // (~dim B/row through the exchange — shuffles scale), the
     // approximate cosine is computed map-side in the join output, and
     // only pairs clearing threshold - QuantMargin survive to exact
-    // verification — where the SMALL survivor set broadcasts and the
-    // float corpus STREAMS (never shuffles, never broadcasts).
+    // verification — the shuffle-join re-attach of exactVerifyPairs
+    // (no broadcast scaling with corpus or duplicate rate).
     val grid = Sq8Index.train(vectors)
     val coded = Sq8Index.packCodes(Sq8Index.encode(vectors, grid), grid)
     // map-side top-nProbe cell labels; ids+codes only before ANY exchange
@@ -110,16 +113,49 @@ object SemDedup {
           (sqrt(col("an2_a")) * sqrt(col("an2_b"))))
       .filter(col("acos") > threshold - QuantMargin)
       .select(col("id_a"), col("id_b")).distinct()
-    // exact verify: survivor ids broadcast (bounded by the near-dup rate
-    // + the margin shell, NOT the corpus), float vectors stream in twice
-    val withA = broadcast(survivors)
-      .join(vectors.select(col("vec_id").as("id_a"),
-        col("embedding").as("v_a"), col("n2").as("n2_a")), "id_a")
-    broadcast(withA)
-      .join(vectors.select(col("vec_id").as("id_b"),
-        col("embedding").as("v_b"), col("n2").as("n2_b")), "id_b")
+    exactVerifyPairs(survivors, vectors, threshold)
+  }
+
+  /** Exact-cosine verification of a survivor-pair candidate set — the
+    * one re-attach implementation [[pairs]], [[batchPairs]] and the
+    * registry query `q_dedup_embedding_lsh` share.
+    *
+    * Scale posture (r11/r12 verdict task 1): the old shape did
+    * `broadcast(survivors)` then `broadcast(withA)` where `withA`
+    * carried one float vector per surviving PAIR — survivor count scales
+    * with the DUPLICATE RATE, so on a 30–50%-dup web crawl that
+    * broadcast is O(corpus) floats and OOMs the driver/executors. Here
+    * the pairs SHUFFLE-JOIN to the vectors instead: each float vector is
+    * packed map-side to 4·dim binary ([[graft.plans.FloatVecPack]] via
+    * packVecExempt — the explicit ScaleLint audit mark), crosses the
+    * wire hash-partitioned on its id (network O(corpus + survivors),
+    * memory O(rows/partition) — no side is ever resident whole), and
+    * scores with [[graft.plans.PackedFloatDot]], bit-identical to
+    * `dot(v_a, v_b)` (same IEEE floats, same DOUBLE fold order), so
+    * results — and the frozen correctness hashes — are unchanged. At
+    * fixture scale AQE still turns these joins into broadcasts when the
+    * sides are genuinely small; the point is the plan no longer REQUIRES
+    * the pair set to fit in memory.
+    *
+    * `floats` must carry (vec_id, embedding, n2); `survivors` carries
+    * (id_a, id_b). Returns (id_a, id_b, cos) filtered to > threshold,
+    * cos rounded to 4 decimals.
+    */
+  def exactVerifyPairs(survivors: DataFrame, floats: DataFrame,
+      threshold: Double): DataFrame = {
+    val packed = floats.select(col("vec_id"),
+      packVecExempt(col("embedding"), "pv",
+        "exact-verify re-attach: joined rows are O(surviving candidate " +
+          "pairs) post-prefilter, hash-partitioned — bounded per task"),
+      col("n2"))
+    survivors
+      .join(packed.select(col("vec_id").as("id_a"), col("pv").as("pv_a"),
+        col("n2").as("n2_a")), "id_a")
+      .join(packed.select(col("vec_id").as("id_b"), col("pv").as("pv_b"),
+        col("n2").as("n2_b")), "id_b")
       .withColumn("cos",
-        dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+        packedDot(col("pv_a"), col("pv_b")) /
+          (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
       .filter(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
@@ -299,8 +335,8 @@ object SemDedup {
     * `floats` must cover every vec_id in standing ∪ batch (the corpus
     * float table — the topKFrom re-rank-side contract) for the exact
     * verification re-attach. Pair arithmetic is identical to [[pairs]]:
-    * fused Sq8CodeDot margin pre-filter, broadcast-survivor exact
-    * verify, (id_a, id_b, cos) with id_a < id_b. Caller owns vec_id
+    * fused Sq8CodeDot margin pre-filter, [[exactVerifyPairs]]
+    * shuffle-join verify, (id_a, id_b, cos) with id_a < id_b. Caller owns vec_id
     * uniqueness vs the standing corpus. The pair frame is materialized
     * (localCheckpoint) BEFORE the append writes, so the lazy standing
     * scan can never observe the batch rows it is being compared against.
@@ -400,15 +436,6 @@ object SemDedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    val withA = broadcast(survivors)
-      .join(floats.select(col("vec_id").as("id_a"),
-        col("embedding").as("v_a"), col("n2").as("n2_a")), "id_a")
-    broadcast(withA)
-      .join(floats.select(col("vec_id").as("id_b"),
-        col("embedding").as("v_b"), col("n2").as("n2_b")), "id_b")
-      .withColumn("cos",
-        dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
-      .filter(col("cos") > threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    exactVerifyPairs(survivors, floats, threshold)
   }
 }

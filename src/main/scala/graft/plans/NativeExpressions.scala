@@ -177,11 +177,13 @@ case class Sq8CodeDot(left: Expression, right: Expression,
   * exact-verify re-attach joins ship matched float vectors THROUGH
   * shuffle exchanges (the r11 verdict's task 1: the survivor-pair
   * broadcast scaled with the duplicate rate, an O(corpus) broadcast on a
-  * high-dup crawl) — packing to binary keeps those exchanges inside
-  * ScaleLint's float-payload rule *by design*, exactly like the SQ8
-  * byte-code packing: same 4·dim bytes, deliberate representation, and
-  * [[PackedFloatDot]] restores bit-identical arithmetic on the other
-  * side. Null element → NULL (corrupt input, the FloatVecDot posture).
+  * high-dup crawl) — [[PackedFloatDot]] restores bit-identical
+  * arithmetic on the other side. Packing does NOT evade the engine-wide
+  * ScaleLint float-payload guardrail: VectorFunctions.packVec stamps the
+  * output attribute with ScaleLint.PackedVectorKey metadata and the
+  * physical rule flags marked BINARY shuffle payloads by default; only
+  * the explicit, per-site packVecExempt(reason) audit mark silences it.
+  * Null element → NULL (corrupt input, the FloatVecDot posture).
   * CodegenFallback: once per row, cost is the byte copy itself.
   */
 case class FloatVecPack(child: Expression)
@@ -226,10 +228,14 @@ case class FloatVecPack(child: Expression)
   * not a multiple of 4) → NULL, never a silent prefix dot.
   *
   * This is the exact-verify hot loop of the shuffle-join re-attach
-  * (SemDedup.exactVerifyPairs): it runs once per SURVIVING candidate
+  * ([[graft.operators.SemDedup.exactVerifyPairs]], shared by
+  * `SemDedup.pairs`, `SemDedup.batchPairs` and the registry query
+  * `q_dedup_embedding_lsh`): it runs once per SURVIVING candidate
   * pair, after the quantized pre-filter — full `doGenCode` like
   * [[FloatVecDot]], since on a high-duplicate corpus the survivor stream
-  * is O(corpus).
+  * is O(corpus). The generated code checks the length guard inline and
+  * calls ONE primitive static for the sum — no per-row boxing, no
+  * ByteBuffer allocation (the interpreted path shares the same static).
   */
 case class PackedFloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -254,11 +260,14 @@ case class PackedFloatDot(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val boxed = ctx.freshName("boxed")
+      // guard inline, sum via ONE primitive static — no boxed Double, no
+      // per-row allocation on the O(survivors) exact-verify stream
       s"""
-         |Double $boxed = graft.plans.PackedFloatDot.dotOrNull($a, $b);
-         |if ($boxed == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $boxed.doubleValue(); }
+         |if ($a.length != $b.length || ($a.length & 3) != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.PackedFloatDot.dotUnchecked($a, $b);
+         |}
        """.stripMargin
     })
 
@@ -268,19 +277,31 @@ case class PackedFloatDot(left: Expression, right: Expression)
 }
 
 object PackedFloatDot {
-  /** Shared by interpreted eval and generated code — ONE arithmetic. */
-  def dotOrNull(x: Array[Byte], y: Array[Byte]): java.lang.Double = {
-    val n = x.length
-    if (n != y.length || (n & 3) != 0) return null
-    val bx = java.nio.ByteBuffer.wrap(x).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val by = java.nio.ByteBuffer.wrap(y).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  /** The shared arithmetic: equal-length, multiple-of-4 inputs assumed
+    * (generated code checks inline; [[dotOrNull]] checks for the
+    * interpreted path). Manual little-endian assembly — zero allocation.
+    */
+  def dotUnchecked(x: Array[Byte], y: Array[Byte]): Double = {
     var sum = 0.0
     var i = 0
-    while (i < n) {
-      sum += bx.getFloat(i).toDouble * by.getFloat(i).toDouble
+    while (i < x.length) {
+      val xf = java.lang.Float.intBitsToFloat(
+        (x(i) & 0xff) | (x(i + 1) & 0xff) << 8 |
+          (x(i + 2) & 0xff) << 16 | (x(i + 3) & 0xff) << 24)
+      val yf = java.lang.Float.intBitsToFloat(
+        (y(i) & 0xff) | (y(i + 1) & 0xff) << 8 |
+          (y(i + 2) & 0xff) << 16 | (y(i + 3) & 0xff) << 24)
+      sum += xf.toDouble * yf.toDouble
       i += 4
     }
     sum
+  }
+
+  /** Interpreted-path entry: guard then [[dotUnchecked]]. */
+  def dotOrNull(x: Array[Byte], y: Array[Byte]): java.lang.Double = {
+    val n = x.length
+    if (n != y.length || (n & 3) != 0) null
+    else java.lang.Double.valueOf(dotUnchecked(x, y))
   }
 }
 

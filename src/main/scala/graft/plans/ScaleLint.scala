@@ -91,6 +91,20 @@ object ScaleLint {
 
   val ConfKey = "spark.graft.scalelint"
 
+  /** Attribute-metadata mark VectorFunctions.packVec stamps on packed
+    * (BINARY) embedding columns, so re-encoding floats as bytes cannot
+    * silently evade the float-payload shuffle rule — same 4·dim bytes
+    * per row, same 100 TB exposure.
+    */
+  val PackedVectorKey = "graft.packedVector"
+
+  /** Exemption mark (value = human-readable justification) stamped by
+    * VectorFunctions.packVecExempt for DELIBERATE packed-vector
+    * exchanges whose row count is bounded by construction — the
+    * exact-verify re-attach pattern. Greppable audit trail.
+    */
+  val PackedVectorExemptKey = "graft.packedVectorExempt"
+
   final class ScaleLintViolation(msg: String) extends RuntimeException(
     s"$msg (set $ConfKey=warn to log instead, or off to disable)")
 
@@ -144,21 +158,33 @@ object ScaleLint {
     */
   def shuffleFindings(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
-    plan.collect {
-      case s: ShuffleExchangeLike
-          if s.output.exists(_.dataType match {
-            case ArrayType(FloatType, _) => true
-            case _ => false
-          }) =>
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType}
+    plan.flatMap {
+      case s: ShuffleExchangeLike =>
         val vecs = s.output.filter(_.dataType match {
           case ArrayType(FloatType, _) => true
           case _ => false
         })
-        "shuffle exchange carries float-vector payload " +
-          s"(${vecs.map(_.name).mkString(", ")}): select ids+scores before " +
-          "the exchange and re-attach vectors via a broadcast join after " +
-          "candidate selection"
+        // packVec-marked BINARY columns are the same 4·dim bytes/row a
+        // raw float vector is — flagged unless the call site carried the
+        // explicit packVecExempt justification (bounded-row re-attach)
+        val packed = s.output.filter(a => a.dataType == BinaryType &&
+          a.metadata.contains(PackedVectorKey) &&
+          !a.metadata.contains(PackedVectorExemptKey))
+        val f1 =
+          if (vecs.isEmpty) Nil
+          else Seq("shuffle exchange carries float-vector payload " +
+            s"(${vecs.map(_.name).mkString(", ")}): select ids+scores before " +
+            "the exchange and re-attach vectors via a broadcast join after " +
+            "candidate selection")
+        val f2 =
+          if (packed.isEmpty) Nil
+          else Seq("shuffle exchange carries PACKED float-vector payload " +
+            s"(${packed.map(_.name).mkString(", ")}): packing to binary is " +
+            "the same bytes per row — use packVecExempt(col, name, reason) " +
+            "if this exchange's row count is bounded by construction")
+        f1 ++ f2
+      case _ => Nil
     }
   }
 }

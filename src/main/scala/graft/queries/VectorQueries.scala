@@ -143,9 +143,9 @@ object VectorQueries extends QueryModule {
       // SQ8 code (~dim B/row through the exchange — ids + codes, never
       // float vectors), the approximate cosine is computed map-side in
       // the join output, and only pairs clearing threshold - margin reach
-      // exact verification — where the SMALL survivor set broadcasts and
-      // the float corpus STREAMS. Replaces the double full-corpus
-      // broadcast, which held only to executor memory (~10⁷ vectors).
+      // exact verification — SemDedup.exactVerifyPairs' shuffle-join
+      // re-attach (r12 task 1: the previous survivor broadcast scaled
+      // with the DUPLICATE RATE — O(corpus) floats on a high-dup crawl).
       import graft.operators.{SemDedup, Sq8Index}
       val grid = Sq8Index.train(e)
       val coded = Sq8Index.packCodes(Sq8Index.encode(e, grid), grid)
@@ -168,16 +168,7 @@ object VectorQueries extends QueryModule {
             (sqrt(col("an2_a")) * sqrt(col("an2_b"))))
         .filter(col("acos") > 0.45 - SemDedup.QuantMargin)
         .select(col("id_a"), col("id_b")).distinct()
-      val withA = broadcast(survivors)
-        .join(e.select(col("vec_id").as("id_a"),
-          col("embedding").as("v_a"), col("n2").as("n2_a")), "id_a")
-      broadcast(withA)
-        .join(e.select(col("vec_id").as("id_b"),
-          col("embedding").as("v_b"), col("n2").as("n2_b")), "id_b")
-        .withColumn("cos",
-          dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
-        .filter(col("cos") > 0.45)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      SemDedup.exactVerifyPairs(survivors, e, 0.45)
         .orderBy(col("id_a"), col("id_b"))
     })
 

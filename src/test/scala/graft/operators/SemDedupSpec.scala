@@ -135,6 +135,50 @@ class SemDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe post
   }
 
+  test("high-dup corpus (25% planted dups): exact verify is broadcast-free " +
+      "with auto-broadcast disabled, lint-green, and recovers every dup (r12 task 1)") {
+    // 160 base vectors + 40 EXACT duplicates (25% dup rate — the web-crawl
+    // regime the old broadcast(survivors)/broadcast(withA) shape OOMed
+    // on, because the broadcast scaled with the duplicate rate). With
+    // auto-broadcast DISABLED this is the plan a 10⁹-vector corpus gets:
+    // the exact verify must SHUFFLE-join packed vectors, never broadcast.
+    val corpus = vdf(((0L until 160L).map(i => (i, vec((i % 4).toInt, i))) ++
+      (0L until 40L).map(i => (1000L + i, vec((i % 4).toInt, i)))): _*)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SemDedup.pairs(spark, corpus, k = 4, threshold = 0.95)
+      val rows = df.collect()
+      // every planted duplicate pair recovered at cos ≈ 1
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0L until 40L).foreach { i =>
+        withClue(s"planted dup $i <-> ${1000 + i}: ") {
+          got should contain((i, 1000L + i))
+        }
+      }
+      // plan pin: ZERO broadcast exchanges — nothing in this plan may
+      // depend on any side fitting in memory
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case other => other.children
+        }
+        p +: inner.flatMap(walk)
+      }
+      val all = walk(df.queryExecution.executedPlan)
+      all.collect { case b: BroadcastExchangeLike => b } shouldBe empty
+      // and the packed-vector exchanges carry the explicit exemption —
+      // the physical lint (fail-mode CI posture) stays green
+      graft.plans.ScaleLint.shuffleFindings(
+        df.queryExecution.executedPlan) shouldBe empty
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("probeBatch is read-only and equals the pairs an append would emit") {
     val dir = freshArtifact()
     val before = SemDedup.load(spark, dir).assign.count()

@@ -64,4 +64,75 @@ class NativeExprPropertySpec extends SparkSpec {
       .orderBy("vec_id").collect().map(_.getSeq[Long](2))
     again.toSeq shouldBe rows.map(_._1).toSeq
   }
+
+  test("pack → packedDot is bit-identical to FloatVecDot (codegen df path)") {
+    val sp = spark; import sp.implicits._
+    val vs = (1 to 300).map(i => (i.toLong, vec(24), vec(24)))
+    val df = vs.toDF("id", "a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+      .select(col("id"),
+        VectorFunctions.dot(col("a"), col("b")).as("plain"),
+        VectorFunctions.packedDot(
+          VectorFunctions.packVec(col("a"), "pa"),
+          VectorFunctions.packVec(col("b"), "pb")).as("viaPack"))
+    // whole-stage codegen runs PackedFloatDot.doGenCode here — exact
+    // DOUBLE equality, not a tolerance: same IEEE floats, same fold order
+    df.collect().foreach { r =>
+      withClue(s"id ${r.getLong(0)}: ") {
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)) shouldBe
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+      }
+    }
+  }
+
+  test("PackedFloatDot interpreted eval matches dotUnchecked; guards NULL") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType}
+    val a = vec(16); val b = vec(16)
+    def packed(v: Array[Float]): Array[Byte] =
+      FloatVecPack(Literal.create(v, ArrayType(FloatType)))
+        .eval(null).asInstanceOf[Array[Byte]]
+    val pa = packed(a); val pb = packed(b)
+    pa.length shouldBe 64
+    // interpreted eval (direct Expression.eval — never codegen)
+    val interp = PackedFloatDot(
+      Literal.create(pa, BinaryType), Literal.create(pb, BinaryType))
+      .eval(null).asInstanceOf[Double]
+    val want = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+      s + x.toDouble * y.toDouble }
+    java.lang.Double.doubleToRawLongBits(interp) shouldBe
+      java.lang.Double.doubleToRawLongBits(want)
+    // length mismatch → NULL (interpreted)
+    PackedFloatDot(Literal.create(pa, BinaryType),
+      Literal.create(pb.take(60), BinaryType)).eval(null).asInstanceOf[AnyRef] shouldBe null
+    // non-multiple-of-4 length → NULL, never a silent prefix dot
+    PackedFloatDot(Literal.create(pa.take(63), BinaryType),
+      Literal.create(pb.take(63), BinaryType)).eval(null).asInstanceOf[AnyRef] shouldBe null
+    // null input → NULL (nullSafeEval contract)
+    PackedFloatDot(Literal.create(null, BinaryType),
+      Literal.create(pb, BinaryType)).eval(null).asInstanceOf[AnyRef] shouldBe null
+    // null ELEMENT in the float array → pack yields NULL (corrupt input)
+    FloatVecPack(Literal.create(Seq[java.lang.Float](1.0f, null, 2.0f),
+      ArrayType(FloatType, containsNull = true))).eval(null).asInstanceOf[AnyRef] shouldBe null
+  }
+
+  test("PackedFloatDot codegen path honors the NULL guards too") {
+    val sp = spark; import sp.implicits._
+    // row 1 trips the non-multiple-of-4 guard (b truncated to 30 bytes),
+    // row 2 trips the length-mismatch guard (dim 8 vs dim 12) — both
+    // evaluated through a df, so the GENERATED code runs the guards
+    val rows = Seq((1L, vec(8), vec(8)), (2L, vec(8), vec(12)))
+      .toDF("id", "a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+      .withColumn("pa", VectorFunctions.packVec(col("a"), "pa"))
+      .withColumn("pb", VectorFunctions.packVec(col("b"), "pb"))
+      .select(col("id"), VectorFunctions.packedDot(col("pa"),
+        when(col("id") === 1L, expr("substring(pb, 1, 30)"))
+          .otherwise(col("pb"))).as("d"))
+      .orderBy("id").collect()
+    rows should have size 2
+    rows.foreach(r => r.isNullAt(1) shouldBe true)
+  }
 }

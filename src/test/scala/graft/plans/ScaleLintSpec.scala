@@ -111,6 +111,42 @@ class ScaleLintSpec extends SparkSpec {
     }
   }
 
+  test("physical lint: packVec-marked BINARY payloads are flagged on shuffles; packVecExempt is the auditable bless") {
+    import graft.functions.VectorFunctions
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      // packing to binary is the same 4·dim bytes/row — a marked packed
+      // column riding an exchange must NOT evade the float-payload rule
+      val sneaky = e.select(col("vec_id"),
+          VectorFunctions.packVec(col("embedding"), "pv"))
+        .repartition(4, col("vec_id"))
+      val fs = ScaleLint.shuffleFindings(sneaky.queryExecution.executedPlan)
+      fs should have size 1
+      fs.head should include("PACKED float-vector payload")
+      fs.head should include("pv")
+
+      // the explicit per-site exemption (bounded-row re-attach) is clean
+      val blessed = e.select(col("vec_id"),
+          VectorFunctions.packVecExempt(col("embedding"), "pv",
+            "spec fixture: bounded by construction"))
+        .repartition(4, col("vec_id"))
+      ScaleLint.shuffleFindings(
+        blessed.queryExecution.executedPlan) shouldBe empty
+
+      // an untagged BinaryType column (e.g. SQ8 bcode) stays allowed —
+      // byte codes are REAL compression, the deliberate scale pattern
+      val codes = e.select(col("vec_id"),
+          md5(col("vec_id").cast("string")).cast("binary").as("bcode"))
+        .repartition(4, col("vec_id"))
+      ScaleLint.shuffleFindings(
+        codes.queryExecution.executedPlan) shouldBe empty
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("rule modes: off is silent, warn passes plans through, fail throws") {
     val global = Tables.orders(spark, sfDir).select(
       ntile(4).over(Window.orderBy(col("o_totalprice"))).as("q"))

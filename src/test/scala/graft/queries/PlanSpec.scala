@@ -190,7 +190,7 @@ class PlanSpec extends SparkSpec {
 
   private def assertNoVectorAcrossShuffles(df: DataFrame): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType}
     df.collect() // materialize so AQE's final plan (incl. reused stages) exists
     val shuffles = walkPlan(df.queryExecution.executedPlan)
       .collect { case s: ShuffleExchangeLike => s }
@@ -202,6 +202,14 @@ class PlanSpec extends SparkSpec {
       })
       withClue(s"shuffle exchange carries vector payload: ${s.output.mkString(", ")} ") {
         vecAttrs shouldBe empty
+      }
+      // packVec-marked binary is the same bytes/row as the raw vector —
+      // only the explicit packVecExempt audit mark may cross a shuffle
+      val packedAttrs = s.output.filter(a => a.dataType == BinaryType &&
+        a.metadata.contains(graft.plans.ScaleLint.PackedVectorKey) &&
+        !a.metadata.contains(graft.plans.ScaleLint.PackedVectorExemptKey))
+      withClue(s"shuffle exchange carries unexempted packed vector: ${s.output.mkString(", ")} ") {
+        packedAttrs shouldBe empty
       }
     }
   }
