@@ -73,17 +73,23 @@ object ShardOps extends QueryModule {
 
   // Percentile winsorization (outlier clipping): per-group exact p05/p95
   // bounds, values clamped into [lo, hi], per-group stats of the clipped
-  // distribution. Bounds are a 3-row aggregate broadcast back to the
-  // fact; the clip is map-side (no second shuffle of the fact beyond the
-  // final tiny per-group agg).
+  // distribution. Bounds come from ExactPercentile's range-exchange
+  // ordinal (r12 task 2 — expr("percentile(...)") held every group value
+  // in ONE ObjectHashAggregate buffer, an OOM at a 100 TB returnflag
+  // group; the ordinal path is O(rows/partition) memory, spill-safe),
+  // then broadcast back to the fact; the clip is map-side (no second
+  // shuffle of the fact beyond the final tiny per-group agg).
   private val qWinsorize = Q(
     "q_winsorize",
     (s, d) => {
+      import graft.operators.ExactPercentile
       val li = Tables.lineitem(s, d)
-      val bounds = li.groupBy(col("l_returnflag").as("g"))
+      val bounds = ExactPercentile
+        .perGroup(li, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
+        .groupBy(col("g"))
         .agg(
-          expr("percentile(l_extendedprice, 0.05)").as("lo"),
-          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+          min(when(col("p") === 0.05, col("value"))).as("lo"),
+          min(when(col("p") === 0.95, col("value"))).as("hi"))
       li.join(broadcast(bounds), col("l_returnflag") === col("g"))
         .select(col("l_returnflag"), col("lo"), col("hi"),
           least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("w"),

