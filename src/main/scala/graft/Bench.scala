@@ -34,6 +34,26 @@ private final class TaskMetricsTap extends SparkListener {
 
 object Bench {
 
+  /** Minimal JSON string escaping for the one-line bench artifact:
+    * backslash, quote, and EVERY control char below 0x20 (\n \r \t get
+    * their short forms, the rest \u00XX) — an exception message carrying
+    * a raw control byte (e.g. an ANSI escape from a wrapped process)
+    * must not produce an unparseable artifact.
+    */
+  private[graft] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** Per-query anchors (cpu seconds + shuffle-read bytes) for in-run
     * adjudication — a flat TSV (`name cpu_sec shr_b`, regenerated from
     * the committed bench artifact, see BASELINE.md §protocol) so the
@@ -283,8 +303,7 @@ object Bench {
           s""""inp_b":[${perPass.map(_(4)).mkString(",")}]}"""
       }.mkString(",")
       val errJson = errors.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", " ") + "\""
+        "\"" + k + "\":\"" + jsonEscape(v) + "\""
       }.mkString(",")
       // solo tail-pass results for every >2x-CPU suspect: the contended
       // registry numbers stay in queries/cpu; these are the adjudicable
@@ -294,8 +313,7 @@ object Bench {
           // a failed solo pass publishes the error, never the medians —
           // partial executions cannot masquerade as a fast clean run
           case Some(err) =>
-            s""""$k":{"failed":true,"error":"${err.replace("\\", "\\\\")
-              .replace("\"", "\\\"").replace("\n", " ")}"}"""
+            s""""$k":{"failed":true,"error":"${jsonEscape(err)}"}"""
           case None => s""""$k":{"wall_sec":$w,"cpu_sec":$c}"""
         }
       }.mkString(",")

@@ -181,6 +181,36 @@ object BloomGate {
   // same lost-update shape.
   val LeaseStaleMs: Long = 15L * 60 * 1000
 
+  /** Rename-then-VERIFY stale-lock capture: atomically moves `lock` to
+    * `graveyard`, then confirms the captured bytes are `observedToken` —
+    * the token that was observed when the lock was judged stale. If they
+    * differ, a NEW owner acquired between observation and rename; the
+    * capture is rolled back (rename restored when no fresh lock has
+    * appeared — never clobbering one that has) and the break reports
+    * failure, so the caller falls through to the locked-writer error
+    * instead of stripping a live writer's lease. Returns true only when
+    * the verified-stale lock was removed.
+    */
+  private[operators] def breakStaleLock(lock: java.io.File,
+      observedToken: String, graveyard: java.io.File): Boolean = {
+    if (!lock.renameTo(graveyard)) return false
+    val captured =
+      try new String(java.nio.file.Files.readAllBytes(graveyard.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
+    if (captured == observedToken) {
+      graveyard.delete(): Unit
+      true
+    } else {
+      // raced a new owner — give the lock back unless a third writer
+      // has already created a fresh one (then just drop the graveyard;
+      // the new owner's release is a no-op via its ownedByUs() check)
+      if (!lock.exists()) graveyard.renameTo(lock): Unit
+      else graveyard.delete(): Unit
+      false
+    }
+  }
+
   // Lease mechanics (r10 advisor fix): the lock file carries a unique
   // OWNER TOKEN, and every privileged action re-verifies ownership —
   //   - release deletes the lock only if the token inside is still ours:
@@ -212,10 +242,18 @@ object BloomGate {
         java.nio.charset.StandardCharsets.UTF_8) == token
       catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
+      // Observe token FIRST, then age: the stale decision must be bound
+      // to the TOKEN that was observed stale — renaming on age alone
+      // could capture a NEW owner's lock acquired between the age check
+      // and the rename (TOCTOU), silently stripping a live writer.
+      val observedToken =
+        try Some(new String(java.nio.file.Files.readAllBytes(lock.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: java.io.IOException => None }
       val age = System.currentTimeMillis() - lock.lastModified()
       val graveyard = new java.io.File(d, s"_writer.lock.stale.$token")
-      val broke = age > LeaseStaleMs && lock.renameTo(graveyard)
-      if (broke) graveyard.delete(): Unit
+      val broke = age > LeaseStaleMs &&
+        observedToken.exists(t => BloomGate.breakStaleLock(lock, t, graveyard))
       if (!(broke && tryAcquire())) throw new IllegalStateException(
         s"Bloom artifact $dir is locked by another writer " +
           s"(${lock.getPath}, age ${age}ms): maintenance writes are " +

@@ -221,7 +221,31 @@ object IvfIndex {
       val g = Sq8Index.train(corpus)
       (Sq8Index.encode(corpus, g), g)
     }
-    Sq8Index.prefilterRerank(pairIds, queriesDf, codes, corpus, grid, k,
+    // Candidate-coverage gate for the ARTIFACT route: prefilterRerank's
+    // inner join would silently DROP any candidate whose vec_id has no
+    // code row — exactly what happens when the side-car SQ8 artifact
+    // lags the IVF cells (ivf appended, sq8 not). Dropped candidates are
+    // silent recall loss; fail loudly instead. One anti-join probe over
+    // two ids-only frames with an early-out limit — O(1) rows moved.
+    val pids =
+      if (quant.isEmpty) pairIds
+      else {
+        // materialize once (ids only, O(candidates)·16 B) so the gate and
+        // the scoring join don't recompute the candidate generation
+        val pinned = pairIds.localCheckpoint()
+        val missing = pinned.select(col("nid")).distinct()
+          .join(codes.select(col("vec_id").as("nid")), Seq("nid"), "left_anti")
+          .limit(1).collect()
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"IvfIndex.topKFrom: candidate vec_id ${missing.head.getLong(0)} " +
+            "has no code row in the supplied SQ8 quantization — the SQ8 " +
+            "artifact lags the IVF cells (append reached one but not the " +
+            "other). Append the same batch to the SQ8 artifact (IndexMain " +
+            "append-sq8) or rebuild it; silently dropping candidates would " +
+            "be invisible recall loss.")
+        pinned
+      }
+    Sq8Index.prefilterRerank(pids, queriesDf, codes, corpus, grid, k,
         if (pool > 0) pool else 3 * k)
       .orderBy(col("qid"), col("rn"))
   }

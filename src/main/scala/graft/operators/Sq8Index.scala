@@ -108,13 +108,20 @@ object Sq8Index {
     * approximation arithmetic cannot diverge between them. Returns the
     * broadcast frame (qid, qa, qan2).
     */
-  private def quantizeQueries(queriesDf: DataFrame, grid: Grid): DataFrame = {
+  private[operators] def quantizeQueries(queriesDf: DataFrame, grid: Grid): DataFrame = {
     val l = loLit(grid); val st = stepLit(grid)
     broadcast(queriesDf
       .select(col("qid"),
         transform(col("qv"), (x, i) => {
           val lo = element_at(l, i + 1); val s = element_at(st, i + 1)
-          (lo + round((x.cast("double") - lo) / s, 0) * s).cast("float")
+          // clamp to the grid ([0, 255]) exactly like packCodes saturates:
+          // an out-of-grid query value under a FROZEN drifted grid must
+          // reconstruct to the same point on BOTH the float path (here)
+          // and the byte-code path, or the documented bit-equality between
+          // topKFrom and prefilterRerank breaks at the range edges
+          (lo + greatest(lit(0.0),
+            least(lit(255.0), round((x.cast("double") - lo) / s, 0))) * s)
+            .cast("float")
         }).as("qa"))
       .withColumn("qan2", normSq(col("qa"))))
   }

@@ -175,6 +175,58 @@ class AnnPersistenceSpec extends SparkSpec {
     appended shouldBe rebuilt
   }
 
+  test("SQ8 query-side quantization clamps to the grid exactly like packCodes " +
+      "(out-of-grid query under a frozen drifted grid)") {
+    val sp = spark; import sp.implicits._
+    // grid trained on a narrow corpus then FROZEN; the query sits far
+    // outside the trained [min, max] — the drifted-artifact regime
+    val corpus = (0 until 20).map(i => (i.toLong, Array.fill(4)(i / 20.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val grid = Sq8Index.train(corpus)
+    val q = Seq((0L, Array.fill(4)(5.0f))).toDF("qid", "qv")
+      .withColumn("qv", col("qv").cast("array<float>"))
+    // float path: quantize-then-reconstruct of the query side
+    val qa = Sq8Index.quantizeQueries(q, grid)
+      .select(col("qa")).collect()(0).getSeq[Float](0)
+    // byte-code path: encode → packCodes (saturates at 255) → dequantByte
+    val recon = Sq8Index.packCodes(Sq8Index.encode(
+        q.select(col("qid").as("vec_id"), col("qv").as("embedding")), grid),
+        grid)
+      .select(Sq8Index.dequantByte(col("bcode"), grid).as("r"))
+      .collect()(0).getSeq[Float](0)
+    // both must saturate to the grid edge — unclamped reconstruction
+    // would extrapolate to ~5.0 and the two scoring paths would diverge
+    qa shouldBe recon
+    all(qa) should be < 1.0f
+  }
+
+  test("IVF topKFrom with a LAGGING SQ8 artifact fails loudly instead of " +
+      "silently dropping candidates; a complete artifact answers like inline") {
+    val e = embeddings.localCheckpoint()
+    val cents = IvfIndex.centroids(spark, e, 16)
+    val indexed = IvfIndex.assign(e, cents)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("n2").as("qn2"))
+    val grid = Sq8Index.train(e)
+    // complete side-car: identical answer to the inline train+encode path
+    val full = Sq8Index.encode(e, grid)
+    val withArtifact = rows(IvfIndex.topKFrom(queries, indexed, e, cents,
+      k = 5, nProbe = 3, quant = Some((full, grid))))
+    val inline = rows(IvfIndex.topKFrom(queries, indexed, e, cents,
+      k = 5, nProbe = 3))
+    withArtifact shouldBe inline
+    // lagging side-car (codes missing for half the corpus — the ivf
+    // append reached the cells but not the sq8 artifact): loud failure,
+    // not invisible recall loss
+    val lagging = Sq8Index.encode(e.filter(col("vec_id") % 2 === 0), grid)
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.topKFrom(queries, indexed, e, cents,
+        k = 5, nProbe = 3, quant = Some((lagging, grid))).collect()
+    }
+    ex.getMessage should include("lags the IVF cells")
+  }
+
   test("a half-written artifact (no meta) is invisible to exists") {
     val dir = tmpDir("graft_partial").toString
     new java.io.File(s"$dir/codes").mkdirs()

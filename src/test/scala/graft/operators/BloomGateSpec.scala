@@ -224,6 +224,30 @@ class BloomGateSpec extends SparkSpec {
     assert(!lock.exists())
   }
 
+  test("stale-lease break verifies the captured token: a NEW owner's lock " +
+      "acquired after the stale observation is restored, never stripped") {
+    // the TOCTOU: waiter W observes token OLD as stale; before W's
+    // rename lands, the dead writer's lock is replaced by live owner
+    // NEW. W's capture must notice the token changed, give the lock
+    // back, and report failure — the old code renamed on age alone and
+    // silently destroyed NEW's lease.
+    val dir = new java.io.File(tmpIdx())
+    dir.mkdirs()
+    val lock = new java.io.File(dir, "_writer.lock")
+    java.nio.file.Files.write(lock.toPath,
+      "NEW-owner-token".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val graveyard = new java.io.File(dir, "_writer.lock.stale.test")
+    BloomGate.breakStaleLock(lock, "OLD-observed-token", graveyard) shouldBe false
+    lock.exists() shouldBe true // restored, not stripped
+    new String(java.nio.file.Files.readAllBytes(lock.toPath),
+      java.nio.charset.StandardCharsets.UTF_8) shouldBe "NEW-owner-token"
+    graveyard.exists() shouldBe false
+    // and the verified-stale capture still breaks cleanly
+    BloomGate.breakStaleLock(lock, "NEW-owner-token", graveyard) shouldBe true
+    lock.exists() shouldBe false
+    graveyard.exists() shouldBe false
+  }
+
   test("appendKeyed: identical replay rewrites; a DIFFERENT key set on a " +
       "committed subtree is refused (jobKey collision)") {
     val sp = spark; import sp.implicits._
