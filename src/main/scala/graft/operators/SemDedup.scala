@@ -299,6 +299,32 @@ object SemDedup {
       "vec_id"))
   }
 
+  /** Streaming-growth statistics for the trip-wire (IndexMain
+    * stats-semdedup / check-semdedup): committed append-subtree count
+    * and row volumes of the standing base vs the appended tail.
+    * [[appendBatchKeyed]]'s probe unions `storedFloats` across EVERY
+    * committed subtree, so per-batch cost grows with these numbers until
+    * [[compact]] folds the tail into the base — this is the signal that
+    * says "compact now", measured from the artifact alone (parquet
+    * row-count metadata + one directory listing, no data scan).
+    */
+  final case class AppendStats(appendSubtrees: Int, baseAssignRows: Long,
+      appendedAssignRows: Long, baseFloatRows: Long,
+      appendedFloatRows: Long)
+
+  def appendStats(spark: SparkSession, path: String): AppendStats = {
+    val keys = committedAppendKeys(path)
+    def cnt(p: String): Long =
+      if (new java.io.File(p).isDirectory) spark.read.parquet(p).count()
+      else 0L
+    AppendStats(
+      keys.length,
+      cnt(s"$path/assign"),
+      keys.map(k => cnt(s"$path/appends/$k/assign")).sum,
+      cnt(s"$path/floats"),
+      keys.map(k => cnt(s"$path/appends/$k/floats")).sum)
+  }
+
   /** Storage reclaim after deletes (the IndexMain compact-* contract):
     * rewrite the artifact WITHOUT tombstoned rows into `dest` under the
     * SAME frozen centroids + grid — the source stays untouched and

@@ -60,6 +60,13 @@ import graft.operators.{ArtifactPaths, BloomGate, BpeTrainer, IvfIndex, NearDup,
   *     adds the day-1 slice under key= (default cli-day1, the keyed
   *     crash shape), query probes the held-out batch at maxdf=
   *     (default 20), compact folds appends and drops tombstones.)
+  *   stats-semdedup | check-semdedup   (streaming-growth report / gate
+  *     for the semdedup kind: committed append-subtree count + appended
+  *     vs base row volumes — the keyed ingest's probe unions every
+  *     committed float subtree, so cost grows with stream history.
+  *     check-semdedup exits 1 past maxsubtrees= (default 32) committed
+  *     appends or when appended float rows exceed maxgrowth= (default
+  *     2x) the standing base — the compact-semdedup-now signal.)
   *   stats-jaccard   (probe-selectivity report — the rebuild-cadence
   *     signal: one JSON line with candidates/verified/index sizes)
   *   check-jaccard   (the signal's CONSUMER: same report, then exit 1 if
@@ -114,6 +121,24 @@ object IndexMain {
       candPerDoc > maxCand
   }
 
+  /** The check-semdedup verdict (r12 task 5): the streaming SemDeDup
+    * ingest ([[graft.operators.SemDedup.appendBatchKeyed]]) unions the
+    * float subtrees of EVERY committed append into each batch's probe,
+    * so cost grows with stream history until compact-semdedup folds the
+    * tail into the base. Degraded ⇔
+    *   - committed append subtrees > maxSubtrees (per-batch scan setup
+    *     and small-file pressure are O(#batches)), or
+    *   - appended float rows > maxGrowth × standing base rows (the probe
+    *     reads mostly un-compacted tail).
+    * Either way the remedy is `compact-semdedup dest=<dir>` — the folded
+    * artifact restores both numbers to zero.
+    */
+  def semdedupDegraded(s: graft.operators.SemDedup.AppendStats,
+      maxSubtrees: Int, maxGrowth: Double): Boolean =
+    s.appendSubtrees > maxSubtrees ||
+      s.appendedFloatRows.toDouble >
+        maxGrowth * math.max(1L, s.baseAssignRows + s.baseFloatRows)
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3)
       fail("usage: IndexMain <command> <sfDir> <indexDir> [k=v ...]")
@@ -129,7 +154,8 @@ object IndexMain {
       fail(s"duplicate option key in '${rest.mkString(" ")}'")
     val known = Set("split", "m", "k", "dim", "cells", "tau", "topk",
       "pool", "nprobe", "ids", "maxratio", "maxcand", "dest", "fpp",
-      "maxfpp", "saturation", "spantokens", "maxdf", "key")
+      "maxfpp", "saturation", "spantokens", "maxdf", "key",
+      "maxsubtrees", "maxgrowth")
     keys.filterNot(known).foreach(k => fail(s"unknown option '$k'"))
     val kv = split0.map(a => (a(0), a(1))).toMap
     def num(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
@@ -395,6 +421,32 @@ object IndexMain {
           s""""expected_items":${s.expectedItems},""" +
           s""""saturation":${f"$saturation%.2f"}$status}""")
         if (status.contains("\"rebuild\"")) {
+          spark.stop()
+          sys.exit(1)
+        }
+
+      case "stats-semdedup" | "check-semdedup" =>
+        // streaming-growth trip-wire (the check-jaccard pattern for the
+        // semdedup kind): per-batch probe cost is O(committed append
+        // subtrees + appended float rows); exit 1 = compact-semdedup now
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val s = graft.operators.SemDedup.appendStats(spark, dir)
+        val growth = s.appendedFloatRows.toDouble /
+          math.max(1L, s.baseAssignRows + s.baseFloatRows)
+        val status =
+          if (cmd == "stats-semdedup") ""
+          else {
+            val degraded = semdedupDegraded(s, num("maxsubtrees", 32),
+              dbl("maxgrowth", 2.0))
+            s""","status":"${if (degraded) "compact" else "ok"}""""
+          }
+        println(s"""{"append_subtrees":${s.appendSubtrees},""" +
+          s""""base_assign_rows":${s.baseAssignRows},""" +
+          s""""appended_assign_rows":${s.appendedAssignRows},""" +
+          s""""base_float_rows":${s.baseFloatRows},""" +
+          s""""appended_float_rows":${s.appendedFloatRows},""" +
+          s""""float_growth":${f"$growth%.2f"}$status}""")
+        if (status.contains("\"compact\"")) {
           spark.stop()
           sys.exit(1)
         }

@@ -75,4 +75,52 @@ class IndexCheckSpec extends SparkSpec {
       s"rebuild should collapse candidates: before=${s.candidates} after=${s2.candidates}")
     IndexMain.jaccardDegraded(s2, maxRatio = 50.0, maxCand = 20.0) shouldBe false
   }
+
+  test("check-semdedup: a many-batch stream trips the growth gate; " +
+      "compaction restores health (r12 task 5)") {
+    import graft.operators.SemDedup
+    val sp = spark; import sp.implicits._
+    def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { i =>
+        val v = Array.fill(8)(0.1f); v((i % 4).toInt * 2) = 1.0f; (i, v)
+      }.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFunctions.normSq(col("embedding")).as("n2"))
+
+    // empty-start streaming artifact: model trained on a sample, the
+    // standing side populated ONLY by keyed appends — the regime where
+    // the probe's storedFloats union grows with every committed batch
+    val dir = tmpDir("graft_check_semdedup").toString + "/idx"
+    SemDedup.saveModel(dir, vecs(0L until 32L), k = 4)
+    val empty = vecs(Seq.empty)
+    (0 until 6).foreach { b =>
+      SemDedup.appendBatchKeyed(spark, dir,
+        vecs((100L + 4 * b) until (100L + 4 * b + 4)), empty,
+        threshold = 0.9, key = s"batch$b"): Unit
+    }
+    val s = SemDedup.appendStats(spark, dir)
+    s.appendSubtrees shouldBe 6
+    s.appendedFloatRows shouldBe 24L
+    s.baseAssignRows shouldBe 0L // empty-start: everything is tail
+    // trips on EITHER axis: subtree count or appended-vs-base growth
+    IndexMain.semdedupDegraded(s, maxSubtrees = 4, maxGrowth = 2.0) shouldBe true
+    IndexMain.semdedupDegraded(s, maxSubtrees = 32, maxGrowth = 2.0) shouldBe true
+
+    // compact folds every committed subtree into the base: zero
+    // subtrees, zero tail, the same 24 standing floats — healthy again
+    val dest = tmpDir("graft_check_semdedup_c").toString + "/idx"
+    SemDedup.compact(spark, dir, dest)
+    val s2 = SemDedup.appendStats(spark, dest)
+    s2.appendSubtrees shouldBe 0
+    s2.appendedFloatRows shouldBe 0L
+    s2.baseFloatRows shouldBe 24L
+    s2.baseAssignRows shouldBe 72L // 24 vectors × nProbe=3 soft cells
+    IndexMain.semdedupDegraded(s2, maxSubtrees = 4, maxGrowth = 2.0) shouldBe false
+
+    // and the compacted artifact still answers: a probe batch matching a
+    // streamed vector pairs against the folded standing side
+    val probe = SemDedup.probeBatch(spark, dest, vecs(Seq(999L)),
+      vecs((100L until 124L) :+ 999L), threshold = 0.9)
+    probe.count() should be > 0L
+  }
 }
