@@ -100,6 +100,39 @@ object PipelineDeep extends QueryModule {
            WHERE doc_id % 50 != 0
            GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Fuzzy eval-set decontamination (r12 verdict task 6): the exact pass
+  // above misses REORDERED contamination — a paraphrase that shuffles
+  // word order shares zero 3-token shingles with its eval source yet is
+  // the same content. This pass matches on TOKEN-SET similarity: train
+  // docs' unigram token sets → MinHash band index; eval docs probe it
+  // (NearDup.matchAgainstBandIndex: banded LSH keeps the candidate join
+  // bounded — never all-pairs — and only SURVIVING candidates re-attach
+  // shingle arrays for exact verification); exact token-set Jaccard
+  // ≥ 0.5 flags the train doc. Output: one row per contaminated train
+  // doc with its eval-hit count and worst overlap. MinHash is not
+  // SQL-expressible → rows-only check, DedupSpec pins the planted-
+  // paraphrase recall the exact pass misses.
+  private val qDecontaminateFuzzy = Q(
+    "q_decontaminate_fuzzy",
+    (s, d) => {
+      import graft.operators.NearDup
+      val docs = Tables.documents(s, d)
+      def tokenSets(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          graft.functions.TextFunctions.wordShingles(col("text"), 1).as("sh"))
+      val idx = NearDup.buildBandIndex(
+        tokenSets(docs.filter(col("doc_id") % 50 =!= 0)))
+      NearDup.matchAgainstBandIndex(
+          tokenSets(docs.filter(col("doc_id") % 50 === 0)), idx,
+          threshold = 0.5)
+        .groupBy(col("matched_id"))
+        .agg(count(lit(1)).as("n_eval_matches"),
+          round(max(col("jaccard")), 4).as("max_jaccard"))
+        .select(col("matched_id").as("doc_id"),
+          col("n_eval_matches"), col("max_jaccard"))
+        .orderBy(col("doc_id"))
+    })
+
   // Sliding-window chunking (64-token windows, stride 48): the context-
   // window shaping pass before embedding/training. Pure per-row explode
   // of an arithmetic sequence — no shuffle at all until the final
@@ -377,6 +410,7 @@ object PipelineDeep extends QueryModule {
            FROM orders"""))
 
   override def queries: Seq[Q] = Seq(
-    qRepetition, qDecontaminate, qChunk, qChunkText, qTfidf,
-    qCorr, qRegression, qNormalize, qHistogram, qArgmax, qOrcRoundtrip)
+    qRepetition, qDecontaminate, qDecontaminateFuzzy, qChunk, qChunkText,
+    qTfidf, qCorr, qRegression, qNormalize, qHistogram, qArgmax,
+    qOrcRoundtrip)
 }

@@ -271,4 +271,30 @@ class DedupSpec extends SparkSpec {
       .orderBy("keeper").collect().map(_.getLong(1)).toSeq
     keep shouldBe Seq(3L, 9L)
   }
+
+  test("fuzzy decontamination catches a word-shuffled paraphrase that " +
+      "exact 3-shingle decontamination misses (r12 task 6)") {
+    import graft.operators.{Decontaminate, NearDup}
+    // eval doc = the train doc with its word order REVERSED: every
+    // 3-gram changes (no 3-token shingle survives reversal of a
+    // repeat-free token sequence), but the token SET is identical
+    val trainText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shuffledEval = (1 to 30).map(i => s"w$i").reverse.mkString(" ")
+    val train = docsDf((1L, trainText), (2L, unrelated))
+    val eval = docsDf((50L, shuffledEval))
+
+    // exact 3-shingle pass: blind to the reordering
+    Decontaminate.flagged(train, eval, k = 3).count() shouldBe 0L
+
+    // fuzzy pass (the q_decontaminate_fuzzy shape): unigram token sets
+    // through the band index, exact token-set jaccard at 0.5
+    def tokenSets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), wordShingles(col("text"), 1).as("sh"))
+    val idx = NearDup.buildBandIndex(tokenSets(train))
+    val hits = NearDup.matchAgainstBandIndex(tokenSets(eval), idx,
+        threshold = 0.5)
+      .collect()
+    hits.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((50L, 1L))
+    hits.head.getDouble(2) shouldBe 1.0 // identical token sets
+  }
 }
