@@ -123,6 +123,31 @@ object Relational extends QueryModule {
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  // Co-located (bucketed) join (r12 verdict task 7): lineitem ⋈ orders on
+  // the orderkey through a BUILD-ONCE bucketed layout
+  // (operators/BucketedTables: bucketBy(8, orderkey) + sortBy, external
+  // parquet). Both scans come off disk already hash-co-partitioned on the
+  // join key, so the join itself plans with ZERO shuffle exchanges
+  // (PlanSpec-pinned) — the write-once/join-many layout a warehouse gives
+  // its hottest fact-fact join; at 100 TB the per-query saving is the
+  // entire fact shuffle. Only the tiny 5-row priority aggregate
+  // exchanges. Oracle = the same join over the plain tables.
+  private val qJoinBucketed = Q(
+    "q_join_bucketed",
+    (s, d) => {
+      val (lt, ot) = graft.operators.BucketedTables.ensure(s, d)
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   private val qJoinLeft = Q(
     "q_join_left",
     (s, d) => Tables.customer(s, d)
@@ -612,7 +637,7 @@ object Relational extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qScanAgg, q1, qProject, qFilter, qFilterLike, qNullSafe,
-    qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti,
+    qJoinInner, qJoinBucketed, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinRangeBinned, qJoinCross, q3, q5, q6, q7, q10, q14, q18,
     qDistinct, qApproxDistinct, qRollup, qCube, qCondAgg, qBoolAgg, qStats,
     qSubqueryScalar, qSubqueryExists)

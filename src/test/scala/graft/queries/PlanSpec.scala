@@ -281,6 +281,37 @@ class PlanSpec extends SparkSpec {
       graft.SparkEntry.queries("q_sim_topk_ivf")(spark, sfDir))
   }
 
+  test("q_join_bucketed: the fact-fact join plans ZERO shuffle exchanges " +
+      "(bucketed co-located layout, r12 task 7)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // auto-broadcast off: at fixture scale AQE would broadcast the tiny
+    // orders side and hide the layout's point — force the plan two
+    // 100 TB fact tables get, where the join MUST be shuffle-family
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val nodes = try {
+      val df = graft.SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+      df.collect() // materialize AQE's final plan
+      walkPlan(df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the join is a shuffle-family join (both sides too big to pin a
+    // broadcast at scale)...
+    val joins = nodes.collect {
+      case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      case j: ShuffledHashJoinExec => j
+    }
+    joins should not be empty
+    // ...and NOTHING below it exchanges: both scans come off the bucketed
+    // layout already co-partitioned on the orderkey
+    joins.foreach { j =>
+      walkPlan(j).collect { case s: ShuffleExchangeLike => s } shouldBe empty
+    }
+    // the only exchange in the whole plan is the tiny 5-row aggregate
+    val all = nodes.collect { case s: ShuffleExchangeLike => s }
+    all.size should be <= 2 // partial→final agg + presentation sort
+  }
+
   test("q_sketch_hll: per-group sketches partial-aggregate map-side") {
     val p = planOf(graft.SparkEntry.queries("q_sketch_hll")(spark, sfDir)).toLowerCase
     // partial + final ObjectHashAggregate pair around the group exchange
