@@ -419,9 +419,11 @@ object StreamingOps {
 
   // Public + primitive-only state: the state encoder generates Java that
   // calls these accessors (a `private` class is package-private in bytecode
-  // and invisible to the generated code), and bitmask Longs encode item
-  // outcomes for up to 64 items per request (the batch fold has no bound).
-  case class TaskProgress(nItems: Int, completedMask: Long, failedMask: Long)
+  // and invisible to the generated code). COUNTS, not bitmasks (r12 task
+  // 8): the old bitmask state bounded a task at 64 items — the batch fold
+  // in CopyTaskService has no such bound, and neither does this now.
+  // State stays O(1) per in-flight task at ANY item count.
+  case class TaskProgress(nItems: Int, nCompleted: Int, nFailed: Int)
 
   /** flatMapGroupsWithState fold of item updates → final task statuses.
     * With timeoutMs > 0, a processing-time timeout marks abandoned tasks
@@ -430,14 +432,16 @@ object StreamingOps {
     * fire); timeoutMs ≤ 0 disables timers. State is dropped either way,
     * so it stays O(in-flight tasks).
     *
-    * Contract: item updates are assumed effectively-once per (requestId,
+    * Contract: item updates are EFFECTIVELY-ONCE per (requestId,
     * itemIdx) — put dedupWithinWatermark upstream for at-least-once
-    * sources (a redelivery after the task folded would re-create state
-    * and could emit a second, contradictory status). Tasks with more than
-    * 64 items are rejected with an immediate FAILED("item count exceeds
-    * streaming fold bound") row (the bitmask state covers 64 items; the
-    * batch fold in CopyTaskService has no such bound) — silent index
-    * aliasing would misreport such tasks instead.
+    * sources. This contract is load-bearing for the counts-based state:
+    * the old bitmask absorbed a duplicate redelivery of the same item
+    * silently; counts would double-count it (and a redelivery after the
+    * task folded would re-create state and could emit a second,
+    * contradictory status — true of the bitmask too). Malformed updates
+    * (negative itemIdx, itemIdx ≥ nItems, or nItems ≤ 0) reject the task
+    * with an immediate FAILED row and a tombstone — garbage counts would
+    * misreport the task instead.
     */
   def taskStatusStream(updates: Dataset[ItemUpdate],
       timeoutMs: Long = 60000): Dataset[TaskStatus] = {
@@ -455,12 +459,12 @@ object StreamingOps {
           if (state.hasTimedOut) {
             val p = state.get
             state.remove()
-            if (p.nItems == -1) Iterator.empty // oversized tombstone expiring
+            if (p.nItems == -1) Iterator.empty // rejected-task tombstone expiring
             else Iterator.single(fold(requestId, p, timedOut = true))
           } else {
-            var p = state.getOption.getOrElse(TaskProgress(0, 0L, 0L))
+            var p = state.getOption.getOrElse(TaskProgress(0, 0, 0))
             if (p.nItems == -1) {
-              // tombstone: task already rejected as oversized; swallow
+              // tombstone: task already rejected as malformed; swallow
               // further updates without re-emitting. GroupState clears any
               // pending timer on every invocation — re-arm it here or a
               // straggler update would strand the tombstone in the state
@@ -469,24 +473,23 @@ object StreamingOps {
               if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
               Iterator.empty
             } else {
-              var oversized = false
+              var malformed = false
               rows.foreach { u =>
-                if (u.nItems > 64 || u.itemIdx >= 64 || u.itemIdx < 0) oversized = true
-                val bit = 1L << (u.itemIdx & 63)
+                if (u.nItems <= 0 || u.itemIdx < 0 || u.itemIdx >= u.nItems)
+                  malformed = true
                 p = p.copy(
                   nItems = math.max(p.nItems, u.nItems),
-                  completedMask =
-                    if (u.status == "COMPLETED") p.completedMask | bit else p.completedMask,
-                  failedMask =
-                    if (u.status == "FAILED") p.failedMask | bit else p.failedMask)
+                  nCompleted =
+                    if (u.status == "COMPLETED") p.nCompleted + 1 else p.nCompleted,
+                  nFailed =
+                    if (u.status == "FAILED") p.nFailed + 1 else p.nFailed)
               }
-              if (oversized) {
-                // reject explicitly instead of silently aliasing bit 64+
-                state.update(TaskProgress(-1, 0L, 0L))
+              if (malformed) {
+                // reject explicitly instead of folding garbage counts
+                state.update(TaskProgress(-1, 0, 0))
                 if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
                 Iterator.single(TaskStatus(requestId, 0, 0, p.nItems, "FAILED"))
-              } else if (p.nItems > 0 &&
-                  java.lang.Long.bitCount(p.completedMask | p.failedMask) >= p.nItems) {
+              } else if (p.nItems > 0 && p.nCompleted + p.nFailed >= p.nItems) {
                 state.remove()
                 Iterator.single(fold(requestId, p, timedOut = false))
               } else {
@@ -500,8 +503,8 @@ object StreamingOps {
   }
 
   private def fold(requestId: String, p: TaskProgress, timedOut: Boolean): TaskStatus = {
-    val c = java.lang.Long.bitCount(p.completedMask)
-    val f = java.lang.Long.bitCount(p.failedMask & ~p.completedMask)
+    val c = p.nCompleted
+    val f = p.nFailed
     val status =
       if (timedOut && c + f < p.nItems) "FAILED"
       else if (f == 0) "COMPLETED"

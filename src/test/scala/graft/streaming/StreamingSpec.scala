@@ -852,19 +852,44 @@ class StreamingSpec extends SparkSpec {
       Seq(("a", 2L), ("b", 1L))
   }
 
-  test("tasks beyond the 64-item fold bound are rejected explicitly, not aliased") {
+  test("tasks beyond 64 items fold correctly — the counts-based state has " +
+      "no item bound (r12 task 8)") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ItemUpdate]
     val out = taskStatusStream(input.toDS(), timeoutMs = 0)
-    val q = out.toDF().writeStream.format("memory").queryName("oversized")
+    val q = out.toDF().writeStream.format("memory").queryName("big_task")
       .outputMode(OutputMode.Append()).start()
-    input.addData(ItemUpdate("big", 0, 65, "COMPLETED"))
+    // 100 items across two micro-batches, one failure — the old bitmask
+    // state rejected anything past 64 items outright
+    input.addData((0 until 60).map(i => ItemUpdate("big", i, 100, "COMPLETED")): _*)
     q.processAllAvailable()
-    input.addData(ItemUpdate("big", 1, 65, "COMPLETED")) // tombstoned: no re-emit
+    spark.sql("SELECT count(*) FROM big_task").collect()(0).getLong(0) shouldBe 0L
+    input.addData((60 until 100).map(i =>
+      ItemUpdate("big", i, 100, if (i == 99) "FAILED" else "COMPLETED")): _*)
     q.processAllAvailable()
     q.stop()
-    val rows = spark.sql("SELECT requestId, status FROM oversized").collect()
+    val rows = spark.sql(
+      "SELECT requestId, completed, failed, nItems, status FROM big_task").collect()
+    rows.length shouldBe 1
+    (rows(0).getString(0), rows(0).getInt(1), rows(0).getInt(2),
+      rows(0).getInt(3), rows(0).getString(4)) shouldBe
+      ("big", 99, 1, 100, "PARTIALLY_FAILED")
+  }
+
+  test("malformed item updates reject the task explicitly; tombstone swallows stragglers") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ItemUpdate]
+    val out = taskStatusStream(input.toDS(), timeoutMs = 0)
+    val q = out.toDF().writeStream.format("memory").queryName("malformed")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(ItemUpdate("bad", 5, 3, "COMPLETED")) // itemIdx >= nItems
+    q.processAllAvailable()
+    input.addData(ItemUpdate("bad", 0, 3, "COMPLETED")) // tombstoned: no re-emit
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT requestId, status FROM malformed").collect()
     rows.length shouldBe 1
     rows(0).getString(1) shouldBe "FAILED"
   }
