@@ -579,10 +579,34 @@ object VectorQueries extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     })
 
+  // Topic-balanced resampling (r12 verdict task 9): cap every k-means
+  // cell of the embedding space at a fixed keeper quota, chosen by
+  // deterministic hash rank (operators/ClusterSample — zero RNG state;
+  // GlobalIndex range-exchange ordinal, never a per-cell single-task
+  // window). Output is the per-cell audit: population before the cap,
+  // keepers after, and the keeper id-range — deterministic across runs.
+  // k-means is not SQL-expressible → rows-only; the quota/determinism/
+  // skew contract is ClusterSampleSpec's.
+  private val qSampleClusterBalanced = Q(
+    "q_sample_cluster_balanced",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          normSq(col("embedding")).as("n2"))
+      graft.operators.ClusterSample.balanced(s, e, k = 16, perCell = 50)
+        .groupBy(col("cell"))
+        .agg(first(col("n_total")).as("n_total"),
+          count(lit(1)).as("n_kept"),
+          min(col("vec_id")).as("first_kept"),
+          max(col("vec_id")).as("last_kept"))
+        .orderBy(col("cell"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qCosineNearDup, qEmbeddingClusters, qEmbeddingLsh, qEmbeddingSemDedup,
     qSemDedupIncremental, qBruteTopK, qAnnLsh,
     qIvf, qSq8, qCentroids,
     qHardNegatives, qHardNegativesLsh, qPq, qIvfPq,
-    qPqLoaded, qIvfLoaded, qIvfPqLoaded, qSq8Loaded)
+    qPqLoaded, qIvfLoaded, qIvfPqLoaded, qSq8Loaded,
+    qSampleClusterBalanced)
 }
