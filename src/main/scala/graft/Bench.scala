@@ -223,8 +223,13 @@ object Bench {
     //      pressure on this box while solo collapses to ~1×; the solo
     //      figure is the adjudicable one.
     val anchorsPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "ANCHORS.tsv")
-    val anchors = if (sf.contains(0.1)) loadAnchors(anchorsPath)
-      else Map.empty[String, (Double, Long)] // anchors are sf0.1 medians
+    // the default ANCHORS.tsv holds sf0.1 medians and applies only there;
+    // an EXPLICIT SPARK_GRAFT_ANCHORS engages at any sf — the sf10 legs
+    // carry their own anchor set (r12 task 3: sf10 self-adjudication)
+    val anchors =
+      if (sys.env.contains("SPARK_GRAFT_ANCHORS") || sf.contains(0.1))
+        loadAnchors(anchorsPath)
+      else Map.empty[String, (Double, Long)]
     // Absolute floor on the drift flag (r10 verdict #3): a percentage
     // band alone cries wolf on near-empty exchanges — q5's flagged
     // "1.15×" was 184 BYTES of AQE-coalesce jitter on a broadcast-heavy

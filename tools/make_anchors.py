@@ -14,7 +14,7 @@ src = sys.argv[1] if len(sys.argv) > 1 else "bench_full.json"
 dst = sys.argv[2] if len(sys.argv) > 2 else "ANCHORS.tsv"
 tm = json.load(open(src))["task_metrics"]
 with open(dst, "w") as f:
-    f.write("# Per-query adjudication anchors (sf0.1, local[32]): median executor\n")
+    f.write("# Per-query adjudication anchors (local[32]): median executor\n")
     f.write("# CPU seconds + median shuffle-read bytes from the committed\n")
     f.write(f"# full-registry artifact ({src}). Regenerate after any\n")
     f.write("# accepted plan change:  python3 tools/make_anchors.py\n")
