@@ -129,15 +129,21 @@ object IndexMain {
     *   - committed append subtrees > maxSubtrees (per-batch scan setup
     *     and small-file pressure are O(#batches)), or
     *   - appended float rows > maxGrowth × standing base rows (the probe
-    *     reads mostly un-compacted tail).
+    *     reads mostly un-compacted tail) — judged only once a base
+    *     exists (see below).
     * Either way the remedy is `compact-semdedup dest=<dir>` — the folded
     * artifact restores both numbers to zero.
     */
   def semdedupDegraded(s: graft.operators.SemDedup.AppendStats,
-      maxSubtrees: Int, maxGrowth: Double): Boolean =
+      maxSubtrees: Int, maxGrowth: Double): Boolean = {
+    // The growth axis applies only when a base EXISTS: an empty-start
+    // streaming artifact (saveModel) has base 0 until its first
+    // compaction, and any ratio against zero would cry wolf on day-one
+    // streams — the subtree axis carries the compaction cadence there.
+    val base = s.baseAssignRows + s.baseFloatRows
     s.appendSubtrees > maxSubtrees ||
-      s.appendedFloatRows.toDouble >
-        maxGrowth * math.max(1L, s.baseAssignRows + s.baseFloatRows)
+      (base > 0 && s.appendedFloatRows.toDouble > maxGrowth * base)
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3)

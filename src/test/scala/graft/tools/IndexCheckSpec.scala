@@ -102,9 +102,10 @@ class IndexCheckSpec extends SparkSpec {
     s.appendSubtrees shouldBe 6
     s.appendedFloatRows shouldBe 24L
     s.baseAssignRows shouldBe 0L // empty-start: everything is tail
-    // trips on EITHER axis: subtree count or appended-vs-base growth
+    // the SUBTREE axis trips; the growth axis stays quiet while no base
+    // exists (an empty-start stream would otherwise trip on batch one)
     IndexMain.semdedupDegraded(s, maxSubtrees = 4, maxGrowth = 2.0) shouldBe true
-    IndexMain.semdedupDegraded(s, maxSubtrees = 32, maxGrowth = 2.0) shouldBe true
+    IndexMain.semdedupDegraded(s, maxSubtrees = 32, maxGrowth = 2.0) shouldBe false
 
     // compact folds every committed subtree into the base: zero
     // subtrees, zero tail, the same 24 standing floats — healthy again
@@ -116,6 +117,18 @@ class IndexCheckSpec extends SparkSpec {
     s2.baseFloatRows shouldBe 24L
     s2.baseAssignRows shouldBe 72L // 24 vectors × nProbe=3 soft cells
     IndexMain.semdedupDegraded(s2, maxSubtrees = 4, maxGrowth = 2.0) shouldBe false
+
+    // regrow on the COMPACTED base: now the growth axis is live —
+    // appended floats exceeding maxGrowth × base trip it
+    (0 until 2).foreach { b =>
+      SemDedup.appendBatchKeyed(spark, dest,
+        vecs((500L + 4 * b) until (500L + 4 * b + 4)), empty,
+        threshold = 0.9, key = s"regrow$b"): Unit
+    }
+    val s3 = SemDedup.appendStats(spark, dest)
+    s3.appendedFloatRows shouldBe 8L // 8 vs base 96 rows
+    IndexMain.semdedupDegraded(s3, maxSubtrees = 32, maxGrowth = 2.0) shouldBe false
+    IndexMain.semdedupDegraded(s3, maxSubtrees = 32, maxGrowth = 0.05) shouldBe true
 
     // and the compacted artifact still answers: a probe batch matching a
     // streamed vector pairs against the folded standing side
