@@ -29,6 +29,14 @@ object TextFunctions {
   private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graft.ColumnBridge.expression(c)
 
+  /** Hashed char-n-gram bucket counts (graft.plans.HashedNgramCounts) —
+    * the FEATURE side of the QualityClassifier space, for training:
+    * identical hashing to ngramLogit, so dot(counts, w) == logit exactly.
+    */
+  def ngramCounts(text: Column, n: Int = QualityClassifier.N,
+      dim: Int = QualityClassifier.Dim): Column =
+    native(graft.plans.HashedNgramCounts(exprOf(text), n, dim))
+
   /** DISTINCT word k-shingles (space-joined k-grams of the whitespace
     * tokens; docs shorter than k tokens yield their whole text as the one
     * shingle). Native one-pass expression — see graft.plans.WordShingles.

@@ -819,3 +819,53 @@ case class HashedNgramLogit(child: Expression, n: Int, dim: Int,
   override protected def withNewChildInternal(c: Expression): HashedNgramLogit =
     copy(child = c)
 }
+
+/** Per-document hashed char-n-gram BUCKET COUNTS — the FEATURE side of
+  * the [[HashedNgramLogit]] classifier, for TRAINING (operators
+  * .QualityTrainer). Identical hashing arithmetic (UTF-16 substring →
+  * UTF-8 md5 → first 4 bytes big-endian unsigned mod dim), so
+  * `dot(counts, w) == HashedNgramLogit(text, w).logit` exactly — the
+  * invariant QualityTrainerSpec pins, guaranteeing a trained weight
+  * vector scores through the existing inference path without feature
+  * skew. Returns array<long>(dim). CodegenFallback: once per row, cost
+  * is the md5 loop itself.
+  */
+case class HashedNgramCounts(child: Expression, n: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0 && dim > 0, s"ngram_counts: need n > 0 and dim > 0, got $n, $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs a string input, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Long](dim)
+    val total = s.length - n + 1
+    var i = 0
+    while (i < total) {
+      val bytes = s.substring(i, i + n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.reset()
+      val d = md.digest(bytes)
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      counts((h % dim).toInt) += 1L
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedNgramCounts =
+    copy(child = c)
+}

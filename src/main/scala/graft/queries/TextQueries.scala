@@ -131,6 +131,27 @@ object TextQueries extends QueryModule {
              CAST(n_grams > 0 AND logit * 20 >= n_grams * 1000 AS INT) AS pass
            FROM w ORDER BY doc_id"""))
 
+  // TRAINING for the classifier above (r13): batch logistic regression
+  // over the identical hashed-trigram feature space (plans
+  // .HashedNgramCounts — spec-pinned dot(counts, w) == ngramLogit's
+  // logit), teacher-distilled from the fixture's language label (the
+  // fastText-langid recipe; a quality-seed teacher is the same call).
+  // Deterministic end to end: per-doc gradient factors quantize to
+  // fixed-point Longs BEFORE the cross-row fold, so per-bucket gradients
+  // are integer sums (partition-order-proof); weight updates happen on
+  // the driver in one fixed order. Gradient-descent fixed point is
+  // engine-defined (an unrolled SQL oracle would hard-code k sigmoid
+  // iterations) → rows-only; QualityTrainerSpec pins a plain-Scala
+  // exact replay, cross-partitioning determinism, and held-out
+  // separation on planted vocabularies.
+  private val qQualityTrain = Q(
+    "q_quality_train",
+    (s, d) => graft.operators.QualityTrainer.trainDf(
+        Tables.documents(s, d).withColumn("y",
+          (col("lang") === "en").cast("int")),
+        "text", "y")
+      .orderBy(col("bucket")))
+
   // The classifier used the way q_quality_filter uses its heuristics —
   // gate then aggregate — proving threshold parity end to end: the
   // DuckDB replay applies the SAME exact-integer keep decision before
@@ -1718,7 +1739,7 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     qTextStats, qQuality, qQualityFilter, qQualityClassifier,
-    qQualityClassifierFilter, qLangId, qFingerprint,
+    qQualityClassifierFilter, qQualityTrain, qLangId, qFingerprint,
     qVocabTopK, qVocabApprox, qBpeMergeStep, qBpeTrain, qBpeSegment,
     qUnigramTrain, qUnigramSegment,
     qPiiScrub, qSeqPack, qBm25, qLmScore, qSamplePplBuckets, qSampleDsir,

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.{QualityClassifier, TextFunctions}
+
+/** The in-engine classifier trainer (r13): feature identity with the
+  * scoring expression, bit-exact plain-Scala replay (the UnigramTrainer
+  * parity standard), cross-partitioning determinism, and actual
+  * LEARNING — planted separable vocabularies classified on held-out
+  * docs through the EXISTING inference path.
+  */
+class QualityTrainerSpec extends SparkSpec {
+
+  test("feature identity: dot(ngramCounts, w) == ngramLogit.logit exactly") {
+    val w = QualityClassifier.pinnedWeights()
+    val docs = Tables.documents(spark, sfDir).limit(50)
+      .select(lower(col("text")).as("lt"))
+      .select(
+        TextFunctions.ngramCounts(col("lt")).as("counts"),
+        QualityClassifier.ngramLogit(col("lt")).getField("logit").as("logit"))
+      .collect()
+    docs.length shouldBe 50
+    docs.foreach { r =>
+      val counts = r.getSeq[Long](0)
+      val dot = counts.iterator.zipWithIndex
+        .map { case (c, j) => c * w(j) }.sum
+      dot shouldBe r.getLong(1)
+    }
+  }
+
+  // planted corpus: label-1 docs draw words from vocab A, label-0 from
+  // vocab B — disjoint trigram mass, linearly separable
+  private def planted: DataFrame = {
+    val sp = spark; import sp.implicits._
+    def doc(vocab: String, salt: Int): String =
+      (0 until 12).map(k => s"$vocab${(salt * 7 + k * 3) % 20}").mkString(" ")
+    val rows =
+      (0 until 60).map(i => (i.toLong, doc("alpha", i), 1)) ++
+      (0 until 60).map(i => (1000L + i, doc("zeta", i), 0))
+    rows.toDF("doc_id", "text", "y")
+  }
+
+  test("learning: planted vocabularies separate on HELD-OUT docs through " +
+      "the existing inference path") {
+    val sp = spark; import sp.implicits._
+    val train = planted.filter(col("doc_id") % 5 =!= 0)
+    val held = planted.filter(col("doc_id") % 5 === 0)
+    val w = QualityTrainer.train(train, "text", "y")
+    val scored = held
+      .withColumn("gl", QualityClassifier.ngramLogit(lower(col("text")), w))
+      .select(col("y"), (col("gl.logit") > 0L).cast("int").as("pred"))
+      .collect()
+    val acc = scored.count(r => r.getInt(0) == r.getInt(1)).toDouble / scored.length
+    withClue(s"held-out accuracy $acc: ") { acc should be >= 0.95 }
+  }
+
+  test("deterministic: identical weights across runs and partitionings") {
+    val a = QualityTrainer.train(planted, "text", "y", iters = 4)
+    val b = QualityTrainer.train(planted.repartition(7), "text", "y", iters = 4)
+    a.toSeq shouldBe b.toSeq
+  }
+
+  test("plain-Scala replay reproduces the weights bit-for-bit (4 iterations)") {
+    val docs = planted
+    val got = QualityTrainer.train(docs, "text", "y", iters = 4, lr = 2.0)
+    // independent replay: same features (collected once), same per-doc
+    // arithmetic (Math.exp, HALF_UP fixed-point quantization), same
+    // integer gradient sums, same driver-side update
+    val feat = docs
+      .select(col("y").cast("long").as("y"),
+        TextFunctions.ngramCounts(lower(col("text"))).as("counts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .filter(_._2.sum > 0)
+    val dim = QualityClassifier.Dim
+    val S = QualityClassifier.Scale
+    val w = new Array[Long](dim)
+    for (_ <- 0 until 4) {
+      val g = new Array[Long](dim)
+      var nDocs = 0L
+      feat.foreach { case (y, counts) =>
+        val n = counts.sum
+        val logitS = counts.iterator.zipWithIndex.map { case (c, j) => c * w(j) }.sum
+        val z = logitS.toDouble / (S.toDouble * n.toDouble)
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val gq = BigDecimal((p - y.toDouble) / n.toDouble *
+            QualityTrainer.GradScale.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        var j = 0
+        while (j < dim) { g(j) += counts(j) * gq; j += 1 }
+        nDocs += 1
+      }
+      var j = 0
+      while (j < dim) {
+        w(j) = w(j) - math.round(2.0 * S.toDouble *
+          (g(j).toDouble / (QualityTrainer.GradScale.toDouble * nDocs)))
+        j += 1
+      }
+    }
+    got.toSeq shouldBe w.toSeq
+  }
+
+  test("registry query: 256 deterministic (bucket, weight) rows") {
+    val rows = graft.SparkEntry.queries("q_quality_train")(spark, sfDir)
+      .collect()
+    rows.length shouldBe QualityClassifier.Dim
+    rows.map(_.getInt(0)).toSeq shouldBe (0 until QualityClassifier.Dim)
+    // the teacher signal moved SOME weights off zero init
+    rows.count(_.getLong(1) != 0L) should be > 0
+  }
+}
