@@ -78,14 +78,25 @@ object QualityTrainer {
     aggregate(zip_with(counts, w, (c, x) => c * x), lit(0L), (acc, x) => acc + x)
   }
 
-  /** Train fixed-point weights (QualityClassifier.Scale) by `iters`
-    * batch-GD steps at learning rate `lr` from zero init. `docs` must
-    * carry `textCol` (string) and `labelCol` (0/1 — the teacher).
-    * Returns weights ready for `QualityClassifier.ngramLogit(text, w)`.
+  /** Train fixed-point (weights, bias) by `iters` batch ADAGRAD steps
+    * at base rate `lr` from zero init; model z = meanLogit + bias/S
+    * (the intercept absorbs the class prior — without it an imbalanced
+    * teacher pins every prediction to the majority class). Adagrad's
+    * per-coordinate scaling is load-bearing: the intercept's
+    * z-sensitivity is 1/S while a bucket carrying fraction f of a doc's
+    * grams has f/S — they differ by orders of magnitude, so one global
+    * rate either diverges on the bias or crawls on the features; the
+    * accumulator normalizes both to ~lr-sized first steps
+    * (deterministic: accumulators live on the DRIVER and fold the same
+    * integer gradient sums the update uses, in one fixed order).
+    * `docs` must carry `textCol` (string) and `labelCol` (0/1). The
+    * weights feed `QualityClassifier.ngramLogit(text, w)`; the keep
+    * rule is `logit + bias·n_grams > 0` (i.e. mean-logit above the
+    * TRAINED threshold −bias/S — [[keeps]]).
     */
   def train(docs: DataFrame, textCol: String, labelCol: String,
-      iters: Int = 8, lr: Double = 2.0,
-      dim: Int = QualityClassifier.Dim): Array[Long] = {
+      iters: Int = 8, lr: Double = 0.5,
+      dim: Int = QualityClassifier.Dim): (Array[Long], Long) = {
     require(iters >= 1, s"need at least one iteration: $iters")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -98,43 +109,95 @@ object QualityTrainer {
       .filter(col("n") > 0)
       .localCheckpoint()
     var w = new Array[Long](dim)
+    var bS = 0L
+    val acc = new Array[Double](dim) // adagrad Σ grad² per bucket
+    var accB = 0.0
     var it = 0
     while (it < iters) {
-      // z = mean logit; p = sigmoid(z); per-doc factor (p - y)/n quantized
-      // to fixed point BEFORE the cross-row integer sum (determinism)
+      // z = mean logit + bias; p = sigmoid(z); the per-doc factors
+      // quantize to fixed point BEFORE the cross-row integer sums
+      // (determinism): gq carries the 1/n feature scaling, bq the bias
       val logitS = dotCounts(col("counts"), w)
-      val z = logitS.cast("double") / (lit(S.toDouble) * col("n").cast("double"))
+      val z = logitS.cast("double") / (lit(S.toDouble) * col("n").cast("double")) +
+        lit(bS.toDouble / S.toDouble)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
       val gq = round((p - col("y").cast("double")) / col("n").cast("double") *
         lit(GradScale.toDouble), 0).cast("long")
+      val bq = round((p - col("y").cast("double")) *
+        lit(GradScale.toDouble), 0).cast("long")
       val folded = feat
-        .select(col("counts"), gq.as("gq"))
-        .select(udaf(gradAgg).apply(col("counts"), col("gq")).as("gb"))
-        .select(col("gb.g"), col("gb.n"))
-        .as[(Seq[Long], Long)]
+        .select(col("counts"), gq.as("gq"), bq.as("bq"))
+        .select(udaf(gradAgg).apply(col("counts"), col("gq")).as("gb"),
+          sum(col("bq")).as("bsum"))
+        .select(col("gb.g"), col("gb.n"), col("bsum"))
+        .as[(Seq[Long], Long, Long)]
         .head()
       val nDocs = math.max(1L, folded._2)
       val g = if (folded._1.isEmpty) new Array[Long](dim) else folded._1.toArray
       var j = 0
       while (j < dim) {
-        // ΔwS_j = lr · S · mean_j, mean_j = G_j / (GradScale · nDocs)
-        w(j) = w(j) - math.round(
-          lr * S.toDouble * (g(j).toDouble / (GradScale.toDouble * nDocs)))
+        // ΔwS_j = lr · S · mean_j / √acc_j, mean_j = G_j / (GradScale·nDocs)
+        val mean = g(j).toDouble / (GradScale.toDouble * nDocs)
+        acc(j) += mean * mean
+        if (acc(j) > 0.0)
+          w(j) = w(j) - math.round(lr * S.toDouble * mean / math.sqrt(acc(j)))
         j += 1
       }
+      val meanB = folded._3.toDouble / (GradScale.toDouble * nDocs)
+      accB += meanB * meanB
+      if (accB > 0.0)
+        bS = bS - math.round(lr * S.toDouble * meanB / math.sqrt(accB))
       it += 1
     }
-    w
+    (w, bS)
   }
 
-  /** Registry form: (bucket, weight) — `dim` rows, deterministic. */
+  /** The keep decision under a trained (weights, bias): mean-logit above
+    * the trained threshold, in exact integer arithmetic —
+    * logit + bias·n_grams > 0.
+    */
+  def keeps(nGrams: Column, logit: Column, biasS: Long): Column =
+    nGrams > 0L && logit + lit(biasS) * nGrams > 0L
+
+
+  /** Registry form: `dim`+1 rows, deterministic — the trained bias
+    * (intercept) rides at bucket −1, the feature weights at 0..dim−1.
+    */
   def trainDf(docs: DataFrame, textCol: String, labelCol: String,
       iters: Int = 8, lr: Double = 2.0,
       dim: Int = QualityClassifier.Dim): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = train(docs, textCol, labelCol, iters, lr, dim)
-    w.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
+    val (w, bS) = train(docs, textCol, labelCol, iters, lr, dim)
+    ((-1, bS) +: w.zipWithIndex.map { case (x, j) => (j, x) }.toSeq)
       .toDF("bucket", "weight")
+  }
+
+  // --- Persisted weight artifact (the BpeTrainer.saveVocab discipline:
+  // --- meta written LAST is the ArtifactPaths.exists commit marker, so
+  // --- a crashed half-written save is invisible and gets rebuilt) ------
+  //   weights/ (bucket, weight)  — dim tiny rows, fixed-point Scale
+  //   meta/    (dim, iters, lr)
+
+  def save(spark: org.apache.spark.sql.SparkSession, dir: String,
+      weights: Array[Long], biasS: Long, iters: Int, lr: Double): Unit = {
+    import spark.implicits._
+    weights.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
+      .toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+    Seq((weights.length, biasS, iters, lr)).toDF("dim", "bias", "iters", "lr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Long], Long) = {
+    require(ArtifactPaths.exists(dir), s"no committed classifier weights at $dir")
+    val rows = spark.read.parquet(s"$dir/weights").orderBy("bucket").collect()
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val dim = meta.getAs[Int]("dim")
+    require(rows.length == dim && rows.iterator.zipWithIndex.forall {
+        case (r, j) => r.getInt(0) == j },
+      s"classifier weight artifact at $dir is not a dense 0..${dim - 1} vector")
+    (rows.map(_.getLong(1)), meta.getAs[Long]("bias"))
   }
 }

@@ -134,8 +134,11 @@ object TextQueries extends QueryModule {
   // TRAINING for the classifier above (r13): batch logistic regression
   // over the identical hashed-trigram feature space (plans
   // .HashedNgramCounts — spec-pinned dot(counts, w) == ngramLogit's
-  // logit), teacher-distilled from the fixture's language label (the
-  // fastText-langid recipe; a quality-seed teacher is the same call).
+  // logit), teacher-distilled from the stopword-ratio heuristic (the
+  // classic distill-the-cheap-gate recipe; any binary teacher column —
+  // langid, quality seeds — is the same call). The trained intercept
+  // absorbs the class prior; the keep rule is the trained threshold
+  // (QualityTrainer.keeps: logit + bias·n > 0, exact integers).
   // Deterministic end to end: per-doc gradient factors quantize to
   // fixed-point Longs BEFORE the cross-row fold, so per-bucket gradients
   // are integer sums (partition-order-proof); weight updates happen on
@@ -148,8 +151,9 @@ object TextQueries extends QueryModule {
     "q_quality_train",
     (s, d) => graft.operators.QualityTrainer.trainDf(
         Tables.documents(s, d).withColumn("y",
-          (col("lang") === "en").cast("int")),
-        "text", "y")
+          (graft.functions.TextFunctions.stopwordRatio(col("text")) >= 0.06)
+            .cast("int")),
+        "text", "y", iters = 40, lr = 1.0, dim = 1024)
       .orderBy(col("bucket")))
 
   // The classifier used the way q_quality_filter uses its heuristics —

@@ -60,6 +60,14 @@ import graft.operators.{ArtifactPaths, BloomGate, BpeTrainer, IvfIndex, NearDup,
   *     adds the day-1 slice under key= (default cli-day1, the keyed
   *     crash shape), query probes the held-out batch at maxdf=
   *     (default 20), compact folds appends and drops tombstones.)
+  *   train-quality | score-quality   (classifier lifecycle, r13:
+  *     train-quality learns hashed-trigram weights + intercept by
+  *     deterministic batch logistic regression (adagrad; k= iterations,
+  *     default 40; lr= base rate, default 1.0; dim= hash buckets,
+  *     default 1024; teacher = stopword-ratio >= 0.06, the heuristic-gate
+  *     distillation) and persists them meta-last; score-quality loads
+  *     the artifact and scores the held-out split through the existing
+  *     QualityClassifier inference path — keep/drop rollup.)
   *   stats-semdedup | check-semdedup   (streaming-growth report / gate
   *     for the semdedup kind: committed append-subtree count + appended
   *     vs base row volumes — the keyed ingest's probe unions every
@@ -161,7 +169,7 @@ object IndexMain {
     val known = Set("split", "m", "k", "dim", "cells", "tau", "topk",
       "pool", "nprobe", "ids", "maxratio", "maxcand", "dest", "fpp",
       "maxfpp", "saturation", "spantokens", "maxdf", "key",
-      "maxsubtrees", "maxgrowth")
+      "maxsubtrees", "maxgrowth", "lr")
     keys.filterNot(known).foreach(k => fail(s"unknown option '$k'"))
     val kv = split0.map(a => (a(0), a(1))).toMap
     def num(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
@@ -511,6 +519,47 @@ object IndexMain {
           .collect()(0)
         println(s"""{"docs":${toks.getLong(0)},"tokens":${toks.getLong(1)},""" +
           s""""merges":${merges.size}}""")
+
+      case "train-quality" =>
+        // classifier-training lifecycle (r13): learn hashed-trigram
+        // weights by deterministic batch logistic regression
+        // (operators/QualityTrainer; teacher = the fixture's language
+        // label — the langid-distillation recipe) and persist them as
+        // the weights artifact (meta-last commit marker)
+        val docs = withSplit(graft.Tables.documents(spark, sfDir),
+          "doc_id", "all")
+          .withColumn("y",
+            (graft.functions.TextFunctions.stopwordRatio(col("text")) >= 0.06)
+              .cast("int"))
+        val iters = num("k", 40)
+        val lr = dbl("lr", 1.0)
+        val (w, bS) = graft.operators.QualityTrainer.train(docs, "text", "y",
+          iters = iters, lr = lr, dim = num("dim", 1024))
+        graft.operators.QualityTrainer.save(spark, dir, w, bS, iters, lr)
+        println(s"""{"dim":${w.length},"iters":$iters,"bias":$bS,""" +
+          s""""nonzero":${w.count(_ != 0L)}}""")
+
+      case "score-quality" =>
+        // apply persisted weights through the EXISTING inference path
+        // (QualityClassifier.ngramLogit with a trained vector): per-split
+        // keep/drop rollup — pure map-side scoring, one tiny agg
+        if (!ArtifactPaths.exists(dir)) fail(s"no committed weights at $dir")
+        val (w, bS) = graft.operators.QualityTrainer.load(spark, dir)
+        import graft.functions.QualityClassifier
+        val r = withSplit(graft.Tables.documents(spark, sfDir),
+            "doc_id", "mod10eq0")
+          .withColumn("y",
+            (graft.functions.TextFunctions.stopwordRatio(col("text")) >= 0.06)
+              .cast("long"))
+          .withColumn("gl", QualityClassifier.ngramLogit(lower(col("text")), w))
+          .select(col("y"), graft.operators.QualityTrainer.keeps(col("gl.n_grams"),
+            col("gl.logit"), bS).cast("long").as("keep"))
+          .agg(count(lit(1)).as("docs"), sum(col("keep")).as("kept"),
+            sum((col("keep") === col("y")).cast("long")).as("agree"))
+          .collect()(0)
+        println(s"""{"docs":${r.getLong(0)},"kept":${r.getLong(1)},""" +
+          s""""teacher_agreement":${f"${r.getLong(2).toDouble / math.max(1L, r.getLong(0))}%.4f"},""" +
+          s""""dim":${w.length}}""")
 
       case other => fail(s"unknown command '$other'")
     }

@@ -47,10 +47,11 @@ class QualityTrainerSpec extends SparkSpec {
     val sp = spark; import sp.implicits._
     val train = planted.filter(col("doc_id") % 5 =!= 0)
     val held = planted.filter(col("doc_id") % 5 === 0)
-    val w = QualityTrainer.train(train, "text", "y")
+    val (w, bS) = QualityTrainer.train(train, "text", "y")
     val scored = held
       .withColumn("gl", QualityClassifier.ngramLogit(lower(col("text")), w))
-      .select(col("y"), (col("gl.logit") > 0L).cast("int").as("pred"))
+      .select(col("y"), QualityTrainer.keeps(col("gl.n_grams"),
+        col("gl.logit"), bS).cast("int").as("pred"))
       .collect()
     val acc = scored.count(r => r.getInt(0) == r.getInt(1)).toDouble / scored.length
     withClue(s"held-out accuracy $acc: ") { acc should be >= 0.95 }
@@ -59,7 +60,8 @@ class QualityTrainerSpec extends SparkSpec {
   test("deterministic: identical weights across runs and partitionings") {
     val a = QualityTrainer.train(planted, "text", "y", iters = 4)
     val b = QualityTrainer.train(planted.repartition(7), "text", "y", iters = 4)
-    a.toSeq shouldBe b.toSeq
+    a._1.toSeq shouldBe b._1.toSeq
+    a._2 shouldBe b._2
   }
 
   test("plain-Scala replay reproduces the weights bit-for-bit (4 iterations)") {
@@ -77,36 +79,68 @@ class QualityTrainerSpec extends SparkSpec {
     val dim = QualityClassifier.Dim
     val S = QualityClassifier.Scale
     val w = new Array[Long](dim)
+    var bS = 0L
+    val acc = new Array[Double](dim)
+    var accB = 0.0
     for (_ <- 0 until 4) {
       val g = new Array[Long](dim)
+      var bsum = 0L
       var nDocs = 0L
       feat.foreach { case (y, counts) =>
         val n = counts.sum
         val logitS = counts.iterator.zipWithIndex.map { case (c, j) => c * w(j) }.sum
-        val z = logitS.toDouble / (S.toDouble * n.toDouble)
+        val z = logitS.toDouble / (S.toDouble * n.toDouble) + bS.toDouble / S.toDouble
         val p = 1.0 / (1.0 + math.exp(-z))
         val gq = BigDecimal((p - y.toDouble) / n.toDouble *
             QualityTrainer.GradScale.toDouble)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        val bq = BigDecimal((p - y.toDouble) *
+            QualityTrainer.GradScale.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         var j = 0
         while (j < dim) { g(j) += counts(j) * gq; j += 1 }
+        bsum += bq
         nDocs += 1
       }
       var j = 0
       while (j < dim) {
-        w(j) = w(j) - math.round(2.0 * S.toDouble *
-          (g(j).toDouble / (QualityTrainer.GradScale.toDouble * nDocs)))
+        val mean = g(j).toDouble / (QualityTrainer.GradScale.toDouble * nDocs)
+        acc(j) += mean * mean
+        if (acc(j) > 0.0)
+          w(j) = w(j) - math.round(2.0 * S.toDouble * mean / math.sqrt(acc(j)))
         j += 1
       }
+      val meanB = bsum.toDouble / (QualityTrainer.GradScale.toDouble * nDocs)
+      accB += meanB * meanB
+      if (accB > 0.0)
+        bS = bS - math.round(2.0 * S.toDouble * meanB / math.sqrt(accB))
     }
-    got.toSeq shouldBe w.toSeq
+    got._1.toSeq shouldBe w.toSeq
+    got._2 shouldBe bS
   }
 
-  test("registry query: 256 deterministic (bucket, weight) rows") {
+  test("weight artifact round-trips; half-written save is invisible") {
+    val (w, bS) = QualityTrainer.train(planted, "text", "y", iters = 2)
+    val dir = tmpDir("graft_qt").toString + "/weights"
+    QualityTrainer.save(spark, dir, w, bS, iters = 2, lr = 2.0)
+    ArtifactPaths.exists(dir) shouldBe true
+    val (lw, lb) = QualityTrainer.load(spark, dir)
+    lw.toSeq shouldBe w.toSeq
+    lb shouldBe bS
+    // meta-last commit: an artifact without meta/_SUCCESS is invisible
+    val half = tmpDir("graft_qt_half").toString + "/weights"
+    QualityTrainer.save(spark, half, w, bS, iters = 2, lr = 2.0)
+    new java.io.File(s"$half/meta/_SUCCESS").delete() shouldBe true
+    ArtifactPaths.exists(half) shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      QualityTrainer.load(spark, half)
+  }
+
+  test("registry query: 1025 deterministic rows — bias at bucket -1, weights 0..1023") {
     val rows = graft.SparkEntry.queries("q_quality_train")(spark, sfDir)
       .collect()
-    rows.length shouldBe QualityClassifier.Dim
-    rows.map(_.getInt(0)).toSeq shouldBe (0 until QualityClassifier.Dim)
+    rows.length shouldBe 1024 + 1
+    rows.map(_.getInt(0)).toSeq shouldBe (-1 until 1024)
     // the teacher signal moved SOME weights off zero init
     rows.count(_.getLong(1) != 0L) should be > 0
   }
