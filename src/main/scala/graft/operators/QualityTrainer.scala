@@ -50,9 +50,13 @@ object QualityTrainer {
       override def zero: GBuf = GBuf(Array.empty, 0L)
       override def reduce(b: GBuf, row: (Seq[Long], Long)): GBuf = {
         val (counts, gq) = row
+        // the encoder hands counts back as a LIST — positional indexing
+        // would be O(dim²) per row (a measured wall blowup at dim=1024);
+        // iterate linearly instead
         val g = if (b.g.isEmpty) new Array[Long](counts.length) else b.g
         var j = 0
-        while (j < counts.length) { g(j) += counts(j) * gq; j += 1 }
+        val it = counts.iterator
+        while (it.hasNext) { g(j) += it.next() * gq; j += 1 }
         GBuf(g, b.n + 1)
       }
       override def merge(a: GBuf, b: GBuf): GBuf = {
@@ -70,12 +74,15 @@ object QualityTrainer {
       override def outputEncoder: Encoder[GBuf] = Encoders.product[GBuf]
     }
 
-  /** Integer dot of a counts array against a fixed-point weight literal
-    * — exact, order-fixed (element order), codegen'd higher-order fold.
+  /** Integer dot of a counts array against a constant fixed-point weight
+    * vector — exact, order-fixed (element order). One opaque native node
+    * (plans.LongVecDotConst): the zip_with-over-dim-literals form made
+    * every GD iteration PLANNING-bound at dim=1024.
     */
   private def dotCounts(counts: Column, wS: Array[Long]): Column = {
-    val w = array(wS.toIndexedSeq.map(lit): _*)
-    aggregate(zip_with(counts, w, (c, x) => c * x), lit(0L), (acc, x) => acc + x)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.LongVecDotConst(
+      ColumnBridge.expression(counts), wS.clone()))
   }
 
   /** Train fixed-point (weights, bias) by `iters` batch ADAGRAD steps
