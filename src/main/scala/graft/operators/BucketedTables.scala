@@ -22,8 +22,15 @@ object BucketedTables {
 
   val Buckets = 8
 
+  // md5 of the source dir, not String.hashCode (r13 ADVICE): a 32-bit
+  // collision between two different source dirs would make the second
+  // caller silently reuse the first dir's bucketed tables — ensure()
+  // only checks tableExists. 16 hex chars of md5 makes an accidental
+  // collision implausible rather than birthday-bound at ~2^16 dirs.
   private def tag(sfDir: String): String =
-    java.lang.Integer.toHexString(sfDir.hashCode)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
 
   /** Ensure both bucketed tables exist and are registered; returns
     * (lineitemTable, ordersTable) catalog names.

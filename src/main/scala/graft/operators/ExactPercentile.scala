@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact per-group `percentile_cont` WITHOUT whole-group aggregation
@@ -8,13 +9,31 @@ import org.apache.spark.sql.functions._
   *
   * `expr("percentile(v, p)")` is an ObjectHashAggregate whose buffer
   * holds EVERY value of the group on one executor — a single 100 TB
-  * lineitem returnflag group OOMs it. This operator reuses the
-  * [[GlobalIndex]] range-exchange ordinal instead (the q_agg_equidepth
-  * machinery): sort-by-(group, value) via ONE range repartition (memory
-  * O(rows/partition), spill-safe), stamp global ordinals map-side, then
-  * reduce the percentile to "fetch the values at two ranks per (group,
-  * p)" — a tiny broadcast of O(groups × ps) boundary rows against the
-  * stamped corpus.
+  * lineitem returnflag group OOMs it. This operator range-partitions by
+  * (group, column-tag, value) instead — memory O(rows/partition),
+  * spill-safe — and reduces the percentile to "fetch the values at two
+  * ranks per (group, p)".
+  *
+  * r13 task 4 (the constant-factor pass): the whole computation is ONE
+  * Spark job with NO materialization. The r12 form stamped global
+  * ordinals over a localCheckpoint (GlobalIndex) — the checkpoint
+  * existed to pin one consistent partitioning across separate count and
+  * stamp JOBS, but its materialized-row rescans dominated the CPU (4.7×
+  * the buffered path at sf0.1). Percentile needs less than a general
+  * ordinal: ties in v are interchangeable (only the VALUE at a rank is
+  * observed), so cross-job tie stability is unnecessary, and a single
+  * plan can share the range exchange between its two consumers via
+  * ReuseExchange — one shuffle, no checkpoint:
+  *
+  *  - counts branch (no sort): run-segment sizes per (partition, group,
+  *    tag) — O(partitions + groups) rows. Tiny windows over the segments
+  *    (partitioned by pid and by (group, tag) — never global) yield each
+  *    segment's within-partition start and its run's preceding-partition
+  *    total, which RESOLVE every requested rank to an exact (partition,
+  *    local row index) address.
+  *  - probe branch (sorted within partitions): rows join the broadcast
+  *    O(groups × Σps) address list on (partition id, local index) — two
+  *    long equality keys, no per-row rank arithmetic.
   *
   * Interpolation is bit-compatible with Spark's exact `percentile`
   * (`PercentileBase.getPercentile`): with n non-null values sorted
@@ -25,49 +44,131 @@ import org.apache.spark.sql.functions._
   */
 object ExactPercentile {
 
-  /** Exact percentiles of `valueCol` per `groupCol` for each p in `ps`.
-    * Null values are excluded (the `percentile` semantics). Returns
-    * (groupCol, p, value) — one row per (group, p); groups with zero
-    * non-null values are absent (percentile of nothing is NULL, and
-    * NULL-valued rows add nothing downstream).
+  private val LocalIdxMask = (1L << 33) - 1 // mid = pid << 33 | local index
+
+  /** Exact percentiles over SEVERAL value columns in ONE pass: each value
+    * is tagged with its source-column index, and all columns ride the one
+    * range exchange (a per-column pass would re-scan and re-shuffle the
+    * input once per column). `specs` maps value column → requested
+    * fractions. Returns (groupCol g, tag = value-column name, p, value) —
+    * one row per (group, column, p). NULL groups are kept (the rank
+    * addresses are per-(group, tag) window state and the probe join is on
+    * (partition, index) — nothing null-rejecting touches the group,
+    * matching Spark's percentile which returns a row for the null group);
+    * NULL VALUES are excluded per `percentile` semantics, and a
+    * (group, column) with zero non-null values is absent.
     */
-  def perGroup(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
-      s"percentile fractions must be in [0, 1]: ${ps.mkString(", ")}")
-    val t = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+  def perGroupMulti(df: DataFrame, groupCol: String,
+      specs: Seq[(String, Seq[Double])]): DataFrame = {
+    require(specs.nonEmpty, "at least one value column")
+    specs.foreach { case (c, ps) =>
+      require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+        s"percentile fractions for $c must be in [0, 1]: ${ps.mkString(", ")}")
+    }
+    val spark = df.sparkSession
+    val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // EXPLODE, not a per-column union: one scan reads every value column.
+    // Tags are the spec INDEX (an int sort key, not the column-name
+    // string) and map back to names on the tiny result.
+    val entries = specs.zipWithIndex.map { case ((c, _), i) =>
+      struct(lit(i).as("tag"), col(c).cast("double").as("v"))
+    }
+    val t = df
+      .select(col(groupCol).as("g"), explode(array(entries: _*)).as("e"))
+      .select(col("g"), col("e.tag").as("tag"), col("e.v").as("v"))
       .filter(col("v").isNotNull)
-    // ONE range exchange: ordinals over (g, v[, tiebreak-free]) — groups
-    // are contiguous in the global order, so within-group 0-based rank is
-    // ord - min(ord per group). Ties in v get arbitrary relative order,
-    // which cannot change the value observed at any rank.
-    val ord = GlobalIndex.withOrdinal(t, "ord", col("g"), col("v"))
-    val stats = ord.groupBy(col("g"))
-      .agg(min(col("ord")).as("o0"), count(lit(1)).as("n"))
-    // boundary ranks per (group, p): O(groups × ps) rows, broadcast
-    val bounds = stats
-      .select(col("g"), col("o0"), col("n"),
-        explode(array(ps.map(lit): _*)).as("p"))
-      .withColumn("position", col("p") * (col("n") - 1).cast("double"))
-      .select(col("g").as("gb"), col("p"), col("position"),
-        (col("o0") + floor(col("position")).cast("long")).as("lo_ord"),
-        (col("o0") + ceil(col("position")).cast("long")).as("hi_ord"))
-    ord.join(broadcast(bounds),
-        col("g") === col("gb") &&
-          (col("ord") === col("lo_ord") || col("ord") === col("hi_ord")))
-      .groupBy(col("g"), col("p"))
+    // THE one exchange: both branches below derive from this identical
+    // subtree, so physical planning dedups it (ReusedExchange) — the
+    // shuffle executes once and each branch reads its output.
+    val exchanged = t.repartitionByRange(n, col("g"), col("tag"), col("v"))
+
+    // --- counts branch: run-segment sizes, O(partitions + groups) rows
+    val segs = exchanged
+      .groupBy(spark_partition_id().as("pid"), col("g"), col("tag"))
+      .agg(count(lit(1)).as("cnt"))
+    // within-partition run start = rows of EARLIER (g, tag) runs in this
+    // partition (window order matches the range sort: asc, nulls first);
+    // crossBefore = this run's rows in earlier partitions; nRun = run
+    // total. All windows are over the tiny segment set and partitioned
+    // (by pid / by run) — never global, never wider than O(partitions).
+    val wPid = Window.partitionBy("pid").orderBy("g", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRun = Window.partitionBy("g", "tag").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val annotated = segs
+      .withColumn("localStart", sum("cnt").over(wPid) - col("cnt"))
+      .withColumn("crossBefore", sum("cnt").over(wRun) - col("cnt"))
+      .withColumn("nRun", sum("cnt").over(Window.partitionBy("g", "tag")))
+      // the probe's local index comes off monotonically_increasing_id's
+      // 33 per-partition bits — a partition beyond 2^33 rows would wrap
+      // and corrupt addresses; fail loudly (same bound as GlobalIndex)
+      .withColumn("localStart",
+        when(col("localStart") + col("cnt") > LocalIdxMask + 1,
+          raise_error(lit("ExactPercentile: a partition holds more than " +
+            "2^33 rows; raise spark.sql.shuffle.partitions")))
+          .otherwise(col("localStart")))
+    // requested fractions per tag index: a literal when-chain
+    val psForTag = specs.indices.tail.foldLeft(
+        when(col("tag") === 0, array(specs.head._2.map(lit): _*))) {
+      case (acc, i) => acc.when(col("tag") === i, array(specs(i)._2.map(lit): _*))
+    }
+    // resolve each (group, tag, p) boundary rank to its exact (partition,
+    // local index) address: the rank r lives in the segment with
+    // crossBefore ≤ r < crossBefore + cnt, at localStart + r − crossBefore
+    val ranked = annotated
+      .withColumn("p", explode(psForTag))
+      .withColumn("position", col("p") * (col("nRun") - 1).cast("double"))
+      .withColumn("lo_r", floor(col("position")).cast("long"))
+      .withColumn("hi_r", ceil(col("position")).cast("long"))
+    def address(rank: Column, isLo: Boolean) = ranked
+      .filter(rank >= col("crossBefore") && rank < col("crossBefore") + col("cnt"))
+      .select(col("g"), col("tag"), col("p"), col("position"),
+        col("pid").as("pidT"),
+        (col("localStart") + rank - col("crossBefore")).as("idxT"),
+        lit(isLo).as("isLo"),
+        (col("lo_r") === col("hi_r")).as("integral"))
+    val targets = address(col("lo_r"), isLo = true)
+      // integral position: one row serves as both ends
+      .union(address(col("hi_r"), isLo = false)
+        .filter(!col("integral")))
+
+    // --- probe branch: sorted rows join the broadcast address list on
+    // (partition id, local index) — two long keys, one scan
+    val rows = exchanged
+      .sortWithinPartitions(col("g"), col("tag"), col("v"))
+      .select(col("v"), spark_partition_id().as("pidP"),
+        monotonically_increasing_id().bitwiseAND(lit(LocalIdxMask)).as("idxP"))
+    rows.join(broadcast(targets),
+        col("pidP") === col("pidT") && col("idxP") === col("idxT"))
+      .groupBy(col("g"), col("tag"), col("p"))
       .agg(
         first(col("position")).as("position"),
-        min(when(col("ord") === col("lo_ord"), col("v"))).as("v_lo"),
-        min(when(col("ord") === col("hi_ord"), col("v"))).as("v_hi"),
-        first(col("lo_ord")).as("lo_ord"),
-        first(col("hi_ord")).as("hi_ord"))
-      // PercentileBase.getPercentile's exact arithmetic, fp-for-fp
-      .select(col("g"), col("p"),
-        when(col("lo_ord") === col("hi_ord"), col("v_lo"))
+        first(col("integral")).as("integral"),
+        min(when(col("isLo"), col("v"))).as("v_lo"),
+        min(when(!col("isLo"), col("v"))).as("v_hi"))
+      // PercentileBase.getPercentile's exact arithmetic, fp-for-fp;
+      // tag index maps back to the spec'd column name on the tiny result
+      .select(col("g"),
+        specs.indices.tail.foldLeft(
+            when(col("tag") === 0, lit(specs.head._1))) {
+          case (acc, i) => acc.when(col("tag") === i, lit(specs(i)._1))
+        }.as("tag"),
+        col("p"),
+        when(col("integral"), col("v_lo"))
           .otherwise(
             (ceil(col("position")) - col("position")) * col("v_lo") +
               (col("position") - floor(col("position"))) * col("v_hi"))
           .as("value"))
   }
+
+  /** Exact percentiles of `valueCol` per `groupCol` for each p in `ps` —
+    * the single-column form of [[perGroupMulti]]. Returns
+    * (groupCol, p, value); groups with zero non-null values are absent
+    * (percentile of nothing is NULL, and NULL-valued rows add nothing
+    * downstream).
+    */
+  def perGroup(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame =
+    perGroupMulti(df, groupCol, Seq(valueCol -> ps))
+      .select(col("g"), col("p"), col("value"))
 }

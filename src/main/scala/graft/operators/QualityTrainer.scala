@@ -42,6 +42,14 @@ object QualityTrainer {
   /** Fixed-point scale of the quantized per-doc gradient factor. */
   val GradScale = 100000000L // 1e8
 
+  /** The ONE default base learning rate, shared by [[train]], [[trainDf]]
+    * and the IndexMain train-quality CLI — three entry points with three
+    * drifting defaults silently trained different models depending on
+    * which API was called (r13 ADVICE). Callers wanting a different rate
+    * pass it explicitly (the registry query pins its own).
+    */
+  val DefaultLr = 1.0
+
   /** Gradient buffer: per-bucket integer sums + doc count. */
   case class GBuf(g: Array[Long], n: Long)
 
@@ -102,7 +110,7 @@ object QualityTrainer {
     * TRAINED threshold −bias/S — [[keeps]]).
     */
   def train(docs: DataFrame, textCol: String, labelCol: String,
-      iters: Int = 8, lr: Double = 0.5,
+      iters: Int = 8, lr: Double = DefaultLr,
       dim: Int = QualityClassifier.Dim): (Array[Long], Long) = {
     require(iters >= 1, s"need at least one iteration: $iters")
     val spark = docs.sparkSession
@@ -115,6 +123,12 @@ object QualityTrainer {
       .withColumn("n", aggregate(col("counts"), lit(0L), (a, x) => a + x))
       .filter(col("n") > 0)
       .localCheckpoint()
+    // an empty/fully-filtered training set would surface as a cryptic
+    // null-decode failure out of the sum(bq) fold — fail with the real
+    // reason instead (one cheap limit(1) probe on the checkpointed rows)
+    require(!feat.isEmpty,
+      "QualityTrainer.train: no trainable documents — every input row " +
+        s"is empty or has zero hashed $dim-bucket n-grams in '$textCol'")
     var w = new Array[Long](dim)
     var bS = 0L
     val acc = new Array[Double](dim) // adagrad Σ grad² per bucket
@@ -171,7 +185,7 @@ object QualityTrainer {
     * (intercept) rides at bucket −1, the feature weights at 0..dim−1.
     */
   def trainDf(docs: DataFrame, textCol: String, labelCol: String,
-      iters: Int = 8, lr: Double = 2.0,
+      iters: Int = 8, lr: Double = DefaultLr,
       dim: Int = QualityClassifier.Dim): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -12,6 +12,12 @@ import graft.functions.TableDigest
   */
 object Extra extends QueryModule {
 
+  // scaleBound (r13 verdict task 2): expr("percentile") is an
+  // ObjectHashAggregate whose buffer holds EVERY group value on one
+  // executor — the declared compact-group baseline, fenced to oracle
+  // scales like the other deliberate baselines (q_dedup_embedding_cosine,
+  // q_join_cross). The production-scale plan for the identical answer is
+  // q_agg_percentile_exact below.
   private val qPercentile = Q(
     "q_agg_percentile",
     (s, d) => Tables.lineitem(s, d)
@@ -25,31 +31,32 @@ object Extra extends QueryModule {
              round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
-           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    scaleBound = Some(0.15))
 
   // The 100 TB twin of q_agg_percentile (r12 verdict task 2): identical
   // answer, but computed on the ExactPercentile range-exchange ordinal
   // instead of expr("percentile") — the latter's ObjectHashAggregate
   // buffer holds EVERY group value on one executor (q_agg_percentile
-  // stays in the registry as the compact-group reference; this is the
-  // plan you run when a group may not fit in memory). Two value columns
-  // → two ordinal passes; each is one range exchange + tiny boundary
-  // broadcasts, O(rows/partition) memory throughout.
+  // stays in the registry as the scaleBound-fenced compact-group
+  // reference; this is the plan you run when a group may not fit in
+  // memory). Both value columns ride ONE ordinal pass (perGroupMulti,
+  // r13 verdict task 4): one range exchange over the tagged union +
+  // tiny boundary broadcasts, O(rows/partition) memory throughout.
   private val qPercentileExact = Q(
     "q_agg_percentile_exact",
     (s, d) => {
       import graft.operators.ExactPercentile
-      val li = Tables.lineitem(s, d)
-      val qty = ExactPercentile
-        .perGroup(li, "l_returnflag", "l_quantity", Seq(0.5))
-        .select(col("g"), col("value").as("p50_qty"))
-      val price = ExactPercentile
-        .perGroup(li, "l_returnflag", "l_extendedprice", Seq(0.9, 0.25))
+      ExactPercentile.perGroupMulti(Tables.lineitem(s, d), "l_returnflag",
+          Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.9, 0.25)))
         .groupBy(col("g"))
         .agg(
-          min(when(col("p") === 0.9, col("value"))).as("p90_price"),
-          min(when(col("p") === 0.25, col("value"))).as("p25_price"))
-      qty.join(price, "g")
+          min(when(col("tag") === "l_quantity" && col("p") === 0.5,
+            col("value"))).as("p50_qty"),
+          min(when(col("tag") === "l_extendedprice" && col("p") === 0.9,
+            col("value"))).as("p90_price"),
+          min(when(col("tag") === "l_extendedprice" && col("p") === 0.25,
+            col("value"))).as("p25_price"))
         .select(col("g").as("l_returnflag"),
           round(col("p50_qty"), 4).as("p50_qty"),
           round(col("p90_price"), 4).as("p90_price"),

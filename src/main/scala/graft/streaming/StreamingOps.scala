@@ -419,11 +419,17 @@ object StreamingOps {
 
   // Public + primitive-only state: the state encoder generates Java that
   // calls these accessors (a `private` class is package-private in bytecode
-  // and invisible to the generated code). COUNTS, not bitmasks (r12 task
-  // 8): the old bitmask state bounded a task at 64 items — the batch fold
-  // in CopyTaskService has no such bound, and neither does this now.
+  // and invisible to the generated code). HYBRID bitmask + counts (r13
+  // ADVICE): items 0..63 dedup exactly in two Long masks — a duplicate
+  // redelivery is absorbed and a FAILED-then-COMPLETED retry resolves to
+  // COMPLETED (completedMask wins), the reference CopyTaskService's
+  // distinct-item-state semantics. Items ≥ 64 fall back to counts (the
+  // r12 unboundedness fix — CopyTaskService has no 64-item bound and
+  // neither does this), where the effectively-once delivery contract
+  // applies and fold-time clamping bounds the damage a duplicate can do.
   // State stays O(1) per in-flight task at ANY item count.
-  case class TaskProgress(nItems: Int, nCompleted: Int, nFailed: Int)
+  case class TaskProgress(nItems: Int, completedMask: Long, failedMask: Long,
+      ovCompleted: Int, ovFailed: Int)
 
   /** flatMapGroupsWithState fold of item updates → final task statuses.
     * With timeoutMs > 0, a processing-time timeout marks abandoned tasks
@@ -432,15 +438,21 @@ object StreamingOps {
     * fire); timeoutMs ≤ 0 disables timers. State is dropped either way,
     * so it stays O(in-flight tasks).
     *
-    * Contract: item updates are EFFECTIVELY-ONCE per (requestId,
-    * itemIdx) — put dedupWithinWatermark upstream for at-least-once
-    * sources. This contract is load-bearing for the counts-based state:
-    * the old bitmask absorbed a duplicate redelivery of the same item
-    * silently; counts would double-count it (and a redelivery after the
-    * task folded would re-create state and could emit a second,
-    * contradictory status — true of the bitmask too). Malformed updates
-    * (negative itemIdx, itemIdx ≥ nItems, or nItems ≤ 0) reject the task
-    * with an immediate FAILED row and a tombstone — garbage counts would
+    * Delivery contract: items 0..63 tolerate at-least-once delivery —
+    * the bitmask absorbs duplicate redeliveries, and a FAILED-then-
+    * COMPLETED retry of the same item resolves to COMPLETED (the masks
+    * count distinct item STATES, like the reference's per-item state
+    * map). Items ≥ 64 are counted, so for tasks larger than 64 items
+    * updates must be EFFECTIVELY-ONCE per (requestId, itemIdx) — put
+    * dedupWithinWatermark upstream for at-least-once sources. A
+    * duplicate in the overflow region can fold the task one update
+    * early with a duplicate-inflated count; fold-time clamping keeps
+    * completed+failed ≤ nItems so the emitted row can never claim more
+    * items than exist. (A redelivery after the task folded re-creates
+    * state and can emit a second, contradictory status — true of any
+    * state shape that drops folded tasks.) Malformed updates (negative
+    * itemIdx, itemIdx ≥ nItems, or nItems ≤ 0) reject the task with an
+    * immediate FAILED row and a tombstone — garbage counts would
     * misreport the task instead.
     */
   def taskStatusStream(updates: Dataset[ItemUpdate],
@@ -462,7 +474,7 @@ object StreamingOps {
             if (p.nItems == -1) Iterator.empty // rejected-task tombstone expiring
             else Iterator.single(fold(requestId, p, timedOut = true))
           } else {
-            var p = state.getOption.getOrElse(TaskProgress(0, 0, 0))
+            var p = state.getOption.getOrElse(TaskProgress(0, 0L, 0L, 0, 0))
             if (p.nItems == -1) {
               // tombstone: task already rejected as malformed; swallow
               // further updates without re-emitting. GroupState clears any
@@ -477,19 +489,29 @@ object StreamingOps {
               rows.foreach { u =>
                 if (u.nItems <= 0 || u.itemIdx < 0 || u.itemIdx >= u.nItems)
                   malformed = true
-                p = p.copy(
-                  nItems = math.max(p.nItems, u.nItems),
-                  nCompleted =
-                    if (u.status == "COMPLETED") p.nCompleted + 1 else p.nCompleted,
-                  nFailed =
-                    if (u.status == "FAILED") p.nFailed + 1 else p.nFailed)
+                else if (u.itemIdx < 64) {
+                  val bit = 1L << u.itemIdx
+                  p = p.copy(
+                    nItems = math.max(p.nItems, u.nItems),
+                    completedMask = if (u.status == "COMPLETED")
+                      p.completedMask | bit else p.completedMask,
+                    failedMask = if (u.status == "FAILED")
+                      p.failedMask | bit else p.failedMask)
+                } else {
+                  p = p.copy(
+                    nItems = math.max(p.nItems, u.nItems),
+                    ovCompleted = if (u.status == "COMPLETED")
+                      p.ovCompleted + 1 else p.ovCompleted,
+                    ovFailed = if (u.status == "FAILED")
+                      p.ovFailed + 1 else p.ovFailed)
+                }
               }
               if (malformed) {
                 // reject explicitly instead of folding garbage counts
-                state.update(TaskProgress(-1, 0, 0))
+                state.update(TaskProgress(-1, 0L, 0L, 0, 0))
                 if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
                 Iterator.single(TaskStatus(requestId, 0, 0, p.nItems, "FAILED"))
-              } else if (p.nItems > 0 && p.nCompleted + p.nFailed >= p.nItems) {
+              } else if (p.nItems > 0 && seenItems(p) >= p.nItems) {
                 state.remove()
                 Iterator.single(fold(requestId, p, timedOut = false))
               } else {
@@ -502,11 +524,31 @@ object StreamingOps {
       }
   }
 
+  /** Distinct-item resolution of the hybrid state: mask region counts
+    * distinct item states (completed wins a FAILED-then-COMPLETED
+    * retry); overflow counts are clamped to the items that exist beyond
+    * the mask (completed takes clamp precedence) so a duplicate
+    * overflow delivery can never make the emitted row claim more items
+    * than the task has.
+    */
+  private def resolvedCounts(p: TaskProgress): (Int, Int) = {
+    val c64 = java.lang.Long.bitCount(p.completedMask)
+    val f64 = java.lang.Long.bitCount(p.failedMask & ~p.completedMask)
+    val ovCap = math.max(0, p.nItems - 64)
+    val ovC = math.min(p.ovCompleted, ovCap)
+    val ovF = math.min(p.ovFailed, ovCap - ovC)
+    (c64 + ovC, f64 + ovF)
+  }
+
+  /** Items with at least one recorded state — the completion test. */
+  private def seenItems(p: TaskProgress): Int =
+    java.lang.Long.bitCount(p.completedMask | p.failedMask) +
+      math.min(math.max(0, p.nItems - 64), p.ovCompleted + p.ovFailed)
+
   private def fold(requestId: String, p: TaskProgress, timedOut: Boolean): TaskStatus = {
-    val c = p.nCompleted
-    val f = p.nFailed
+    val (c, f) = resolvedCounts(p)
     val status =
-      if (timedOut && c + f < p.nItems) "FAILED"
+      if (timedOut && seenItems(p) < p.nItems) "FAILED"
       else if (f == 0) "COMPLETED"
       else if (c == 0) "FAILED"
       else "PARTIALLY_FAILED"

@@ -532,7 +532,7 @@ object IndexMain {
             (graft.functions.TextFunctions.stopwordRatio(col("text")) >= 0.06)
               .cast("int"))
         val iters = num("k", 40)
-        val lr = dbl("lr", 1.0)
+        val lr = dbl("lr", graft.operators.QualityTrainer.DefaultLr)
         val (w, bS) = graft.operators.QualityTrainer.train(docs, "text", "y",
           iters = iters, lr = lr, dim = num("dim", 1024))
         graft.operators.QualityTrainer.save(spark, dir, w, bS, iters, lr)

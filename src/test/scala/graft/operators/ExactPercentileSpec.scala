@@ -53,26 +53,60 @@ class ExactPercentileSpec extends SparkSpec {
     gotNone.count() shouldBe 0L
   }
 
-  test("plan: the bounds come off the ordinal machinery, not a percentile buffer") {
+  test("NULL group keeps its row (null-safe boundary join), matching " +
+      "expr(percentile)'s null-group row — r13 ADVICE") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (Option("a"), 10.0), (Option("a"), 20.0),
+      (Option.empty[String], 5.0), (Option.empty[String], 15.0)
+    ).toDF("g", "v")
+    val got = ExactPercentile.perGroup(df, "g", "v", Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+    got.keySet shouldBe Set(Option("a"), None)
+    got(Option("a")) shouldBe 15.0
+    got(None) shouldBe 10.0 // the null group's own median, not dropped
+  }
+
+  test("perGroupMulti: both value columns in ONE ordinal pass equal the " +
+      "per-column form fp-for-fp (r13 task 4)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val multi = ExactPercentile.perGroupMulti(li, "l_returnflag",
+        Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.25, 0.9)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    val qty = ExactPercentile.perGroup(li, "l_returnflag", "l_quantity", Seq(0.5))
+      .collect().map(r => (r.getString(0), "l_quantity", r.getDouble(1)) -> r.getDouble(2))
+    val price = ExactPercentile
+      .perGroup(li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.9))
+      .collect().map(r => (r.getString(0), "l_extendedprice", r.getDouble(1)) -> r.getDouble(2))
+    val want = (qty ++ price).toMap
+    multi.keySet shouldBe want.keySet
+    multi.foreach { case (k, v) =>
+      withClue(s"group/tag/p $k: ") {
+        java.lang.Double.doubleToRawLongBits(v) shouldBe
+          java.lang.Double.doubleToRawLongBits(want(k))
+      }
+    }
+  }
+
+  test("plan: ONE reused range exchange, no materialization, no percentile buffer") {
     val li = Tables.lineitem(spark, sfDir)
     val df = ExactPercentile
       .perGroup(li, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
+    // AQE materializes exchange reuse at runtime: execute, then read the
+    // FINAL plan
+    df.collect()
     val p = df.queryExecution.executedPlan.toString.toLowerCase
-    // the range exchange itself is sealed inside GlobalIndex's
-    // localCheckpoint (its plan shape is pinned by an explicit assert
-    // below); downstream the checkpointed ordinal scan + the map-side
-    // ordinal stamp are what must appear — and no whole-group
-    // ObjectHashAggregate percentile buffer anywhere
-    p should include("existingrdd")
+    // single-job shape (r13 task 4): the counts branch and the probe
+    // branch share the range exchange via ReusedExchange — no checkpoint
+    // (ExistingRDD) rescans, no whole-group ObjectHashAggregate
+    // percentile buffer anywhere
+    p should include("rangepartitioning")
+    p should include("reusedexchange")
     p should include("monotonically_increasing_id")
     p should not include "percentile("
-    // the ordinal frame GlobalIndex materializes IS range-partitioned:
-    // pin the exchange on the pre-checkpoint analyzed plan
-    val pre = li.select(col("l_returnflag").as("g"),
-        col("l_extendedprice").cast("double").as("v"))
-      .repartitionByRange(4, col("g"), col("v"))
-    pre.queryExecution.executedPlan.toString.toLowerCase should
-      include("rangepartitioning")
+    p should not include "existingrdd"
   }
 
   test("q_agg_percentile_exact row-equals q_agg_percentile (the buffered reference)") {

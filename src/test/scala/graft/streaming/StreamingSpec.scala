@@ -877,6 +877,58 @@ class StreamingSpec extends SparkSpec {
       ("big", 99, 1, 100, "PARTIALLY_FAILED")
   }
 
+  test("mask-region duplicates are absorbed and a FAILED-then-COMPLETED " +
+      "retry resolves to COMPLETED (r13 ADVICE: distinct item states)") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ItemUpdate]
+    val out = taskStatusStream(input.toDS(), timeoutMs = 0)
+    val q = out.toDF().writeStream.format("memory").queryName("retry_task")
+      .outputMode(OutputMode.Append()).start()
+    // item 0 fails then succeeds on retry; item 1 is redelivered twice —
+    // neither may double-count or fold the 3-item task early
+    input.addData(
+      ItemUpdate("t", 0, 3, "FAILED"),
+      ItemUpdate("t", 1, 3, "COMPLETED"),
+      ItemUpdate("t", 1, 3, "COMPLETED"))
+    q.processAllAvailable()
+    spark.sql("SELECT count(*) FROM retry_task").collect()(0).getLong(0) shouldBe 0L
+    input.addData(
+      ItemUpdate("t", 0, 3, "COMPLETED"), // the retry
+      ItemUpdate("t", 2, 3, "COMPLETED"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT requestId, completed, failed, nItems, status FROM retry_task").collect()
+    rows.length shouldBe 1
+    (rows(0).getString(0), rows(0).getInt(1), rows(0).getInt(2),
+      rows(0).getInt(3), rows(0).getString(4)) shouldBe
+      ("t", 3, 0, 3, "COMPLETED")
+  }
+
+  test("overflow-region duplicate counts are clamped: the emitted row " +
+      "never claims more items than the task has") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ItemUpdate]
+    val out = taskStatusStream(input.toDS(), timeoutMs = 0)
+    val q = out.toDF().writeStream.format("memory").queryName("clamp_task")
+      .outputMode(OutputMode.Append()).start()
+    // 65-item task: items 0..63 ride the mask; item 64 (overflow, counted
+    // not dedup'd) is redelivered — the clamp caps completed at nItems
+    input.addData((0 until 64).map(i => ItemUpdate("c", i, 65, "COMPLETED")) ++
+      Seq(ItemUpdate("c", 64, 65, "COMPLETED"),
+        ItemUpdate("c", 64, 65, "COMPLETED")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT requestId, completed, failed, nItems, status FROM clamp_task").collect()
+    rows.length shouldBe 1
+    (rows(0).getString(0), rows(0).getInt(1), rows(0).getInt(2),
+      rows(0).getInt(3), rows(0).getString(4)) shouldBe
+      ("c", 65, 0, 65, "COMPLETED")
+  }
+
   test("malformed item updates reject the task explicitly; tombstone swallows stragglers") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
