@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QualityClassifier, TextFunctions}
@@ -28,14 +27,19 @@ import graft.functions.{QualityClassifier, TextFunctions}
   *  - weight updates happen on the driver over the 256-long gradient in
   *    one fixed order.
   *
-  * Scale posture: features are computed once and localCheckpointed
-  * (O(dim)=2 KB/row — training seed sets are the SMALL curated side of
-  * a curation stack); each iteration is ONE partial-aggregated fold to
-  * a single 256-long array (custom typed Aggregator, map-side combine,
-  * O(dim) driver bytes) plus a broadcast-literal weight vector — no
-  * shuffle wider than the 256-element merge, at any corpus size.
-  * Per-doc per-bucket contribution is bounded by GradScale (counts_j ≤
-  * n_grams cancels the 1/n), so the Long sums hold past 10⁹ docs.
+  * Scale posture: features are extracted ONCE (one DataFrame pass over
+  * the docs — training seed sets are the SMALL curated side of a
+  * curation stack) into a cached typed RDD, and each GD iteration is ONE
+  * single-stage `RDD.aggregate` folding per-partition integer gradient
+  * buffers straight to the driver — O(dim) bytes per partition, no
+  * shuffle at all (MLlib's own iterative optimizers use exactly this
+  * treeAggregate-per-iteration shape). The earlier DataFrame-aggregate
+  * fold planned a partial→exchange→final pair, i.e. TWO scheduled
+  * stages per iteration; at fixture scale the 40-iteration loop was
+  * wall-bound on that fixed per-job latency (r13 verdict #4), not on
+  * compute. Per-doc per-bucket contribution is bounded by GradScale
+  * (counts_j ≤ n_grams cancels the 1/n), so the Long sums hold past
+  * 10⁹ docs.
   */
 object QualityTrainer {
 
@@ -50,48 +54,11 @@ object QualityTrainer {
     */
   val DefaultLr = 1.0
 
-  /** Gradient buffer: per-bucket integer sums + doc count. */
-  case class GBuf(g: Array[Long], n: Long)
-
-  private val gradAgg: Aggregator[(Seq[Long], Long), GBuf, GBuf] =
-    new Aggregator[(Seq[Long], Long), GBuf, GBuf] {
-      override def zero: GBuf = GBuf(Array.empty, 0L)
-      override def reduce(b: GBuf, row: (Seq[Long], Long)): GBuf = {
-        val (counts, gq) = row
-        // the encoder hands counts back as a LIST — positional indexing
-        // would be O(dim²) per row (a measured wall blowup at dim=1024);
-        // iterate linearly instead
-        val g = if (b.g.isEmpty) new Array[Long](counts.length) else b.g
-        var j = 0
-        val it = counts.iterator
-        while (it.hasNext) { g(j) += it.next() * gq; j += 1 }
-        GBuf(g, b.n + 1)
-      }
-      override def merge(a: GBuf, b: GBuf): GBuf = {
-        if (a.g.isEmpty) b
-        else if (b.g.isEmpty) a
-        else {
-          val g = a.g.clone()
-          var j = 0
-          while (j < g.length) { g(j) += b.g(j); j += 1 }
-          GBuf(g, a.n + b.n)
-        }
-      }
-      override def finish(b: GBuf): GBuf = b
-      override def bufferEncoder: Encoder[GBuf] = Encoders.product[GBuf]
-      override def outputEncoder: Encoder[GBuf] = Encoders.product[GBuf]
-    }
-
-  /** Integer dot of a counts array against a constant fixed-point weight
-    * vector — exact, order-fixed (element order). One opaque native node
-    * (plans.LongVecDotConst): the zip_with-over-dim-literals form made
-    * every GD iteration PLANNING-bound at dim=1024.
+  /** One cached training example: label, dense hashed-trigram counts,
+    * total gram count. Public + primitive/array-only for the encoder
+    * that deserializes it out of the feature DataFrame exactly once.
     */
-  private def dotCounts(counts: Column, wS: Array[Long]): Column = {
-    import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(graft.plans.LongVecDotConst(
-      ColumnBridge.expression(counts), wS.clone()))
-  }
+  case class FeatRow(y: Long, counts: Array[Long], n: Long)
 
   /** Train fixed-point (weights, bias) by `iters` batch ADAGRAD steps
     * at base rate `lr` from zero init; model z = meanLogit + bias/S
@@ -116,60 +83,80 @@ object QualityTrainer {
     val spark = docs.sparkSession
     import spark.implicits._
     val S = QualityClassifier.Scale
-    // features once: (y, n_grams, counts) — the only materialization
+    // features once: (y, counts, n_grams) extracted in one DataFrame
+    // pass (HashedNgramCounts — the md5-bucket arithmetic shared with
+    // the scoring expression), then deserialized ONCE into a cached
+    // typed RDD the iteration loop folds over
     val feat = docs.select(
         col(labelCol).cast("long").as("y"),
         TextFunctions.ngramCounts(lower(col(textCol)), dim = dim).as("counts"))
       .withColumn("n", aggregate(col("counts"), lit(0L), (a, x) => a + x))
       .filter(col("n") > 0)
-      .localCheckpoint()
-    // an empty/fully-filtered training set would surface as a cryptic
-    // null-decode failure out of the sum(bq) fold — fail with the real
-    // reason instead (one cheap limit(1) probe on the checkpointed rows)
-    require(!feat.isEmpty,
+      .select(col("y"), col("counts"), col("n"))
+      .as[(Long, Seq[Long], Long)]
+      .rdd.map { case (y, c, nG) => FeatRow(y, c.toArray, nG) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an empty/fully-filtered training set would otherwise train a
+    // degenerate all-zero model silently — fail with the real reason
+    require(!feat.isEmpty(),
       "QualityTrainer.train: no trainable documents — every input row " +
         s"is empty or has zero hashed $dim-bucket n-grams in '$textCol'")
     var w = new Array[Long](dim)
     var bS = 0L
     val acc = new Array[Double](dim) // adagrad Σ grad² per bucket
     var accB = 0.0
+    val gradScaleD = GradScale.toDouble
     var it = 0
     while (it < iters) {
+      // ONE single-stage job per iteration: per-partition integer
+      // gradient buffers fold directly to the driver (no exchange — the
+      // DataFrame-aggregate form scheduled a partial→shuffle→final pair
+      // per iteration and the loop went latency-bound, r13 verdict #4).
       // z = mean logit + bias; p = sigmoid(z); the per-doc factors
-      // quantize to fixed point BEFORE the cross-row integer sums
-      // (determinism): gq carries the 1/n feature scaling, bq the bias
-      val logitS = dotCounts(col("counts"), w)
-      val z = logitS.cast("double") / (lit(S.toDouble) * col("n").cast("double")) +
-        lit(bS.toDouble / S.toDouble)
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val gq = round((p - col("y").cast("double")) / col("n").cast("double") *
-        lit(GradScale.toDouble), 0).cast("long")
-      val bq = round((p - col("y").cast("double")) *
-        lit(GradScale.toDouble), 0).cast("long")
-      val folded = feat
-        .select(col("counts"), gq.as("gq"), bq.as("bq"))
-        .select(udaf(gradAgg).apply(col("counts"), col("gq")).as("gb"),
-          sum(col("bq")).as("bsum"))
-        .select(col("gb.g"), col("gb.n"), col("bsum"))
-        .as[(Seq[Long], Long, Long)]
-        .head()
-      val nDocs = math.max(1L, folded._2)
-      val g = if (folded._1.isEmpty) new Array[Long](dim) else folded._1.toArray
+      // quantize to fixed point (HALF_UP, the Spark round() rule)
+      // BEFORE the cross-row integer sums, so every sum is exact and
+      // partition-order-proof.
+      val wCur = w // immutable within the job; captured by the closure
+      val bCur = bS
+      val folded = feat.aggregate((new Array[Long](dim), 0L, 0L))(
+        seqOp = { case ((g, bsum, nd), r) =>
+          var logitS = 0L
+          var j = 0
+          while (j < dim) { logitS += r.counts(j) * wCur(j); j += 1 }
+          val z = logitS.toDouble / (S.toDouble * r.n.toDouble) +
+            bCur.toDouble / S.toDouble
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val gq = BigDecimal((p - r.y.toDouble) / r.n.toDouble * gradScaleD)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val bq = BigDecimal((p - r.y.toDouble) * gradScaleD)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          var k = 0
+          while (k < dim) { g(k) += r.counts(k) * gq; k += 1 }
+          (g, bsum + bq, nd + 1L)
+        },
+        combOp = { case ((g1, b1, n1), (g2, b2, n2)) =>
+          var j = 0
+          while (j < dim) { g1(j) += g2(j); j += 1 }
+          (g1, b1 + b2, n1 + n2)
+        })
+      val (g, bsum, nd) = folded
+      val nDocs = math.max(1L, nd)
       var j = 0
       while (j < dim) {
         // ΔwS_j = lr · S · mean_j / √acc_j, mean_j = G_j / (GradScale·nDocs)
-        val mean = g(j).toDouble / (GradScale.toDouble * nDocs)
+        val mean = g(j).toDouble / (gradScaleD * nDocs)
         acc(j) += mean * mean
         if (acc(j) > 0.0)
           w(j) = w(j) - math.round(lr * S.toDouble * mean / math.sqrt(acc(j)))
         j += 1
       }
-      val meanB = folded._3.toDouble / (GradScale.toDouble * nDocs)
+      val meanB = bsum.toDouble / (gradScaleD * nDocs)
       accB += meanB * meanB
       if (accB > 0.0)
         bS = bS - math.round(lr * S.toDouble * meanB / math.sqrt(accB))
       it += 1
     }
+    feat.unpersist(blocking = false)
     (w, bS)
   }
 

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, LeafExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -867,50 +867,5 @@ case class HashedNgramCounts(child: Expression, n: Int, dim: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): HashedNgramCounts =
-    copy(child = c)
-}
-
-/** Integer dot of an `array<long>` column against a CONSTANT Long vector
-  * embedded in the expression (the NearestCell constant-matrix pattern):
-  * the naive formulation — `aggregate(zip_with(counts, array(<dim>
-  * literals), …))` — plans a dim-wide literal tree plus two lambda
-  * scopes on EVERY call, and the classifier trainer builds one plan per
-  * GD iteration, so analysis/optimization dominated wall clock at
-  * dim=1024 (measured: the per-iteration fold was planning-bound, not
-  * compute-bound). One opaque node makes planning O(1); eval is the
-  * tight primitive loop. NULL element → NULL; length mismatch → NULL.
-  */
-case class LongVecDotConst(child: Expression, weights: Array[Long])
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "long_vec_dot_const"
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName needs array<bigint>, got ${t.simpleString}")
-    }
-
-  override def nullable: Boolean = true
-
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    if (n != weights.length) return null
-    var sum = 0L
-    var i = 0
-    while (i < n) {
-      if (v.isNullAt(i)) return null
-      sum += v.getLong(i) * weights(i)
-      i += 1
-    }
-    sum
-  }
-
-  override protected def withNewChildInternal(c: Expression): LongVecDotConst =
     copy(child = c)
 }

@@ -135,4 +135,5 @@ class NativeExprPropertySpec extends SparkSpec {
     rows should have size 2
     rows.foreach(r => r.isNullAt(1) shouldBe true)
   }
+
 }
