@@ -133,6 +133,41 @@ object PipelineDeep extends QueryModule {
         .orderBy(col("doc_id"))
     })
 
+  // Build-once / probe-many twin of q_decontaminate_fuzzy (r13 verdict
+  // task 5 — it was the top sf10 wall consumer at 571 s BECAUSE the
+  // in-query form re-signs and re-bands the whole train corpus on every
+  // run): the train-side MinHash band index persists as a keyed artifact
+  // (NearDup.saveBandIndex, the q_sim_topk_*_loaded convention), and the
+  // steady-state query is the PROBE only — sign the eval batch, equi-join
+  // the loaded band halves, exact-verify survivors. This is the shape a
+  // standing decontamination service runs: the train corpus changes
+  // slowly (rebuild on a cadence), the eval/probe side is the hot path.
+  // DedupSpec pins loaded == built row-for-row.
+  private val qDecontaminateFuzzyLoaded = Q(
+    "q_decontaminate_fuzzy_loaded",
+    (s, d) => {
+      import graft.operators.{ArtifactPaths, NearDup}
+      val docs = Tables.documents(s, d)
+      def tokenSets(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          graft.functions.TextFunctions.wordShingles(col("text"), 1).as("sh"))
+      val path = ArtifactPaths.keyed("decontamband", s"$d/documents.parquet",
+        "tok=1,train=mod50ne0,v=1")
+      if (!ArtifactPaths.exists(path))
+        NearDup.saveBandIndex(
+          tokenSets(docs.filter(col("doc_id") % 50 =!= 0)), path)
+      val idx = NearDup.loadBandIndex(s, path)
+      NearDup.matchAgainstBandIndex(
+          tokenSets(docs.filter(col("doc_id") % 50 === 0)), idx,
+          threshold = 0.5)
+        .groupBy(col("matched_id"))
+        .agg(count(lit(1)).as("n_eval_matches"),
+          round(max(col("jaccard")), 4).as("max_jaccard"))
+        .select(col("matched_id").as("doc_id"),
+          col("n_eval_matches"), col("max_jaccard"))
+        .orderBy(col("doc_id"))
+    })
+
   // Sliding-window chunking (64-token windows, stride 48): the context-
   // window shaping pass before embedding/training. Pure per-row explode
   // of an arithmetic sequence — no shuffle at all until the final
@@ -410,7 +445,8 @@ object PipelineDeep extends QueryModule {
            FROM orders"""))
 
   override def queries: Seq[Q] = Seq(
-    qRepetition, qDecontaminate, qDecontaminateFuzzy, qChunk, qChunkText,
+    qRepetition, qDecontaminate, qDecontaminateFuzzy,
+    qDecontaminateFuzzyLoaded, qChunk, qChunkText,
     qTfidf, qCorr, qRegression, qNormalize, qHistogram, qArgmax,
     qOrcRoundtrip)
 }

@@ -297,4 +297,19 @@ class DedupSpec extends SparkSpec {
     hits.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((50L, 1L))
     hits.head.getDouble(2) shouldBe 1.0 // identical token sets
   }
+
+  test("q_decontaminate_fuzzy_loaded (persisted band index, probe-only " +
+      "steady state) equals the in-query build row-for-row — r13 task 5") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val built = rows("q_decontaminate_fuzzy")
+    val loaded = rows("q_decontaminate_fuzzy_loaded")
+    loaded shouldBe built
+    built should not be empty // the fixture plants real contamination
+    // second invocation probes the already-committed artifact (the
+    // build-if-absent branch must not re-run) and still agrees
+    rows("q_decontaminate_fuzzy_loaded") shouldBe built
+  }
 }
