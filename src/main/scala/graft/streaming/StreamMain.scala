@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup|spandedup|semdedup] [index=<dir>] [maintain=1]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality] [index=<dir>] [maintain=1]"
   *
   * op=ann (requires index=) is the standing retrieval service: replay an
   * embeddings fixture as the query stream, probe the persisted PQ
@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   * exact-verified duplicate pairs vs earlier batches land under
   * data/batch=N, its assignment + floats append per batch
   * (StreamingOps.semDedupSink).
+  *
+  * op=quality (requires index=) is the standing quality-scoring service
+  * — the train→serve loop closed in streaming: documents replay as the
+  * ingest stream and every micro-batch scores through the persisted
+  * QualityTrainer weights (trained on the fixture's teacher labels and
+  * committed meta-last if the artifact is absent), landing
+  * (doc_id, n_grams, logit, keep) under data/batch=N; the artifact
+  * reloads per batch so a retrain between triggers takes effect on the
+  * next batch (StreamingOps.qualityScoreSink).
   *
   * op=bloomdedup (requires index=) is the standing exact-dedup ingest:
   * replay a documents fixture against a persisted Bloom artifact that
@@ -79,8 +88,8 @@ object StreamMain {
     val kvArgs = split.collect { case (_, Array(k, v)) => (k, v) }.toMap
     val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index", "maintain")
     val indexWithoutNearDup = kvArgs.contains("index") &&
-      !Set("neardup", "ann", "bloomdedup", "spandedup", "semdedup")
-        .contains(kvArgs.getOrElse("op", "window"))
+      !Set("neardup", "ann", "bloomdedup", "spandedup", "semdedup",
+        "quality").contains(kvArgs.getOrElse("op", "window"))
     val maintainWithoutIndex =
       kvArgs.contains("maintain") && !kvArgs.contains("index")
     if (malformed.nonEmpty || badKeys.nonEmpty || dupKeys.nonEmpty ||
@@ -90,9 +99,9 @@ object StreamMain {
         s"bad options ${(malformed ++ badKeys ++ dupKeys).mkString(", ")}" +
         (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
            " (files= and bytes= are mutually exclusive)" else "") +
-        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup|spandedup|semdedup)" else "") +
+        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup|spandedup|semdedup|quality)" else "") +
         (if (maintainWithoutIndex) " (maintain=1 requires index=)" else "") +
-        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup|spandedup|semdedup | index=<dir> | maintain=1")
+        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality | index=<dir> | maintain=1")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -255,8 +264,28 @@ object StreamMain {
         }
         raw.select(col("vec_id"), col("embedding"),
           normSq(col("embedding")).as("n2"))
+      case "quality" =>
+        // standing quality-scoring service (StreamingOps.qualityScoreSink):
+        // replay a documents fixture as the scoring stream against the
+        // persisted classifier weights — TRAINED here on the fixture's
+        // teacher labels if the artifact is absent (the train half of the
+        // train→serve loop; same recipe as IndexMain train-quality)
+        import graft.operators.{ArtifactPaths, QualityTrainer}
+        val idxPath = kvArgs.getOrElse("index",
+          { System.err.println("op=quality requires index=<dir>"); sys.exit(2) })
+        if (!ArtifactPaths.exists(idxPath)) {
+          val docs = spark.read.parquet(srcDir).withColumn("y",
+            (graft.functions.TextFunctions.stopwordRatio(col("text")) >= 0.06)
+              .cast("int"))
+          val iters = 40
+          val (w, bS) = QualityTrainer.train(docs, "text", "y",
+            iters = iters, dim = 1024)
+          QualityTrainer.save(spark, idxPath, w, bS, iters,
+            QualityTrainer.DefaultLr)
+        }
+        raw.select(col("doc_id"), col("text"))
       case other =>
-        System.err.println(s"bad op '$other': use window, neardup, ann, bloomdedup, spandedup or semdedup")
+        System.err.println(s"bad op '$other': use window, neardup, ann, bloomdedup, spandedup, semdedup or quality")
         sys.exit(2)
         null
     }
@@ -282,6 +311,12 @@ object StreamMain {
         out.writeStream
           .foreachBatch(StreamingOps.bloomDedupSink(
             kvArgs("index"), s"$outDir/data", "doc_id", "key", jobKey) _)
+          .option("checkpointLocation", s"$outDir/checkpoint")
+          .start()
+      } else if (op == "quality") {
+        out.writeStream
+          .foreachBatch(StreamingOps.qualityScoreSink(kvArgs("index"),
+            s"$outDir/data") _)
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       } else if (op == "spandedup" || op == "semdedup") {
@@ -344,6 +379,10 @@ object StreamMain {
       val pairs = sink.select(col("id_a"), col("id_b")).distinct().count()
       println(s"""{"sink_rows":$n,"cross_batch_pairs":$pairs,""" +
         s""""state":"finished"}""")
+    } else if (op == "quality") {
+      val kept = sink.filter(col("keep")).count()
+      println(s"""{"sink_rows":$n,"kept":$kept,""" +
+        s""""dropped":${n - kept},"state":"finished"}""")
     } else
       println(s"""{"sink_rows":$n,"state":"finished"}""")
     spark.stop()

@@ -316,6 +316,33 @@ object StreamingOps {
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
   }
 
+  /** Streaming quality scoring — the train→serve loop closed in
+    * streaming (r13 verdict task 8): each micro-batch of documents
+    * (doc_id, text) scores through the EXISTING QualityClassifier
+    * inference path with the PERSISTED QualityTrainer weights and lands
+    * (doc_id, n_grams, logit, keep) under `$outDir/batch=$batchId`
+    * (overwrite = idempotent on replay). The weight artifact is reloaded
+    * per batch — a dim-row parquet read, the annTopKSink reload
+    * convention — so a RETRAIN committed between triggers (meta-last, so
+    * a half-written save is invisible and the previous weights keep
+    * serving) takes effect on the next batch without restarting the job.
+    * Pure map-side scoring: no shuffle, no state, any batch size.
+    */
+  def qualityScoreSink(weightsPath: String, outDir: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.QualityClassifier
+    import graft.operators.QualityTrainer
+    val spark = batch.sparkSession
+    val (w, bS) = QualityTrainer.load(spark, weightsPath)
+    batch
+      .withColumn("gl", QualityClassifier.ngramLogit(lower(col("text")), w))
+      .select(col("doc_id"),
+        col("gl.n_grams").as("n_grams"),
+        col("gl.logit").as("logit"),
+        QualityTrainer.keeps(col("gl.n_grams"), col("gl.logit"), bS).as("keep"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
   /** Stream-static enrichment join: a broadcastable static dimension joined
     * to the stream — no stream-side shuffle, no state.
     */

@@ -946,6 +946,58 @@ class StreamingSpec extends SparkSpec {
     rows(0).getString(1) shouldBe "FAILED"
   }
 
+  test("quality-scoring sink: micro-batch scores equal the batch scorer " +
+      "and a retrain committed between triggers serves the next batch " +
+      "(r13 task 8)") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{lit, lower}
+    import graft.functions.QualityClassifier
+    import graft.operators.QualityTrainer
+    def doc(vocab: String, salt: Int): String =
+      (0 until 12).map(k => s"$vocab${(salt * 7 + k * 3) % 20}").mkString(" ")
+    val train = ((0 until 40).map(i => (i.toLong, doc("alpha", i), 1)) ++
+      (0 until 40).map(i => (1000L + i, doc("zeta", i), 0)))
+      .toDF("doc_id", "text", "y")
+    val wdir = java.nio.file.Files.createTempDirectory("graft_qsink")
+      .toString + "/weights"
+    val out = java.nio.file.Files.createTempDirectory("graft_qsink_out").toString
+    val (w1, b1) = QualityTrainer.train(train, "text", "y", iters = 4)
+    QualityTrainer.save(spark, wdir, w1, b1, 4, QualityTrainer.DefaultLr)
+    def want(rows: Seq[(Long, String)], w: Array[Long], bS: Long) =
+      rows.toDF("doc_id", "text")
+        .withColumn("gl", QualityClassifier.ngramLogit(lower(col("text")), w))
+        .select(col("doc_id"), col("gl.logit").as("logit"),
+          QualityTrainer.keeps(col("gl.n_grams"), col("gl.logit"), bS).as("keep"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSeq.sortBy(_._1)
+    def got(batchId: Long) =
+      spark.read.parquet(s"$out/data/batch=$batchId")
+        .select("doc_id", "logit", "keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSeq.sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.qualityScoreSink(wdir, s"$out/data") _)
+      .outputMode(OutputMode.Append()).start()
+    val docs = Seq((1L, doc("alpha", 3)), (2L, doc("zeta", 5)))
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    // the streamed batch scores exactly like the batch inference path
+    got(0) shouldBe want(docs, w1, b1)
+    // retrain on the FLIPPED teacher and commit between triggers: the
+    // next micro-batch must serve the new weights (per-batch reload) —
+    // same docs, opposite keep decisions
+    val (w2, b2) = QualityTrainer.train(
+      train.withColumn("y", lit(1) - col("y")), "text", "y", iters = 4)
+    QualityTrainer.save(spark, wdir, w2, b2, 4, QualityTrainer.DefaultLr)
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    got(1) shouldBe want(docs, w2, b2)
+    got(1).map(_._3) should not be got(0).map(_._3)
+  }
+
   test("foreachBatch writes the task-status ledger to parquet") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
