@@ -230,6 +230,20 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_ANCHORS") || sf.contains(0.1))
         loadAnchors(anchorsPath)
       else Map.empty[String, (Double, Long)]
+    // Cross-round continuity set (r13 verdict task 3): ANCHORS.tsv is
+    // regenerated from each ACCEPTED run, so its in-run gate is
+    // self-referential by construction — it can never see cross-round
+    // drift. ANCHORS_prev.tsv is the PRIOR round's committed anchors
+    // (tools/make_anchors.py snapshots the old file before overwriting),
+    // and this second ratio set puts the round-over-round CPU comparison
+    // in the artifact itself instead of judge archaeology. Same
+    // engagement rule and >2× solo-adjudication treatment as the
+    // primary set.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS_PREV", "ANCHORS_prev.tsv")
+    val prevAnchors =
+      if (sys.env.contains("SPARK_GRAFT_ANCHORS_PREV") || sf.contains(0.1))
+        loadAnchors(prevPath)
+      else Map.empty[String, (Double, Long)]
     // Absolute floor on the drift flag (r10 verdict #3): a percentage
     // band alone cries wolf on near-empty exchanges — q5's flagged
     // "1.15×" was 184 BYTES of AQE-coalesce jitter on a broadcast-heavy
@@ -244,11 +258,30 @@ object Bench {
           name -> (m(2).toDouble / aShr)
       }
     }
-    val cpuSuspects = timed.collect {
+    // per-query CPU ratio vs the prior round's committed anchors, plus
+    // the summary stats the cross-round gate reads (median of per-query
+    // ratios; total = Σcpu_now / Σcpu_prev over the shared queries)
+    val prevRatios = timed.flatMap { case (name, _, _, m, _) =>
+      prevAnchors.get(name).collect {
+        case (aCpu, _) if aCpu > 0 => name -> (m(0) / 1e9 / aCpu)
+      }
+    }
+    val prevShared = timed.flatMap { case (name, _, _, m, _) =>
+      prevAnchors.get(name).collect {
+        case (aCpu, _) if aCpu > 0 => (m(0) / 1e9, aCpu)
+      }
+    }
+    val prevMedian =
+      if (prevRatios.isEmpty) 0.0
+      else prevRatios.map(_._2).sorted.apply(prevRatios.size / 2)
+    val prevTotal =
+      if (prevShared.isEmpty) 0.0
+      else prevShared.map(_._1).sum / prevShared.map(_._2).sum
+    val cpuSuspects = (timed.collect {
       case (name, _, _, m, _)
           if anchors.get(name).exists { case (aCpu, _) =>
             aCpu > 0 && m(0) / 1e9 > 2.0 * aCpu } => name
-    }
+    } ++ prevRatios.collect { case (name, r) if r > 2.0 => name }).distinct
     // Solo re-run errors are recorded, not swallowed: a suspect that
     // fails its quiet-tail pass must not publish partial-execution
     // medians as the adjudicable numbers — its entry is flagged instead.
@@ -325,12 +358,19 @@ object Bench {
       val driftJson = byteDrift.map { case (k, r) =>
         s""""$k":$r"""
       }.mkString(",")
+      val prevJson = prevRatios.map { case (k, r) =>
+        s""""$k":$r"""
+      }.mkString(",")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
         s""""cpu_total_sec":$totalCpu,""" +
         s""""cpus":$cpus,"sf":"$sfDir","mode":"median$passes",""" +
         s""""anchors":"${if (anchors.isEmpty) "" else anchorsPath}",""" +
+        s""""prev_anchors":"${if (prevAnchors.isEmpty) "" else prevPath}",""" +
+        s""""prev_median":$prevMedian,"prev_total":$prevTotal,""" +
+        s""""prev_n":${prevRatios.size},""" +
         s""""skipped":$skippedJson,"errors":{$errJson},""" +
         s""""solo":{$soloJson},"byte_drift":{$driftJson},""" +
+        s""""cpu_vs_prev":{$prevJson},""" +
         s""""queries":{$meds},"cpu":{$cpu},""" +
         s""""task_metrics":{$metrics},"raw_bytes":{$rawBytes},"raw":{$raw}}"""
     }
@@ -338,7 +378,7 @@ object Bench {
     java.nio.file.Files.write(fullPath,
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val budget = 1500 // chars for the whole line; tail capture is 2000
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"errors":${errors.size},"solo":${solo.size},"byte_drift":${byteDrift.size},"full":"bench_full.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"errors":${errors.size},"solo":${solo.size},"byte_drift":${byteDrift.size},"prev_median":${fmt(prevMedian)},"prev_total":${fmt(prevTotal)},"prev2x":${prevRatios.count(_._2 > 2.0)},"full":"bench_full.json","sf":"$sfDir","queries":{"""
     val slowestFirst = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 2 // closing "}}"

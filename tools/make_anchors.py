@@ -8,10 +8,18 @@ Run after a round's bench artifact is accepted as the new anchor set:
 
     python3 tools/make_anchors.py [bench_full.json] [ANCHORS.tsv]
 """
-import json, sys
+import json, os, shutil, sys
 
 src = sys.argv[1] if len(sys.argv) > 1 else "bench_full.json"
 dst = sys.argv[2] if len(sys.argv) > 2 else "ANCHORS.tsv"
+# Cross-round continuity: snapshot the anchors being replaced so the
+# NEXT bench can emit a second ratio set against the PRIOR round's
+# committed numbers (graft.Bench reads <dst base>_prev.tsv) -- the
+# regenerated-per-round primary gate is self-referential by itself.
+if os.path.exists(dst):
+    base, ext = os.path.splitext(dst)
+    shutil.copyfile(dst, f"{base}_prev{ext}")
+    print(f"snapshotted {dst} -> {base}_prev{ext}")
 tm = json.load(open(src))["task_metrics"]
 with open(dst, "w") as f:
     f.write("# Per-query adjudication anchors (local[32]): median executor\n")
