@@ -572,12 +572,22 @@ object Extra extends QueryModule {
         .select(col("event_type"), col("value").cast("decimal(18,6)").as("dv"))
       val dim = Tables.events(s, d)
         .groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+      // weighted rides in MILLIONS (r14, caught by the scoped sf1 value
+      // gate): the DECIMAL sum is exact and identical in both engines,
+      // but its magnitude grows with rows×type_n (~2e12 at sf1) and the
+      // decimal→double OUTPUT conversion is correctly-rounded in Spark
+      // while DuckDB's lands 1 ulp off — 2.4e-4 absolute at that
+      // magnitude, visible at the 4-decimal grid. Dividing the converted
+      // double by 1e6 in BOTH engines scales the conversion ulp six
+      // orders below the grid (and keeps shrinking relative to the
+      // value at any larger sf).
       graft.operators.Salting.saltedJoin(ev, dim, "event_type", 16)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("dv")).cast("double"), 4).as("sum_value"),
           max(col("type_n")).as("type_n"),
-          round(sum(col("dv") * col("type_n")).cast("double"), 4).as("weighted"))
+          round(sum(col("dv") * col("type_n")).cast("double") / 1000000.0, 4)
+            .as("weighted_m"))
         .orderBy(col("event_type"))
     },
     Some("""WITH dim AS (
@@ -585,7 +595,7 @@ object Extra extends QueryModule {
            SELECT e.event_type, count(*) AS n,
              round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
              max(d.type_n) AS type_n,
-             round(CAST(sum(CAST(e.value AS DECIMAL(18,6)) * d.type_n) AS DOUBLE), 4) AS weighted
+             round(CAST(sum(CAST(e.value AS DECIMAL(18,6)) * d.type_n) AS DOUBLE) / 1000000.0, 4) AS weighted_m
            FROM events e JOIN dim d USING (event_type)
            GROUP BY e.event_type ORDER BY event_type"""))
 
