@@ -14,16 +14,15 @@ import org.apache.spark.sql.functions._
   * spill-safe — and reduces the percentile to "fetch the values at two
   * ranks per (group, p)".
   *
-  * r13 task 4 (the constant-factor pass): the whole computation is ONE
-  * Spark job with NO materialization. The r12 form stamped global
-  * ordinals over a localCheckpoint (GlobalIndex) — the checkpoint
-  * existed to pin one consistent partitioning across separate count and
-  * stamp JOBS, but its materialized-row rescans dominated the CPU (4.7×
-  * the buffered path at sf0.1). Percentile needs less than a general
-  * ordinal: ties in v are interchangeable (only the VALUE at a rank is
-  * observed), so cross-job tie stability is unnecessary, and a single
-  * plan can share the range exchange between its two consumers via
-  * ReuseExchange — one shuffle, no checkpoint:
+  * r13 task 4 (the constant-factor pass): the whole computation runs
+  * over ONE physical shuffle with NO row materialization. The r12 form
+  * stamped global ordinals over a localCheckpoint (GlobalIndex) — the
+  * checkpoint existed to pin one consistent partitioning across separate
+  * count and stamp jobs, but its materialized-row rescans dominated the
+  * CPU (4.7× the buffered path at sf0.1). Here the range exchange is
+  * pinned at the RDD level (DatasetBridge.pinShuffle — shuffle files
+  * reused by every consuming job, no cached rows), and the two consumers
+  * below read the same frozen partitioning:
   *
   *  - counts branch (no sort): run-segment sizes per (partition, group,
   *    tag) — O(partitions + groups) rows. Tiny windows over the segments
@@ -77,10 +76,17 @@ object ExactPercentile {
       .select(col(groupCol).as("g"), explode(array(entries: _*)).as("e"))
       .select(col("g"), col("e.tag").as("tag"), col("e.v").as("v"))
       .filter(col("v").isNotNull)
-    // THE one exchange: both branches below derive from this identical
-    // subtree, so physical planning dedups it (ReusedExchange) — the
-    // shuffle executes once and each branch reads its output.
-    val exchanged = t.repartitionByRange(n, col("g"), col("tag"), col("v"))
+    // THE one exchange, PINNED at the RDD level (DatasetBridge
+    // .pinShuffle): both branches below consume one frozen RDD, so the
+    // shuffle executes once and each branch reads its map outputs.
+    // Relying on physical-plan ReuseExchange instead is unsound here:
+    // per-branch column pruning can rewrite the two exchange subtrees
+    // differently, reuse silently doesn't fire, and the branches sample
+    // INDEPENDENT range boundaries — at which point the counts branch's
+    // (partition, local index) addresses point at the wrong probe rows
+    // (the r14 GlobalIndex regression class, caught by the value gate).
+    val exchanged = org.apache.spark.sql.graft.DatasetBridge.pinShuffle(
+      t.repartitionByRange(n, col("g"), col("tag"), col("v")))
 
     // --- counts branch: run-segment sizes, O(partitions + groups) rows
     val segs = exchanged

@@ -90,23 +90,27 @@ class ExactPercentileSpec extends SparkSpec {
     }
   }
 
-  test("plan: ONE reused range exchange, no materialization, no percentile buffer") {
+  test("plan: ONE pinned range exchange, no row materialization, no percentile buffer") {
     val li = Tables.lineitem(spark, sfDir)
     val df = ExactPercentile
       .perGroup(li, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
-    // AQE materializes exchange reuse at runtime: execute, then read the
-    // FINAL plan
-    df.collect()
     val p = df.queryExecution.executedPlan.toString.toLowerCase
-    // single-job shape (r13 task 4): the counts branch and the probe
-    // branch share the range exchange via ReusedExchange — no checkpoint
-    // (ExistingRDD) rescans, no whole-group ObjectHashAggregate
-    // percentile buffer anywhere
-    p should include("rangepartitioning")
-    p should include("reusedexchange")
+    // one-shuffle shape (r13 task 4, hardened r14): the counts branch
+    // and the probe branch consume the SAME pinned RDD (the exchange is
+    // sealed inside it — physical ReuseExchange was silently defeated by
+    // per-branch column pruning, so the pin is RDD-level); the map-side
+    // address stamp is visible, and no whole-group ObjectHashAggregate
+    // percentile buffer appears anywhere
+    p should include("existingrdd")
     p should include("monotonically_increasing_id")
     p should not include "percentile("
-    p should not include "existingrdd"
+    // the pinned frame IS range-partitioned: pin the exchange on the
+    // pre-pin plan
+    li.select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+      .repartitionByRange(4, col("g"), col("v"))
+      .queryExecution.executedPlan.toString.toLowerCase should
+      include("rangepartitioning")
   }
 
   test("q_agg_percentile_exact row-equals q_agg_percentile (the buffered reference)") {

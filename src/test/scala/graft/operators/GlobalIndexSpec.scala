@@ -41,6 +41,36 @@ class GlobalIndexSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("plan (r14): shuffle pinned at the RDD level — no cached rows, " +
+      "codegen'd stamp, lint-clean") {
+    val df = spark.range(0, 1000).select((col("id") * 37 % 1000).as("k"))
+    val got = GlobalIndex.withOrdinal(df, "ord", col("k"))
+    val p = got.queryExecution.executedPlan.toString.toLowerCase
+    // the exchange is sealed inside the pinned RDD (pinShuffle — shuffle
+    // files reused across the count and stamp jobs; relying on physical
+    // ReuseExchange instead was silently defeated by per-branch column
+    // pruning, the r14 regression the sf0.01 value gate caught); the
+    // consumer plan shows the pinned scan + the map-side ordinal stamp
+    p should include("existingrdd")
+    p should include("monotonically_increasing_id")
+    graft.plans.ScaleLint.findings(
+      got.queryExecution.optimizedPlan) shouldBe empty
+  }
+
+  test("ordinals survive a caller's coalesce(1) + write round-trip (the " +
+      "Verify shape that exposed the r14 reuse regression)") {
+    val sp2 = spark; import sp2.implicits._
+    val df = spark.range(0, 5000).select((col("id") * 131 % 5000).as("k"),
+      (col("id") % 7).as("payload")) // a prunable payload column
+    val out = java.nio.file.Files.createTempDirectory("gi_rt").toString + "/p"
+    GlobalIndex.withOrdinal(df, "ord", col("k"))
+      .orderBy(col("k")).coalesce(1)
+      .write.mode("overwrite").parquet(out)
+    val ords = spark.read.parquet(out).orderBy("k")
+      .select(col("ord")).as[Long].collect()
+    ords shouldBe (1L to 5000L).toArray
+  }
+
   test("rejects duplicate column name and empty keys") {
     val df = spark.range(0, 5).select(col("id").as("k"))
     an[IllegalArgumentException] should be thrownBy
