@@ -58,7 +58,8 @@ object ExactPercentile {
     * (group, column) with zero non-null values is absent.
     */
   def perGroupMulti(df: DataFrame, groupCol: String,
-      specs: Seq[(String, Seq[Double])]): DataFrame = {
+      specs: Seq[(String, Seq[Double])],
+      discrete: Boolean = false): DataFrame = {
     require(specs.nonEmpty, "at least one value column")
     specs.foreach { case (c, ps) =>
       require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
@@ -120,12 +121,24 @@ object ExactPercentile {
     }
     // resolve each (group, tag, p) boundary rank to its exact (partition,
     // local index) address: the rank r lives in the segment with
-    // crossBefore ≤ r < crossBefore + cnt, at localStart + r − crossBefore
-    val ranked = annotated
-      .withColumn("p", explode(psForTag))
-      .withColumn("position", col("p") * (col("nRun") - 1).cast("double"))
-      .withColumn("lo_r", floor(col("position")).cast("long"))
-      .withColumn("hi_r", ceil(col("position")).cast("long"))
+    // crossBefore ≤ r < crossBefore + cnt, at localStart + r − crossBefore.
+    // CONTINUOUS (percentile_cont): two ranks around position p·(n−1),
+    // interpolated below. DISCRETE (percentile_disc, the SQL-standard
+    // CDF rule DuckDB's quantile_disc follows): the single rank
+    // ceil(p·n) − 1 (0-based, clamped at 0 for p=0) — an actual data
+    // value, no interpolation.
+    val exploded = annotated.withColumn("p", explode(psForTag))
+    val ranked =
+      if (discrete) exploded
+        .withColumn("position", lit(0.0)) // unused: disc rows are integral
+        .withColumn("lo_r", greatest(
+          ceil(col("p") * col("nRun").cast("double")).cast("long") - 1,
+          lit(0L)))
+        .withColumn("hi_r", col("lo_r"))
+      else exploded
+        .withColumn("position", col("p") * (col("nRun") - 1).cast("double"))
+        .withColumn("lo_r", floor(col("position")).cast("long"))
+        .withColumn("hi_r", ceil(col("position")).cast("long"))
     def address(rank: Column, isLo: Boolean) = ranked
       .filter(rank >= col("crossBefore") && rank < col("crossBefore") + col("cnt"))
       .select(col("g"), col("tag"), col("p"), col("position"),

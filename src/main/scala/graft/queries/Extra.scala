@@ -69,6 +69,39 @@ object Extra extends QueryModule {
              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // percentile_disc on the same buffer-free kernel (r14): the
+  // SQL-standard discrete quantile — the SMALLEST data value whose
+  // cumulative distribution ≥ p (rank ceil(p·n), an actual element, no
+  // interpolation; DuckDB's quantile_disc follows the same rule, probed
+  // empirically at the n·p integer boundaries). Rounding-trivial by
+  // construction: the output is a data value both engines hold exactly.
+  private val qPercentileDisc = Q(
+    "q_agg_percentile_disc",
+    (s, d) => {
+      import graft.operators.ExactPercentile
+      ExactPercentile.perGroupMulti(Tables.lineitem(s, d), "l_returnflag",
+          Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.9, 0.25)),
+          discrete = true)
+        .groupBy(col("g"))
+        .agg(
+          min(when(col("tag") === "l_quantity" && col("p") === 0.5,
+            col("value"))).as("p50_qty"),
+          min(when(col("tag") === "l_extendedprice" && col("p") === 0.9,
+            col("value"))).as("p90_price"),
+          min(when(col("tag") === "l_extendedprice" && col("p") === 0.25,
+            col("value"))).as("p25_price"))
+        .select(col("g").as("l_returnflag"),
+          round(col("p50_qty"), 4).as("p50_qty"),
+          round(col("p90_price"), 4).as("p90_price"),
+          round(col("p25_price"), 4).as("p25_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+             round(quantile_disc(l_quantity, 0.5), 4) AS p50_qty,
+             round(quantile_disc(l_extendedprice, 0.9), 4) AS p90_price,
+             round(quantile_disc(l_extendedprice, 0.25), 4) AS p25_price
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // Approximate percentile — no oracle (t-digest vs interpolation), pinned
   // by a tolerance spec against the exact value.
   private val qApproxPercentile = Q(
@@ -638,7 +671,8 @@ object Extra extends QueryModule {
            FROM o GROUP BY 1 ORDER BY 1"""))
 
   override def queries: Seq[Q] = Seq(
-    qPercentile, qPercentileExact, qApproxPercentile, qGroupingSets,
+    qPercentile, qPercentileExact, qPercentileDisc, qApproxPercentile,
+    qGroupingSets,
     qJsonMap, qTableDigest,
     qCsvRoundtrip, qJsonRoundtrip, qSampleStratified, qSampleSourceCap,
     qSampleMixture,

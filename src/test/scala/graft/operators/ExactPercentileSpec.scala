@@ -90,6 +90,31 @@ class ExactPercentileSpec extends SparkSpec {
     }
   }
 
+  test("discrete mode follows the SQL-standard CDF rule (rank ceil(p·n), " +
+      "clamped at the first element) and returns actual data values — r14") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.26, 0.5, 0.75, 0.76, 1.0)
+    val got = ExactPercentile
+      .perGroupMulti(df, "g", Seq("v" -> ps), discrete = true)
+      .collect().map(r => (r.getString(0), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    // n=4: the DuckDB-probed boundary table (quantile_disc agrees)
+    got(("a", 0.0)) shouldBe 10.0
+    got(("a", 0.25)) shouldBe 10.0 // ceil(1.0) = 1 → v_1, the boundary case
+    got(("a", 0.26)) shouldBe 20.0
+    got(("a", 0.5)) shouldBe 20.0
+    got(("a", 0.75)) shouldBe 30.0
+    got(("a", 0.76)) shouldBe 40.0
+    got(("a", 1.0)) shouldBe 40.0
+    // n=3
+    got(("b", 0.5)) shouldBe 2.0
+    got(("b", 1.0)) shouldBe 3.0
+    // every result is a member of the input, never an interpolation
+    got.values.toSet.subsetOf(Set(10.0, 20.0, 30.0, 40.0, 1.0, 2.0, 3.0)) shouldBe true
+  }
+
   test("plan: ONE pinned range exchange, no row materialization, no percentile buffer") {
     val li = Tables.lineitem(spark, sfDir)
     val df = ExactPercentile
