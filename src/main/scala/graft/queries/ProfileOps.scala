@@ -6,12 +6,18 @@ import graft.Tables
 /** Data-profiling + data-quality gate (the Deequ-shaped surface a
   * pipeline runs before accepting a new drop of data).
   *
-  * Scale posture: the profiler is ONE pass over the fact — all metrics
-  * ride a single Aggregate (the multi-distinct Expand multiplies rows by
-  * #profiled columns map-side, the classic profiler cost) and the
-  * row-per-column shape comes from a stack() over the 1-row result.
-  * Each expectation is a narrow aggregate (or anti-join for referential
-  * integrity) producing one row; the union is of 1-row plans.
+  * Scale posture: ONE single-column pass PER profiled column, unioned.
+  * The obvious alternative — all metrics in one Aggregate — plans every
+  * multi-column distinct through Expand, which multiplies the fact
+  * map-side by (#distinct columns + 1): measured 32 GB of spill on
+  * 1.5 GB of input at the 100× fixture, a 21× write amplification that
+  * grows with column count (≈PB of spill at 100 TB). Per-column
+  * branches instead each read ONE pruned column (total input bytes ≈
+  * one full-width scan) and plan count_distinct as the single-distinct
+  * two-phase aggregate — partial map-side combine on the value, no
+  * Expand, zero spill. Each expectation is a narrow aggregate (or
+  * anti-join for referential integrity) producing one row; the union is
+  * of 1-row plans.
   */
 object ProfileOps extends QueryModule {
 
@@ -23,22 +29,19 @@ object ProfileOps extends QueryModule {
     "q_profile_columns",
     (s, d) => {
       val li = Tables.lineitem(s, d)
-      val aggs = Seq(count(lit(1)).as("n_rows")) ++ profiled.flatMap { c =>
-        Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          count_distinct(col(c)).as(s"${c}__dist"),
-          round(min(col(c)).cast("double"), 4).as(s"${c}__min"),
-          round(max(col(c)).cast("double"), 4).as(s"${c}__max"),
-          round(avg(col(c)), 4).as(s"${c}__avg"))
+      val perCol = profiled.map { c =>
+        li.select(col(c))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            count_distinct(col(c)).as("n_distinct"),
+            round(min(col(c)).cast("double"), 4).as("min_v"),
+            round(max(col(c)).cast("double"), 4).as("max_v"),
+            round(avg(col(c)), 4).as("avg_v"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_v"), col("max_v"), col("avg_v"))
       }
-      val one = li.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = profiled.map(c =>
-        s"'$c', ${c}__nulls, ${c}__dist, ${c}__min, ${c}__max, ${c}__avg").mkString(", ")
-      one.select(col("n_rows"), expr(
-          s"stack(${profiled.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v, avg_v)"))
-        .select(col("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_v"), col("max_v"), col("avg_v"))
-        .orderBy(col("col_name"))
+      perCol.reduce(_ unionAll _).orderBy(col("col_name"))
     },
     Some {
       val parts = profiled.map { c =>
