@@ -90,14 +90,104 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .drop("inter", "uni")
 
+  /** Shingle→long dictionary over the distinct shingles of `d` (any frame
+    * with an exploded-or-array `shingle`/`sh` source projected to a
+    * `shingle` column upstream — callers pass the distinct-shingle frame).
+    * The verify-stage compression for every candidates-then-verify kernel
+    * here: the re-attach joins ship each doc's shingle array once per
+    * CANDIDATE pair, so candidate multiplicity amplifies every byte, and
+    * 8-byte tokens beat raw shingle strings severalfold on those
+    * exchanges. Exactness is preserved by construction — the dictionary
+    * is injective (distinct keys, unique ids) — unlike hashing shingles
+    * to fixed width, which can collide. Token values are partition-layout
+    * dependent (monotonically_increasing_id), so every caller MUST
+    * materialize the dictionary (localCheckpoint / parquet) before
+    * referencing it from more than one plan subtree.
+    */
+  private def dictFromShingles(distinctShingles: DataFrame): DataFrame =
+    distinctShingles.select(col("shingle"))
+      .withColumn("tok", monotonically_increasing_id())
+
+  /** Encode (doc_id, sh) docs against a dictionary: (doc_id, n, ids) with
+    * n = |sh| — the FULL pre-encode cardinality, which keeps the
+    * jaccard/containment denominators exact — and ids = the tokens of the
+    * dictionary-covered shingles. Out-of-vocabulary shingles drop from
+    * ids: they cannot intersect any dictionary-encoded doc, so
+    * intersections stay exact. A doc with NO encodable shingle vanishes
+    * entirely (inner-join groups): its intersection with every encoded
+    * doc is 0, below any positive threshold.
+    */
+  private def encodeDocs(d: DataFrame, dict: DataFrame): DataFrame =
+    d.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      .join(dict, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"), collect_list(col("tok")).as("ids"))
+
+  /** verifyJaccard over dictionary-encoded candidates: requires columns
+    * ids_a/ids_b (token arrays) and n_a/n_b (exact pre-encode shingle
+    * counts). Positive thresholds only — zero-overlap candidates DROP
+    * (encode can lose them) instead of reporting jaccard 0.0.
+    */
+  private def verifyJaccardIds(cand: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0,
+      "dictionary-encoded verification is exact only for positive " +
+        "thresholds (zero-overlap candidates drop instead of scoring 0.0)")
+    cand
+      .withColumn("inter", size(array_intersect(col("ids_a"), col("ids_b"))))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni").cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .drop("inter", "uni", "ids_a", "ids_b", "n_a", "n_b")
+  }
+
+  /** Split verification of (doc_id = probe id, matched_id = corpus id)
+    * candidate pairs against a partly-encoded corpus: pairs whose corpus
+    * doc has a dictionary encoding (`corpusIds`) verify over long arrays
+    * — the cheap steady-state bulk — while pairs against `unencoded`
+    * corpus docs (post-save appends: the dictionary freezes at build, see
+    * appendToBandIndex) re-attach raw shingle strings until the next
+    * rebuild folds them into the dictionary. The two corpus halves are
+    * disjoint by doc_id (append contract: caller owns id uniqueness), so
+    * the union is exact; a statically-empty `unencoded` (built-in-memory
+    * index, fresh save) folds the string branch away entirely
+    * (PropagateEmptyRelation). Batch shingles outside the dictionary can
+    * only intersect unencoded docs, and those pairs ride the string
+    * branch — no pair is lost.
+    */
+  private def verifySplit(cand: DataFrame, batchDocs: DataFrame,
+      corpusIds: DataFrame, dict: DataFrame, unencoded: DataFrame,
+      threshold: Double): DataFrame = {
+    val bIds = encodeDocs(batchDocs, dict)
+      .select(col("doc_id"), col("ids").as("ids_a"), col("n").as("n_a"))
+    val cIds = corpusIds.select(col("doc_id").as("matched_id"),
+      col("ids").as("ids_b"), col("n").as("n_b"))
+    val fast = verifyJaccardIds(
+        cand.join(cIds, "matched_id").join(bIds, "doc_id"), threshold)
+      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+    val slow = verifyJaccard(
+        cand.join(unencoded.select(col("doc_id").as("matched_id"),
+            col("sh").as("sh_b")), "matched_id")
+          .join(batchDocs.select(col("doc_id"), col("sh").as("sh_a")), "doc_id"),
+        "sh_a", "sh_b", threshold)
+      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+    fast.unionByName(slow)
+  }
+
   /** A banded static MinHash-LSH index: the ids-only band half (`banded`:
     * bandKey, doc_id) the stream equi-joins, plus the shingle half
-    * (`docs`: doc_id, sh) verification re-attaches by id. Carries its own
-    * banding parameters so a stream matched against a loaded artifact
-    * cannot silently band with different parameters than the index was
-    * built with.
+    * (`docs`: doc_id, sh) verification re-attaches by id. `dict`/`ids`
+    * are the dictionary-encoded verify halves (see verifySplit);
+    * `unencoded` holds the docs the dictionary does not cover (appends
+    * since the last save — empty for a built-in-memory or freshly-saved
+    * index), which verify over strings. Carries its own banding
+    * parameters so a stream matched against a loaded artifact cannot
+    * silently band with different parameters than the index was built
+    * with.
     */
   final case class BandIndex(banded: DataFrame, docs: DataFrame,
+      ids: DataFrame, dict: DataFrame, unencoded: DataFrame,
       numHashes: Int, bands: Int, rowsPerBand: Int)
 
   /** Build the banded static index in memory (localCheckpoint-backed) —
@@ -114,7 +204,10 @@ object NearDup {
     val banded = withBandKeys(s, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
       .localCheckpoint()
-    BandIndex(banded, s, numHashes, bands, rowsPerBand)
+    val dict = dictFromShingles(
+      s.select(explode(col("sh")).as("shingle")).distinct()).localCheckpoint()
+    val ids = encodeDocs(s, dict).localCheckpoint()
+    BandIndex(banded, s, ids, dict, s.limit(0), numHashes, bands, rowsPerBand)
   }
 
   /** Persist the banded static index under `path` (`banded`, `docs`,
@@ -133,11 +226,17 @@ object NearDup {
     clearKeyedAppends(path) // ...and folds keyed appends into the base
     val s = staticDocs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
-      .localCheckpoint() // feeds both the banding pass and the docs write
+      .localCheckpoint() // feeds the banding pass, the docs write + encode
     withBandKeys(s, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/banded")
     s.write.mode("overwrite").parquet(s"$path/docs")
+    // the dictionary-encoded verify halves (verifySplit): checkpointed
+    // before use so token values are assigned exactly once
+    val dict = dictFromShingles(
+      s.select(explode(col("sh")).as("shingle")).distinct()).localCheckpoint()
+    dict.write.mode("overwrite").parquet(s"$path/dict")
+    encodeDocs(s, dict).write.mode("overwrite").parquet(s"$path/ids")
     Seq((numHashes, bands, rowsPerBand))
       .toDF("numHashes", "bands", "rowsPerBand")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -149,6 +248,7 @@ object NearDup {
     */
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): BandIndex = {
+    import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     // the loaded scan = base dirs + every COMMITTED keyed append
     // (appendToBandIndexKeyed): an append whose docs/_SUCCESS marker is
@@ -160,9 +260,27 @@ object NearDup {
     // tombstoned ids drop out of BOTH halves at load: the banded half so
     // deleted docs never become candidates, the docs half so stats and
     // any direct consumer see only live docs
+    val allDocs = Tombstones.exclude(half("docs"), spark, path, "doc_id")
+    // dictionary halves: the base corpus verifies over encoded longs,
+    // keyed appends (not covered by the frozen dictionary) over strings.
+    // A pre-dictionary artifact (no dict dir) routes everything through
+    // the string path — loaded behavior degrades, never breaks.
+    val (dict, ids, unencoded) =
+      if (new java.io.File(s"$path/dict/_SUCCESS").isFile) {
+        val appendDocs =
+          if (keyed.isEmpty) Seq.empty[(Long, Seq[String])].toDF("doc_id", "sh")
+          else spark.read.parquet(keyed.map(k => s"$path/appends/$k/docs"): _*)
+        (spark.read.parquet(s"$path/dict"),
+          Tombstones.exclude(spark.read.parquet(s"$path/ids"), spark, path,
+            "doc_id"),
+          Tombstones.exclude(appendDocs, spark, path, "doc_id"))
+      } else
+        (Seq.empty[(String, Long)].toDF("shingle", "tok"),
+          Seq.empty[(Long, Int, Seq[Long])].toDF("doc_id", "n", "ids"),
+          allDocs)
     BandIndex(
       Tombstones.exclude(half("banded"), spark, path, "doc_id"),
-      Tombstones.exclude(half("docs"), spark, path, "doc_id"),
+      allDocs, ids, dict, unencoded,
       meta.getAs[Int]("numHashes"),
       meta.getAs[Int]("bands"),
       meta.getAs[Int]("rowsPerBand"))
@@ -252,9 +370,13 @@ object NearDup {
     val d = docs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .localCheckpoint()
-    // pass 1: global document frequency = the canonical shingle order
+    // pass 1: global document frequency = the canonical shingle order.
+    // Checkpointed: it feeds the prefix pass AND the verify dictionary
+    // (and the uncheckpointed subtree would otherwise recompute once per
+    // prefix consumer).
     val dfreq = d.select(explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
     // pass 2: keep each doc's p rarest shingles. ⌈(1−τ)n⌉+1 dominates the
     // tight n−⌈τn⌉+1 bound even under fp noise in the multiply (one spare
     // indexed shingle per doc, never one short).
@@ -268,17 +390,18 @@ object NearDup {
           col("n_b") >= lit(tau) * col("n_a") - lit(1e-9) &&
           col("n_a") >= lit(tau) * col("n_b") - lit(1e-9))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-        col("n").as("n_a")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-        col("n").as("n_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
-      .withColumn("jaccard",
-        when(col("uni") === 0, 0.0)
-          .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
-      .filter(col("jaccard") >= threshold)
+    // verification over dictionary-encoded arrays (dfreq's key set IS the
+    // corpus vocabulary): candidate multiplicity amplifies re-attach
+    // bytes, so 8-byte tokens beat raw shingle strings on both exchanges
+    val dict = dictFromShingles(dfreq).localCheckpoint()
+    val dIds = encodeDocs(d, dict).localCheckpoint()
+    verifyJaccardIds(
+      cand
+        .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),
+          col("n").as("n_a")), "id_a")
+        .join(dIds.select(col("doc_id").as("id_b"), col("ids").as("ids_b"),
+          col("n").as("n_b")), "id_b"),
+      threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -316,9 +439,11 @@ object NearDup {
     val c = corpus.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .localCheckpoint()
+    // checkpointed: feeds both prefix passes AND the verify dictionary
     val dfreq = b.select(explode(col("sh")).as("shingle"))
       .union(c.select(explode(col("sh")).as("shingle")))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
     val cand = rarePrefix(b, dfreq, tau)
       .join(rarePrefix(c, dfreq, tau).select(col("shingle").as("sh_c"),
           col("doc_id").as("matched_id"), col("n").as("n_c")),
@@ -326,13 +451,12 @@ object NearDup {
           col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
           col("n") >= lit(tau) * col("n_c") - lit(1e-9))
       .select(col("doc_id"), col("matched_id")).distinct()
-    verifyJaccard(
-      cand
-        .join(b.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-        .join(c.select(col("doc_id").as("matched_id"), col("sh").as("sh_b")),
-          "matched_id"),
-      "sh_a", "sh_b", threshold)
-      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+    // union dfreq covers BOTH sides' vocabularies, so every doc encodes
+    // completely and the string branch of verifySplit is statically empty
+    val dict = dictFromShingles(dfreq).localCheckpoint()
+    verifySplit(cand, b.select(col("doc_id"), col("sh")),
+      encodeDocs(c, dict), dict, c.select(col("doc_id"), col("sh")).limit(0),
+      threshold)
   }
 
   /** Build-once probe-many artifact for the incremental near-dup (the
@@ -366,12 +490,32 @@ object NearDup {
       .localCheckpoint()
     val dfreq = c.select(explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .localCheckpoint() // feeds both the dfreq write and the prefix pass
+      .localCheckpoint() // feeds the dfreq write, the prefix pass + dict
     dfreq.write.mode("overwrite").parquet(s"$path/dfreq")
     rarePrefix(c, dfreq, tau).write.mode("overwrite").parquet(s"$path/prefix")
     c.write.mode("overwrite").parquet(s"$path/docs")
+    clearJaccardAppends(path) // rebuild folds appended docs into the base
+    // dictionary-encoded verify halves (verifySplit): the base corpus
+    // verifies over longs; docs appended later (appendToJaccardIndex)
+    // fall outside this frozen dictionary and verify over strings until
+    // the next rebuild folds them in
+    val dict = dictFromShingles(dfreq).localCheckpoint()
+    dict.write.mode("overwrite").parquet(s"$path/dict")
+    encodeDocs(c, dict).write.mode("overwrite").parquet(s"$path/ids")
     Seq(Tuple1(threshold)).toDF("threshold")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Rebuild-time compaction of non-keyed jaccard appends: a fresh save's
+    * base already contains every live doc, so stale appended docs must
+    * not survive to double-count them (mirror of clearKeyedAppends).
+    */
+  private def clearJaccardAppends(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.exists()) f.delete(): Unit
+    }
+    rm(new java.io.File(s"$path/docs_appends"))
   }
 
   /** Probe mode of jaccardMatchesAgainst: match `batch` against a LOADED
@@ -393,18 +537,25 @@ object NearDup {
   def jaccardMatchesAgainstLoaded(batch: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Double = DefaultThreshold): DataFrame = {
-    val (cand, b, cDocs) = loadedProbeCandidates(batch, spark, path, threshold)
-    verifiedLoadedMatches(cand, b, cDocs, threshold)
+    val l = loadedProbeCandidates(batch, spark, path, threshold)
+    verifiedLoadedMatches(l, threshold)
   }
+
+  /** The loaded probe's working set: candidate id pairs, the checkpointed
+    * batch, and the corpus verify halves (encoded base + unencoded
+    * appends + the full docs view for stats).
+    */
+  private final case class LoadedJaccard(cand: DataFrame, b: DataFrame,
+      cIds: DataFrame, dict: DataFrame, unencoded: DataFrame,
+      allDocs: DataFrame)
 
   /** The candidate half of the loaded probe — shared by the matcher and
     * the selectivity report so the two can never measure different
-    * kernels. Returns (candidate id pairs, checkpointed batch, corpus
-    * docs).
+    * kernels.
     */
   private def loadedProbeCandidates(batch: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
-      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+      threshold: Double): LoadedJaccard = {
     val builtThreshold =
       spark.read.parquet(s"$path/meta").collect()(0).getDouble(0)
     require(threshold >= builtThreshold,
@@ -423,8 +574,30 @@ object NearDup {
         spark.read.parquet(s"$path/prefix"), spark, path, "doc_id")
       .select(col("shingle").as("sh_c"), col("doc_id").as("matched_id"),
         col("n").as("n_c"))
-    val cDocs = Tombstones.exclude(
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, Seq[String])].toDF("doc_id", "sh")
+    val baseDocs = Tombstones.exclude(
       spark.read.parquet(s"$path/docs"), spark, path, "doc_id")
+    // post-save appends (appendToJaccardIndex) live under docs_appends —
+    // outside the frozen build dictionary, they verify over strings
+    val appendedDocs = Tombstones.exclude(
+      if (new java.io.File(s"$path/docs_appends").isDirectory)
+        spark.read.parquet(s"$path/docs_appends")
+      else emptyDocs,
+      spark, path, "doc_id")
+    // pre-dictionary artifact (no dict dir): everything over strings —
+    // loaded behavior degrades to the r14 path, never breaks
+    val (dict, cIds, unencoded) =
+      if (new java.io.File(s"$path/dict/_SUCCESS").isFile)
+        (spark.read.parquet(s"$path/dict"),
+          Tombstones.exclude(spark.read.parquet(s"$path/ids"), spark, path,
+            "doc_id"),
+          appendedDocs)
+      else
+        (Seq.empty[(String, Long)].toDF("shingle", "tok"),
+          Seq.empty[(Long, Int, Seq[Long])].toDF("doc_id", "n", "ids"),
+          baseDocs.select(col("doc_id"), col("sh"))
+            .unionByName(appendedDocs))
     val b = batch.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .localCheckpoint()
@@ -433,18 +606,14 @@ object NearDup {
         col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
         col("n") >= lit(tau) * col("n_c") - lit(1e-9))
       .select(col("doc_id"), col("matched_id")).distinct()
-    (cand, b, cDocs)
+    LoadedJaccard(cand, b, cIds, dict, unencoded,
+      baseDocs.select(col("doc_id"), col("sh")).unionByName(appendedDocs))
   }
 
-  private def verifiedLoadedMatches(cand: DataFrame, b: DataFrame,
-      cDocs: DataFrame, threshold: Double): DataFrame =
-    verifyJaccard(
-      cand
-        .join(b.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-        .join(cDocs.select(col("doc_id").as("matched_id"), col("sh").as("sh_b")),
-          "matched_id"),
-      "sh_a", "sh_b", threshold)
-      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+  private def verifiedLoadedMatches(l: LoadedJaccard,
+      threshold: Double): DataFrame =
+    verifySplit(l.cand, l.b.select(col("doc_id"), col("sh")), l.cIds, l.dict,
+      l.unencoded, threshold)
 
   /** Probe-selectivity report for a persisted jaccard index — the
     * operational signal the saveJaccardIndex staleness contract says to
@@ -462,13 +631,13 @@ object NearDup {
   def jaccardProbeStats(batch: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Double = DefaultThreshold): ProbeStats = {
-    val (cand0, b, cDocs) = loadedProbeCandidates(batch, spark, path, threshold)
-    val cand = cand0.localCheckpoint() // counted AND verified — one compute
+    val l0 = loadedProbeCandidates(batch, spark, path, threshold)
+    val l = l0.copy(cand = l0.cand.localCheckpoint()) // counted AND verified
     ProbeStats(
-      batchDocs = b.count(),
-      candidates = cand.count(),
-      verified = verifiedLoadedMatches(cand, b, cDocs, threshold).count(),
-      indexedDocs = cDocs.count(),
+      batchDocs = l.b.count(),
+      candidates = l.cand.count(),
+      verified = verifiedLoadedMatches(l, threshold).count(),
+      indexedDocs = l.allDocs.count(),
       prefixRows = spark.read.parquet(s"$path/prefix").count(),
       vocab = spark.read.parquet(s"$path/dfreq").count())
   }
@@ -493,13 +662,7 @@ object NearDup {
       .join(index.banded.select(col("bandKey"),
         col("doc_id").as("matched_id")), "bandKey")
       .select(col("doc_id"), col("matched_id")).distinct()
-    verifyJaccard(
-      cand
-        .join(b.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-        .join(index.docs.select(col("doc_id").as("matched_id"),
-          col("sh").as("sh_b")), "matched_id"),
-      "sh_a", "sh_b", threshold)
-      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+    verifySplit(cand, b, index.ids, index.dict, index.unencoded, threshold)
   }
 
   /** Incremental index maintenance: append `newDocs` (doc_id, sh) to a
@@ -528,7 +691,12 @@ object NearDup {
       .localCheckpoint() // feeds both the prefix pass and the docs append
     rarePrefix(c, dfreq, tauBuild, frozenOrder = true)
       .write.mode("append").parquet(s"$path/prefix")
-    c.write.mode("append").parquet(s"$path/docs")
+    // appended docs land OUTSIDE the base docs dir: the build-time
+    // dictionary does not cover their shingles, so the probe verifies
+    // them over strings (verifySplit's unencoded branch) — keeping them
+    // separable is what lets the encoded base stay on the long-array path
+    c.select(col("doc_id"), col("sh"))
+      .write.mode("append").parquet(s"$path/docs_appends")
   }
 
   /** Incremental maintenance for the persisted band index: band `newDocs`
@@ -603,7 +771,9 @@ object NearDup {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .localCheckpoint()
     val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    // checkpointed: feeds the prefix pass AND the verify dictionary
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
     val prefix = rarePrefix(d, dfreq, tau)
       .select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
     val full = inv.select(col("shingle").as("sh_b"), col("doc_id").as("id_b"),
@@ -612,15 +782,21 @@ object NearDup {
         col("shingle") === col("sh_b") && col("id_a") =!= col("id_b") &&
           col("n_a") <= col("n_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    // dictionary-encoded verification (see verifyJaccardIds): n_a is the
+    // exact pre-encode cardinality, so the containment denominator is
+    // exact; the containment-heavy candidate sets amplify re-attach bytes
+    // hardest of the whole family
+    val dict = dictFromShingles(dfreq).localCheckpoint()
+    val dIds = encodeDocs(d, dict).localCheckpoint()
     cand
-      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+      .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),
         col("n").as("n_a")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+      .join(dIds.select(col("doc_id").as("id_b"), col("ids").as("ids_b"),
         col("n").as("n_b")), "id_b")
       // direction: smaller-in-larger only; equal sizes report once
       .filter(col("n_a") < col("n_b") ||
         (col("n_a") === col("n_b") && col("id_a") < col("id_b")))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("ids_a"), col("ids_b"))))
       .withColumn("containment",
         round(col("inter").cast("double") / col("n_a").cast("double"), 4))
       .filter(col("containment") >= threshold)

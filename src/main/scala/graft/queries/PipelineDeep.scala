@@ -152,7 +152,7 @@ object PipelineDeep extends QueryModule {
         df.select(col("doc_id"),
           graft.functions.TextFunctions.wordShingles(col("text"), 1).as("sh"))
       val path = ArtifactPaths.keyed("decontamband", s"$d/documents.parquet",
-        "tok=1,train=mod50ne0,v=1")
+        "tok=1,train=mod50ne0,v=2")
       if (!ArtifactPaths.exists(path))
         NearDup.saveBandIndex(
           tokenSets(docs.filter(col("doc_id") % 50 =!= 0)), path)

@@ -762,7 +762,7 @@ object TextQueries extends QueryModule {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
       val path = ArtifactPaths.keyed("jacidx", s"$d/documents.parquet",
-        "tau=0.8,shingle=3,corpus=mod10ne0,v=1")
+        "tau=0.8,shingle=3,corpus=mod10ne0,v=2")
       if (!ArtifactPaths.exists(path))
         NearDup.saveJaccardIndex(docs.filter(col("doc_id") % 10 =!= 0), path)
       NearDup.jaccardMatchesAgainstLoaded(
@@ -789,7 +789,7 @@ object TextQueries extends QueryModule {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
       val path = ArtifactPaths.keyed("jacidx", s"$d/documents.parquet",
-        "tau=0.8,shingle=3,corpus=mod10ne0,deleted=mod10eq2,v=1")
+        "tau=0.8,shingle=3,corpus=mod10ne0,deleted=mod10eq2,v=2")
       // two-phase build (save, then delete): commit on a marker written
       // after BOTH phases, same posture as the appended twin — a crash
       // between save and delete must not leave a complete-LOOKING index
@@ -834,7 +834,7 @@ object TextQueries extends QueryModule {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
       val path = ArtifactPaths.keyed("jacidx", s"$d/documents.parquet",
-        "tau=0.8,shingle=3,corpus=mod10gt1,appended=mod10eq1,v=1")
+        "tau=0.8,shingle=3,corpus=mod10gt1,appended=mod10eq1,v=2")
       // two-phase build → the save's own meta marker is not enough: a
       // crash between save and append would leave a complete-LOOKING
       // index missing day-1. The build commits on a marker written after

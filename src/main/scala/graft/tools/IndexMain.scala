@@ -390,10 +390,17 @@ object IndexMain {
             Sq8Index.save(dest, grid, codes)
           case "compact-jaccard" =>
             val thr = spark.read.parquet(s"$dir/meta").collect()(0).getDouble(0)
-            val live = Tombstones.exclude(
-              spark.read.parquet(s"$dir/docs"), spark, dir, "doc_id")
-            NearDup.saveJaccardIndex(
-              live.select(col("doc_id"), col("sh")), dest, thr)
+            // base + appended docs (docs_appends holds post-save appends;
+            // the rebuilt index folds them into the fresh base/dictionary)
+            val base = spark.read.parquet(s"$dir/docs")
+              .select(col("doc_id"), col("sh"))
+            val all =
+              if (new java.io.File(s"$dir/docs_appends").isDirectory)
+                base.unionByName(spark.read.parquet(s"$dir/docs_appends")
+                  .select(col("doc_id"), col("sh")))
+              else base
+            val live = Tombstones.exclude(all, spark, dir, "doc_id")
+            NearDup.saveJaccardIndex(live, dest, thr)
           case "compact-band" =>
             val idx = NearDup.loadBandIndex(spark, dir)
             NearDup.saveBandIndex(idx.docs, dest, idx.numHashes, idx.bands,

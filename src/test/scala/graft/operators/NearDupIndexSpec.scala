@@ -164,4 +164,42 @@ class NearDupIndexSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       NearDup.jaccardMatchesAgainstLoaded(batch, spark, dir, threshold = 0.5)
   }
+
+  test("band-index split verify: encoded base + string-path appends + OOV batch shingles == in-memory rebuild") {
+    // the r15 dictionary-encoded verify splits candidates between the
+    // long-array path (docs covered by the build-time dictionary) and
+    // the string path (appends after the dictionary froze). This plants
+    // all three hard cases at once: a batch doc matching a BASE doc, a
+    // batch doc matching an APPENDED doc on shingles the dictionary has
+    // never seen (both sides out-of-vocabulary — any encode-only verify
+    // would undercount the intersection to zero), and a batch doc with
+    // mixed seen/unseen shingles. Truth = the in-memory index over the
+    // union, whose dictionary covers everything.
+    def uni(rows: (Long, String)*) = {
+      val sp = spark; import sp.implicits._
+      rows.toDF("doc_id", "text").select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 1).as("sh"))
+    }
+    val base = uni(
+      (101L, (1 to 20).map(i => s"b$i").mkString(" ")),
+      (102L, (1 to 20).map(i => s"c$i").mkString(" ")))
+    // appended day: entirely fresh vocabulary, frozen dict covers none of it
+    val appended = uni((201L, (1 to 20).map(i => s"z$i").mkString(" ")))
+    val batch = uni(
+      (1L, (1 to 19).map(i => s"b$i").mkString(" ") + " b99"), // vs base
+      (2L, (1 to 19).map(i => s"z$i").mkString(" ") + " z99"), // vs append, OOV
+      (3L, (1 to 10).map(i => s"c$i").mkString(" ") + " " +
+        (1 to 10).map(i => s"z$i").mkString(" "))) // mixed, below threshold
+    val dir = tmpDir("graft_bandsplit").toString
+    NearDup.saveBandIndex(base, dir)
+    NearDup.appendToBandIndexKeyed(appended, spark, dir, "day1")
+    val loaded = matches(NearDup.matchAgainstBandIndex(
+      batch, NearDup.loadBandIndex(spark, dir), threshold = 0.5))
+    val rebuilt = matches(NearDup.matchAgainstBandIndex(
+      batch, NearDup.buildBandIndex(base.unionByName(appended)),
+      threshold = 0.5))
+    loaded shouldBe rebuilt
+    // the planted base and appended pairs both surfaced (jaccard 19/21)
+    loaded.map(m => (m._1, m._2)) should contain allOf ((1L, 101L), (2L, 201L))
+  }
 }
