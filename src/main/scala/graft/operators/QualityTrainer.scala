@@ -181,27 +181,76 @@ object QualityTrainer {
       .toDF("bucket", "weight")
   }
 
-  // --- Persisted weight artifact (the BpeTrainer.saveVocab discipline:
-  // --- meta written LAST is the ArtifactPaths.exists commit marker, so
-  // --- a crashed half-written save is invisible and gets rebuilt) ------
-  //   weights/ (bucket, weight)  — dim tiny rows, fixed-point Scale
-  //   meta/    (dim, iters, lr)
+  // --- Persisted weight artifact ---------------------------------------
+  //   <dir>/v_<stamp>/weights (bucket, weight) — dim tiny rows, fixed-
+  //   point Scale; <dir>/v_<stamp>/meta (dim, bias, iters, lr) written
+  //   LAST (the version's commit marker); <dir>/CURRENT — a one-line
+  //   pointer file naming the live version, swapped in with an ATOMIC
+  //   rename. A standing scorer (StreamingOps.qualityScoreSink reloads
+  //   per micro-batch) therefore always reads either the old committed
+  //   version or the new one, never a deleted/partial weights dir or new
+  //   weights paired with stale meta — retraining over a live artifact
+  //   is safe (r14 ADVICE #1). One superseded version is retained for
+  //   readers that resolved CURRENT just before a swap; older ones are
+  //   pruned at the next save.
 
   def save(spark: org.apache.spark.sql.SparkSession, dir: String,
       weights: Array[Long], biasS: Long, iters: Int, lr: Double): Unit = {
     import spark.implicits._
+    val version = s"v_${System.currentTimeMillis}_" +
+      java.util.UUID.randomUUID.toString.take(8)
     weights.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
       .toDF("bucket", "weight")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$version/weights")
     Seq((weights.length, biasS, iters, lr)).toDF("dim", "bias", "iters", "lr")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$version/meta")
+    val previous = currentVersion(dir) // before the swap, for pruning
+    val tmp = java.nio.file.Paths.get(dir, s".CURRENT.$version")
+    java.nio.file.Files.write(tmp, version.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // prune everything except the new current and its immediate
+    // predecessor (a reader may hold the predecessor mid-read)
+    val keep = Set(version) ++ previous
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v_") &&
+        !keep(f.getName))
+      .foreach(deleteRecursively)
   }
+
+  private def currentVersion(dir: String): Option[String] = {
+    val cur = new java.io.File(dir, "CURRENT")
+    if (!cur.isFile) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(cur.toPath), "UTF-8").trim)
+      .filter(_.nonEmpty)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Root of the committed live version: the CURRENT pointer's target,
+    * or the pre-versioning flat layout (weights/meta directly under
+    * `dir`) for artifacts written before r15.
+    */
+  private def liveRoot(dir: String): String =
+    currentVersion(dir).map(v => s"$dir/$v").getOrElse(dir)
+
+  /** Committed-weights existence under either layout — callers deciding
+    * train-if-absent must use this, not ArtifactPaths.exists(dir).
+    */
+  def exists(dir: String): Boolean = ArtifactPaths.exists(liveRoot(dir))
 
   def load(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Array[Long], Long) = {
-    require(ArtifactPaths.exists(dir), s"no committed classifier weights at $dir")
-    val rows = spark.read.parquet(s"$dir/weights").orderBy("bucket").collect()
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val root = liveRoot(dir)
+    require(ArtifactPaths.exists(root),
+      s"no committed classifier weights at $dir")
+    val rows = spark.read.parquet(s"$root/weights").orderBy("bucket").collect()
+    val meta = spark.read.parquet(s"$root/meta").collect().head
     val dim = meta.getAs[Int]("dim")
     require(rows.length == dim && rows.iterator.zipWithIndex.forall {
         case (r, j) => r.getInt(0) == j },

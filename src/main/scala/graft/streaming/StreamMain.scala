@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality] [index=<dir>] [maintain=1]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality|decontaminate] [index=<dir>] [maintain=1]"
   *
   * op=ann (requires index=) is the standing retrieval service: replay an
   * embeddings fixture as the query stream, probe the persisted PQ
@@ -44,6 +44,14 @@ import org.apache.spark.sql.functions._
   * starts empty and is maintained by the stream itself — first-seen docs
   * land under data/batch=N, duplicates are dropped, keys append per batch
   * (StreamingOps.bloomDedupSink).
+  *
+  * op=decontaminate (requires index=) is the standing eval-set
+  * decontamination service: replay a documents fixture as the candidate-
+  * TRAINING-doc stream (doc_id % 50 != 0, the batch query's train split)
+  * and probe each micro-batch against the persisted eval-set band index
+  * (doc_id % 50 == 0 as unigram token sets — built here if absent, same
+  * artifact shape as q_decontaminate_fuzzy_loaded); verified hits land
+  * under data/batch=N (StreamingOps.decontaminateSink).
   *
   * The optional third argument picks the ingest throttle: files=N →
   * maxFilesPerTrigger, bytes=N → maxBytesPerTrigger (both A7 analogs —
@@ -89,7 +97,7 @@ object StreamMain {
     val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index", "maintain")
     val indexWithoutNearDup = kvArgs.contains("index") &&
       !Set("neardup", "ann", "bloomdedup", "spandedup", "semdedup",
-        "quality").contains(kvArgs.getOrElse("op", "window"))
+        "quality", "decontaminate").contains(kvArgs.getOrElse("op", "window"))
     val maintainWithoutIndex =
       kvArgs.contains("maintain") && !kvArgs.contains("index")
     if (malformed.nonEmpty || badKeys.nonEmpty || dupKeys.nonEmpty ||
@@ -99,9 +107,9 @@ object StreamMain {
         s"bad options ${(malformed ++ badKeys ++ dupKeys).mkString(", ")}" +
         (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
            " (files= and bytes= are mutually exclusive)" else "") +
-        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup|spandedup|semdedup|quality)" else "") +
+        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup|spandedup|semdedup|quality|decontaminate)" else "") +
         (if (maintainWithoutIndex) " (maintain=1 requires index=)" else "") +
-        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality | index=<dir> | maintain=1")
+        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality|decontaminate | index=<dir> | maintain=1")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -189,6 +197,25 @@ object StreamMain {
             val static = shingled(spark.read.parquet(srcDir))
             StreamingOps.nearDupMatches(shingled(raw), static, "10 minutes")
         }
+      case "decontaminate" =>
+        // standing eval-set decontamination (StreamingOps.decontaminateSink):
+        // replay a documents fixture as the candidate-TRAINING-doc stream
+        // and probe each micro-batch against the persisted eval-set band
+        // index — the same artifact + split convention as the batch query
+        // q_decontaminate_fuzzy_loaded (eval = doc_id % 50 == 0, unigram
+        // token sets), built here if absent. Sink is foreachBatch
+        // (started below) — this branch only returns the shingled stream.
+        import graft.functions.TextFunctions.wordShingles
+        import graft.operators.{ArtifactPaths, NearDup}
+        val idxPath = kvArgs.getOrElse("index",
+          { System.err.println("op=decontaminate requires index=<dir>"); sys.exit(2) })
+        if (!ArtifactPaths.exists(idxPath))
+          NearDup.saveBandIndex(
+            spark.read.parquet(srcDir).filter(col("doc_id") % 50 === 0)
+              .select(col("doc_id"), wordShingles(col("text"), 1).as("sh")),
+            idxPath)
+        raw.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), wordShingles(col("text"), 1).as("sh"))
       case "ann" =>
         // streaming ANN retrieval (StreamingOps.annTopKSink): replay an
         // embeddings fixture as the query stream against a persisted PQ
@@ -270,10 +297,10 @@ object StreamMain {
         // persisted classifier weights — TRAINED here on the fixture's
         // teacher labels if the artifact is absent (the train half of the
         // train→serve loop; same recipe as IndexMain train-quality)
-        import graft.operators.{ArtifactPaths, QualityTrainer}
+        import graft.operators.QualityTrainer
         val idxPath = kvArgs.getOrElse("index",
           { System.err.println("op=quality requires index=<dir>"); sys.exit(2) })
-        if (!ArtifactPaths.exists(idxPath)) {
+        if (!QualityTrainer.exists(idxPath)) {
           val docs = spark.read.parquet(srcDir).withColumn("y",
             (graft.functions.TextFunctions.stopwordRatio(col("text")) >= 0.06)
               .cast("int"))
@@ -285,7 +312,7 @@ object StreamMain {
         }
         raw.select(col("doc_id"), col("text"))
       case other =>
-        System.err.println(s"bad op '$other': use window, neardup, ann, bloomdedup, spandedup, semdedup or quality")
+        System.err.println(s"bad op '$other': use window, neardup, ann, bloomdedup, spandedup, semdedup, quality or decontaminate")
         sys.exit(2)
         null
     }
@@ -317,6 +344,12 @@ object StreamMain {
         out.writeStream
           .foreachBatch(StreamingOps.qualityScoreSink(kvArgs("index"),
             s"$outDir/data") _)
+          .option("checkpointLocation", s"$outDir/checkpoint")
+          .start()
+      } else if (op == "decontaminate") {
+        out.writeStream
+          .foreachBatch(StreamingOps.decontaminateSink(kvArgs("index"),
+            s"$outDir/data"))
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       } else if (op == "spandedup" || op == "semdedup") {
@@ -383,6 +416,10 @@ object StreamMain {
       val kept = sink.filter(col("keep")).count()
       println(s"""{"sink_rows":$n,"kept":$kept,""" +
         s""""dropped":${n - kept},"state":"finished"}""")
+    } else if (op == "decontaminate") {
+      val contaminated = sink.select(col("doc_id")).distinct().count()
+      println(s"""{"sink_rows":$n,"contaminated_docs":$contaminated,""" +
+        s""""state":"finished"}""")
     } else
       println(s"""{"sink_rows":$n,"state":"finished"}""")
     spark.stop()

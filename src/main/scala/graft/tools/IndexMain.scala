@@ -550,7 +550,8 @@ object IndexMain {
         // apply persisted weights through the EXISTING inference path
         // (QualityClassifier.ngramLogit with a trained vector): per-split
         // keep/drop rollup — pure map-side scoring, one tiny agg
-        if (!ArtifactPaths.exists(dir)) fail(s"no committed weights at $dir")
+        if (!graft.operators.QualityTrainer.exists(dir))
+          fail(s"no committed weights at $dir")
         val (w, bS) = graft.operators.QualityTrainer.load(spark, dir)
         import graft.functions.QualityClassifier
         val r = withSplit(graft.Tables.documents(spark, sfDir),

@@ -123,17 +123,59 @@ class QualityTrainerSpec extends SparkSpec {
     val (w, bS) = QualityTrainer.train(planted, "text", "y", iters = 2)
     val dir = tmpDir("graft_qt").toString + "/weights"
     QualityTrainer.save(spark, dir, w, bS, iters = 2, lr = 2.0)
-    ArtifactPaths.exists(dir) shouldBe true
+    QualityTrainer.exists(dir) shouldBe true
     val (lw, lb) = QualityTrainer.load(spark, dir)
     lw.toSeq shouldBe w.toSeq
     lb shouldBe bS
-    // meta-last commit: an artifact without meta/_SUCCESS is invisible
+    // meta-last commit inside the live version: an artifact whose
+    // CURRENT-pointed version lacks meta/_SUCCESS is invisible
     val half = tmpDir("graft_qt_half").toString + "/weights"
     QualityTrainer.save(spark, half, w, bS, iters = 2, lr = 2.0)
-    new java.io.File(s"$half/meta/_SUCCESS").delete() shouldBe true
-    ArtifactPaths.exists(half) shouldBe false
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(half, "CURRENT")), "UTF-8").trim
+    new java.io.File(s"$half/$cur/meta/_SUCCESS").delete() shouldBe true
+    QualityTrainer.exists(half) shouldBe false
     an[IllegalArgumentException] should be thrownBy
       QualityTrainer.load(spark, half)
+  }
+
+  test("retrain over a live artifact: versioned save swaps atomically, old version retained once") {
+    val (w1, b1) = QualityTrainer.train(planted, "text", "y", iters = 2)
+    val (w2, b2) = QualityTrainer.train(planted, "text", "y", iters = 4)
+    assert(w1.toSeq != w2.toSeq) // distinct models, or the pin is vacuous
+    val dir = tmpDir("graft_qt_retrain").toString + "/weights"
+    QualityTrainer.save(spark, dir, w1, b1, iters = 2, lr = 2.0)
+    QualityTrainer.save(spark, dir, w2, b2, iters = 4, lr = 2.0)
+    // reader sees the NEW committed model, and sees it with its OWN meta
+    val (lw, lb) = QualityTrainer.load(spark, dir)
+    lw.toSeq shouldBe w2.toSeq
+    lb shouldBe b2
+    // the superseded version survives one generation (a reader that
+    // resolved CURRENT just before the swap can still finish its read);
+    // a third save prunes it
+    def versions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v_")).length
+    versions shouldBe 2
+    QualityTrainer.save(spark, dir, w1, b1, iters = 2, lr = 2.0)
+    versions shouldBe 2 // new + its immediate predecessor, older pruned
+    QualityTrainer.load(spark, dir)._1.toSeq shouldBe w1.toSeq
+  }
+
+  test("pre-versioning flat artifact layout still loads") {
+    val sp = spark; import sp.implicits._
+    val (w, bS) = QualityTrainer.train(planted, "text", "y", iters = 2)
+    val dir = tmpDir("graft_qt_flat").toString + "/weights"
+    // the r14 on-disk shape: weights/ + meta/ directly under dir, no
+    // CURRENT pointer
+    w.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
+      .toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+    Seq((w.length, bS, 2, 2.0)).toDF("dim", "bias", "iters", "lr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    QualityTrainer.exists(dir) shouldBe true
+    val (lw, lb) = QualityTrainer.load(spark, dir)
+    lw.toSeq shouldBe w.toSeq
+    lb shouldBe bS
   }
 
   test("registry query: 1025 deterministic rows — bias at bucket -1, weights 0..1023") {

@@ -1104,5 +1104,44 @@ class StreamingSpec extends SparkSpec {
       (1L, "UPD", 2.0, 2L), (2L, "NEW", 5.0, 1L), (3L, "c", 30.0, 0L))
   }
 
+  test("decontaminateSink: stream hits == batch probe of the same docs; replay idempotent") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.NearDup
+    // eval set: two docs with distinct unigram token sets
+    val evalA = (0 until 20).map(i => s"ea$i")
+    val evalB = (0 until 20).map(i => s"eb$i")
+    val dir = tmpDir("graft_decontam_idx").toString
+    NearDup.saveBandIndex(
+      Seq((1000L, evalA), (2000L, evalB)).toDF("doc_id", "sh"), dir)
+    // training candidates: a paraphrase-leak of evalA (same token set
+    // minus one), a leak of evalB, and a clean doc
+    val train = Seq(
+      (10L, evalA.tail),
+      (11L, evalB),
+      (12L, (0 until 20).map(i => s"clean$i")))
+    val out = tmpDir("graft_decontam_out").toString
+    val sink = StreamingOps.decontaminateSink(dir, out)
+    val input = MemoryStream[ShDoc]
+    val q = input.toDF().select(col("doc_id"), col("sh")).writeStream
+      .foreachBatch(sink)
+      .outputMode(OutputMode.Append())
+      .start()
+    input.addData(train.map { case (id, sh) => ShDoc(id, ts(1), sh) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = matchRowsOf(spark.read.parquet(s"$out/batch=0"))
+    // the contract: per-batch stream rows == the batch probe of the same
+    // docs against the same loaded artifact (the sink IS the batch kernel)
+    val batchProbe = matchRowsOf(NearDup.matchAgainstBandIndex(
+      train.toDF("doc_id", "sh"), NearDup.loadBandIndex(spark, dir),
+      threshold = 0.5))
+    streamed shouldBe batchProbe
+    streamed.map(m => (m._1, m._2)) shouldBe Set((10L, 1000L), (11L, 2000L))
+    // at-least-once replay of the same batchId overwrites, never appends
+    sink(train.toDF("doc_id", "sh"), 0L)
+    matchRowsOf(spark.read.parquet(s"$out/batch=0")) shouldBe streamed
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
