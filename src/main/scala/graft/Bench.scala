@@ -158,12 +158,18 @@ object Bench {
     // empty tmpdir charges a one-time index BUILD to pass 1 of a query
     // that exists to measure PROBE cost. One untimed pass per twin makes
     // every timed pass probe-only and decouples medians from tmpdir state.
-    eligible
+    // Each twin's prestage wall time is emitted in the artifact
+    // ("prestaged"): a long prestage = the build ran HERE, which is the
+    // in-artifact proof that the timed passes below are probe-only by
+    // construction, not by tmpdir luck (r14 verdict task 6).
+    val prestaged = eligible
       .filter { case (n, _) =>
         n.contains("_loaded") || n.contains("_appended") || n.contains("_deleted")
       }
-      .foreach { case (_, fn) =>
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
         try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
       }
     // Sorted-name execution order: Map iteration order reshuffles whenever
     // the registry grows, silently changing which queries run warm (JIT,
@@ -271,9 +277,15 @@ object Bench {
         case (aCpu, _) if aCpu > 0 => (m(0) / 1e9, aCpu)
       }
     }
+    // conventional median: even-sized ratio sets average the two middle
+    // elements (the upper-middle alone biased prev_median slightly up)
     val prevMedian =
       if (prevRatios.isEmpty) 0.0
-      else prevRatios.map(_._2).sorted.apply(prevRatios.size / 2)
+      else {
+        val s = prevRatios.map(_._2).sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
     val prevTotal =
       if (prevShared.isEmpty) 0.0
       else prevShared.map(_._1).sum / prevShared.map(_._2).sum
@@ -319,6 +331,10 @@ object Bench {
     val skippedJson = excluded.map { case (n, _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val totalCpu = timed.map(_._4(0)).sum / 1e9
+    // total spill bytes across the registry, on the HEADLINE: a written
+    // "zero spills" claim must be mechanical, not hand-derived (the r14
+    // claim was contradicted by its own artifact's q_profile_columns row)
+    val spillTotal = timed.map(_._4(5)).sum
     val fullJson = {
       val meds = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
       val raw = timed.map { case (k, _, ts, _, _) =>
@@ -361,8 +377,12 @@ object Bench {
       val prevJson = prevRatios.map { case (k, r) =>
         s""""$k":$r"""
       }.mkString(",")
+      val prestageJson = prestaged.map { case (k, s) =>
+        "\"" + k + "\":" + fmt(s)
+      }.mkString(",")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-        s""""cpu_total_sec":$totalCpu,""" +
+        s""""cpu_total_sec":$totalCpu,"spill_total_b":$spillTotal,""" +
+        s""""prestaged":{$prestageJson},""" +
         s""""cpus":$cpus,"sf":"$sfDir","mode":"median$passes",""" +
         s""""anchors":"${if (anchors.isEmpty) "" else anchorsPath}",""" +
         s""""prev_anchors":"${if (prevAnchors.isEmpty) "" else prevPath}",""" +
@@ -378,7 +398,7 @@ object Bench {
     java.nio.file.Files.write(fullPath,
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val budget = 1500 // chars for the whole line; tail capture is 2000
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"errors":${errors.size},"solo":${solo.size},"byte_drift":${byteDrift.size},"prev_median":${fmt(prevMedian)},"prev_total":${fmt(prevTotal)},"prev2x":${prevRatios.count(_._2 > 2.0)},"full":"bench_full.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"spill_total_b":$spillTotal,"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"errors":${errors.size},"solo":${solo.size},"byte_drift":${byteDrift.size},"prev_median":${fmt(prevMedian)},"prev_total":${fmt(prevTotal)},"prev2x":${prevRatios.count(_._2 > 2.0)},"full":"bench_full.json","sf":"$sfDir","queries":{"""
     val slowestFirst = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 2 // closing "}}"

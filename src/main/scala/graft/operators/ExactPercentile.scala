@@ -127,16 +127,18 @@ object ExactPercentile {
     // CDF rule DuckDB's quantile_disc follows): the single rank
     // ceil(p·n) − 1 (0-based, clamped at 0 for p=0) — an actual data
     // value, no interpolation.
+    // position (the continuous interpolation point p·(n−1)) is defined
+    // for both modes; in discrete mode lo_r == hi_r makes every row
+    // integral, so the interpolation branch below never reads it
     val exploded = annotated.withColumn("p", explode(psForTag))
+      .withColumn("position", col("p") * (col("nRun") - 1).cast("double"))
     val ranked =
       if (discrete) exploded
-        .withColumn("position", lit(0.0)) // unused: disc rows are integral
         .withColumn("lo_r", greatest(
           ceil(col("p") * col("nRun").cast("double")).cast("long") - 1,
           lit(0L)))
         .withColumn("hi_r", col("lo_r"))
       else exploded
-        .withColumn("position", col("p") * (col("nRun") - 1).cast("double"))
         .withColumn("lo_r", floor(col("position")).cast("long"))
         .withColumn("hi_r", ceil(col("position")).cast("long"))
     def address(rank: Column, isLo: Boolean) = ranked
