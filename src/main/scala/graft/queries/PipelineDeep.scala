@@ -434,13 +434,19 @@ object PipelineDeep extends QueryModule {
       val src = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       src.write.mode("overwrite").orc(tmp)
+      // DECIMAL sum (sf1-oracle doctrine): a double sum of o_totalprice
+      // reaches ~3.4e9 at sf10 and drifts past the 2-decimal grid with
+      // summation order — caught by the r15 sf10 value gate
       s.read.schema(src.schema).orc(tmp)
         .agg(
           count(lit(1)).as("cnt"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"),
           countDistinct(col("o_orderstatus")).as("nd_status"))
     },
-    Some("""SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price,
+    Some("""SELECT count(*) AS cnt,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_price,
              count(DISTINCT o_orderstatus) AS nd_status
            FROM orders"""))
 

@@ -136,15 +136,21 @@ object Relational extends QueryModule {
     "q_join_bucketed",
     (s, d) => {
       val (lt, ot) = graft.operators.BucketedTables.ensure(s, d)
+      // exact decimal multiply/sum (the sf1-oracle doctrine): a double
+      // revenue sum at sf10 magnitude (~6e8) drifts in the cents with
+      // summation order — caught by the r15 sf10 value gate
       s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+            .cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""SELECT o_orderpriority, count(*) AS n_items,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+               (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+               AS DOUBLE) AS revenue
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
