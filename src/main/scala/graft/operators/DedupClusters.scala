@@ -31,10 +31,22 @@ object DedupClusters {
     * reuses it instead of planning its own).
     */
   def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edgesRaw = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // Materialize the PAIR KERNEL exactly once before the two-branch
+    // union below references it twice. The pairs input is typically the
+    // expensive tail of a candidates-then-verify kernel (prefix join +
+    // exact-jaccard verify); without this pin, evaluating it once per
+    // union branch is only avoided when ReuseExchange happens to unify
+    // the two branch plans — the same fragile dependence the r14
+    // GlobalIndex work replaced with an explicit pin (SCALE.md
+    // §pin-shuffle). Dup-pair sets are O(duplicates) — a sliver of the
+    // corpus — so this extra materialization is O(|pairs|) rows, while
+    // the kernel it protects is O(corpus) work.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edgesRaw = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .localCheckpoint() // materialize once; iterations re-join it
+    p.unpersist()
     // Size the ITERATION parallelism to the materialized edge count, not
     // the session default: dup-pair graphs are usually a sliver of the
     // corpus (a 500-doc fixture yields ~50 edges; even 100 TB of text

@@ -543,7 +543,12 @@ object Relational extends QueryModule {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        // DECIMAL sum (sf1-oracle doctrine): the ALL/ALL rollup row sums
+        // every order (~3.4e9 at sf10) — a double sum drifts past the
+        // 2-decimal grid with summation order; caught by the r15 sf10
+        // value gate
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"),
         grouping(col("o_orderstatus")).cast("int").as("g_st"),
         grouping(col("o_orderpriority")).cast("int").as("g_pr"))
       .select(
@@ -553,7 +558,9 @@ object Relational extends QueryModule {
       .orderBy(col("g_st"), col("g_pr"), col("st"), col("pr")),
     Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
              coalesce(o_orderpriority, 'ALL') AS pr,
-             count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price,
+             count(*) AS cnt,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_price,
              CAST(grouping(o_orderstatus) AS INT) AS g_st,
              CAST(grouping(o_orderpriority) AS INT) AS g_pr
            FROM orders
