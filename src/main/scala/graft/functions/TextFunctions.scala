@@ -16,13 +16,15 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = textScan(text).getField("n_tokens")
 
   /** BPE-ish subword token count: runs of letters, digits, or single
-    * non-space punctuation — the usual "word-and-punct" pre-tokenizer shape.
+    * non-space punctuation — the usual "word-and-punct" pre-tokenizer
+    * shape. One field of the single-scan TextScanStats (formerly a
+    * regexp_count whose alternation pattern dominated q_text_stats).
     */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    textScan(text).getField("n_bpeish")
 
   private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(e)
@@ -107,32 +109,35 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
-  def punctCount(text: Column): Column =
-    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+  def punctCount(text: Column): Column = textScan(text).getField("n_punct")
 
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0)
       .otherwise(punctCount(text).cast("double") / length(text).cast("double"))
 
-  /** One-pass token stats via the native expression (graft.plans
-    * .TokenStats): the filter/aggregate/size HOF chains ran interpreted
-    * per token and dominated q_quality_score; identical semantics.
+  /** One-pass text stats via the native expression (graft.plans
+    * .TextScanStats): a single code-point scan yields the token trio
+    * (count / total length / stopword hits — the former TokenStats) AND
+    * the two regex-count stats (BPE-ish matches, punctuation chars)
+    * whose java.util.regex alternations were the #3 CPU cost of the
+    * sf10 bench leg. Identical semantics, property-pinned in
+    * NativeExpressionsSpec.
     */
-  private def tokenStats(text: Column): Column = {
+  def textScan(text: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(graft.plans.TokenStats(
-      ColumnBridge.expression(text), stopwords.toArray))
+    ColumnBridge.column(graft.plans.TextScanStats(
+      ColumnBridge.expression(text), stopwords))
   }
 
   def stopwordRatio(text: Column): Column = {
-    val s = tokenStats(text)
+    val s = textScan(text)
     when(s.getField("n_tokens") === 0, 0.0)
       .otherwise(s.getField("n_stop").cast("double") /
         s.getField("n_tokens").cast("double"))
   }
 
   def meanTokenLen(text: Column): Column = {
-    val s = tokenStats(text)
+    val s = textScan(text)
     when(s.getField("n_tokens") === 0, 0.0)
       .otherwise(s.getField("sum_len").cast("double") /
         s.getField("n_tokens").cast("double"))

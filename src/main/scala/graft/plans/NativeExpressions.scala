@@ -686,24 +686,40 @@ case class LshBuckets(child: Expression, nBits: Int, seeds: Array[Int])
     copy(child = c)
 }
 
-/** One-pass token statistics for the quality stack: token count, total
-  * token length, and stopword hits in a single tokenize of the text.
-  * Replaces three interpreted higher-order-function chains (filter +
-  * aggregate + size over repeated `split`s) that profiling showed
-  * dominating q_quality_score (~3 s of the sf0.1 bench) — same
-  * semantics: tokens are the non-empty \s+ splits, lengths counted on
-  * the original-case token, stopword match on its lowercase form
-  * (lowercasing never creates or destroys whitespace, so this equals
-  * tokenizing lower(text)).
+/** One-pass text statistics for the text-analysis stack: whitespace
+  * token count + total token length + stopword hits (the former
+  * TokenStats trio), PLUS the BPE-ish pre-tokenizer match count and the
+  * punctuation-character count, all from a single code-point scan of the
+  * text. Supersedes TokenStats (split("\\s+") allocated a token array per
+  * row) and, more importantly, the two `regexp_count` calls whose
+  * alternation patterns dominated q_text_stats at sf10 (~2,900 CPU-s of
+  * java.util.regex over 1.3 GB of text — the #3 CPU query of the leg).
+  *
+  * Exact semantic contract (property-pinned in NativeExpressionsSpec
+  * against the regex forms on arbitrary unicode input):
+  *   - n_tokens / sum_len / n_stop: tokens are maximal runs of
+  *     non-whitespace where whitespace is java regex `\s` = exactly
+  *     [ \t\n\x0B\f\r] (NOT Character.isWhitespace); lengths in UTF-16
+  *     units (String.length semantics); stopword match on the token's
+  *     default-locale lowercase, as TokenStats did.
+  *   - n_bpeish == regexp_count(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"):
+  *     a maximal ASCII-letter run counts 1, a maximal ASCII-digit run
+  *     counts 1, every other non-whitespace CODE POINT counts 1 (java
+  *     regex character classes match per code point, so a surrogate
+  *     pair is ONE match — the scan advances by Character.charCount).
+  *   - n_punct == regexp_count(text, "[^A-Za-z0-9\s]"): non-alnum
+  *     non-whitespace code points.
   */
-case class TokenStats(child: Expression, stopwords: Array[String])
+case class TextScanStats(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("sum_len", LongType, nullable = false),
-    StructField("n_stop", IntegerType, nullable = false)))
-  override def prettyName: String = "token_stats"
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_bpeish", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false)))
+  override def prettyName: String = "text_scan_stats"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -720,26 +736,65 @@ case class TokenStats(child: Expression, stopwords: Array[String])
     s
   }
 
+  // java regex \s without UNICODE_CHARACTER_CLASS — exactly these six
+  @inline private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+  @inline private def isAlpha(cp: Int): Boolean =
+    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+  @inline private def isDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'
+
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split("\\s+")
-    var n = 0
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    val checkStops = !stopSet.isEmpty
+    var nTok = 0
     var sumLen = 0L
     var nStop = 0
+    var nBpe = 0
+    var nPunct = 0
+    var tokStart = -1
+    // 0 = none/whitespace/other, 1 = in letter run, 2 = in digit run
+    var runClass = 0
     var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      if (t.nonEmpty) {
-        n += 1
-        sumLen += t.length
-        if (stopSet.contains(t.toLowerCase)) nStop += 1
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isWs(cp)) {
+        if (tokStart >= 0) {
+          nTok += 1
+          sumLen += i - tokStart
+          if (checkStops && stopSet.contains(s.substring(tokStart, i).toLowerCase))
+            nStop += 1
+          tokStart = -1
+        }
+        runClass = 0
+      } else {
+        if (tokStart < 0) tokStart = i
+        if (isAlpha(cp)) {
+          if (runClass != 1) nBpe += 1
+          runClass = 1
+        } else if (isDigit(cp)) {
+          if (runClass != 2) nBpe += 1
+          runClass = 2
+        } else {
+          nBpe += 1
+          nPunct += 1
+          runClass = 0
+        }
       }
-      i += 1
+      i += w
+    }
+    if (tokStart >= 0) {
+      nTok += 1
+      sumLen += len - tokStart
+      if (checkStops && stopSet.contains(s.substring(tokStart, len).toLowerCase))
+        nStop += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](n, sumLen, nStop))
+      Array[Any](nTok, sumLen, nStop, nBpe, nPunct))
   }
 
-  override protected def withNewChildInternal(c: Expression): TokenStats =
+  override protected def withNewChildInternal(c: Expression): TextScanStats =
     copy(child = c)
 }
 

@@ -136,4 +136,67 @@ class NativeExprPropertySpec extends SparkSpec {
     rows.foreach(r => r.isNullAt(1) shouldBe true)
   }
 
+  test("TextScanStats fields equal the regex/split forms they replaced") {
+    val sp = spark; import sp.implicits._
+    // adversarial corpus: every char class boundary, the exact java-\s
+    // set vs unicode whitespace (U+00A0 / U+2028 are NOT java \s), class
+    // transitions without separators, surrogate pairs (one code point =
+    // one regex class match), unpaired surrogates, stopwords in mixed
+    // case, empty + whitespace-only strings
+    val fixed = Seq(
+      "", " ", "\t\n\f\r", "a", "The quick brown fox",
+      "a1b2c3", "abc123!?.", "!!!", "a!b?c.", "  lead and trail  ",
+      "tab\tsep\nnewline\rcrvt\fff", "THE the ThE tHe",
+      "nbsp notsplit", "linesep notsplit",
+      "café naïve",
+      "emoji 😀 pair", "😀😁",
+      "lone\uD800surrogate", "\uDC00", "123 456 789",
+      "mixed42case!With#digits9and.punct",
+      "ä ö ü ß € ¥",
+      ("a" * 3000) + "!" + ("5" * 10))
+    val rnd2 = new scala.util.Random(7)
+    val alphabet = ("aA zZ09!?.\t\né 😀").toCharArray
+    val random = (1 to 150).map(_ =>
+      String.valueOf(Array.fill(rnd2.nextInt(80))(
+        alphabet(rnd2.nextInt(alphabet.length)))))
+    val docs = (fixed ++ random).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    // plain-java references — the EXACT machinery the expression
+    // replaced: String.split("\\s+") (token trio, UTF-16 lengths,
+    // default-locale lowercase for stopwords) and java.util.regex
+    // find()-loops (what Spark's regexp_count runs underneath)
+    val stopSet = graft.functions.TextFunctions.stopwords.toSet
+    val bpePat = java.util.regex.Pattern.compile(
+      "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    val punctPat = java.util.regex.Pattern.compile("[^A-Za-z0-9\\s]")
+    def countMatches(p: java.util.regex.Pattern, s: String): Int = {
+      val m = p.matcher(s)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+    val refs = docs.map { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      (id, (toks.length, toks.map(_.length.toLong).sum,
+        toks.count(w => stopSet.contains(w.toLowerCase)),
+        countMatches(bpePat, t), countMatches(punctPat, t)))
+    }.toMap
+
+    val got = docs.toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TextFunctions.textScan(col("text")).as("s"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getStruct(1)
+      val (tok, len, stop, bpe, punct) = refs(r.getLong(0))
+      withClue(s"doc ${r.getLong(0)}: ") {
+        s.getInt(0) shouldBe tok
+        s.getLong(1) shouldBe len
+        s.getInt(2) shouldBe stop
+        s.getInt(3) shouldBe bpe
+        s.getInt(4) shouldBe punct
+      }
+    }
+  }
+
 }
