@@ -1117,7 +1117,8 @@ object TextQueries extends QueryModule {
                CAST(tf.tf AS DOUBLE) * ln((CAST(freq.cnt AS DOUBLE) + 1.0) / (tot.t + tot.v)) AS c
              FROM tf JOIN freq USING (token) CROSS JOIN tot)
            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-             round(-list_reduce(list(c ORDER BY token), (a, b) -> a + b)
+             round(-(CAST(sum(CAST(round(c * 17179869184.0) AS BIGINT)) AS DOUBLE)
+                     / 17179869184.0)
                    / CAST(sum(tf) AS DOUBLE), 4) AS nll
            FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
@@ -1176,7 +1177,8 @@ object TextQueries extends QueryModule {
              FROM tf JOIN freq USING (token) CROSS JOIN tot),
            lm AS (
              SELECT doc_id,
-               round(-list_reduce(list(c ORDER BY token), (a, b) -> a + b)
+               round(-(CAST(sum(CAST(round(c * 17179869184.0) AS BIGINT)) AS DOUBLE)
+                       / 17179869184.0)
                      / CAST(sum(tf) AS DOUBLE), 4) AS nll
              FROM c GROUP BY doc_id),
            scored AS (
@@ -1210,9 +1212,10 @@ object TextQueries extends QueryModule {
   //
   // Scale posture: the bucket tables are B rows (broadcast); per-doc
   // weights are one groupBy over the exploded features with the
-  // contributions folded in (bucket)-sorted order — contributions are a
-  // pure function of the bucket, so the sorted fold is bit-stable and
-  // DuckDB's list_reduce replays it exactly (the q_lm_score device);
+  // contributions quantized to fixed-point Longs before the sum
+  // (LmScore.FixedPointScale) — exact integer addition is
+  // order-independent, so the fold is bit-stable under any partitioning
+  // and DuckDB replays it as a plain spillable integer sum;
   // the global rank is a GlobalIndex range-exchange ordinal, never a
   // single-partition window.
   private val qSampleDsir = Q(
@@ -1244,11 +1247,16 @@ object TextQueries extends QueryModule {
         .withColumn("c",
           log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + B)) -
             log((col("cr") + lit(1.0)) / (col("tr") + B)))
+      // fixed-point contribution fold (the LmScore.FixedPointScale
+      // device): integer sums are order-independent across any
+      // partitioning and DuckDB replays them as a plain spillable sum —
+      // replaces the ordered-list fold that OOM'd the sf10 oracle gate
+      // and paid a per-doc sort on the Spark side
+      val S = graft.operators.LmScore.FixedPointScale
       val byDoc = contrib.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_feats"),
-          round(aggregate(
-            array_sort(collect_list(struct(col("b"), col("c")))),
-            lit(0.0), (acc, x) => acc + x.getField("c")), 4).as("logw"))
+          round(sum(round(col("c") * lit(S)).cast("long")).cast("double") /
+            lit(S), 4).as("logw"))
       val n = docs.count()
       GlobalIndex.withOrdinal(byDoc, "rank", negate(col("logw")), col("doc_id"))
         .withColumn("selected", col("rank") <= lit(n / 4))
@@ -1283,8 +1291,8 @@ object TextQueries extends QueryModule {
              FROM feats f LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot),
            w AS (
              SELECT doc_id, count(*) AS n_feats,
-               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                 list(c ORDER BY b, c)), (a, x) -> a + x), 4) AS logw
+               round(CAST(sum(CAST(round(c * 17179869184.0) AS BIGINT)) AS DOUBLE)
+                     / 17179869184.0, 4) AS logw
              FROM ctb GROUP BY doc_id),
            r AS (
              SELECT doc_id, n_feats, logw,

@@ -53,7 +53,11 @@ def main():
                 fails += 1
                 continue
             cols = ", ".join(f'"{c}"' for c in sorted(ocols))
-            con.execute(f"CREATE VIEW o AS SELECT {cols} FROM ({sql})")
+            # TEMP TABLE, not VIEW: a view would re-evaluate the oracle
+            # for every consumer (count + EXCEPT = twice), and a heavy
+            # aggregation that fits the limit once can OOM on the second
+            # pass over a fragmented allocator
+            con.execute(f"CREATE TEMP TABLE o AS SELECT {cols} FROM ({sql})")
             con.execute(f"CREATE VIEW s AS SELECT {cols} FROM "
                         f"read_parquet('{pq}/*.parquet')")
             n_o = con.execute("SELECT count(*) FROM o").fetchone()[0]
