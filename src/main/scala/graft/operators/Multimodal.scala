@@ -493,4 +493,175 @@ object Multimodal {
         md5(col("payload")).as("digest"),
         col("width"), col("height"))
       .orderBy(col("media_id"))
+
+  /** 64-bit difference hash (dHash) — the perceptual image fingerprint
+    * behind image NEAR-duplicate dedup (the multimodal sibling of
+    * SimHash64 on text): re-encoded, recompressed, or slightly-retouched
+    * copies of a picture land within a few bits of each other, while
+    * unrelated pictures differ in ~32. Standard construction (public
+    * literature: the "dHash" gradient hash): area-average the image to a
+    * 9×8 grayscale grid, emit bit (r·8+c) iff cell (r,c) is brighter
+    * than its right neighbor — 64 horizontal-gradient signs.
+    *
+    * Determinism contract: ALL arithmetic is integer (luma =
+    * (77R+150G+29B)>>8, cell mean = sum/area with floor division, strict
+    * `>` on the gradient), and pixels come from `getRGB`'s sRGB view —
+    * no Graphics2D rendering, no float accumulation — so the hash is
+    * bit-identical across JVMs, platforms, and partitionings. PNG being
+    * lossless, it is also invariant to how the payload was encoded.
+    */
+  object PHash {
+
+    def dHash64(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val gw = 9
+      val gh = 8
+      // cell (cx,cy) covers [cx·w/gw, (cx+1)·w/gw) × [cy·h/gh, (cy+1)·h/gh),
+      // clamped non-empty so tiny images (w<9 or h<8) share pixels across
+      // cells instead of dividing by zero
+      val mean = new Array[Long](gw * gh)
+      var cy = 0
+      while (cy < gh) {
+        val y0 = cy * h / gh
+        val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / gh))
+        var cx = 0
+        while (cx < gw) {
+          val x0 = cx * w / gw
+          val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / gw))
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+                29 * (rgb & 0xFF)) >> 8
+              x += 1
+            }
+            y += 1
+          }
+          mean(cy * gw + cx) = sum / ((y1 - y0).toLong * (x1 - x0).toLong)
+          cx += 1
+        }
+        cy += 1
+      }
+      var bits = 0L
+      var r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < 8) {
+          if (mean(r * gw + c) > mean(r * gw + c + 1)) bits |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+
+    /** Raw pixel decode (the feature decoder above reduces to statistics;
+      * the hash needs the pixels) — same guards: bytes no reader claims,
+      * or claimed-but-corrupt payloads, return None.
+      */
+    def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (payload == null || payload.length < 8) return None
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+          .filter(i => i.getWidth > 0 && i.getHeight > 0)
+      } catch { case _: Exception => None }
+    }
+
+    def dHash(payload: Array[Byte]): Option[Long] = decodeImage(payload).map(dHash64)
+  }
+
+  /** Image near-duplicate pairs by banded dHash — the q_dedup_simhash
+    * device applied to pictures: candidates = equal 16-bit sub-band
+    * (4 bands → hamming ≤ 3 guaranteed caught in ≥1 band by pigeonhole),
+    * verify = exact popcount on the full 64 bits. Scale posture: the
+    * decode+hash is one map-side pass over the payloads; ONLY
+    * (media_id, 8-byte hash) rides the band exchange — pixels never
+    * shuffle (the "text never crosses the wire" discipline, for images);
+    * the verify is a bit_count on two longs. Undecodable payloads are
+    * data-quality events, skipped not fatal.
+    */
+  def imagePhashPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashed = media.mapPartitions { rows =>
+      rows.flatMap(m => PHash.dHash(m.payload).map(ph => (m.media_id, ph)))
+    }.toDF("media_id", "ph")
+    val banded = hashed.select(col("media_id"), col("ph"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+        .as("bk"))
+      .select(col("media_id"), col("ph"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("ph").as("h_a"))
+    val b = banded.select(col("band").as("band2"), col("key").as("key2"),
+      col("media_id").as("id_b"), col("ph").as("h_b"))
+    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextFunctions.hamming64(col("h_a"), col("h_b"))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic PICTURE table derived from the documents fixture (the
+    * mediaTable convention — multimodal payloads are a pure function of
+    * doc_id, never synthesized data): every 20th document renders a
+    * 32×32 RGB noise pattern whose BASE comes from the doc's picture
+    * group (doc_id/100 — five selected docs per group) and whose
+    * per-doc perturbation flips doc-dependent single pixels at NESTED
+    * positions (variant k flips pixels 0..k−1), so consecutive variants
+    * within a group differ by exactly one pixel — planted near-dup
+    * clusters with a known gradient of hamming distances, across every
+    * fixture scale. PNG encoding is lossless, so the hash sees exact
+    * pixels regardless of encoder byte choices.
+    */
+  def pictureTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(20)) === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          MediaRow(id, "image", renderPicture(id), 32, 32, 0)
+        }
+      }
+  }
+
+  /** Pure-function PNG for [[pictureTable]]: splittable-LCG noise seeded
+    * by the picture group, nested single-pixel inversions by variant.
+    */
+  private[operators] def renderPicture(docId: Long): Array[Byte] = {
+    val group = docId / 100
+    val variant = ((docId % 100) / 20).toInt // 0..4 within the group
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = group * 0x9E3779B97F4A7C15L + 0x5851F42D4C957F2DL
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val v = ((s >>> 33) & 0xFF).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    var k = 0
+    while (k < variant) { // nested: variant k inverts pixels (4m+1, 1), m<k
+      val px = 4 * k + 1
+      img.setRGB(px, 1, ~img.getRGB(px, 1) & 0xFFFFFF)
+      k += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -33,5 +33,20 @@ object MultimodalQueries extends QueryModule {
         round(element_at(col("feat"), 1), 6).as("feat0"))
       .orderBy(col("media_id")))
 
-  override def queries: Seq[Q] = Seq(qMeta, qFeatures)
+  // Image NEAR-duplicate dedup by banded perceptual hash (dHash) — the
+  // multimodal member of the near-dup family: re-encoded/retouched copies
+  // of a picture land within a few hash bits, unrelated pictures in ~32.
+  // Pictures derive deterministically from the documents fixture
+  // (pictureTable: planted near-dup groups with a nested single-pixel
+  // perturbation gradient). Rows-only by declared design: the hash is a
+  // pure function of DECODED PIXELS (javax.imageio + integer dHash),
+  // which no SQL engine can replay; MultimodalSpec pins the semantics
+  // (banding == brute-force hamming, planted-pair recall, encode
+  // invariance, determinism).
+  private val qImagePhash = Q(
+    "q_dedup_image_phash",
+    (s, d) => Multimodal.imagePhashPairs(Multimodal.pictureTable(s, d))
+      .orderBy(col("id_a"), col("id_b")))
+
+  override def queries: Seq[Q] = Seq(qMeta, qFeatures, qImagePhash)
 }

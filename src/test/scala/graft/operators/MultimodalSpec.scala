@@ -278,4 +278,85 @@ class MultimodalSpec extends SparkSpec {
     scan should not include "n_chars"
     scan should not include "lang"
   }
+
+  // --- image near-dup by perceptual hash (dHash) ---
+
+  private def noiseImg(seed: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    for (y <- 0 until 32; x <- 0 until 32) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val v = ((s >>> 33) & 0xFF).toInt
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash: encode-invariant, near for retouches, far for unrelated") {
+    // same pixels through PNG and BMP encodes → identical hash (the
+    // hash sees decoded pixels, not container bytes)
+    val img = noiseImg(7)
+    val hPng = Multimodal.PHash.dHash(png(img)).get
+    val bmp = { val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", b); b.toByteArray }
+    Multimodal.PHash.dHash(bmp).get shouldBe hPng
+    // a one-pixel retouch moves ≤ a couple of gradient signs
+    val touched = noiseImg(7)
+    touched.setRGB(5, 1, ~touched.getRGB(5, 1) & 0xFFFFFF)
+    ham(Multimodal.PHash.dHash(png(touched)).get, hPng) should be <= 2
+    // unrelated noise is ~32 bits away — never inside the dup band
+    ham(Multimodal.PHash.dHash(png(noiseImg(99))).get, hPng) should be >= 10
+    // non-image payloads are skipped, not fatal
+    Multimodal.PHash.dHash("not an image".getBytes) shouldBe None
+    Multimodal.PHash.dHash(null) shouldBe None
+  }
+
+  test("imagePhashPairs == brute-force hamming ≤ 3 over all pairs") {
+    val sp = spark; import sp.implicits._
+    // 30 images: 6 groups of 5 nested-retouch variants (the pictureTable
+    // shape) — banding must find EXACTLY the brute-force ≤3 set
+    // (pigeonhole: ≤3 differing bits leave ≥1 of 4 sub-bands equal)
+    val rows = (0 until 30).map { i =>
+      val img = noiseImg(i / 5)
+      (0 until i % 5).foreach { m =>
+        val px = 4 * m + 1
+        img.setRGB(px, 1, ~img.getRGB(px, 1) & 0xFFFFFF)
+      }
+      Multimodal.MediaRow(i.toLong, "image", png(img), 32, 32, 0)
+    }
+    val hashes = rows.map(r => r.media_id -> Multimodal.PHash.dHash(r.payload).get).toMap
+    val want = (for {
+      a <- rows; b <- rows if a.media_id < b.media_id
+      d = ham(hashes(a.media_id), hashes(b.media_id)) if d <= 3
+    } yield (a.media_id, b.media_id, d)).sortBy(p => (p._1, p._2))
+    want should not be empty // the planted gradient yields near pairs
+
+    val got = Multimodal.imagePhashPairs(sp.createDataset(rows))
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    got shouldBe want
+  }
+
+  test("q_dedup_image_phash: deterministic planted pairs; payloads never shuffle") {
+    val df = graft.SparkEntry.queries("q_dedup_image_phash")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    rows.length should be > 0
+    // consecutive nested variants differ by one pixel → every pair the
+    // query reports verifies at hamming ≤ 3, and re-running is identical
+    all(rows.map(_.getInt(2))) should be <= 3
+    val again = graft.SparkEntry.queries("q_dedup_image_phash")(
+      spark, "/root/testdata/sf0.001").collect()
+    again.map(_.toString) shouldBe rows.map(_.toString)
+    // scale posture: only (id, 8-byte hash) rides the band exchange
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "payload"
+  }
 }
