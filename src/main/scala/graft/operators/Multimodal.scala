@@ -609,6 +609,57 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Persisted phash index (ArtifactPaths meta-last convention): the
+    * corpus's (media_id, dHash) pairs — 16 bytes per image, the ONLY
+    * state an incremental image-dedup service needs. A 100 TB image
+    * corpus indexes to ~GBs of hashes: the daily job never re-decodes
+    * the corpus, it probes today's batch against this table.
+    */
+  def savePhashIndex(media: Dataset[MediaRow], path: String): Unit = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => PHash.dHash(m.payload).map(ph => (m.media_id, ph)))
+    }.toDF("media_id", "ph")
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    Seq(Tuple1(4)).toDF("bands")
+      .write.mode("overwrite").parquet(s"$path/meta") // meta-last = commit
+  }
+
+  /** Incremental (batch-vs-corpus) image near-dup — the daily-ingest
+    * shape of [[imagePhashPairs]]: hash TODAY'S batch map-side, band-join
+    * against the persisted corpus hashes, exact popcount verify.
+    * Batch-internal pairs are excluded (run imagePhashPairs within the
+    * batch for those). Returns (media_id = batch id, matched_id = corpus
+    * id, hamming ≤ maxHamming).
+    */
+  def matchAgainstPhashIndex(batch: Dataset[MediaRow],
+      spark: SparkSession, path: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(new java.io.File(s"$path/meta/_SUCCESS").isFile,
+      s"no committed phash index at $path")
+    val corpus = spark.read.parquet(s"$path/hashes")
+    val probe = batch.mapPartitions { rows =>
+      rows.flatMap(m => PHash.dHash(m.payload).map(ph => (m.media_id, ph)))
+    }.toDF("media_id", "ph")
+    def bands(df: DataFrame, idAs: String, hashAs: String,
+        bandAs: String, keyAs: String) =
+      df.select(col("media_id"), col("ph"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+          .as("bk"))
+        .select(col("media_id").as(idAs), col("ph").as(hashAs),
+          col("bk.band").as(bandAs), col("bk.key").as(keyAs))
+    bands(probe, "media_id", "h_a", "band", "key")
+      .join(bands(corpus, "matched_id", "h_b", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2"))
+      .select(col("media_id"), col("matched_id"),
+        graft.functions.TextFunctions.hamming64(col("h_a"), col("h_b"))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic PICTURE table derived from the documents fixture (the
     * mediaTable convention — multimodal payloads are a pure function of
     * doc_id, never synthesized data): every 20th document renders a

@@ -48,5 +48,30 @@ object MultimodalQueries extends QueryModule {
     (s, d) => Multimodal.imagePhashPairs(Multimodal.pictureTable(s, d))
       .orderBy(col("id_a"), col("id_b")))
 
-  override def queries: Seq[Q] = Seq(qMeta, qFeatures, qImagePhash)
+  // Incremental image dedup against the PERSISTED hash index — the
+  // daily-ingest twin (build-once/probe-many, the *_loaded convention):
+  // the corpus (pictures with doc_id % 40 == 0) indexes once as 16-byte
+  // (id, hash) rows; the probe batch (doc_id % 40 == 20 — the OTHER
+  // variants of the same planted picture groups) hashes map-side and
+  // band-joins the index. The steady-state daily job never re-decodes
+  // the corpus. Rows-only (same decoded-pixels rationale as the base
+  // query); MultimodalSpec pins probe == in-memory cross-pairs and the
+  // meta-last commit.
+  private val qImagePhashLoaded = Q(
+    "q_dedup_image_phash_loaded",
+    (s, d) => {
+      import graft.operators.ArtifactPaths
+      val path = ArtifactPaths.keyed("phash", s"$d/documents.parquet",
+        "corpus=mod40eq0,v=1")
+      val pics = Multimodal.pictureTable(s, d)
+      if (!ArtifactPaths.exists(path))
+        Multimodal.savePhashIndex(
+          pics.filter(col("media_id") % 40 === 0), path)
+      Multimodal.matchAgainstPhashIndex(
+          pics.filter(col("media_id") % 40 === 20), s, path)
+        .orderBy(col("media_id"), col("matched_id"))
+    })
+
+  override def queries: Seq[Q] =
+    Seq(qMeta, qFeatures, qImagePhash, qImagePhashLoaded)
 }

@@ -344,6 +344,46 @@ class MultimodalSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("phash index: probe == in-memory cross-pairs; torn save invisible") {
+    val sp = spark; import sp.implicits._
+    val corpus = (0 until 12).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", png(noiseImg(i / 4)), 32, 32, 0))
+    val batch = (100 until 106).map { i =>
+      val img = noiseImg((i - 100) / 2) // shares bases 0,1,2 with corpus
+      img.setRGB(9, 1, ~img.getRGB(9, 1) & 0xFFFFFF) // one-pixel retouch
+      Multimodal.MediaRow(i.toLong, "image", png(img), 32, 32, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("phash").toString
+    Multimodal.savePhashIndex(sp.createDataset(corpus), dir)
+    ArtifactPaths.exists(dir) shouldBe true
+
+    val got = Multimodal.matchAgainstPhashIndex(
+        sp.createDataset(batch), sp, dir)
+      .orderBy("media_id", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // reference: brute-force hamming over batch × corpus hashes
+    val ch = corpus.map(m => m.media_id -> Multimodal.PHash.dHash(m.payload).get)
+    val bh = batch.map(m => m.media_id -> Multimodal.PHash.dHash(m.payload).get)
+    val want = (for {
+      (bi, bHash) <- bh; (ci, cHash) <- ch
+      d = ham(bHash, cHash) if d <= 3
+    } yield (bi, ci, d)).sortBy(p => (p._1, p._2))
+    want should not be empty // retouched copies of shared bases match
+    got shouldBe want
+    // batch-internal pairs are NOT reported (probe semantics)
+    all(got.map(_._2)) should be < 100L
+
+    // torn save: hashes overwritten but meta missing → not a committed
+    // artifact (meta-last commit marker)
+    val torn = java.nio.file.Files.createTempDirectory("phash_torn").toString
+    sp.createDataset(corpus).mapPartitions(rows =>
+        rows.flatMap(m => Multimodal.PHash.dHash(m.payload).map(h => (m.media_id, h))))
+      .toDF("media_id", "ph").write.parquet(s"$torn/hashes")
+    ArtifactPaths.exists(torn) shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.matchAgainstPhashIndex(sp.createDataset(batch), sp, torn)
+  }
+
   test("q_dedup_image_phash: deterministic planted pairs; payloads never shuffle") {
     val df = graft.SparkEntry.queries("q_dedup_image_phash")(
       spark, "/root/testdata/sf0.001")
