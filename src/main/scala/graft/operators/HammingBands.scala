@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hamming64
+
+/** Shared banded-hamming near-dup kernel over 64-bit fingerprints — the
+  * candidate generator behind SimHash text near-dup (q_dedup_simhash) and
+  * perceptual-hash image near-dup (q_dedup_image_phash). Candidates are
+  * hashes agreeing on at least one of `bands` equal-width sub-bands; by
+  * pigeonhole, `bands` bands guarantee total recall for hamming ≤
+  * bands − 1 (every constructor requires `maxHamming <= bands - 1` so a
+  * caller cannot silently lose pairs past the banding guarantee).
+  *
+  * Scale posture — the two devices that keep a web-scale corpus from
+  * going quadratic (the maxDf doctrine of NearDup.tokenSpanPairs, applied
+  * to the hamming family):
+  *
+  *  1. EXACT-HASH PRE-COLLAPSE. The most common skew in a crawl is m
+  *     identical fingerprints (site logos, spacer images, boilerplate
+  *     docs). Banding the raw (id, hash) rows sends all m members of such
+  *     a class through the SAME band keys — bands · m²/2 candidate rows
+  *     from one hot key before any verify. Here banding ALWAYS runs over
+  *     DISTINCT hashes: identical-hash members never multiply inside the
+  *     candidate join. [[pairs]] re-expands members only AFTER hamming
+  *     verification (its output is inherently quadratic in exact-dup
+  *     class size — that is the pairs CONTRACT; see [[clusterKeepers]]
+  *     for the linear-output production form), and [[clusterLabels]] /
+  *     [[clusterKeepers]] never materialize member pairs at all: classes
+  *     enter connected components as single representative nodes and
+  *     members attach to the final label by one linear join on hash.
+  *
+  *  2. BAND-KEY DF CAP. A 16-bit sub-band over n distinct hashes holds
+  *     n/2¹⁶ hashes per key in expectation; a key attracting far more
+  *     than that is a degenerate sub-band (a constant image border, a
+  *     saturated fingerprint region) and would fan out df² candidate
+  *     rows. Distinct-hash band keys with df > `maxBandDf` are TRIMMED:
+  *     like NearDup's maxDf, the cap is declared semantics, not a tuning
+  *     knob — a trimmed key means "this sub-band carries no near-dup
+  *     signal at this df"; pairs whose EVERY shared band is trimmed are
+  *     not reported (exact-hash duplicates are immune: they match on the
+  *     pre-collapse / the probe's exact path, never through banding).
+  *     [[overCapBandKeys]] reports the trimmed keys so a pipeline can
+  *     alert on recall exposure (the check-phash gate consumes it).
+  *
+  * All exchanges carry (8-byte hash, 8-byte id) or less; nothing wider
+  * ever shuffles.
+  */
+object HammingBands {
+
+  val DefaultBands = 4
+  val DefaultMaxHamming = 3
+
+  /** Default distinct-hash df cap per band key. At the 16-bit sub-band
+    * width this is ~1024 × the uniform expectation for a 64M-distinct-
+    * hash corpus shard and far above the hottest key observed on any
+    * fixture scale (measured dfs in SCALE.md §skew), so trims never fire
+    * on healthy data; a capped key bounds the self-join fan-out at
+    * maxBandDf² rows instead of df².
+    */
+  val DefaultMaxBandDf = 1024
+
+  private def checkParams(maxHamming: Int, bands: Int, maxBandDf: Int): Unit = {
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
+      s"bands must divide 64 (2..32), got $bands")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"banding with $bands bands only guarantees candidate recall for " +
+        s"hamming <= ${bands - 1} (pigeonhole); got maxHamming=$maxHamming — " +
+        "raise bands or lower maxHamming")
+    require(maxBandDf >= 2, s"maxBandDf must be >= 2, got $maxBandDf")
+  }
+
+  /** (band, key) struct array for one 64-bit hash column. */
+  private def bandKeys(h: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(h, b * width).bitwiseAND(lit(mask)).as("key"))): _*)
+  }
+
+  /** Distinct hashes exploded to (h, band, key) rows, with over-cap band
+    * keys trimmed. The over-cap key set is ≤ n·bands/maxBandDf rows by
+    * construction (each holds > maxBandDf hashes), so it broadcasts into
+    * a left-anti hash join — the banded rows never reshuffle for the cap.
+    */
+  private def cappedBanded(hashes: DataFrame, bands: Int,
+      maxBandDf: Int): DataFrame = {
+    val banded = hashes.select(col("h"),
+      explode(bandKeys(col("h"), bands)).as("bk"))
+      .select(col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val over = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBandDf)
+      .select(col("band"), col("key"))
+    banded.join(broadcast(over), Seq("band", "key"), "left_anti")
+  }
+
+  /** Trim-exposure report: distinct-hash band keys over the cap, with
+    * their dfs — the keys whose candidate pairs [[distinctHashPairs]]
+    * does not generate. Empty on healthy data; non-empty is the
+    * re-band / investigate signal (check-phash consumes the count).
+    * `hashed` is any (id, h) frame; df counts DISTINCT hashes.
+    */
+  def overCapBandKeys(hashed: DataFrame, bands: Int = DefaultBands,
+      maxBandDf: Int = DefaultMaxBandDf): DataFrame =
+    hashed.select(col("h")).distinct()
+      .select(col("h"), explode(bandKeys(col("h"), bands)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBandDf)
+
+  /** Verified near-dup pairs between DISTINCT hashes: (h_a, h_b, hamming)
+    * with h_a < h_b and 1 ≤ hamming ≤ maxHamming. Input `hashes` must be
+    * a distinct single-column (h) frame. The self-join runs over the
+    * df-capped banded rows, so per-key fan-out is ≤ maxBandDf² and the
+    * whole candidate volume is bounded by the near-dup structure of the
+    * distinct-hash set — never by exact-dup class sizes.
+    */
+  def distinctHashPairs(hashes: DataFrame, maxHamming: Int = DefaultMaxHamming,
+      bands: Int = DefaultBands,
+      maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
+    checkParams(maxHamming, bands, maxBandDf)
+    val kept = cappedBanded(hashes, bands, maxBandDf)
+    val a = kept.select(col("band"), col("key"), col("h").as("h_a"))
+    val b = kept.select(col("band").as("band2"), col("key").as("key2"),
+      col("h").as("h_b"))
+    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
+        col("h_a") < col("h_b"))
+      .withColumn("hamming", hamming64(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("h_a"), col("h_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** ALL id pairs at hamming ≤ maxHamming — the pairs contract of
+    * q_dedup_simhash / q_dedup_image_phash. `hashed` is (id: long,
+    * h: long). Returns (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * Candidate generation is over distinct hashes (pre-collapse + df
+    * cap), so no shuffle key is ever quadratic in exact-dup class size;
+    * the only quadratic term left is the OUTPUT itself — a class of m
+    * identical hashes owns m·(m−1)/2 true pairs, emitted by an id-level
+    * equi-join on the hash (one task streams the class's output; nothing
+    * upstream amplifies). A corpus where exact-dup classes are large
+    * should consume [[clusterKeepers]] instead — linear output, same
+    * relation.
+    */
+  def pairs(hashed: DataFrame, maxHamming: Int = DefaultMaxHamming,
+      bands: Int = DefaultBands,
+      maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
+    checkParams(maxHamming, bands, maxBandDf)
+    // one materialization; feeds the distinct-hash set, the exact-dup
+    // self-join, and the two cross-class expansion joins
+    val t = hashed.select(col("id"), col("h")).localCheckpoint()
+    val hp = distinctHashPairs(t.select(col("h")).distinct(),
+      maxHamming, bands, maxBandDf)
+    // exact-hash members: equal hashes are pairs at hamming 0 by
+    // identity — routed around banding entirely (cap-immune)
+    val within = t.select(col("h"), col("id").as("id_a"))
+      .join(t.select(col("h").as("h2"), col("id").as("id_b")),
+        col("h") === col("h2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    // cross-class expansion AFTER verification: each verified hash pair
+    // fans out to its members via two linear equi-joins on the hash
+    val cross = hp
+      .join(t.select(col("h").as("h_a"), col("id").as("ia")), "h_a")
+      .join(t.select(col("h").as("h_b"), col("id").as("ib")), "h_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
+  }
+
+  /** Connected-component labels over the hamming ≤ maxHamming relation —
+    * the LINEAR-output production form: (id, cluster_id = min id of the
+    * component). Exact-dup classes enter the component graph as ONE
+    * representative node (rep = min member id, so component labels are
+    * true min-member ids); members attach to their class's final label by
+    * a single equi-join on hash. Only ids in some dup relation (an
+    * exact-dup class of ≥ 2, or a class with a verified near-dup
+    * neighbor) are returned — singletons are their own cluster by
+    * definition, the DedupClusters.components convention.
+    */
+  def clusterLabels(hashed: DataFrame, maxHamming: Int = DefaultMaxHamming,
+      bands: Int = DefaultBands,
+      maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
+    checkParams(maxHamming, bands, maxBandDf)
+    val t = hashed.select(col("id"), col("h")).localCheckpoint()
+    // one representative + class size per distinct hash
+    val classes = t.groupBy(col("h"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint()
+    val hp = distinctHashPairs(classes.select(col("h")),
+      maxHamming, bands, maxBandDf)
+    val repEdges = hp
+      .join(classes.select(col("h").as("h_a"), col("rep").as("id_a")), "h_a")
+      .join(classes.select(col("h").as("h_b"), col("rep").as("id_b")), "h_b")
+      .select(col("id_a"), col("id_b"))
+    val comp = DedupClusters.components(repEdges)
+      .withColumnRenamed("doc_id", "rep")
+    // class label: its rep's component label when the class has a
+    // near-dup edge; its own rep when it is a pure exact-dup class
+    // (m ≥ 2, no verified neighbor); nothing for singletons
+    val classLabels = classes
+      .join(comp, Seq("rep"), "left_outer")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), when(col("m") >= 2, col("rep"))))
+      .filter(col("cluster_id").isNotNull)
+      .select(col("h"), col("cluster_id"))
+    t.join(classLabels, "h").select(col("id"), col("cluster_id"))
+  }
+
+  /** One row per cluster: (cluster_id, keeper = cluster_id, n_members) —
+    * the DedupClusters.keepers shape over the hamming relation, with
+    * exact-dup classes contributing their full member counts without a
+    * single member pair ever materializing.
+    */
+  def clusterKeepers(hashed: DataFrame, maxHamming: Int = DefaultMaxHamming,
+      bands: Int = DefaultBands,
+      maxBandDf: Int = DefaultMaxBandDf): DataFrame =
+    clusterLabels(hashed, maxHamming, bands, maxBandDf)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("cluster_id").as("keeper"),
+        col("n_members"))
+      .orderBy(col("cluster_id"))
+
+  /** Batch-vs-corpus probe (the daily-ingest shape): (id, matched_id,
+    * hamming ≤ maxHamming) for every (probe member, corpus member) pair —
+    * batch-internal pairs are NOT reported. Exact-hash matches route
+    * through a plain equi-join on the hash (cap-immune, linear in true
+    * output); only DISTINCT probe-hash × corpus-hash candidates go
+    * through banding, with the df cap applied to the CORPUS side (the
+    * unbounded standing index — the probe batch is bounded by the caller).
+    */
+  def probePairs(probe: DataFrame, corpus: DataFrame,
+      maxHamming: Int = DefaultMaxHamming,
+      bands: Int = DefaultBands,
+      maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
+    checkParams(maxHamming, bands, maxBandDf)
+    val p = probe.select(col("id"), col("h")).localCheckpoint()
+    val c = corpus.select(col("id"), col("h")).localCheckpoint()
+    val exact = p.select(col("h"), col("id"))
+      .join(c.select(col("h").as("h2"), col("id").as("matched_id")),
+        col("h") === col("h2"))
+      .select(col("id"), col("matched_id"), lit(0).as("hamming"))
+    val pb = p.select(col("h")).distinct()
+      .select(col("h").as("h_p"),
+        explode(bandKeys(col("h"), bands)).as("bk"))
+      .select(col("h_p"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cb = cappedBanded(c.select(col("h")).distinct(), bands, maxBandDf)
+      .select(col("h").as("h_c"), col("band").as("band2"),
+        col("key").as("key2"))
+    val hp = pb.join(cb, col("band") === col("band2") &&
+        col("key") === col("key2") && col("h_p") =!= col("h_c"))
+      .withColumn("hamming", hamming64(col("h_p"), col("h_c")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("h_p"), col("h_c"), col("hamming"))
+      .distinct()
+    val near = hp
+      .join(p.select(col("h").as("h_p"), col("id")), "h_p")
+      .join(c.select(col("h").as("h_c"), col("id").as("matched_id")), "h_c")
+      .select(col("id"), col("matched_id"), col("hamming"))
+    exact.unionByName(near)
+  }
+}

@@ -576,37 +576,51 @@ object Multimodal {
   }
 
   /** Image near-duplicate pairs by banded dHash — the q_dedup_simhash
-    * device applied to pictures: candidates = equal 16-bit sub-band
-    * (4 bands → hamming ≤ 3 guaranteed caught in ≥1 band by pigeonhole),
+    * device applied to pictures, routed through the shared
+    * [[HammingBands]] kernel: exact-hash classes collapse BEFORE banding
+    * (m byte-identical logos are one candidate node, not a 4·m²/2-row hot
+    * band key), candidates = distinct hashes agreeing on one df-capped
+    * 16-bit sub-band (4 bands → hamming ≤ 3 total recall by pigeonhole),
     * verify = exact popcount on the full 64 bits. Scale posture: the
     * decode+hash is one map-side pass over the payloads; ONLY
-    * (media_id, 8-byte hash) rides the band exchange — pixels never
-    * shuffle (the "text never crosses the wire" discipline, for images);
-    * the verify is a bit_count on two longs. Undecodable payloads are
-    * data-quality events, skipped not fatal.
+    * (media_id, 8-byte hash) rides any exchange — pixels never shuffle
+    * (the "text never crosses the wire" discipline, for images).
+    * Undecodable payloads are data-quality events, skipped not fatal.
+    *
+    * Pairs output is inherently quadratic in exact-dup class size (a
+    * class of m identical images owns m·(m−1)/2 true pairs) — a corpus
+    * with large identical classes should consume [[imagePhashClusters]]
+    * (linear output, same relation).
     */
-  def imagePhashPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+  def imagePhashPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBandDf: Int = HammingBands.DefaultMaxBandDf): DataFrame =
+    HammingBands.pairs(phashHashes(media).toDF("id", "h"),
+      maxHamming, PhashBands, maxBandDf)
+
+  /** Cluster form of [[imagePhashPairs]] — connected components over the
+    * hamming ≤ maxHamming relation, one row per dup group: (cluster_id,
+    * keeper, n_members). LINEAR output even when the corpus carries
+    * giant exact-duplicate classes (the web-crawl spacer-GIF shape):
+    * identical hashes enter the component graph as one node and members
+    * attach to the final label by a single equi-join on the hash.
+    */
+  def imagePhashClusters(media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBandDf: Int = HammingBands.DefaultMaxBandDf): DataFrame =
+    HammingBands.clusterKeepers(phashHashes(media).toDF("id", "h"),
+      maxHamming, PhashBands, maxBandDf)
+
+  /** Banding is part of the persisted-artifact contract (meta records it;
+    * probes validate maxHamming against it), not a per-call knob. */
+  val PhashBands = 4
+
+  /** Map-side decode + dHash: (media_id, ph). The ONLY pass that touches
+    * payload bytes — everything downstream is 16 B/row.
+    */
+  private def phashHashes(media: Dataset[MediaRow]): Dataset[(Long, Long)] = {
     import media.sparkSession.implicits._
-    val hashed = media.mapPartitions { rows =>
+    media.mapPartitions { rows =>
       rows.flatMap(m => PHash.dHash(m.payload).map(ph => (m.media_id, ph)))
-    }.toDF("media_id", "ph")
-    val banded = hashed.select(col("media_id"), col("ph"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
-        .as("bk"))
-      .select(col("media_id"), col("ph"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"),
-      col("media_id").as("id_a"), col("ph").as("h_a"))
-    val b = banded.select(col("band").as("band2"), col("key").as("key2"),
-      col("media_id").as("id_b"), col("ph").as("h_b"))
-    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.TextFunctions.hamming64(col("h_a"), col("h_b"))
-          .as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    }
   }
 
   /** Persisted phash index (ArtifactPaths meta-last convention): the
@@ -614,51 +628,172 @@ object Multimodal {
     * state an incremental image-dedup service needs. A 100 TB image
     * corpus indexes to ~GBs of hashes: the daily job never re-decodes
     * the corpus, it probes today's batch against this table.
+    *
+    * Rebuild semantics match every other artifact kind: tombstones and
+    * keyed appends clear (the fresh base already holds every live image),
+    * and the meta directory is DELETED FIRST so a crash mid-rebuild
+    * leaves a torn index invisible to ArtifactPaths.exists — the
+    * meta-last commit point holds for rebuilds, not just first writes.
     */
-  def savePhashIndex(media: Dataset[MediaRow], path: String): Unit = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.flatMap(m => PHash.dHash(m.payload).map(ph => (m.media_id, ph)))
-    }.toDF("media_id", "ph")
+  def savePhashIndex(media: Dataset[MediaRow], path: String): Unit =
+    savePhashIndexFromHashes(
+      phashHashes(media).toDF("media_id", "ph"), path)
+
+  /** Save from an already-hashed (media_id, ph) frame — the compact path
+    * (re-hashing would need payloads the artifact never stored).
+    */
+  def savePhashIndexFromHashes(hashes: DataFrame, path: String): Unit = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    rmTree(new java.io.File(s"$path/meta")) // invalidate before touching data
+    Tombstones.clear(path)
+    rmTree(new java.io.File(s"$path/appends"))
+    hashes.select(col("media_id"), col("ph"))
       .write.mode("overwrite").parquet(s"$path/hashes")
-    Seq(Tuple1(4)).toDF("bands")
+    Seq(Tuple1(PhashBands)).toDF("bands")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta") // meta-last = commit
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    if (f.exists()) f.delete(): Unit
+  }
+
+  /** Idempotent keyed append — the daily-ingest growth path (the
+    * appendToBandIndexKeyed crash shape): the batch's hashes land under
+    * `appends/<key>/hashes`, committed by that subtree's own `_SUCCESS`;
+    * a replayed batch rewrites its own subtree byte-identically, a torn
+    * append is invisible to load. A committed subtree holding DIFFERENT
+    * rows means two jobs collided on one key — refused loudly (silent
+    * overwrite would drop the earlier batch's images from the index).
+    */
+  def appendPhashIndexKeyed(batch: Dataset[MediaRow],
+      spark: SparkSession, path: String, key: String): Unit = {
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_' ||
+      c == '-' || c == '='), s"append key '$key' must be a filesystem-safe token")
+    require(ArtifactPaths.exists(path), s"no committed phash index at $path")
+    val hashes = phashHashes(batch).toDF("media_id", "ph").localCheckpoint()
+    val subtree = s"$path/appends/$key/hashes"
+    if (new java.io.File(s"$subtree/_SUCCESS").isFile) {
+      val existing = spark.read.parquet(subtree)
+      val differs = existing.exceptAll(hashes).head(1).nonEmpty ||
+        hashes.exceptAll(existing).head(1).nonEmpty
+      if (differs) throw new IllegalStateException(
+        s"appendPhashIndexKeyed: committed append subtree '$key' under " +
+          s"$path holds different hashes than the incoming batch — two " +
+          "jobs are colliding on one append key (distinct key per job, " +
+          "stable across restarts of the same checkpointed query).")
+    }
+    hashes.write.mode("overwrite").parquet(subtree)
+  }
+
+  /** The live corpus hash table: base + every COMMITTED keyed append,
+    * minus tombstoned ids — the load convention of every other artifact
+    * kind (a torn append has no `_SUCCESS` and is invisible; a takedown
+    * suppresses the id everywhere including later appends).
+    */
+  def loadPhashHashes(spark: SparkSession, path: String): DataFrame = {
+    require(ArtifactPaths.exists(path), s"no committed phash index at $path")
+    val d = new java.io.File(s"$path/appends")
+    val keyed =
+      if (!d.isDirectory) Seq.empty[String]
+      else d.listFiles().toSeq
+        .filter(k => new java.io.File(k, "hashes/_SUCCESS").isFile)
+        .map(_.getName).sorted
+    val all = spark.read.parquet(
+      (s"$path/hashes" +: keyed.map(k => s"$path/appends/$k/hashes")): _*)
+    Tombstones.exclude(all, spark, path, "media_id")
+  }
+
+  /** Persisted banding parameter, validated against the probe's
+    * maxHamming (a probe asking for more hamming than the artifact's
+    * banding guarantees would silently lose pairs — refused instead).
+    */
+  def loadPhashBands(spark: SparkSession, path: String): Int = {
+    require(ArtifactPaths.exists(path), s"no committed phash index at $path")
+    spark.read.parquet(s"$path/meta").collect()(0).getAs[Int]("bands")
+  }
+
   /** Incremental (batch-vs-corpus) image near-dup — the daily-ingest
-    * shape of [[imagePhashPairs]]: hash TODAY'S batch map-side, band-join
-    * against the persisted corpus hashes, exact popcount verify.
+    * shape of [[imagePhashPairs]]: hash TODAY'S batch map-side, probe the
+    * persisted corpus hashes through the [[HammingBands]] kernel
+    * (exact-hash matches by plain equi-join — cap-immune; distinct-hash
+    * candidates through df-capped banding on the corpus side).
     * Batch-internal pairs are excluded (run imagePhashPairs within the
     * batch for those). Returns (media_id = batch id, matched_id = corpus
-    * id, hamming ≤ maxHamming).
+    * id, hamming ≤ maxHamming). Banding comes from the artifact's meta
+    * and maxHamming is validated against it.
     */
   def matchAgainstPhashIndex(batch: Dataset[MediaRow],
-      spark: SparkSession, path: String, maxHamming: Int = 3): DataFrame = {
-    import spark.implicits._
-    require(new java.io.File(s"$path/meta/_SUCCESS").isFile,
-      s"no committed phash index at $path")
-    val corpus = spark.read.parquet(s"$path/hashes")
-    val probe = batch.mapPartitions { rows =>
-      rows.flatMap(m => PHash.dHash(m.payload).map(ph => (m.media_id, ph)))
-    }.toDF("media_id", "ph")
-    def bands(df: DataFrame, idAs: String, hashAs: String,
-        bandAs: String, keyAs: String) =
-      df.select(col("media_id"), col("ph"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
-          .as("bk"))
-        .select(col("media_id").as(idAs), col("ph").as(hashAs),
-          col("bk.band").as(bandAs), col("bk.key").as(keyAs))
-    bands(probe, "media_id", "h_a", "band", "key")
-      .join(bands(corpus, "matched_id", "h_b", "band2", "key2"),
-        col("band") === col("band2") && col("key") === col("key2"))
-      .select(col("media_id"), col("matched_id"),
-        graft.functions.TextFunctions.hamming64(col("h_a"), col("h_b"))
-          .as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      spark: SparkSession, path: String, maxHamming: Int = 3,
+      maxBandDf: Int = HammingBands.DefaultMaxBandDf): DataFrame = {
+    val bands = loadPhashBands(spark, path)
+    require(maxHamming <= bands - 1,
+      s"phash index at $path was banded with bands=$bands, which only " +
+        s"guarantees candidate recall for hamming <= ${bands - 1}; got " +
+        s"maxHamming=$maxHamming — rebuild with more bands or lower maxHamming")
+    val corpus = loadPhashHashes(spark, path)
+      .select(col("media_id").as("id"), col("ph").as("h"))
+    val probe = phashHashes(batch).toDF("id", "h")
+    HammingBands.probePairs(probe, corpus, maxHamming, bands, maxBandDf)
+      .select(col("id").as("media_id"), col("matched_id"), col("hamming"))
   }
+
+  /** Rebuild-time compaction (the IndexMain compact-* contract): rewrite
+    * base + committed appends MINUS tombstones into `dest` as a fresh
+    * base. The source stays readable throughout; dest commits meta-last.
+    */
+  def compactPhashIndex(spark: SparkSession, src: String,
+      dest: String): Unit =
+    savePhashIndexFromHashes(loadPhashHashes(spark, src), dest)
+
+  /** Growth/trim report for the phash kind — the check-jaccard pattern:
+    * appended subtrees and rows (per-probe listing + scan-union cost grows
+    * with them until compaction), the largest exact-hash class (exact-dup
+    * skew the pre-collapse absorbs), and over-cap band keys (trimmed
+    * near-dup recall — the re-band / investigate signal).
+    */
+  final case class PhashStats(baseRows: Long, appendSubtrees: Int,
+      appendedRows: Long, distinctHashes: Long, maxClass: Long,
+      overCapBandKeys: Long, tombstones: Long)
+
+  def phashStats(spark: SparkSession, path: String,
+      maxBandDf: Int = HammingBands.DefaultMaxBandDf): PhashStats = {
+    val bands = loadPhashBands(spark, path)
+    val base = spark.read.parquet(s"$path/hashes").count()
+    val d = new java.io.File(s"$path/appends")
+    val keyed =
+      if (!d.isDirectory) Seq.empty[String]
+      else d.listFiles().toSeq
+        .filter(k => new java.io.File(k, "hashes/_SUCCESS").isFile)
+        .map(_.getName).sorted
+    val appended =
+      if (keyed.isEmpty) 0L
+      else spark.read.parquet(keyed.map(k => s"$path/appends/$k/hashes"): _*)
+        .count()
+    val live = loadPhashHashes(spark, path)
+    val classes = live.groupBy(col("ph")).agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).as("distinct"), max(col("m")).as("maxm"))
+      .collect()(0)
+    val overCap = HammingBands.overCapBandKeys(
+        live.select(col("media_id").as("id"), col("ph").as("h")),
+        bands, maxBandDf)
+      .count()
+    PhashStats(base, keyed.size, appended,
+      if (classes.isNullAt(0)) 0L else classes.getLong(0),
+      if (classes.isNullAt(1)) 0L else classes.getLong(1),
+      overCap, Tombstones.count(spark, path))
+  }
+
+  /** The check-phash verdict (separated from IndexMain's exit wiring for
+    * spec drive): degraded ⇔ trimmed band keys exist (near-dup recall is
+    * being cut — investigate the degenerate sub-band or re-band), or
+    * committed append subtrees exceed maxSubtrees (per-probe scan-union
+    * and listing cost is O(#batches) until compact-phash folds them).
+    */
+  def phashDegraded(s: PhashStats, maxSubtrees: Int): Boolean =
+    s.overCapBandKeys > 0 || s.appendSubtrees > maxSubtrees
 
   /** Deterministic PICTURE table derived from the documents fixture (the
     * mediaTable convention — multimodal payloads are a pure function of

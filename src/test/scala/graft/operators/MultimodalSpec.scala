@@ -384,6 +384,20 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.matchAgainstPhashIndex(sp.createDataset(batch), sp, torn)
   }
 
+  test("q_dedup_image_clusters == DedupClusters.keepers over the pairs form") {
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.SparkEntry.queries("q_dedup_image_phash")(
+      spark, "/root/testdata/sf0.001")
+    val want = graft.operators.DedupClusters.keepers(
+        pairs.select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    want should not be empty
+    val got = graft.SparkEntry.queries("q_dedup_image_clusters")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
   test("q_dedup_image_phash: deterministic planted pairs; payloads never shuffle") {
     val df = graft.SparkEntry.queries("q_dedup_image_phash")(
       spark, "/root/testdata/sf0.001")

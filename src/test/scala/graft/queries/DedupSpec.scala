@@ -53,6 +53,19 @@ class DedupSpec extends SparkSpec {
     java.lang.Long.bitCount(h(0) ^ h(3)) should be >= 20
   }
 
+  test("q_dedup_simhash_clusters == DedupClusters.keepers over the pairs form") {
+    val pairs = graft.SparkEntry.queries("q_dedup_simhash")(
+      spark, "/root/testdata/sf0.001")
+    val want = graft.operators.DedupClusters.keepers(
+        pairs.select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    want should not be empty
+    val got = graft.SparkEntry.queries("q_dedup_simhash_clusters")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
   test("blank documents are never near-duplicates of each other") {
     // a shared '' shingle would make all blank docs mutual jaccard-1.0
     // pairs; WordShingles emits an empty set and NearDup drops them
