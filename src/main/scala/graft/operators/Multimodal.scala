@@ -623,6 +623,13 @@ object Multimodal {
     }
   }
 
+  /** Public (media_id, ph) projection — the hash-upstream helper for
+    * streaming ingest (StreamMain op=imagededup hashes in the stream's
+    * map stage; only 16 B/row reach the sink).
+    */
+  def hashMedia(media: Dataset[MediaRow]): DataFrame =
+    phashHashes(media).toDF("media_id", "ph")
+
   /** Persisted phash index (ArtifactPaths meta-last convention): the
     * corpus's (media_id, dHash) pairs — 16 bytes per image, the ONLY
     * state an incremental image-dedup service needs. A 100 TB image
@@ -807,9 +814,16 @@ object Multimodal {
     * fixture scale. PNG encoding is lossless, so the hash sees exact
     * pixels regardless of encoder byte choices.
     */
-  def pictureTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  def pictureTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    picturesFromDocs(Tables.documents(spark, dir).toDF())
+
+  /** [[pictureTable]] over an arbitrary documents frame (batch or
+    * streaming — StreamMain replays the fixture through this): every
+    * 20th doc_id renders its deterministic picture map-side.
+    */
+  def picturesFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(20)) === 0)
       .as[Long]

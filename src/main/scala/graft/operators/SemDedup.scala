@@ -222,6 +222,15 @@ object SemDedup {
       indexVectors: DataFrame, k: Int, nProbe: Int): Unit = {
     val spark = trainVectors.sparkSession
     import spark.implicits._
+    // Rebuild over a COMMITTED artifact: delete meta first, so a crash
+    // mid-rebuild leaves a torn index invisible to ArtifactPaths.exists
+    // instead of an old commit marker over half-rewritten data — the
+    // meta-last commit point holds for rebuilds, not just first writes.
+    def rmMeta(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmMeta)
+      if (f.exists()) f.delete(): Unit
+    }
+    rmMeta(new java.io.File(s"$path/meta"))
     Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
     clearKeyedAppends(path) // ...and folds keyed appends into the base
     val cents = IvfIndex.centroids(spark, trainVectors, k)
@@ -337,6 +346,14 @@ object SemDedup {
     // excludes tombstones, so dest's BASE holds everything live
     val m = load(spark, src)
     val meta = spark.read.parquet(s"$src/meta").collect().head
+    // compacting ONTO a previously committed dest: same meta-first
+    // invalidation as saveWith, so a crash never leaves dest half-new
+    // under an old commit marker
+    def rmMeta(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmMeta)
+      if (f.exists()) f.delete(): Unit
+    }
+    rmMeta(new java.io.File(s"$dest/meta"))
     Tombstones.clear(dest)
     clearKeyedAppends(dest)
     m.cents.coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")

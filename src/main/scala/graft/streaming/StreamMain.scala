@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * ingest analog), applies the watermarked tumbling-window aggregation, and
   * writes the result to a parquet sink with a checkpoint:
   *
-  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality|decontaminate] [index=<dir>] [maintain=1]"
+  *   sbt "runMain graft.streaming.StreamMain <inDir> <outDir> [files=N|bytes=N] [op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality|decontaminate|imagededup] [index=<dir>] [maintain=1]"
   *
   * op=ann (requires index=) is the standing retrieval service: replay an
   * embeddings fixture as the query stream, probe the persisted PQ
@@ -51,7 +51,21 @@ import org.apache.spark.sql.functions._
   * and probe each micro-batch against the persisted eval-set band index
   * (doc_id % 50 == 0 as unigram token sets — built here if absent, same
   * artifact shape as q_decontaminate_fuzzy_loaded); verified hits land
-  * under data/batch=N (StreamingOps.decontaminateSink).
+  * under data/batch=N (StreamingOps.decontaminateSink). The eval index
+  * is FROZEN for the job's lifetime (loaded once at first batch):
+  * rebuilding the artifact in place is NOT picked up until job restart
+  * — roll a new eval set by pointing index= at a new path.
+  *
+  * op=imagededup (requires index=) is the standing image-dedup probe —
+  * the decontaminate shape against the phash artifact: replay a
+  * documents fixture, derive its deterministic pictures (doc_id % 20 ==
+  * 0), hash them map-side (dHash; pixels never reach the sink) and
+  * probe each micro-batch's (media_id, ph) rows against the persisted
+  * corpus hash index (built here over the doc_id % 40 == 0 pictures if
+  * absent — the q_dedup_image_phash_loaded corpus split); hits land
+  * under data/batch=N (StreamingOps.imageDedupSink). Same frozen-index
+  * contract as op=decontaminate: in-place rebuilds/appends take effect
+  * only on restart; a new corpus is a new index= path.
   *
   * The optional third argument picks the ingest throttle: files=N →
   * maxFilesPerTrigger, bytes=N → maxBytesPerTrigger (both A7 analogs —
@@ -97,7 +111,8 @@ object StreamMain {
     val badKeys = kvArgs.keySet -- Set("files", "bytes", "op", "index", "maintain")
     val indexWithoutNearDup = kvArgs.contains("index") &&
       !Set("neardup", "ann", "bloomdedup", "spandedup", "semdedup",
-        "quality", "decontaminate").contains(kvArgs.getOrElse("op", "window"))
+        "quality", "decontaminate", "imagededup")
+        .contains(kvArgs.getOrElse("op", "window"))
     val maintainWithoutIndex =
       kvArgs.contains("maintain") && !kvArgs.contains("index")
     if (malformed.nonEmpty || badKeys.nonEmpty || dupKeys.nonEmpty ||
@@ -107,9 +122,9 @@ object StreamMain {
         s"bad options ${(malformed ++ badKeys ++ dupKeys).mkString(", ")}" +
         (if (kvArgs.contains("files") && kvArgs.contains("bytes"))
            " (files= and bytes= are mutually exclusive)" else "") +
-        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup|spandedup|semdedup|quality|decontaminate)" else "") +
+        (if (indexWithoutNearDup) " (index= requires op=neardup|ann|bloomdedup|spandedup|semdedup|quality|decontaminate|imagededup)" else "") +
         (if (maintainWithoutIndex) " (maintain=1 requires index=)" else "") +
-        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality|decontaminate | index=<dir> | maintain=1")
+        ": use files=N | bytes=N | op=window|neardup|ann|bloomdedup|spandedup|semdedup|quality|decontaminate|imagededup | index=<dir> | maintain=1")
       sys.exit(2)
     }
     val (throttleOpt, throttleVal) =
@@ -216,6 +231,23 @@ object StreamMain {
             idxPath)
         raw.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), wordShingles(col("text"), 1).as("sh"))
+      case "imagededup" =>
+        // standing image-dedup probe (StreamingOps.imageDedupSink):
+        // derive + hash the stream's pictures map-side; the corpus hash
+        // index is built over the registry's corpus split if absent.
+        // Sink is foreachBatch (started below) — this branch only
+        // returns the hashed picture stream (16 B/row).
+        import graft.operators.{ArtifactPaths, Multimodal}
+        val idxPath = kvArgs.getOrElse("index",
+          { System.err.println("op=imagededup requires index=<dir>"); sys.exit(2) })
+        if (!ArtifactPaths.exists(idxPath))
+          Multimodal.savePhashIndex(
+            Multimodal.picturesFromDocs(spark.read.parquet(srcDir))
+              .filter(col("media_id") % 40 === 0),
+            idxPath)
+        Multimodal.hashMedia(
+          Multimodal.picturesFromDocs(raw.toDF())
+            .filter(col("media_id") % 40 =!= 0))
       case "ann" =>
         // streaming ANN retrieval (StreamingOps.annTopKSink): replay an
         // embeddings fixture as the query stream against a persisted PQ
@@ -352,6 +384,12 @@ object StreamMain {
             s"$outDir/data"))
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
+      } else if (op == "imagededup") {
+        out.writeStream
+          .foreachBatch(StreamingOps.imageDedupSink(kvArgs("index"),
+            s"$outDir/data"))
+          .option("checkpointLocation", s"$outDir/checkpoint")
+          .start()
       } else if (op == "spandedup" || op == "semdedup") {
         // jobKey contract identical to bloomdedup (see the sinks)
         val jobKey = java.security.MessageDigest.getInstance("MD5")
@@ -419,6 +457,10 @@ object StreamMain {
     } else if (op == "decontaminate") {
       val contaminated = sink.select(col("doc_id")).distinct().count()
       println(s"""{"sink_rows":$n,"contaminated_docs":$contaminated,""" +
+        s""""state":"finished"}""")
+    } else if (op == "imagededup") {
+      val dupImages = sink.select(col("media_id")).distinct().count()
+      println(s"""{"sink_rows":$n,"dup_images":$dupImages,""" +
         s""""state":"finished"}""")
     } else
       println(s"""{"sink_rows":$n,"state":"finished"}""")

@@ -188,6 +188,47 @@ object StreamingOps {
     }
   }
 
+  /** Standing image-dedup probe as a `foreachBatch` sink — the
+    * decontaminateSink shape against the phash artifact: each micro-batch
+    * of (media_id, ph) rows (HASHED upstream via Multimodal.hashMedia, so
+    * only 16 B/row reach the sink — pixels never leave the map stage) is
+    * probed against the persisted corpus hash table through the
+    * HammingBands kernel (exact-hash equi-join + df-capped banding on the
+    * corpus side), and hits land under `$outDir/batch=$batchId`
+    * (overwrite = idempotent on replay). A hit row (media_id, matched_id,
+    * hamming) names the ingested image and the corpus image it
+    * duplicates. The corpus is FROZEN for the job's lifetime: the hash
+    * table loads ONCE at first batch (tombstones applied at that load)
+    * and every batch is probe-only — an artifact rebuilt or appended at
+    * the same path is deliberately NOT picked up until job restart (a new
+    * index path is a config change; StreamMain's usage note says so).
+    * Banding comes from the artifact's meta, maxHamming is validated
+    * against it (the pigeonhole guard).
+    */
+  def imageDedupSink(indexPath: String, outDir: String,
+      maxHamming: Int = 3): (DataFrame, Long) => Unit = {
+    import graft.operators.{HammingBands, Multimodal}
+    var corpus: DataFrame = null
+    var bands: Int = 0
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (corpus == null) { // first batch: load once, the corpus is frozen
+        bands = Multimodal.loadPhashBands(spark, indexPath)
+        require(maxHamming <= bands - 1,
+          s"phash index at $indexPath banded with bands=$bands only " +
+            s"guarantees recall for hamming <= ${bands - 1}; got $maxHamming")
+        corpus = Multimodal.loadPhashHashes(spark, indexPath)
+          .select(col("media_id").as("id"), col("ph").as("h"))
+          .localCheckpoint()
+      }
+      HammingBands.probePairs(
+          batch.select(col("media_id").as("id"), col("ph").as("h")),
+          corpus, maxHamming, bands)
+        .select(col("id").as("media_id"), col("matched_id"), col("hamming"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+  }
+
   def nearDupMaintainingSink(indexPath: String, outDir: String,
       threshold: Double = graft.operators.NearDup.DefaultThreshold)(
       batch: DataFrame, batchId: Long): Unit = {

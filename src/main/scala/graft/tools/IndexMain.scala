@@ -60,6 +60,19 @@ import graft.operators.{ArtifactPaths, BloomGate, BpeTrainer, IvfIndex, NearDup,
   *     adds the day-1 slice under key= (default cli-day1, the keyed
   *     crash shape), query probes the held-out batch at maxdf=
   *     (default 20), compact folds appends and drops tombstones.)
+  *   build-phash | append-phash | query-phash | delete-phash |
+  *     compact-phash | stats-phash | check-phash   (the tenth kind:
+  *     perceptual-hash image dedup — 16 B/image corpus hash table probed
+  *     through the HammingBands kernel. Pictures derive
+  *     deterministically from the documents fixture (pictureTable);
+  *     build indexes the corpus split (media_id % 40 == 0, the registry
+  *     convention), append adds the % 80 == 20 slice under key= (the
+  *     keyed crash shape), query probes the held-out % 80 == 60 batch at
+  *     maxham= (default 3, validated against the artifact's banding),
+  *     compact folds appends and drops tombstones. stats-/check-phash
+  *     is the growth/trim gate: exit 1 when over-cap band keys exist
+  *     (trimmed near-dup recall — see HammingBands) or committed append
+  *     subtrees exceed maxsubtrees= (default 32).)
   *   train-quality | score-quality   (classifier lifecycle, r13:
   *     train-quality learns hashed-trigram weights + intercept by
   *     deterministic batch logistic regression (adagrad; k= iterations,
@@ -169,7 +182,7 @@ object IndexMain {
     val known = Set("split", "m", "k", "dim", "cells", "tau", "topk",
       "pool", "nprobe", "ids", "maxratio", "maxcand", "dest", "fpp",
       "maxfpp", "saturation", "spantokens", "maxdf", "key",
-      "maxsubtrees", "maxgrowth", "lr")
+      "maxsubtrees", "maxgrowth", "lr", "maxham")
     keys.filterNot(known).foreach(k => fail(s"unknown option '$k'"))
     val kv = split0.map(a => (a(0), a(1))).toMap
     def num(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
@@ -210,6 +223,22 @@ object IndexMain {
     def rawDocs(dflt: String): DataFrame =
       withSplit(graft.Tables.documents(spark, sfDir), "doc_id", dflt)
         .select(col("doc_id"), col("text"))
+
+    // pictures derive from documents (media_id = doc_id, multiples of
+    // 20), so the mod-10 split family is degenerate for them; the phash
+    // lifecycle uses its own disjoint defaults on the picture id space
+    def pictures(dflt: String)
+        : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] = {
+      val all = graft.operators.Multimodal.pictureTable(spark, sfDir)
+      kv.getOrElse("split", dflt) match {
+        case "all"       => all
+        case "mod40eq0"  => all.filter(col("media_id") % 40 === 0)
+        case "mod80eq20" => all.filter(col("media_id") % 80 === 20)
+        case "mod80eq60" => all.filter(col("media_id") % 80 === 60)
+        case other       => fail(s"unknown picture split '$other' " +
+          "(use all|mod40eq0|mod80eq20|mod80eq60)")
+      }
+    }
 
     def annQueries(e: DataFrame): DataFrame =
       e.filter(col("vec_id") < 10)
@@ -254,6 +283,8 @@ object IndexMain {
       case "build-span" =>
         NearDup.saveSpanIndex(rawDocs("mod10gt1"), dir,
           num("spantokens", 15))
+      case "build-phash" =>
+        graft.operators.Multimodal.savePhashIndex(pictures("mod40eq0"), dir)
 
       case "append-pq" | "append-ivfpq" =>
         PqIndex.append(spark, dir, vectors("mod10eq1"))
@@ -272,6 +303,10 @@ object IndexMain {
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
         NearDup.appendToSpanIndexKeyed(rawDocs("mod10eq1"), spark, dir,
           kv.getOrElse("key", "cli-day1"))
+      case "append-phash" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        graft.operators.Multimodal.appendPhashIndexKeyed(
+          pictures("mod80eq20"), spark, dir, kv.getOrElse("key", "cli-day1"))
       case "append-semdedup" =>
         // the INGEST step: emits the batch-vs-standing duplicate pairs
         // AND grows the standing assignment under the frozen model
@@ -340,6 +375,12 @@ object IndexMain {
             num("maxdf", 20))
           .orderBy(col("doc_id"), col("matched_id"))
           .show(100, truncate = false)
+      case "query-phash" =>
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        graft.operators.Multimodal.matchAgainstPhashIndex(
+            pictures("mod80eq60"), spark, dir, num("maxham", 3))
+          .orderBy(col("media_id"), col("matched_id"))
+          .show(100, truncate = false)
       case "query-semdedup" =>
         // read-only probe: batch-vs-standing pairs, no artifact mutation
         import graft.operators.SemDedup
@@ -351,7 +392,7 @@ object IndexMain {
 
       case "delete-pq" | "delete-ivf" | "delete-ivfpq" | "delete-sq8" |
           "delete-jaccard" | "delete-band" | "delete-bloom" |
-          "delete-semdedup" | "delete-span" =>
+          "delete-semdedup" | "delete-span" | "delete-phash" =>
         // takedown path — one handler for all kinds: tombstones are
         // kind-agnostic (an id set the probe-time anti-join consults)
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
@@ -366,7 +407,7 @@ object IndexMain {
 
       case "compact-pq" | "compact-ivf" | "compact-ivfpq" | "compact-sq8" |
           "compact-jaccard" | "compact-band" | "compact-bloom" |
-          "compact-semdedup" | "compact-span" =>
+          "compact-semdedup" | "compact-span" | "compact-phash" =>
         // load already excludes tombstones, so compact = load + save to
         // a fresh dest; the save clears dest's (nonexistent) tombstones
         // and commits meta-last — crash-safe without touching the source
@@ -415,6 +456,8 @@ object IndexMain {
             graft.operators.SemDedup.compact(spark, dir, dest)
           case "compact-span" =>
             NearDup.compactSpanIndex(spark, dir, dest)
+          case "compact-phash" =>
+            graft.operators.Multimodal.compactPhashIndex(spark, dir, dest)
         }
         println(s"""{"compacted":"$dest","tombstones_dropped":""" +
           s"""${Tombstones.count(spark, dir)}}""")
@@ -468,6 +511,31 @@ object IndexMain {
           s""""appended_float_rows":${s.appendedFloatRows},""" +
           s""""float_growth":${f"$growth%.2f"}$status}""")
         if (status.contains("\"compact\"")) {
+          spark.stop()
+          sys.exit(1)
+        }
+
+      case "stats-phash" | "check-phash" =>
+        // growth/trim gate for the phash kind: appended subtrees (probe
+        // listing + scan-union cost until compact-phash) and over-cap
+        // band keys (trimmed near-dup recall); exit 1 = act now
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val s = graft.operators.Multimodal.phashStats(spark, dir)
+        val status =
+          if (cmd == "stats-phash") ""
+          else {
+            val degraded = graft.operators.Multimodal.phashDegraded(
+              s, num("maxsubtrees", 32))
+            s""","status":"${if (degraded) "act" else "ok"}""""
+          }
+        println(s"""{"base_rows":${s.baseRows},""" +
+          s""""append_subtrees":${s.appendSubtrees},""" +
+          s""""appended_rows":${s.appendedRows},""" +
+          s""""distinct_hashes":${s.distinctHashes},""" +
+          s""""max_class":${s.maxClass},""" +
+          s""""over_cap_band_keys":${s.overCapBandKeys},""" +
+          s""""tombstones":${s.tombstones}$status}""")
+        if (status.contains("\"act\"")) {
           spark.stop()
           sys.exit(1)
         }

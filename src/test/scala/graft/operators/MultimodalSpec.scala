@@ -384,6 +384,112 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.matchAgainstPhashIndex(sp.createDataset(batch), sp, torn)
   }
 
+  test("phash lifecycle: keyed append grows the probe corpus; replay idempotent; collision refused") {
+    val sp = spark; import sp.implicits._
+    val day0 = (0 until 8).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", png(noiseImg(i / 4)), 32, 32, 0))
+    val day1 = (50 until 54).map { i =>
+      val img = noiseImg((i - 50) / 2) // shares bases 0,1 with day0
+      img.setRGB(13, 1, ~img.getRGB(13, 1) & 0xFFFFFF)
+      Multimodal.MediaRow(i.toLong, "image", png(img), 32, 32, 0)
+    }
+    val batch = (100 until 104).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", png(noiseImg((i - 100) / 2)),
+        32, 32, 0))
+    val dir = tmpDir("phash_lc").toString
+    Multimodal.savePhashIndex(sp.createDataset(day0), dir)
+    Multimodal.appendPhashIndexKeyed(sp.createDataset(day1), sp, dir, "day1")
+    def probe(path: String) = Multimodal.matchAgainstPhashIndex(
+        sp.createDataset(batch), sp, path)
+      .orderBy("media_id", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val got = probe(dir)
+    // == probe against an index rebuilt over day0 ∪ day1
+    val rebuilt = tmpDir("phash_lc_rb").toString
+    Multimodal.savePhashIndex(sp.createDataset(day0 ++ day1), rebuilt)
+    got shouldBe probe(rebuilt)
+    got.map(_._2).toSet.exists(_ >= 50L) shouldBe true // appended ids match
+    // replay: same batch, same key — accepted, index unchanged
+    Multimodal.appendPhashIndexKeyed(sp.createDataset(day1), sp, dir, "day1")
+    probe(dir) shouldBe got
+    // collision: DIFFERENT rows under a committed key — refused loudly
+    an[IllegalStateException] should be thrownBy
+      Multimodal.appendPhashIndexKeyed(sp.createDataset(batch), sp, dir, "day1")
+    // torn append (no _SUCCESS) is invisible to load
+    val torn = s"$dir/appends/day2/hashes"
+    Multimodal.hashMedia(sp.createDataset(batch))
+      .write.parquet(torn)
+    new java.io.File(s"$torn/_SUCCESS").delete() shouldBe true
+    probe(dir) shouldBe got
+  }
+
+  test("phash lifecycle: probe-after-delete == rebuilt-without-ids; compact folds appends") {
+    val sp = spark; import sp.implicits._
+    val corpus = (0 until 12).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", png(noiseImg(i / 4)), 32, 32, 0))
+    val batch = (100 until 104).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", png(noiseImg((i - 100) / 2)),
+        32, 32, 0))
+    val dir = tmpDir("phash_del").toString
+    Multimodal.savePhashIndex(sp.createDataset(corpus), dir)
+    def probe(path: String) = Multimodal.matchAgainstPhashIndex(
+        sp.createDataset(batch), sp, path)
+      .orderBy("media_id", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val before = probe(dir)
+    val deleted = before.map(_._2).distinct.take(2)
+    deleted should not be empty
+    Tombstones.deleteIds(dir, deleted.toDF("id"))
+    val after = probe(dir)
+    // == probe against an index rebuilt without the deleted images
+    val rebuilt = tmpDir("phash_del_rb").toString
+    Multimodal.savePhashIndex(
+      sp.createDataset(corpus.filterNot(m => deleted.contains(m.media_id))),
+      rebuilt)
+    after shouldBe probe(rebuilt)
+    after.map(_._2).toSet.intersect(deleted.toSet) shouldBe empty
+    // a tombstone suppresses the id in LATER appends too
+    Multimodal.appendPhashIndexKeyed(
+      sp.createDataset(corpus.filter(m => deleted.contains(m.media_id))),
+      sp, dir, "readd")
+    probe(dir) shouldBe after
+    // compact: dest probe identical, appends folded, tombstones dropped
+    val dest = tmpDir("phash_del_cp").toString
+    Multimodal.compactPhashIndex(sp, dir, dest)
+    probe(dest) shouldBe after
+    val ds = Multimodal.phashStats(sp, dest)
+    ds.appendSubtrees shouldBe 0
+    ds.tombstones shouldBe 0L
+    // rebuild over a committed artifact re-establishes meta-last: a
+    // fresh save clears appends/tombstones and stays loadable
+    Multimodal.savePhashIndex(sp.createDataset(corpus), dir)
+    Multimodal.phashStats(sp, dir).appendSubtrees shouldBe 0
+    probe(dir) shouldBe before
+  }
+
+  test("check-phash verdict: healthy quiet; subtree growth and band trims trip it") {
+    val sp = spark; import sp.implicits._
+    val corpus = (0 until 12).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", png(noiseImg(i)), 32, 32, 0))
+    val dir = tmpDir("phash_check").toString
+    Multimodal.savePhashIndex(sp.createDataset(corpus), dir)
+    val healthy = Multimodal.phashStats(sp, dir)
+    healthy.baseRows shouldBe 12L
+    healthy.overCapBandKeys shouldBe 0L
+    Multimodal.phashDegraded(healthy, maxSubtrees = 32) shouldBe false
+    // growth axis: committed subtrees past the threshold
+    Multimodal.phashDegraded(healthy.copy(appendSubtrees = 33),
+      maxSubtrees = 32) shouldBe true
+    // trim axis: any over-cap band key = recall is being cut
+    Multimodal.phashDegraded(healthy.copy(overCapBandKeys = 1L),
+      maxSubtrees = 32) shouldBe true
+    // pigeonhole guard at probe time: maxHamming past the artifact's
+    // banding guarantee is refused
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.matchAgainstPhashIndex(
+        sp.createDataset(corpus), sp, dir, maxHamming = 4)
+  }
+
   test("q_dedup_image_clusters == DedupClusters.keepers over the pairs form") {
     import org.apache.spark.sql.functions.col
     val pairs = graft.SparkEntry.queries("q_dedup_image_phash")(

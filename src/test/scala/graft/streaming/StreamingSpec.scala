@@ -1143,5 +1143,59 @@ class StreamingSpec extends SparkSpec {
     matchRowsOf(spark.read.parquet(s"$out/batch=0")) shouldBe streamed
   }
 
+  test("imageDedupSink: stream hits == batch probe of the same images; replay idempotent") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    def png(seed: Long, retouch: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = seed
+      for (y <- 0 until 32; x <- 0 until 32) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val v = ((s >>> 33) & 0xFF).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (retouch) img.setRGB(7, 1, ~img.getRGB(7, 1) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val corpus = (0 until 6).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", png(i / 2, retouch = false),
+        32, 32, 0))
+    val dir = tmpDir("graft_imgdedup_idx").toString
+    Multimodal.savePhashIndex(sp.createDataset(corpus), dir)
+    // ingest: a retouched copy of base 0, an exact copy of base 1, clean
+    val batch = Seq(
+      Multimodal.MediaRow(100L, "image", png(0, retouch = true), 32, 32, 0),
+      Multimodal.MediaRow(101L, "image", png(1, retouch = false), 32, 32, 0),
+      Multimodal.MediaRow(102L, "image", png(99, retouch = false), 32, 32, 0))
+    val hashed = Multimodal.hashMedia(sp.createDataset(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val out = tmpDir("graft_imgdedup_out").toString
+    val sink = StreamingOps.imageDedupSink(dir, out)
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("media_id", "ph").writeStream
+      .foreachBatch(sink)
+      .outputMode(OutputMode.Append())
+      .start()
+    input.addData(hashed: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$out/batch=0"))
+    // the contract: stream rows == the batch probe of the same images
+    // against the same artifact (the sink IS the batch kernel)
+    streamed shouldBe rows(Multimodal.matchAgainstPhashIndex(
+      sp.createDataset(batch), sp, dir))
+    streamed.map(m => (m._1, m._2)) shouldBe
+      Set((100L, 0L), (100L, 1L), (101L, 2L), (101L, 3L))
+    // at-least-once replay of the same batchId overwrites, never appends
+    sink(hashed.toDF("media_id", "ph"), 0L)
+    rows(spark.read.parquet(s"$out/batch=0")) shouldBe streamed
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
