@@ -711,7 +711,7 @@ case class LshBuckets(child: Expression, nBits: Int, seeds: Array[Int])
   *     non-whitespace code points.
   */
 case class TextScanStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
@@ -736,6 +736,34 @@ case class TextScanStats(child: Expression, stopwords: Seq[String])
     s
   }
 
+  override def nullSafeEval(input: Any): Any =
+    TextScanStats.scan(input.asInstanceOf[UTF8String], stopSet)
+
+  /** Full codegen (this sits in the hottest map pass the engine has —
+    * the one-scan-per-document corpus statistics projection): the
+    * generated code passes the child's UTF8String straight into the
+    * shared [[TextScanStats.scan]] kernel, so the projection stays
+    * inside its WholeStageCodegen span with no per-row InternalRow
+    * boxing (CodegenFallback routed every row through
+    * `expr.eval(inputRow)` with boxed dispatch). The kernel is ONE JVM
+    * method for both paths, so codegen/interpreted bit-equality holds by
+    * construction — and is still property-pinned in
+    * NativeExprPropertySpec against the exact regex/split machinery the
+    * expression replaced.
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopRef = ctx.addReferenceObj("stopSet", stopSet,
+      "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextScanStats$$.MODULE$$.scan($c, $stopRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextScanStats =
+    copy(child = c)
+}
+
+object TextScanStats {
+
   // java regex \s without UNICODE_CHARACTER_CLASS — exactly these six
   @inline private def isWs(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
@@ -743,8 +771,13 @@ case class TextScanStats(child: Expression, stopwords: Seq[String])
     (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
   @inline private def isDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** The one-pass code-point scan — the SINGLE kernel behind both the
+    * interpreted eval and the generated code (see doGenCode above).
+    */
+  def scan(input: UTF8String,
+      stopSet: java.util.HashSet[String])
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val s = input.toString
     val len = s.length
     val checkStops = !stopSet.isEmpty
     var nTok = 0
@@ -793,9 +826,6 @@ case class TextScanStats(child: Expression, stopwords: Seq[String])
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nTok, sumLen, nStop, nBpe, nPunct))
   }
-
-  override protected def withNewChildInternal(c: Expression): TextScanStats =
-    copy(child = c)
 }
 
 /** Hashed char-n-gram linear scorer — the inference half of a

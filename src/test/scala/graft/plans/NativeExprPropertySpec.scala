@@ -199,4 +199,56 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("TextScanStats codegen == interpreted eval bit-for-bit; projection stays whole-stage") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq(
+      "", " ", "a", "The quick brown fox", "abc123!?.",
+      "tab\tsep\nnl", "emoji 😀 pair", "lone\uD800surr", "THE the",
+      "mixed42!With#digits9", ("x" * 500) + " the " + ("!" * 30))
+    val stops = graft.functions.TextFunctions.stopwords
+    // df path over a REAL scan (a local relation would be folded by
+    // ConvertToLocalRelation and never reach codegen) — the GENERATED
+    // code (assert the span below)
+    val tmp = java.nio.file.Files.createTempDirectory("tss_cg").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+      .select(col("id"),
+        graft.functions.TextFunctions.textScan(col("text")).as("s"))
+    // the projection carrying the expression runs inside a
+    // WholeStageCodegen span (the '*(n)' prefix), not a fallback Project
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include regex """\*\(\d+\) Project .*text_scan_stats"""
+    val viaCodegen = df.orderBy("id").collect().map(_.getStruct(1))
+    // interpreted path — direct Expression.eval, never codegen
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val interp = TextScanStats(
+          Literal.create(UTF8String.fromString(t),
+            org.apache.spark.sql.types.StringType), stops)
+        .eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      val cg = viaCodegen(i)
+      withClue(s"text '$t': ") {
+        interp.getInt(0) shouldBe cg.getInt(0)
+        interp.getLong(1) shouldBe cg.getLong(1)
+        interp.getInt(2) shouldBe cg.getInt(2)
+        interp.getInt(3) shouldBe cg.getInt(3)
+        interp.getInt(4) shouldBe cg.getInt(4)
+      }
+    }
+    // empty stopword list takes the checkStops-off branch in BOTH paths
+    import org.apache.spark.sql.graft.ColumnBridge
+    val noStops = Seq((1L, "the and of")).toDF("id", "text")
+      .select(ColumnBridge.column(TextScanStats(
+        ColumnBridge.expression(col("text")), Nil)).as("s"))
+      .collect()(0).getStruct(0)
+    noStops.getInt(2) shouldBe 0
+    // null text → null struct through the generated null guard
+    Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(graft.functions.TextFunctions.textScan(col("text")).as("s"))
+      .collect()(0).isNullAt(0) shouldBe true
+  }
+
 }
