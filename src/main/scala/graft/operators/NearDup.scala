@@ -99,14 +99,21 @@ object NearDup {
     * 8-byte tokens beat raw shingle strings severalfold on those
     * exchanges. Exactness is preserved by construction — the dictionary
     * is injective (distinct keys, unique ids) — unlike hashing shingles
-    * to fixed width, which can collide. Token values are partition-layout
-    * dependent (monotonically_increasing_id), so every caller MUST
-    * materialize the dictionary (localCheckpoint / parquet) before
-    * referencing it from more than one plan subtree.
+    * to fixed width, which can collide. Raw token values would be
+    * partition-layout dependent (monotonically_increasing_id), so the
+    * builder EAGERLY MATERIALIZES the assignment (localCheckpoint) before
+    * returning: the id expression is evaluated exactly once and the
+    * returned frame is a pinned RDD scan — callers can reference it from
+    * any number of plan subtrees, under any downstream re-planning,
+    * without ever re-evaluating the unstable expression (the r15
+    * verdict's footgun: correctness used to rest on a MUST-materialize
+    * scaladoc at every call site; now the unstable path is
+    * unrepresentable — NearDupIndexSpec pins the returned plan shape).
     */
-  private def dictFromShingles(distinctShingles: DataFrame): DataFrame =
+  private[operators] def dictFromShingles(distinctShingles: DataFrame): DataFrame =
     distinctShingles.select(col("shingle"))
       .withColumn("tok", monotonically_increasing_id())
+      .localCheckpoint()
 
   /** Encode (doc_id, sh) docs against a dictionary: (doc_id, n, ids) with
     * n = |sh| — the FULL pre-encode cardinality, which keeps the
@@ -205,7 +212,7 @@ object NearDup {
       .select(col("bandKey"), col("doc_id"))
       .localCheckpoint()
     val dict = dictFromShingles(
-      s.select(explode(col("sh")).as("shingle")).distinct()).localCheckpoint()
+      s.select(explode(col("sh")).as("shingle")).distinct())
     val ids = encodeDocs(s, dict).localCheckpoint()
     BandIndex(banded, s, ids, dict, s.limit(0), numHashes, bands, rowsPerBand)
   }
@@ -234,7 +241,7 @@ object NearDup {
     // the dictionary-encoded verify halves (verifySplit): checkpointed
     // before use so token values are assigned exactly once
     val dict = dictFromShingles(
-      s.select(explode(col("sh")).as("shingle")).distinct()).localCheckpoint()
+      s.select(explode(col("sh")).as("shingle")).distinct())
     dict.write.mode("overwrite").parquet(s"$path/dict")
     encodeDocs(s, dict).write.mode("overwrite").parquet(s"$path/ids")
     Seq((numHashes, bands, rowsPerBand))
@@ -393,7 +400,7 @@ object NearDup {
     // verification over dictionary-encoded arrays (dfreq's key set IS the
     // corpus vocabulary): candidate multiplicity amplifies re-attach
     // bytes, so 8-byte tokens beat raw shingle strings on both exchanges
-    val dict = dictFromShingles(dfreq).localCheckpoint()
+    val dict = dictFromShingles(dfreq)
     val dIds = encodeDocs(d, dict).localCheckpoint()
     verifyJaccardIds(
       cand
@@ -453,7 +460,7 @@ object NearDup {
       .select(col("doc_id"), col("matched_id")).distinct()
     // union dfreq covers BOTH sides' vocabularies, so every doc encodes
     // completely and the string branch of verifySplit is statically empty
-    val dict = dictFromShingles(dfreq).localCheckpoint()
+    val dict = dictFromShingles(dfreq)
     verifySplit(cand, b.select(col("doc_id"), col("sh")),
       encodeDocs(c, dict), dict, c.select(col("doc_id"), col("sh")).limit(0),
       threshold)
@@ -499,7 +506,7 @@ object NearDup {
     // verifies over longs; docs appended later (appendToJaccardIndex)
     // fall outside this frozen dictionary and verify over strings until
     // the next rebuild folds them in
-    val dict = dictFromShingles(dfreq).localCheckpoint()
+    val dict = dictFromShingles(dfreq)
     dict.write.mode("overwrite").parquet(s"$path/dict")
     encodeDocs(c, dict).write.mode("overwrite").parquet(s"$path/ids")
     Seq(Tuple1(threshold)).toDF("threshold")
@@ -786,7 +793,7 @@ object NearDup {
     // exact pre-encode cardinality, so the containment denominator is
     // exact; the containment-heavy candidate sets amplify re-attach bytes
     // hardest of the whole family
-    val dict = dictFromShingles(dfreq).localCheckpoint()
+    val dict = dictFromShingles(dfreq)
     val dIds = encodeDocs(d, dict).localCheckpoint()
     cand
       .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),

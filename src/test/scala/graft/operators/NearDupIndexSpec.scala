@@ -21,6 +21,32 @@ class NearDupIndexSpec extends SparkSpec {
   private def matches(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  test("dictFromShingles returns a MATERIALIZED dict: the unstable id " +
+      "expression can never re-evaluate (r15 verdict footgun #3)") {
+    val sp = spark; import sp.implicits._
+    val shingles = (1 to 500).map(i => s"sh_$i")
+    // adversarial layout: many partitions, then a repartition the
+    // builder cannot see — token stability must not depend on it
+    val dict = NearDup.dictFromShingles(
+      shingles.toDF("shingle").repartition(7).distinct())
+    // the returned plan is a pinned RDD scan; monotonically_increasing_id
+    // is GONE from the plan, so no downstream re-planning (a second
+    // subtree, AQE, a different join layout) can ever re-evaluate it
+    val planStr = dict.queryExecution.optimizedPlan.toString
+    planStr should not include "monotonically_increasing_id"
+    planStr should include("LogicalRDD")
+    // injective over the full vocabulary
+    dict.select(countDistinct(col("tok"))).collect()(0).getLong(0) shouldBe 500L
+    dict.select(countDistinct(col("shingle"))).collect()(0).getLong(0) shouldBe 500L
+    // two independently-planned subtrees (one re-partitioned, one
+    // aggregated) observe the SAME token assignment
+    val a = dict.repartition(3, col("tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = dict.groupBy(col("shingle")).agg(min(col("tok")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    a shouldBe b
+  }
+
   test("loaded-index probe equals recomputed batch-vs-corpus on the fixture") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"),
