@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import scala.annotation.tailrec
 
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
-  GlobalLimit, Join, LogicalPlan, Project, SubqueryAlias, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand,
+  Filter, GlobalLimit, Join, LogicalPlan, Project, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer-injected scale guardrail: flags logical-plan shapes that run
@@ -105,6 +105,20 @@ object ScaleLint {
     */
   val PackedVectorExemptKey = "graft.packedVectorExempt"
 
+  /** Exemption mark for a DELIBERATE multi-distinct Expand whose input
+    * row count is bounded by construction — the packVecExempt pattern
+    * for the Expand rule: stamp any column feeding the aggregate and the
+    * site becomes a greppable audit entry instead of a lint trip.
+    */
+  val ExpandExemptKey = "graft.expandExempt"
+
+  def expandExempt(c: org.apache.spark.sql.Column, name: String,
+      reason: String): org.apache.spark.sql.Column = {
+    require(reason.nonEmpty, "expandExempt requires a justification")
+    c.as(name, new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(ExpandExemptKey, reason).build())
+  }
+
   final class ScaleLintViolation(msg: String) extends RuntimeException(
     s"$msg (set $ConfKey=warn to log instead, or off to disable)")
 
@@ -146,20 +160,82 @@ object ScaleLint {
       case j: Join if j.condition.isEmpty && j.joinType == Inner &&
           !bounded(producer(j.left)) && !bounded(producer(j.right)) =>
         out += "condition-less inner join of two unbounded sides plans a cartesian product"
+      // The multi-distinct planning shape (RewriteDistinctAggregates
+      // marks its Expand with a `gid` attribute — cube/rollup/sets carry
+      // spark_grouping_id instead and replicate only their narrow
+      // grouping projection, so they stay exempt): N distinct-column
+      // groups replicate the aggregate's ENTIRE input N+1 times
+      // map-side. Over an unbounded fact that is an N× byte
+      // amplification BEFORE the shuffle — the r15 profiler shape
+      // (32 GB of spill from 1.5 GB of input at the 100× fixture, fixed
+      // by one single-distinct pass per column unioned:
+      // queries/ProfileOps). Two distinct groups (3 projections) is the
+      // common benign case and passes; three or more over raw data is
+      // the lint class. expandExempt marks a deliberately-blessed site.
+      case e: Expand if e.projections.length >= 4 &&
+          e.output.exists(_.name == "gid") &&
+          !bounded(producer(e.child)) &&
+          !e.child.output.exists(_.metadata.contains(ExpandExemptKey)) =>
+        out += (s"multi-distinct Expand replicates an unbounded " +
+          s"${e.child.output.length}-column input ${e.projections.length}x " +
+          "map-side before the shuffle: plan one single-distinct pass per " +
+          "column and union the 1-row results (the q_profile_columns " +
+          "rewrite), or stamp ScaleLint.expandExempt on an input column " +
+          "if the replication is bounded by construction")
       case _ =>
     }
     out.result()
   }
 
+  /** Physical bounded-producer peel — ProjectExec/FilterExec preserve
+    * rows; an aggregate or global-limit producer bounds cardinality.
+    */
+  @tailrec private def physProducer(p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = p match {
+    case n: org.apache.spark.sql.execution.ProjectExec => physProducer(n.child)
+    case n: org.apache.spark.sql.execution.FilterExec  => physProducer(n.child)
+    // codegen/columnar wrappers are row-preserving plumbing
+    case n: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+      physProducer(n.child)
+    case n: org.apache.spark.sql.execution.InputAdapter => physProducer(n.child)
+    case n: org.apache.spark.sql.execution.ColumnarToRowExec =>
+      physProducer(n.child)
+    case other => other
+  }
+
+  private def physBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec |
+          _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _ => false
+    }
+
   /** Physical inspection: shuffle exchanges whose output schema carries a
-    * float-vector attribute. Broadcast exchanges are exempt by
-    * construction (broadcasting a small vector table is the deliberate
-    * pattern); only rows crossing the wire partition-to-partition count.
+    * float-vector attribute, and the multi-distinct ExpandExec shape.
+    * Broadcast exchanges are exempt by construction (broadcasting a small
+    * vector table is the deliberate pattern); only rows crossing the wire
+    * partition-to-partition count. The Expand check lives HERE (not only
+    * in the logical findings) because RewriteDistinctAggregates plants
+    * its Expand AFTER the injected optimizer-rule batch runs — the
+    * physical hooks see the final plan, so fail mode actually trips at
+    * execution (the logical findings() still catches it when run over a
+    * fully-optimized plan, e.g. the registry lint sweep).
     */
   def shuffleFindings(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType}
     plan.flatMap {
+      case e: org.apache.spark.sql.execution.ExpandExec
+          if e.projections.length >= 4 &&
+            e.output.exists(_.name == "gid") &&
+            !physBounded(physProducer(e.child)) &&
+            !e.child.output.exists(_.metadata.contains(ExpandExemptKey)) =>
+        Seq(s"multi-distinct Expand replicates an unbounded " +
+          s"${e.child.output.length}-column input ${e.projections.length}x " +
+          "map-side before the shuffle: plan one single-distinct pass per " +
+          "column and union the 1-row results (the q_profile_columns " +
+          "rewrite), or stamp ScaleLint.expandExempt on an input column " +
+          "if the replication is bounded by construction")
       case s: ShuffleExchangeLike =>
         val vecs = s.output.filter(_.dataType match {
           case ArrayType(FloatType, _) => true

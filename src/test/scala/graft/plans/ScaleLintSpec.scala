@@ -63,6 +63,68 @@ class ScaleLintSpec extends SparkSpec {
     lint(a.join(agg, lit(true))) shouldBe empty
   }
 
+  test("flags the multi-distinct Expand over an unbounded fact (the r15 " +
+      "profiler shape); per-column rewrite, cube, narrow cases, exemption clean") {
+    val li = Tables.lineitem(spark, sfDir)
+    // regression replica of the OLD q_profile_columns plan: one Aggregate
+    // with a count_distinct per profiled column → RewriteDistinctAggregates
+    // plans an Expand with (#groups + 1) projections over the full scan —
+    // the 32-GB-spill-at-sf10 shape
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax")
+    val oldProfiler = li.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map(c => count_distinct(col(c)).as(s"nd_$c")): _*)
+    val f = lint(oldProfiler)
+    f should have size 1
+    f.head should include("multi-distinct Expand")
+    // in fail mode the rule throws at plan time — the CI posture that
+    // would have stopped the profiler from merging
+    // the PHYSICAL hook is what trips in production (the injected
+    // logical batch runs BEFORE RewriteDistinctAggregates plants the
+    // Expand, so only the final physical plan carries it) — applied
+    // manually like the packVec physical tests, AQE off so executedPlan
+    // exposes the raw ExpandExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val physPlan = oldProfiler.queryExecution.executedPlan
+      val pf = ScaleLint.shuffleFindings(physPlan)
+      pf.count(_.contains("multi-distinct Expand")) shouldBe 1
+      spark.conf.set(ScaleLint.ConfKey, "fail")
+      a[ScaleLint.ScaleLintViolation] should be thrownBy
+        ScaleLintShuffleRule(spark)(physPlan)
+    } finally {
+      spark.conf.set(ScaleLint.ConfKey, "off")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // the shipped per-column rewrite is clean (the full-registry sweep
+    // below re-checks it along with everything else)
+    lint(graft.SparkEntry.queries("q_profile_columns")(spark, sfDir)) shouldBe empty
+    // cube/rollup Expands replicate only their narrow grouping projection
+    // (spark_grouping_id, not gid) — exempt by construction
+    lint(li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")))) shouldBe empty
+    // two distinct groups (3 projections) is the benign common case
+    lint(li.agg(count_distinct(col("l_partkey")),
+      count_distinct(col("l_suppkey")))) shouldBe empty
+    // multi-distinct over an AGGREGATE (bounded) input is the deliberate
+    // small-global-pass pattern
+    lint(li.groupBy(col("l_returnflag")).agg(
+        sum(col("l_quantity")).as("q"), avg(col("l_discount")).as("d"),
+        max(col("l_tax")).as("t"), min(col("l_extendedprice")).as("p"))
+      .agg(count_distinct(col("q")), count_distinct(col("d")),
+        count_distinct(col("t")), count_distinct(col("p")))) shouldBe empty
+    // the auditable bless: stamping any input column clears the site
+    val blessed = li.select(
+      ScaleLint.expandExempt(col("l_orderkey"), "l_orderkey",
+        "fixture-bounded replica for the lint spec"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"))
+    lint(blessed.agg(count(lit(1)).as("n_rows"),
+      cols.map(c => count_distinct(col(c)).as(s"nd_$c")): _*)) shouldBe empty
+  }
+
   test("full-registry sweep: every declared query is lint-clean") {
     // every query in the driver contract gets its optimized plan linted —
     // a new query with a hidden global window or accidental cartesian
