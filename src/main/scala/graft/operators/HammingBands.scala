@@ -52,12 +52,19 @@ object HammingBands {
   val DefaultBands = 4
   val DefaultMaxHamming = 3
 
-  /** Default distinct-hash df cap per band key. At the 16-bit sub-band
-    * width this is ~1024 × the uniform expectation for a 64M-distinct-
-    * hash corpus shard and far above the hottest key observed on any
-    * fixture scale (measured dfs in SCALE.md §skew), so trims never fire
-    * on healthy data; a capped key bounds the self-join fan-out at
-    * maxBandDf² rows instead of df².
+  /** Default distinct-hash df cap per band key. Measured hottest keys
+    * (SCALE.md §skew, SkewStats): sf10 simhash 896 over 496k distinct
+    * sketches (the fixture's 31-word vocabulary concentrates sketches
+    * far beyond real text — uniform expectation is ~8), phash 12, skew
+    * fixture 461 — so trims never fire on any fixture while a capped key
+    * bounds the self-join fan-out at maxBandDf² rows instead of df².
+    * Saturation math for real deployments: at n distinct hashes a
+    * 16-bit band key holds n/2¹⁶ hashes in expectation, so past ~10⁷–10⁸
+    * distinct hashes EVERY key crowds toward the cap and the right move
+    * is WIDER band keys (fewer, wider bands for the same maxHamming
+    * guarantee, or hash-prefix blocking), not a bigger cap — the cap is
+    * the guardrail that makes that saturation visible (overCapBandKeys /
+    * check-phash) instead of quadratic.
     */
   val DefaultMaxBandDf = 1024
 

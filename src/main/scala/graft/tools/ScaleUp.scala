@@ -42,10 +42,32 @@ import org.apache.spark.sql.functions._
   * All transforms are pure functions of (row, k): re-running produces a
   * byte-identical fixture, so recorded stress numbers are reproducible.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor> [shard|permute]
+  *   - `skew` (r16, the planted-skew stress — VERDICT r15 task 5): the
+  *     `shard` replication PLUS three adversarial hot-key classes the
+  *     uniform fixtures cannot produce, each a deterministic override:
+  *     (1) ONE EXACT-DUPLICATE DOC CLASS at 1% of the corpus (doc_id %
+  *     100 == 17 all carry the same boilerplate text) — identical
+  *     sha2/simhash/minhash fingerprints, the site-chrome/spacer-GIF
+  *     shape that makes un-collapsed pair generators quadratic; (2) ONE
+  *     BOILERPLATE 50-TOKEN SPAN stitched onto 2% of docs (doc_id % 50
+  *     == 3) — a window key at ~100× the default maxDf, which the span
+  *     family must TRIM, not expand; (3) ONE HOT JOIN KEY: 10% of
+  *     lineitem rows point at l_suppkey = 1 (and l_partkey = 1), the
+  *     skew the salted-join family exists for. Embeddings get (4) an
+  *     exact-duplicate VECTOR class at 1% (vec_id % 100 == 17). n_chars
+  *     is recomputed where text changes. The stress leg runs the
+  *     dedup/join families over this fixture with ScaleLint in FAIL
+  *     mode — SCALE.md §skew records the per-family verdicts.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor> [shard|permute|skew]
   */
 object ScaleUp {
   private val IdStride = 100000000L // replica id namespace; >> any fixture
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteTree)
+    if (f.exists()) f.delete(): Unit
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
@@ -54,8 +76,8 @@ object ScaleUp {
     val factor = factorS.toInt
     require(factor >= 1, "factor must be >= 1")
     val mode = if (args.length == 4) args(3) else "shard"
-    require(mode == "shard" || mode == "permute",
-      s"unknown mode '$mode': use shard | permute")
+    require(mode == "shard" || mode == "permute" || mode == "skew",
+      s"unknown mode '$mode': use shard | permute | skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,6 +117,22 @@ object ScaleUp {
     }
     replicateFacts("orders", Map("o_orderkey" -> true))
     replicateFacts("lineitem", Map("l_orderkey" -> true))
+    if (mode == "skew") {
+      // hot join key: 10% of lineitem rows point at supplier 1 / part 1
+      // (written after the replicated base so the override covers every
+      // replica); deterministic on the orderkey so re-runs are identical
+      val li = spark.read.parquet(s"$out/lineitem.parquet").localCheckpoint()
+      li.withColumn("l_suppkey",
+          when(pmod(col("l_orderkey"), lit(10)) === 7, lit(1L))
+            .otherwise(col("l_suppkey")))
+        .withColumn("l_partkey",
+          when(pmod(col("l_orderkey"), lit(10)) === 7, lit(1L))
+            .otherwise(col("l_partkey")))
+        .write.mode("overwrite").parquet(s"$out/lineitem_skew.parquet")
+      deleteTree(new java.io.File(s"$out/lineitem.parquet"))
+      new java.io.File(s"$out/lineitem_skew.parquet")
+        .renameTo(new java.io.File(s"$out/lineitem.parquet")): Unit
+    }
     replicateFacts("events", Map("event_id" -> true, "user_id" -> true))
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -102,7 +140,7 @@ object ScaleUp {
       if (k == 0) docs
       else {
         val newText = mode match {
-          case "shard" =>
+          case "shard" | "skew" => // skew = shard replication + overrides
             // disjoint-vocabulary isomorphic copy: every word tagged _k
             expr(s"array_join(transform(split(text, ' '), " +
               s"w -> concat(w, '_$k')), ' ')")
@@ -121,7 +159,23 @@ object ScaleUp {
           col("lang"), col("source"), col("n_chars"))
       }
     }
-    docReps.reduce(_.unionByName(_))
+    val docsAll = docReps.reduce(_.unionByName(_))
+    val docsOut =
+      if (mode != "skew") docsAll
+      else {
+        // (1) one exact-dup class at 1% of the corpus; (2) one
+        // boilerplate 50-token span on 2% of docs (~100x the span
+        // family's default maxDf=20 at any fixture scale)
+        val boilerDoc = (1 to 60).map(i => s"chrome$i").mkString(" ")
+        val boilerSpan = (1 to 50).map(i => s"legal$i").mkString(" ")
+        docsAll.withColumn("text",
+            when(pmod(col("doc_id"), lit(100)) === 17, lit(boilerDoc))
+              .when(pmod(col("doc_id"), lit(50)) === 3,
+                concat(col("text"), lit(" " + boilerSpan)))
+              .otherwise(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("int"))
+      }
+    docsOut
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -135,7 +189,18 @@ object ScaleUp {
           s"slice(embedding, 1, $k))").as("embedding"),
         col("label"))
     }
-    embReps.reduce(_.unionByName(_))
+    val embAll = embReps.reduce(_.unionByName(_))
+    val embOut =
+      if (mode != "skew") embAll
+      else {
+        // (4) one exact-duplicate vector class at 1% of the corpus
+        val dupVec = array((0 until 64).map(i =>
+          lit(math.sin(i.toDouble).toFloat)): _*)
+        embAll.withColumn("embedding",
+          when(pmod(col("vec_id"), lit(100)) === 17, dupVec)
+            .otherwise(col("embedding")))
+      }
+    embOut
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
