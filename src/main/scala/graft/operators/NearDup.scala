@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -89,6 +89,63 @@ object NearDup {
           .otherwise(round(col("inter").cast("double") / col("uni").cast("double"), 4)))
       .filter(col("jaccard") >= threshold)
       .drop("inter", "uni")
+
+  /** 128-bit exact-set class key over a shingle array — the
+    * tokenSpanPairs convention (two-seed xxhash64 struct ≈ declared
+    * exact) applied to whole sets: byte-identical shingle SETS (order-
+    * insensitive via sort_array) share a key, so exact-duplicate docs
+    * collapse to one class BEFORE any pair generation.
+    */
+  private def setClassKey(sh: Column): Column = {
+    val sorted = sort_array(sh)
+    struct(xxhash64(sorted).as("k1"), xxhash64(lit(1), sorted).as("k2"))
+  }
+
+  /** Exact-set pre-collapse for the self-join pair generators (SCALE.md
+    * §skew: the planted-skew stress caught the un-collapsed family
+    * spilling 8.8 GB on a 2000-member identical class — the same
+    * quadratic class the HammingBands kernel already collapses for the
+    * hamming family). Returns
+    *   - `keyed` (doc_id, ck): the ids-only doc→class map (24 B/row,
+    *     localCheckpoint-pinned — it feeds the rep selection, the
+    *     within-class expansion and both cross-class expansions), and
+    *   - `repDocs`: `d` restricted to one representative (min doc_id)
+    *     per class — the ONLY rows the candidates+verify kernel sees.
+    * Identical sets have identical signatures, prefixes and jaccard/
+    * containment values against any third set, so running the kernel
+    * over reps and expanding members afterwards is EXACT — pinned
+    * against brute force in DedupSpec (planted identical classes).
+    */
+  private def exactSetClasses(d: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = d.select(col("doc_id"), setClassKey(col("sh")).as("ck"))
+      .localCheckpoint()
+    val repIds = keyed.groupBy(col("ck")).agg(min(col("doc_id")).as("doc_id"))
+    (keyed, d.join(repIds.select(col("doc_id")), "doc_id"))
+  }
+
+  /** Expand verified REP pairs back to member pairs (symmetric-value
+    * functions — jaccard): within-class pairs carry `withinValue`
+    * (identical sets: exactly 1.0) via an ids-only self-join on the
+    * class key — the m²/2 rows of a giant class are its TRUE output and
+    * now ship 24 B/row instead of re-attached shingle arrays; cross-class
+    * pairs fan out by four linear equi-joins on ids.
+    */
+  private def expandSetPairs(repPairs: DataFrame, keyed: DataFrame,
+      valueCol: String, withinValue: Column): DataFrame = {
+    val within = keyed.select(col("ck"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("ck").as("ck2"), col("doc_id").as("id_b")),
+        col("ck") === col("ck2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), withinValue.as(valueCol))
+    val cross = repPairs
+      .join(keyed.select(col("doc_id").as("id_a"), col("ck").as("ck_a")), "id_a")
+      .join(keyed.select(col("doc_id").as("id_b"), col("ck").as("ck_b")), "id_b")
+      .select(col("ck_a"), col("ck_b"), col(valueCol))
+      .join(keyed.select(col("ck").as("ck_a"), col("doc_id").as("ma")), "ck_a")
+      .join(keyed.select(col("ck").as("ck_b"), col("doc_id").as("mb")), "ck_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col(valueCol))
+    within.unionByName(cross)
+  }
 
   /** Shingle→long dictionary over the distinct shingles of `d` (any frame
     * with an exploded-or-array `shingle`/`sh` source projected to a
@@ -336,19 +393,29 @@ object NearDup {
     // front — an empty doc is not a NEAR-duplicate of anything (exact
     // dedup handles identical blanks), and its degenerate signature would
     // otherwise flood one bucket per band.
-    val d = docs.filter(size(col("sh")) > 0).localCheckpoint()
+    // Exact-set pre-collapse BEFORE signing/banding (SCALE.md §skew: a
+    // 2000-member identical class shares ALL band keys, so the
+    // un-collapsed self-join re-attached full shingle arrays to
+    // bands·m²/2 candidate rows — 8.8 GB of spill from one class).
+    // Identical sets have identical signatures, so candidates over reps
+    // are EXACTLY the candidates over members; within-class pairs are
+    // jaccard 1.0 by identity and expand ids-only.
+    val d0 = docs.filter(size(col("sh")) > 0).localCheckpoint()
+    val (keyed, repDocs) = exactSetClasses(d0)
+    val d = repDocs.localCheckpoint()
     val banded = withBandKeys(d, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
     val a = banded.select(col("bandKey"), col("doc_id").as("id_a"))
     val b = banded.select(col("bandKey").as("bk2"), col("doc_id").as("id_b"))
     val cand = a.join(b, col("bandKey") === col("bk2") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(
+    val repPairs = verifyJaccard(
       cand
         .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"),
       "sh_a", "sh_b", threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    expandSetPairs(repPairs, keyed, "jaccard", lit(1.0))
   }
 
   /** Exact n-gram Jaccard set-similarity self-join via a PREFIX-FILTERED
@@ -374,9 +441,19 @@ object NearDup {
     // Same one-materialization + blank-doc posture as verifiedPairs: the
     // input feeds the df pass, the prefix pass AND two verification
     // re-attach joins.
-    val d = docs.filter(size(col("sh")) > 0)
+    // Exact-set pre-collapse (same rationale as verifiedPairs): the
+    // prefix filter admits all m²/2 pairs of an identical class — they
+    // ARE true J=1.0 output, but verifying them used to re-attach token
+    // arrays per PAIR; collapsed, the class verifies zero times and its
+    // pairs expand ids-only at exactly 1.0. Verified output is candidate-
+    // order independent, so computing df over reps (a valid canonical
+    // order) changes nothing downstream (the prefix lemma needs only
+    // SOME fixed common total order).
+    val d0 = docs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .localCheckpoint()
+    val (keyed, repDocs) = exactSetClasses(d0)
+    val d = repDocs.localCheckpoint()
     // pass 1: global document frequency = the canonical shingle order.
     // Checkpointed: it feeds the prefix pass AND the verify dictionary
     // (and the uncheckpointed subtree would otherwise recompute once per
@@ -402,7 +479,7 @@ object NearDup {
     // bytes, so 8-byte tokens beat raw shingle strings on both exchanges
     val dict = dictFromShingles(dfreq)
     val dIds = encodeDocs(d, dict).localCheckpoint()
-    verifyJaccardIds(
+    val repPairs = verifyJaccardIds(
       cand
         .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),
           col("n").as("n_a")), "id_a")
@@ -410,6 +487,7 @@ object NearDup {
           col("n").as("n_b")), "id_b"),
       threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    expandSetPairs(repPairs, keyed, "jaccard", lit(1.0))
   }
 
   /** Exact n-gram Jaccard matches of an INGEST batch against an existing
@@ -774,9 +852,15 @@ object NearDup {
       docs: DataFrame,
       threshold: Double = 0.9): DataFrame = {
     val tau = threshold - 0.0001
-    val d = docs.filter(size(col("sh")) > 0)
+    // Exact-set pre-collapse: identical classes are containment-1.0
+    // cliques (ties), the heaviest re-attach amplifier of the family —
+    // collapsed, they expand ids-only; cross-class containment against a
+    // rep equals containment against every member (identical sets).
+    val d0 = docs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .localCheckpoint()
+    val (keyed, repDocs) = exactSetClasses(d0)
+    val d = repDocs.localCheckpoint()
     val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
     // checkpointed: feeds the prefix pass AND the verify dictionary
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -795,7 +879,7 @@ object NearDup {
     // hardest of the whole family
     val dict = dictFromShingles(dfreq)
     val dIds = encodeDocs(d, dict).localCheckpoint()
-    cand
+    val repPairs = cand
       .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),
         col("n").as("n_a")), "id_a")
       .join(dIds.select(col("doc_id").as("id_b"), col("ids").as("ids_b"),
@@ -807,7 +891,28 @@ object NearDup {
       .withColumn("containment",
         round(col("inter").cast("double") / col("n_a").cast("double"), 4))
       .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
+      .select(col("id_a"), col("id_b"), col("containment"),
+        (col("n_a") === col("n_b")).as("tie"))
+    // Expansion with the family's DIRECTION rule: a strict pair's id_a
+    // side is the smaller SET (class-level — member ids inherit it); a
+    // tie pair (equal sizes, different sets) orders each member pair by
+    // id, like the within-class 1.0-clique does.
+    val within = keyed.select(col("ck"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("ck").as("ck2"), col("doc_id").as("id_b")),
+        col("ck") === col("ck2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("containment"))
+      .filter(lit(1.0) >= threshold)
+    val cross = repPairs
+      .join(keyed.select(col("doc_id").as("id_a"), col("ck").as("ck_a")), "id_a")
+      .join(keyed.select(col("doc_id").as("id_b"), col("ck").as("ck_b")), "id_b")
+      .select(col("ck_a"), col("ck_b"), col("containment"), col("tie"))
+      .join(keyed.select(col("ck").as("ck_a"), col("doc_id").as("ma")), "ck_a")
+      .join(keyed.select(col("ck").as("ck_b"), col("doc_id").as("mb")), "ck_b")
+      .select(
+        when(col("tie"), least(col("ma"), col("mb"))).otherwise(col("ma")).as("id_a"),
+        when(col("tie"), greatest(col("ma"), col("mb"))).otherwise(col("mb")).as("id_b"),
+        col("containment"))
+    within.unionByName(cross)
   }
 
   /** Document pairs sharing at least one duplicated k-token window — the

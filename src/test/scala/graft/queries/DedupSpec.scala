@@ -53,6 +53,62 @@ class DedupSpec extends SparkSpec {
     java.lang.Long.bitCount(h(0) ^ h(3)) should be >= 20
   }
 
+  test("exact-set pre-collapse: identical-class skew matches brute force " +
+      "for verifiedPairs, jaccardPairs and containmentPairs (SCALE.md §skew)") {
+    // the planted-skew class: 40 byte-identical docs (one exact-dup
+    // clique), a near-dup of the clique's text, a containment sub-doc,
+    // an unrelated tail — the shape that spilled 8.8 GB at f40 before
+    // the collapse. All three generators must equal brute force,
+    // including the m²/2 within-clique pairs at exactly 1.0.
+    val clique = (1 to 40).map(i => (100L + i, base))
+    val subDoc = base.split(" ").take(40).mkString(" ") // contained in base
+    val rows = clique ++ Seq((200L, nearDup), (300L, subDoc)) ++
+      (1 to 10).map(i => (400L + i, (0 to 30).map(j => s"u${i}_$j").mkString(" ")))
+    val docs = docsDf(rows: _*)
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .wordShingles(col("text"), 3).as("sh"))
+      .localCheckpoint()
+
+    def bruteJaccard(thr: Double) = {
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("inter", org.apache.spark.sql.functions.size(
+          array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", org.apache.spark.sql.functions.size(col("sh_a"))
+          + org.apache.spark.sql.functions.size(col("sh_b")) - col("inter"))
+        .withColumn("j", round(col("inter").cast("double") / col("uni"), 4))
+        .filter(col("j") >= thr)
+        .select(col("id_a"), col("id_b"), col("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val wantJ = bruteJaccard(graft.operators.NearDup.DefaultThreshold)
+    wantJ.count(_._3 == 1.0) should be >= (40 * 39 / 2) // the clique
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    got(graft.operators.NearDup.jaccardPairs(docs)) shouldBe wantJ
+    got(graft.operators.NearDup.verifiedPairs(docs)) shouldBe wantJ
+
+    // containment truth: smaller-in-larger (ties once, by id)
+    val a = docs.select(col("doc_id").as("ia"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("ib"), col("sh").as("shb"))
+    val wantC = a.join(b, col("ia") =!= col("ib"))
+      .filter(org.apache.spark.sql.functions.size(col("sha"))
+          < org.apache.spark.sql.functions.size(col("shb")) ||
+        (org.apache.spark.sql.functions.size(col("sha"))
+          === org.apache.spark.sql.functions.size(col("shb"))
+          && col("ia") < col("ib")))
+      .withColumn("inter", org.apache.spark.sql.functions.size(
+        array_intersect(col("sha"), col("shb"))))
+      .withColumn("c", round(col("inter").cast("double") /
+        org.apache.spark.sql.functions.size(col("sha")).cast("double"), 4))
+      .filter(col("c") >= 0.9)
+      .select(col("ia"), col("ib"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    wantC should contain((300L, 101L, 1.0)) // the planted sub-doc
+    got(graft.operators.NearDup.containmentPairs(docs)) shouldBe wantC
+  }
+
   test("q_dedup_simhash_clusters == DedupClusters.keepers over the pairs form") {
     val pairs = graft.SparkEntry.queries("q_dedup_simhash")(
       spark, "/root/testdata/sf0.001")
