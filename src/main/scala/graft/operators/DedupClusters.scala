@@ -46,6 +46,14 @@ object DedupClusters {
       .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .localCheckpoint() // materialize once; iterations re-join it
+    // NOTE on unpersist() here and below: a localCheckpoint's blocks are
+    // NOT freed synchronously by Dataset.unpersist (CacheManager has
+    // nothing cached for them) — they are reclaimed by the ContextCleaner
+    // once the checkpointed RDD is garbage-collected, i.e. when the local
+    // `p`/`labels` generation reference drops out of scope at the end of
+    // this method / loop iteration. The calls are kept as intent markers
+    // ("this generation is superseded") and to cover any caller-side
+    // cache; actual memory pressure relief is GC-deferred by design.
     p.unpersist()
     // Size the ITERATION parallelism to the materialized edge count, not
     // the session default: dup-pair graphs are usually a sliver of the

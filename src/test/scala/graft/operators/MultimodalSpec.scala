@@ -384,6 +384,113 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.matchAgainstPhashIndex(sp.createDataset(batch), sp, torn)
   }
 
+  test("dHash recall under real-world transforms: resize + JPEG re-encode " +
+      "stay within maxHamming=3; unrelated images stay far (SCALE.md §phash-recall)") {
+    // photo-like bases (smooth gradients + low-frequency structure + mild
+    // texture) — the transform classes a crawl actually contains are
+    // re-sizes and lossy re-encodes of CONTINUOUS images; pure noise is
+    // the adversarial floor and is reported separately below
+    def photo(seed: Int, w: Int = 64, h: Int = 64): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      val (fx, fy, ph) = (1 + rnd.nextInt(3), 1 + rnd.nextInt(3),
+        rnd.nextDouble() * math.Pi)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = 96 + 64 * math.sin(2 * math.Pi * fx * x / w + ph) *
+          math.cos(2 * math.Pi * fy * y / h)
+        val t = 16 * math.sin(0.9 * x + 1.3 * y + seed)
+        val v = math.max(0, math.min(255, (g + t).toInt))
+        img.setRGB(x, y, (v << 16) | ((v * 3 / 4) << 8) | (v / 2))
+      }
+      img
+    }
+    def resize(img: java.awt.image.BufferedImage, w: Int, h: Int) = {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      out
+    }
+    def jpegRoundTrip(img: java.awt.image.BufferedImage, quality: Float) = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+      assume(w.hasNext, "no JPEG writer in this JVM registry")
+      val writer = w.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    }
+    val n = 40
+    val bases = (0 until n).map(photo(_))
+    val h0 = bases.map(Multimodal.PHash.dHash64)
+    // the crawl's transform classes: upscale 2x, downscale to 48, JPEG
+    // q80, JPEG q60, downscale+JPEG (the thumbnail-repost shape)
+    val transforms: Seq[(String, java.awt.image.BufferedImage => java.awt.image.BufferedImage)] = Seq(
+      ("resize128", i => resize(i, 128, 128)),
+      ("resize48", i => resize(i, 48, 48)),
+      ("jpeg80", i => jpegRoundTrip(i, 0.8f)),
+      ("jpeg60", i => jpegRoundTrip(i, 0.6f)),
+      ("thumb+jpeg80", i => jpegRoundTrip(resize(i, 48, 48), 0.8f)))
+    val hist = scala.collection.mutable.Map[String, Seq[Int]]()
+    transforms.foreach { case (name, t) =>
+      val ds = bases.indices.map(i => ham(h0(i), Multimodal.PHash.dHash64(t(bases(i)))))
+      hist(name) = ds
+      withClue(s"$name distances ${ds.sorted.mkString(",")}: ") {
+        // the defended default: maxHamming=3 catches >= 80% of every
+        // class (the residual tail is the textured-upscale worst case —
+        // measured histograms in SCALE.md §phash-recall) and >= 90% of
+        // the re-encode classes (the dominant crawl transform)
+        ds.count(_ <= 3).toDouble / n should be >= 0.8
+        if (name.startsWith("jpeg"))
+          ds.count(_ <= 3).toDouble / n should be >= 0.9
+      }
+    }
+    // unrelated photo pairs stay far outside the dup band
+    val unrelated = for (i <- 0 until n; j <- i + 1 until math.min(i + 4, n))
+      yield ham(h0(i), h0(j))
+    all(unrelated) should be >= 8
+    unrelated.count(_ <= 3) shouldBe 0
+    // the adversarial floor: pure-noise images under the same transforms
+    // (every pixel is high-frequency, the worst case for any perceptual
+    // hash) — reported for SCALE.md, asserted only to stay below identity
+    val noiseDs = (0 until 10).map { i =>
+      val img = noiseImg(1000 + i)
+      ham(Multimodal.PHash.dHash64(img),
+        Multimodal.PHash.dHash64(jpegRoundTrip(resize(img, 48, 48), 0.8f)))
+    }
+    info("transform hamming histograms (n=40 photo-like):")
+    hist.toSeq.sortBy(_._1).foreach { case (k, ds) =>
+      val byBucket = (0 to 4).map(b => s"$b:${ds.count(_ == b)}").mkString(" ") +
+        s" >4:${ds.count(_ > 4)}"
+      info(f"  $k%-13s max=${ds.max} $byBucket")
+    }
+    info(s"  noise floor (thumb+jpeg80): ${noiseDs.sorted.mkString(",")}")
+    // end-to-end recall: the pairs query catches transformed reposts
+    val sp = spark; import sp.implicits._
+    def pngBytes(img: java.awt.image.BufferedImage) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val rows = bases.indices.flatMap { i =>
+      Seq(Multimodal.MediaRow(i.toLong, "image", pngBytes(bases(i)), 64, 64, 0),
+        Multimodal.MediaRow(1000L + i, "image",
+          pngBytes(jpegRoundTrip(resize(bases(i), 48, 48), 0.8f)), 48, 48, 0))
+    }
+    val pairs = Multimodal.imagePhashPairs(sp.createDataset(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught = bases.indices.count(i => pairs.contains((i.toLong, 1000L + i)))
+    caught.toDouble / n should be >= 0.9
+  }
+
   test("phash lifecycle: keyed append grows the probe corpus; replay idempotent; collision refused") {
     val sp = spark; import sp.implicits._
     val day0 = (0 until 8).map(i =>

@@ -45,11 +45,25 @@ def main():
             fails += 1
             continue
         try:
-            ocols = [r[0] for r in con.execute(f"DESCRIBE ({sql})").fetchall()]
-            scols = [r[0] for r in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{pq}/*.parquet')").fetchall()]
+            otypes = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE ({sql})").fetchall()}
+            stypes = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{pq}/*.parquet')").fetchall()}
+            ocols, scols = list(otypes), list(stypes)
             if sorted(scols) != sorted(ocols):
                 print(f"SCHEMA-DIFF   {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
+                fails += 1
+                continue
+            # typed gate (r16): DuckDB's EXCEPT would silently coerce
+            # INT vs BIGINT / REAL vs DOUBLE, so a type drift between the
+            # Spark output and the declared oracle would pass unseen.
+            # Flag it explicitly — a drifted type is a contract break even
+            # when today's values survive the coercion.
+            tdiff = {c: (stypes[c], otypes[c]) for c in ocols
+                     if stypes.get(c) != otypes[c]}
+            if tdiff:
+                print(f"TYPE-DIFF     {name}: " + ", ".join(
+                    f"{c}: spark={s} oracle={o}" for c, (s, o) in tdiff.items()))
                 fails += 1
                 continue
             cols = ", ".join(f'"{c}"' for c in sorted(ocols))
