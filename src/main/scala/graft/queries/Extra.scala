@@ -436,7 +436,8 @@ object Extra extends QueryModule {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens")) // BIGINT like the oracle's len()
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") - col("n_tokens") < 500L)
         .orderBy(col("source"), col("doc_id"))

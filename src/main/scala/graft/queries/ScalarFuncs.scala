@@ -24,7 +24,7 @@ object ScalarFuncs extends QueryModule {
         col("p_partkey"),
         upper(substring(col("p_name"), 1, 6)).as("up6"),
         lower(col("p_brand")).as("lo_brand"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"), // BIGINT like the oracle
         lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),

@@ -22,8 +22,9 @@ object TextQueries extends QueryModule {
     (s, d) => Tables.documents(s, d)
       .select(
         col("doc_id"), col("lang"), col("n_chars"),
-        tokenCount(col("text")).as("n_tokens"),
-        bpeishTokenCount(col("text")).as("n_bpeish"),
+        // BIGINT like the oracle's len() counts (r16 typed gate)
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
         round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
         round(punctRatio(col("text")), 4).as("punct_ratio"))
       .orderBy(col("doc_id")),

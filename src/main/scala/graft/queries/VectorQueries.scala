@@ -187,8 +187,8 @@ object VectorQueries extends QueryModule {
         .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
       scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+        .withColumn("rn", row_number().over(w).cast("long")) // BIGINT like
+        .filter(col("rn") <= 5)                                // the oracle
         .select(col("qid"), col("rn"), col("nid"), round(col("cos"), 4).as("cos"))
         .orderBy(col("qid"), col("rn"))
     },
@@ -466,7 +466,7 @@ object VectorQueries extends QueryModule {
         .withColumn("cos", dot(col("qv"), col("nv")) / (sqrt(col("qn2")) * sqrt(col("nn2"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
       scored
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long")) // BIGINT like the oracle
         .filter(col("rn") <= 3)
         .select(col("qid"), col("qlabel"), col("rn"), col("nid"),
           col("nlabel"), round(col("cos"), 4).as("cos"))

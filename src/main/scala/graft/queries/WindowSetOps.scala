@@ -21,9 +21,12 @@ object WindowSetOps extends QueryModule {
     (s, d) => Tables.orders(s, d)
       .select(
         col("o_orderkey"), col("o_custkey"),
-        row_number().over(wCust).as("rn"),
-        rank().over(wCust).as("rnk"),
-        dense_rank().over(wCust).as("drnk"))
+        // BIGINT like the oracle's rank functions — the r16 typed gate
+        // (check_except TYPE-DIFF) flags INT-vs-BIGINT drifts that SQL
+        // coercion used to hide
+        row_number().over(wCust).cast("long").as("rn"),
+        rank().over(wCust).cast("long").as("rnk"),
+        dense_rank().over(wCust).cast("long").as("drnk"))
       .orderBy(col("o_orderkey")),
     Some("""SELECT o_orderkey, o_custkey,
              row_number() OVER w AS rn, rank() OVER w AS rnk,
@@ -77,7 +80,7 @@ object WindowSetOps extends QueryModule {
           when(col("rn") <= (col("q") + 1) * col("r"),
             expr("(rn - 1) div (q + 1) + 1"))
             .otherwise(expr("r + (rn - (q + 1) * r - 1) div q + 1"))
-            .cast("int"))
+            .cast("long")) // BIGINT like the oracle's ntile (r16 typed gate)
         .select(col("o_orderkey"), col("quartile"))
         .orderBy(col("o_orderkey"))
     },
@@ -170,7 +173,7 @@ object WindowSetOps extends QueryModule {
   private val qWinTopK = Q(
     "q_win_topk",
     (s, d) => Tables.orders(s, d)
-      .withColumn("rn", row_number().over(wCust))
+      .withColumn("rn", row_number().over(wCust).cast("long")) // BIGINT like the oracle
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("rn"),
         round(col("o_totalprice"), 2).as("price"))
