@@ -189,9 +189,21 @@ object HammingBands {
     * neighbor) are returned — singletons are their own cluster by
     * definition, the DedupClusters.components convention.
     */
+  /** Component-iteration budget: hamming near-dup graphs CHAIN — sketch
+    * A is within 3 bits of B, B of C, … — so component diameters grow
+    * with corpus density (measured: the sf10 simhash graph exceeds the
+    * DedupClusters default's 2¹⁰-hop reach and warned non-convergence).
+    * Pointer jumping covers ~2^maxIter hops and converged loops exit at
+    * the first no-change check, so a generous budget costs nothing when
+    * the graph is shallow — 30 rounds ≈ 10⁹ hops, unreachable by any
+    * real component.
+    */
+  val DefaultClusterIters = 30
+
   def clusterLabels(hashed: DataFrame, maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
-      maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
+      maxBandDf: Int = DefaultMaxBandDf,
+      maxIter: Int = DefaultClusterIters): DataFrame = {
     checkParams(maxHamming, bands, maxBandDf)
     val t = hashed.select(col("id"), col("h")).localCheckpoint()
     // one representative + class size per distinct hash
@@ -204,7 +216,7 @@ object HammingBands {
       .join(classes.select(col("h").as("h_a"), col("rep").as("id_a")), "h_a")
       .join(classes.select(col("h").as("h_b"), col("rep").as("id_b")), "h_b")
       .select(col("id_a"), col("id_b"))
-    val comp = DedupClusters.components(repEdges)
+    val comp = DedupClusters.components(repEdges, maxIter)
       .withColumnRenamed("doc_id", "rep")
     // class label: its rep's component label when the class has a
     // near-dup edge; its own rep when it is a pure exact-dup class
@@ -225,8 +237,9 @@ object HammingBands {
     */
   def clusterKeepers(hashed: DataFrame, maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
-      maxBandDf: Int = DefaultMaxBandDf): DataFrame =
-    clusterLabels(hashed, maxHamming, bands, maxBandDf)
+      maxBandDf: Int = DefaultMaxBandDf,
+      maxIter: Int = DefaultClusterIters): DataFrame =
+    clusterLabels(hashed, maxHamming, bands, maxBandDf, maxIter)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id"), col("cluster_id").as("keeper"),
