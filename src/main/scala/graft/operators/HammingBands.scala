@@ -68,6 +68,29 @@ object HammingBands {
     */
   val DefaultMaxBandDf = 1024
 
+  /** Materialize a frame that feeds multiple consumers — but DON'T
+    * re-copy one that is already a pinned RDD scan (modulo row-preserving
+    * projections): the streaming image-dedup sink passes the SAME
+    * localCheckpoint'd corpus hash table into [[probePairs]] every
+    * micro-batch, and unconditionally re-checkpointing it would copy the
+    * whole table once per trigger (GBs at a 10¹⁰-image corpus) for zero
+    * benefit.
+    */
+  @annotation.tailrec
+  private def alreadyPinned(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p match {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        alreadyPinned(n.child)
+      case n: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        alreadyPinned(n.child)
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+
+  private def pin(df: DataFrame): DataFrame =
+    if (alreadyPinned(df.queryExecution.analyzed)) df else df.localCheckpoint()
+
   private def checkParams(maxHamming: Int, bands: Int, maxBandDf: Int): Unit = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 (2..32), got $bands")
@@ -160,7 +183,7 @@ object HammingBands {
     checkParams(maxHamming, bands, maxBandDf)
     // one materialization; feeds the distinct-hash set, the exact-dup
     // self-join, and the two cross-class expansion joins
-    val t = hashed.select(col("id"), col("h")).localCheckpoint()
+    val t = pin(hashed.select(col("id"), col("h")))
     val hp = distinctHashPairs(t.select(col("h")).distinct(),
       maxHamming, bands, maxBandDf)
     // exact-hash members: equal hashes are pairs at hamming 0 by
@@ -205,7 +228,7 @@ object HammingBands {
       maxBandDf: Int = DefaultMaxBandDf,
       maxIter: Int = DefaultClusterIters): DataFrame = {
     checkParams(maxHamming, bands, maxBandDf)
-    val t = hashed.select(col("id"), col("h")).localCheckpoint()
+    val t = pin(hashed.select(col("id"), col("h")))
     // one representative + class size per distinct hash
     val classes = t.groupBy(col("h"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("m"))
@@ -259,8 +282,8 @@ object HammingBands {
       bands: Int = DefaultBands,
       maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
     checkParams(maxHamming, bands, maxBandDf)
-    val p = probe.select(col("id"), col("h")).localCheckpoint()
-    val c = corpus.select(col("id"), col("h")).localCheckpoint()
+    val p = pin(probe.select(col("id"), col("h")))
+    val c = pin(corpus.select(col("id"), col("h")))
     val exact = p.select(col("h"), col("id"))
       .join(c.select(col("h").as("h2"), col("id").as("matched_id")),
         col("h") === col("h2"))
