@@ -118,7 +118,13 @@ object StreamingOps {
   def nearDupMatches(docs: DataFrame, index: graft.operators.NearDup.BandIndex,
       watermarkDelay: String, threshold: Double): DataFrame = {
     import graft.operators.NearDup
-    val s = index.docs
+    // The index side is exact-set collapsed (r17): banded/repDocs are
+    // rep-level, so the stream verifies each candidate ONCE per corpus
+    // CLASS and the final stream-static join through the member table
+    // expands rep matches to member matches (ids-only, after the
+    // stateful dedup so state stays rep-sized). The stream side is not
+    // collapsed — a micro-batch is bounded; the corpus is not.
+    val s = index.repDocs
       .select(col("doc_id").as("matched_id"), col("sh").as("s_sh"))
     val sBanded = index.banded
       .select(col("bandKey"), col("doc_id").as("matched_id"))
@@ -130,6 +136,10 @@ object StreamingOps {
     NearDup.verifyJaccard(candidates.join(s, "matched_id"),
         "sh", "s_sh", threshold)
       .dropDuplicatesWithinWatermark(Seq("doc_id", "matched_id"))
+      .select(col("doc_id"), col("ts"), col("matched_id").as("rep_id"),
+        col("jaccard"))
+      .join(index.members.select(col("rep_id"),
+        col("doc_id").as("matched_id")), "rep_id")
       .select(col("doc_id"), col("ts"), col("matched_id"), col("jaccard"))
   }
 
@@ -521,17 +531,16 @@ object StreamingOps {
 
   // Public + primitive-only state: the state encoder generates Java that
   // calls these accessors (a `private` class is package-private in bytecode
-  // and invisible to the generated code). HYBRID bitmask + counts (r13
-  // ADVICE): items 0..63 dedup exactly in two Long masks — a duplicate
-  // redelivery is absorbed and a FAILED-then-COMPLETED retry resolves to
-  // COMPLETED (completedMask wins), the reference CopyTaskService's
-  // distinct-item-state semantics. Items ≥ 64 fall back to counts (the
-  // r12 unboundedness fix — CopyTaskService has no 64-item bound and
-  // neither does this), where the effectively-once delivery contract
-  // applies and fold-time clamping bounds the damage a duplicate can do.
-  // State stays O(1) per in-flight task at ANY item count.
-  case class TaskProgress(nItems: Int, completedMask: Long, failedMask: Long,
-      ovCompleted: Int, ovFailed: Int)
+  // and invisible to the generated code). PAGED bitmask (r17 — lifts the
+  // r13 hybrid's 64-item exact window): every item dedups exactly in a
+  // bit page (itemIdx >>> 6), so a duplicate redelivery is absorbed and a
+  // FAILED-then-COMPLETED retry resolves to COMPLETED (completedMask
+  // wins) at ANY item index — the reference CopyTaskService's
+  // distinct-item-state semantics, with state O(items/64) per in-flight
+  // task: 8 bytes per 64 items (a 10⁶-item task holds ~16 KiB, still
+  // bounded and watermark-free).
+  case class TaskProgress(nItems: Int, completedMask: Array[Long],
+      failedMask: Array[Long])
 
   /** flatMapGroupsWithState fold of item updates → final task statuses.
     * With timeoutMs > 0, a processing-time timeout marks abandoned tasks
@@ -540,17 +549,12 @@ object StreamingOps {
     * fire); timeoutMs ≤ 0 disables timers. State is dropped either way,
     * so it stays O(in-flight tasks).
     *
-    * Delivery contract: items 0..63 tolerate at-least-once delivery —
-    * the bitmask absorbs duplicate redeliveries, and a FAILED-then-
-    * COMPLETED retry of the same item resolves to COMPLETED (the masks
-    * count distinct item STATES, like the reference's per-item state
-    * map). Items ≥ 64 are counted, so for tasks larger than 64 items
-    * updates must be EFFECTIVELY-ONCE per (requestId, itemIdx) — put
-    * dedupWithinWatermark upstream for at-least-once sources. A
-    * duplicate in the overflow region can fold the task one update
-    * early with a duplicate-inflated count; fold-time clamping keeps
-    * completed+failed ≤ nItems so the emitted row can never claim more
-    * items than exist. (A redelivery after the task folded re-creates
+    * Delivery contract: at-least-once everywhere — the paged bitmask
+    * absorbs duplicate redeliveries, and a FAILED-then-COMPLETED retry
+    * of the same item resolves to COMPLETED (the masks count distinct
+    * item STATES, like the reference's per-item state map), for any
+    * itemIdx (StreamingSpec pins a cross-batch retry on item 90 of a
+    * 100-item task). (A redelivery after the task folded re-creates
     * state and can emit a second, contradictory status — true of any
     * state shape that drops folded tasks.) Malformed updates (negative
     * itemIdx, itemIdx ≥ nItems, or nItems ≤ 0) reject the task with an
@@ -558,12 +562,13 @@ object StreamingOps {
     * misreport the task instead.
     *
     * State-schema versioning: TaskProgress changed shape in r14 (3 Int
-    * counters → mask/count hybrid). flatMapGroupsWithState persists the
-    * state encoder's layout in the checkpoint, so a job restarted from a
-    * checkpoint written by the OLD shape must NOT resume into this fold
-    * — start with a fresh checkpoint directory when upgrading across the
-    * state shape (the generic upgrade rule for any stateful operator
-    * whose state class changes).
+    * counters → mask/count hybrid) and again in r17 (hybrid → paged
+    * masks). flatMapGroupsWithState persists the state encoder's layout
+    * in the checkpoint, so a job restarted from a checkpoint written by
+    * an OLD shape must NOT resume into this fold — start with a fresh
+    * checkpoint directory when upgrading across the state shape (the
+    * generic upgrade rule for any stateful operator whose state class
+    * changes).
     */
   def taskStatusStream(updates: Dataset[ItemUpdate],
       timeoutMs: Long = 60000): Dataset[TaskStatus] = {
@@ -584,7 +589,8 @@ object StreamingOps {
             if (p.nItems == -1) Iterator.empty // rejected-task tombstone expiring
             else Iterator.single(fold(requestId, p, timedOut = true))
           } else {
-            var p = state.getOption.getOrElse(TaskProgress(0, 0L, 0L, 0, 0))
+            var p = state.getOption.getOrElse(
+              TaskProgress(0, Array.empty, Array.empty))
             if (p.nItems == -1) {
               // tombstone: task already rejected as malformed; swallow
               // further updates without re-emitting. GroupState clears any
@@ -599,26 +605,16 @@ object StreamingOps {
               rows.foreach { u =>
                 if (u.nItems <= 0 || u.itemIdx < 0 || u.itemIdx >= u.nItems)
                   malformed = true
-                else if (u.itemIdx < 64) {
-                  val bit = 1L << u.itemIdx
-                  p = p.copy(
-                    nItems = math.max(p.nItems, u.nItems),
-                    completedMask = if (u.status == "COMPLETED")
-                      p.completedMask | bit else p.completedMask,
-                    failedMask = if (u.status == "FAILED")
-                      p.failedMask | bit else p.failedMask)
-                } else {
-                  p = p.copy(
-                    nItems = math.max(p.nItems, u.nItems),
-                    ovCompleted = if (u.status == "COMPLETED")
-                      p.ovCompleted + 1 else p.ovCompleted,
-                    ovFailed = if (u.status == "FAILED")
-                      p.ovFailed + 1 else p.ovFailed)
-                }
+                else p = p.copy(
+                  nItems = math.max(p.nItems, u.nItems),
+                  completedMask = if (u.status == "COMPLETED")
+                    setBit(p.completedMask, u.itemIdx) else p.completedMask,
+                  failedMask = if (u.status == "FAILED")
+                    setBit(p.failedMask, u.itemIdx) else p.failedMask)
               }
               if (malformed) {
                 // reject explicitly instead of folding garbage counts
-                state.update(TaskProgress(-1, 0L, 0L, 0, 0))
+                state.update(TaskProgress(-1, Array.empty, Array.empty))
                 if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
                 Iterator.single(TaskStatus(requestId, 0, 0, p.nItems, "FAILED"))
               } else if (p.nItems > 0 && seenItems(p) >= p.nItems) {
@@ -634,12 +630,25 @@ object StreamingOps {
       }
   }
 
-  /** Distinct-item resolution of the hybrid state: mask region counts
-    * distinct item states (completed wins a FAILED-then-COMPLETED
-    * retry); overflow counts are clamped to the items that exist beyond
-    * the mask (completed takes clamp precedence) so a duplicate
-    * overflow delivery can never make the emitted row claim more items
-    * than the task has.
+  /** Set bit `idx` in a paged mask, growing to the needed page —
+    * copy-on-write (the state object handed back to GroupState must not
+    * alias the one it handed out).
+    */
+  private def setBit(mask: Array[Long], idx: Int): Array[Long] = {
+    val page = idx >>> 6
+    val m =
+      if (page < mask.length) mask.clone()
+      else java.util.Arrays.copyOf(mask, page + 1)
+    m(page) |= 1L << (idx & 63)
+    m
+  }
+
+  private def pageAt(mask: Array[Long], i: Int): Long =
+    if (i < mask.length) mask(i) else 0L
+
+  /** Distinct-item resolution of the paged state: every item counts its
+    * distinct recorded STATE, and completed wins a FAILED-then-COMPLETED
+    * retry at any index.
     *
     * Deliberate divergence from the reference: CopyTaskService keeps the
     * LAST status per item, so COMPLETED-then-FAILED resolves to FAILED
@@ -650,18 +659,28 @@ object StreamingOps {
     * micro-batch cannot flip a task's final status).
     */
   private def resolvedCounts(p: TaskProgress): (Int, Int) = {
-    val c64 = java.lang.Long.bitCount(p.completedMask)
-    val f64 = java.lang.Long.bitCount(p.failedMask & ~p.completedMask)
-    val ovCap = math.max(0, p.nItems - 64)
-    val ovC = math.min(p.ovCompleted, ovCap)
-    val ovF = math.min(p.ovFailed, ovCap - ovC)
-    (c64 + ovC, f64 + ovF)
+    var c, f, i = 0
+    val n = math.max(p.completedMask.length, p.failedMask.length)
+    while (i < n) {
+      val cm = pageAt(p.completedMask, i)
+      c += java.lang.Long.bitCount(cm)
+      f += java.lang.Long.bitCount(pageAt(p.failedMask, i) & ~cm)
+      i += 1
+    }
+    (c, f)
   }
 
   /** Items with at least one recorded state — the completion test. */
-  private def seenItems(p: TaskProgress): Int =
-    java.lang.Long.bitCount(p.completedMask | p.failedMask) +
-      math.min(math.max(0, p.nItems - 64), p.ovCompleted + p.ovFailed)
+  private def seenItems(p: TaskProgress): Int = {
+    var s, i = 0
+    val n = math.max(p.completedMask.length, p.failedMask.length)
+    while (i < n) {
+      s += java.lang.Long.bitCount(
+        pageAt(p.completedMask, i) | pageAt(p.failedMask, i))
+      i += 1
+    }
+    s
+  }
 
   private def fold(requestId: String, p: TaskProgress, timedOut: Boolean): TaskStatus = {
     val (c, f) = resolvedCounts(p)

@@ -431,17 +431,11 @@ object IndexMain {
             Sq8Index.save(dest, grid, codes)
           case "compact-jaccard" =>
             val thr = spark.read.parquet(s"$dir/meta").collect()(0).getDouble(0)
-            // base + appended docs (docs_appends holds post-save appends;
-            // the rebuilt index folds them into the fresh base/dictionary)
-            val base = spark.read.parquet(s"$dir/docs")
-              .select(col("doc_id"), col("sh"))
-            val all =
-              if (new java.io.File(s"$dir/docs_appends").isDirectory)
-                base.unionByName(spark.read.parquet(s"$dir/docs_appends")
-                  .select(col("doc_id"), col("sh")))
-              else base
-            val live = Tombstones.exclude(all, spark, dir, "doc_id")
-            NearDup.saveJaccardIndex(live, dest, thr)
+            // the FULL live member view (class-collapsed base expanded
+            // through the member table, plus appends, tombstones applied)
+            // — the rebuild re-collapses freshly and loses nothing
+            NearDup.saveJaccardIndex(NearDup.loadJaccardDocs(spark, dir),
+              dest, thr)
           case "compact-band" =>
             val idx = NearDup.loadBandIndex(spark, dir)
             NearDup.saveBandIndex(idx.docs, dest, idx.numHashes, idx.bands,
@@ -563,6 +557,7 @@ object IndexMain {
           }
         println(s"""{"batch_docs":${s.batchDocs},""" +
           s""""candidates":${s.candidates},"verified":${s.verified},""" +
+          s""""matches":${s.matches},""" +
           s""""cand_per_verified":$ratio,"indexed_docs":${s.indexedDocs},""" +
           s""""prefix_rows":${s.prefixRows},"vocab":${s.vocab}$status}""")
         if (status.contains("\"rebuild\"")) {

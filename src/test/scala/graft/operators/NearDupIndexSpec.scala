@@ -117,21 +117,30 @@ class NearDupIndexSpec extends SparkSpec {
     appended shouldBe recomputed
   }
 
-  test("appended band index equals a rebuild over the union") {
+  test("appended band index probes identically to a rebuild over the union") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
     val day0 = docs.filter(col("doc_id") % 10 > 1)
     val day1 = docs.filter(col("doc_id") % 10 === 1)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
     val dir = tmpDir("graft_bandidx_app").toString
     NearDup.saveBandIndex(day0, dir)
     NearDup.appendToBandIndex(day1, spark, dir)
     val appended = NearDup.loadBandIndex(spark, dir)
     val rebuilt = NearDup.buildBandIndex(day0.unionByName(day1))
-    appended.banded.count() shouldBe rebuilt.banded.count()
-    val aSet = appended.banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val rSet = rebuilt.banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    aSet shouldBe rSet
+    // the REPRESENTATIONS legitimately differ under the r17 exact-set
+    // collapse (the rebuild collapses over the union; the append banded
+    // day-1 per-doc against day-0's classes), so the pin is BEHAVIORAL:
+    // identical full docs view and identical probe output. Band keys are
+    // a pure per-row function of (shingles, parameters) and identical
+    // sets share all keys, which is why the two representations cannot
+    // diverge on any probe.
+    val aDocs = appended.docs.collect().map(r => r.getLong(0)).toSet
+    val rDocs = rebuilt.docs.collect().map(r => r.getLong(0)).toSet
+    aDocs shouldBe rDocs
+    matches(NearDup.matchAgainstBandIndex(batch, appended)) shouldBe
+      matches(NearDup.matchAgainstBandIndex(batch, rebuilt))
   }
 
   test("batch band-index probe: loaded == built, every match exact-verified") {
@@ -164,14 +173,108 @@ class NearDupIndexSpec extends SparkSpec {
     NearDup.saveJaccardIndex(corpus, dir)
     val stats = NearDup.jaccardProbeStats(batch, spark, dir)
     val matchCount = NearDup.jaccardMatchesAgainstLoaded(batch, spark, dir).count()
-    stats.verified shouldBe matchCount
+    // candidates/verified are REP-level (the kernel's own work under the
+    // r17 collapse); `matches` is the member-expanded output == matcher
+    stats.matches shouldBe matchCount
     stats.candidates should be >= stats.verified
+    stats.matches should be >= stats.verified
     stats.batchDocs shouldBe batch.filter(
       org.apache.spark.sql.functions.size(col("sh")) > 0).count()
     stats.indexedDocs shouldBe corpus.filter(
       org.apache.spark.sql.functions.size(col("sh")) > 0).count()
     stats.vocab should be > 0L
     stats.prefixRows should be > 0L
+  }
+
+  test("planted identical classes on BOTH sides: probe == brute, and the " +
+      "kernel sees one rep per class (r17 incremental collapse)") {
+    // the §skew site-chrome shape, cross-set: a 60-member identical
+    // corpus class, a 5-member identical batch class that matches it, a
+    // near-dup batch doc, and unrelated decoys on both sides. Truth is
+    // the full cross join; the kernel must verify each CLASS pair once
+    // (ProbeStats.candidates counts rep pairs) while the output carries
+    // every member pair (300 rows from the planted classes alone).
+    val sp = spark; import sp.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
+    def uni(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val corpus = uni(
+      (101 to 160).map(i => (i.toLong, base)) ++ // 60-member identical class
+        Seq((201L, (1 to 40).map(i => s"z$i").mkString(" ")))) // decoy
+    val batch = uni(Seq.tabulate(5)(i => ((i + 1).toLong, base)) ++ // 5-member class
+      Seq((6L, near), (7L, (1 to 40).map(i => s"q$i").mkString(" "))))
+    // brute truth
+    val a = batch.select(col("doc_id").as("ba"), col("sh").as("sh_a"))
+    val b = corpus.select(col("doc_id").as("ca"), col("sh").as("sh_b"))
+    val truth = a.join(b, lit(true))
+      .withColumn("inter", org.apache.spark.sql.functions
+        .size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", org.apache.spark.sql.functions.size(col("sh_a"))
+        + org.apache.spark.sql.functions.size(col("sh_b")) - col("inter"))
+      .withColumn("j",
+        round(col("inter").cast("double") / col("uni").cast("double"), 4))
+      .filter(col("j") >= NearDup.DefaultThreshold)
+      .select(col("ba"), col("ca"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    truth.size should be >= 300 // the planted clique really is there
+    // recomputed cross-set kernel
+    matches(NearDup.jaccardMatchesAgainst(batch, corpus)) shouldBe truth
+    // loaded probe against the save-time-collapsed artifact
+    val dir = tmpDir("graft_jacidx_classes").toString
+    NearDup.saveJaccardIndex(corpus, dir)
+    matches(NearDup.jaccardMatchesAgainstLoaded(batch, spark, dir)) shouldBe truth
+    // the kernel's own work is CLASS-sized, not member-sized: 2 batch
+    // classes with any corpus collision × 2 corpus classes bounds rep
+    // candidates ≪ the 61×7 member cross join, and the verified rep
+    // pairs expand to the full member output
+    val stats = NearDup.jaccardProbeStats(batch, spark, dir)
+    stats.matches shouldBe truth.size.toLong
+    assert(stats.candidates <= 6,
+      s"expected class-level candidates, got $stats")
+    assert(stats.verified < stats.matches, s"expansion must happen: $stats")
+    // band-index probe: member expansion preserves loaded == built
+    val bdir = tmpDir("graft_bandidx_classes").toString
+    NearDup.saveBandIndex(corpus, bdir)
+    val loadedBand = matches(
+      NearDup.matchAgainstBandIndex(batch, NearDup.loadBandIndex(spark, bdir)))
+    loadedBand shouldBe matches(
+      NearDup.matchAgainstBandIndex(batch, NearDup.buildBandIndex(corpus)))
+    loadedBand.diff(truth) shouldBe empty // LSH never invents pairs
+    // identical sets share all band keys, so if any member of the corpus
+    // class surfaces for a batch doc, every member must
+    val perBatchDoc = loadedBand.groupBy(_._1).view.mapValues(
+      _.map(_._2).count(id => id >= 101L && id <= 160L)).toMap
+    perBatchDoc.values.filter(_ > 0).foreach(_ shouldBe 60)
+  }
+
+  test("member-level tombstones: a dead REP must not hide its class's " +
+      "live members; a dead member must not hide the class (r17)") {
+    val sp = spark; import sp.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def uni(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    // class {101,102,103} — 101 is the rep (min doc_id)
+    val corpus = uni(Seq((101L, base), (102L, base), (103L, base),
+      (201L, (1 to 40).map(i => s"z$i").mkString(" "))))
+    val batch = uni(Seq((1L, base)))
+    val jdir = tmpDir("graft_jacidx_repdead").toString
+    NearDup.saveJaccardIndex(corpus, jdir)
+    Tombstones.deleteIds(jdir, Seq(101L).toDF("doc_id")) // kill the REP
+    matches(NearDup.jaccardMatchesAgainstLoaded(batch, spark, jdir))
+      .map(m => (m._1, m._2)) shouldBe Set((1L, 102L), (1L, 103L))
+    Tombstones.deleteIds(jdir, Seq(103L).toDF("doc_id")) // and a member
+    matches(NearDup.jaccardMatchesAgainstLoaded(batch, spark, jdir))
+      .map(m => (m._1, m._2)) shouldBe Set((1L, 102L))
+    // same contract for the band artifact
+    val bdir = tmpDir("graft_bandidx_repdead").toString
+    NearDup.saveBandIndex(corpus, bdir)
+    Tombstones.deleteIds(bdir, Seq(101L, 103L).toDF("doc_id"))
+    matches(NearDup.matchAgainstBandIndex(batch,
+        NearDup.loadBandIndex(spark, bdir)))
+      .map(m => (m._1, m._2)) shouldBe Set((1L, 102L))
   }
 
   test("probing at a HIGHER threshold than the build is allowed; lower is rejected") {

@@ -211,8 +211,9 @@ class TombstoneSpec extends SparkSpec {
     Tombstones.deleteIds(jdir, deadDocs)
     val jdest = tmpDir("graft_jac_compact_dst").toString
     val thr = spark.read.parquet(s"$jdir/meta").collect()(0).getDouble(0)
-    val live = Tombstones.exclude(
-      spark.read.parquet(s"$jdir/docs"), spark, jdir, "doc_id")
+    // the compaction source is the FULL live member view (r17: the docs
+    // half is class-collapsed — reading it raw would lose members)
+    val live = NearDup.loadJaccardDocs(spark, jdir)
     NearDup.saveJaccardIndex(live.select(col("doc_id"), col("sh")), jdest, thr)
     matchRows(NearDup.jaccardMatchesAgainstLoaded(batch, spark, jdest)) shouldBe
       matchRows(NearDup.jaccardMatchesAgainstLoaded(batch, spark, jdir))

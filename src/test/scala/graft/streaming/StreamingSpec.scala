@@ -852,8 +852,8 @@ class StreamingSpec extends SparkSpec {
       Seq(("a", 2L), ("b", 1L))
   }
 
-  test("tasks beyond 64 items fold correctly — the counts-based state has " +
-      "no item bound (r12 task 8)") {
+  test("tasks beyond 64 items fold correctly — the paged-mask state has " +
+      "no item bound (r12 task 8, r17 paged lift)") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ItemUpdate]
@@ -906,27 +906,39 @@ class StreamingSpec extends SparkSpec {
       ("t", 3, 0, 3, "COMPLETED")
   }
 
-  test("overflow-region duplicate counts are clamped: the emitted row " +
-      "never claims more items than the task has") {
+  test("items past 64 dedup by IDENTITY: duplicates absorb and a " +
+      "cross-batch FAILED-then-COMPLETED retry on item 90 of a 100-item " +
+      "task resolves to COMPLETED (r17: the paged mask ends the r13 " +
+      "hybrid's 64-item exact window)") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ItemUpdate]
     val out = taskStatusStream(input.toDS(), timeoutMs = 0)
-    val q = out.toDF().writeStream.format("memory").queryName("clamp_task")
+    val q = out.toDF().writeStream.format("memory").queryName("paged_task")
       .outputMode(OutputMode.Append()).start()
-    // 65-item task: items 0..63 ride the mask; item 64 (overflow, counted
-    // not dedup'd) is redelivered — the clamp caps completed at nItems
-    input.addData((0 until 64).map(i => ItemUpdate("c", i, 65, "COMPLETED")) ++
-      Seq(ItemUpdate("c", 64, 65, "COMPLETED"),
-        ItemUpdate("c", 64, 65, "COMPLETED")): _*)
+    // batch 1: items 0..89 complete, item 90 FAILS, item 95 is delivered
+    // twice — under the old counts fallback the duplicate would have
+    // folded the task one update early with an inflated count
+    input.addData((0 until 90).map(i => ItemUpdate("p", i, 100, "COMPLETED")) ++
+      Seq(ItemUpdate("p", 90, 100, "FAILED"),
+        ItemUpdate("p", 95, 100, "COMPLETED"),
+        ItemUpdate("p", 95, 100, "COMPLETED")): _*)
+    q.processAllAvailable()
+    // 92 distinct items seen < 100: must NOT fold yet
+    spark.sql("SELECT count(*) FROM paged_task").collect()(0).getLong(0) shouldBe 0L
+    // batch 2: the cross-batch RETRY of item 90 plus the rest — item 90
+    // must resolve by item identity (completed wins), not by clamp
+    input.addData(ItemUpdate("p", 90, 100, "COMPLETED") +:
+      ((91 until 95) ++ (96 until 100)).map(i =>
+        ItemUpdate("p", i, 100, "COMPLETED")): _*)
     q.processAllAvailable()
     q.stop()
     val rows = spark.sql(
-      "SELECT requestId, completed, failed, nItems, status FROM clamp_task").collect()
+      "SELECT requestId, completed, failed, nItems, status FROM paged_task").collect()
     rows.length shouldBe 1
     (rows(0).getString(0), rows(0).getInt(1), rows(0).getInt(2),
       rows(0).getInt(3), rows(0).getString(4)) shouldBe
-      ("c", 65, 0, 65, "COMPLETED")
+      ("p", 100, 0, 100, "COMPLETED")
   }
 
   test("malformed item updates reject the task explicitly; tombstone swallows stragglers") {
