@@ -80,7 +80,13 @@ object HammingBands {
   private def alreadyPinned(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     p match {
-      case n: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      // only DETERMINISTIC projections peel: a non-deterministic
+      // expression (monotonically_increasing_id, rand) over a pinned
+      // scan can still evaluate differently in each consuming subtree —
+      // exactly the unstable-expression class pinning exists to prevent
+      // (r16 ADVICE)
+      case n: org.apache.spark.sql.catalyst.plans.logical.Project
+          if n.projectList.forall(_.deterministic) =>
         alreadyPinned(n.child)
       case n: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         alreadyPinned(n.child)

@@ -691,6 +691,12 @@ object Multimodal {
           s"$path holds different hashes than the incoming batch — two " +
           "jobs are colliding on one append key (distinct key per job, " +
           "stable across restarts of the same checkpointed query).")
+      // byte-identical replay: the committed subtree already holds
+      // exactly these rows, so return WITHOUT rewriting — mode-overwrite
+      // deletes before it writes, and a crash mid-rewrite would tear a
+      // previously COMMITTED append (its images silently vanish from
+      // loadPhashHashes until the next replay) (r16 ADVICE)
+      return
     }
     hashes.write.mode("overwrite").parquet(subtree)
   }

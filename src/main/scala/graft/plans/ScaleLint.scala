@@ -145,6 +145,34 @@ object ScaleLint {
     case _ => false
   }
 
+  /** Provenance test for the RewriteDistinctAggregates Expand (r17: the
+    * r16 rule matched the marker by NAME alone — `_.name == "gid"` — so
+    * a user column that happened to be called gid feeding a
+    * ≥4-projection Expand could false-fire the FAIL-mode gate). The
+    * rewrite's gid is a group-enumeration tag: its slot in EVERY
+    * projection is an integer literal and the literals are pairwise
+    * distinct (one id per duplicated group). A passthrough user column
+    * occupies its slot with an attribute (or one repeated literal), so
+    * it can never satisfy this; cube/rollup/grouping-sets tag with
+    * `spark_grouping_id`, so the name guard keeps them exempt as
+    * declared.
+    */
+  private def distinctGroupTag(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      projections: Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+      : Boolean =
+    output.zipWithIndex.exists { case (a, i) =>
+      a.name == "gid" &&
+        a.dataType == org.apache.spark.sql.types.IntegerType && {
+          val slots = projections.map(p =>
+            if (i < p.length) p(i)
+            else org.apache.spark.sql.catalyst.expressions.Literal(null))
+          slots.forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]) &&
+            slots.distinct.length == slots.length
+        }
+    }
+
   /** Pure inspection — returns a message per scale-killer found. */
   def findings(plan: LogicalPlan): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -173,7 +201,7 @@ object ScaleLint {
       // common benign case and passes; three or more over raw data is
       // the lint class. expandExempt marks a deliberately-blessed site.
       case e: Expand if e.projections.length >= 4 &&
-          e.output.exists(_.name == "gid") &&
+          distinctGroupTag(e.output, e.projections) &&
           !bounded(producer(e.child)) &&
           !e.child.output.exists(_.metadata.contains(ExpandExemptKey)) =>
         out += (s"multi-distinct Expand replicates an unbounded " +
@@ -227,7 +255,7 @@ object ScaleLint {
     plan.flatMap {
       case e: org.apache.spark.sql.execution.ExpandExec
           if e.projections.length >= 4 &&
-            e.output.exists(_.name == "gid") &&
+            distinctGroupTag(e.output, e.projections) &&
             !physBounded(physProducer(e.child)) &&
             !e.child.output.exists(_.metadata.contains(ExpandExemptKey)) =>
         Seq(s"multi-distinct Expand replicates an unbounded " +

@@ -71,7 +71,7 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleUp <srcSfDir> <outDir> <factor> [shard|permute]")
+      "usage: ScaleUp <srcSfDir> <outDir> <factor> [shard|permute|skew]")
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
     require(factor >= 1, "factor must be >= 1")
@@ -130,8 +130,11 @@ object ScaleUp {
             .otherwise(col("l_partkey")))
         .write.mode("overwrite").parquet(s"$out/lineitem_skew.parquet")
       deleteTree(new java.io.File(s"$out/lineitem.parquet"))
-      new java.io.File(s"$out/lineitem_skew.parquet")
-        .renameTo(new java.io.File(s"$out/lineitem.parquet")): Unit
+      // renameTo reports failure by Boolean only — a dropped rename here
+      // would leave the fixture with NO lineitem.parquet (r16 ADVICE)
+      require(new java.io.File(s"$out/lineitem_skew.parquet")
+          .renameTo(new java.io.File(s"$out/lineitem.parquet")),
+        s"rename $out/lineitem_skew.parquet -> lineitem.parquet failed")
     }
     replicateFacts("events", Map("event_id" -> true, "user_id" -> true))
 

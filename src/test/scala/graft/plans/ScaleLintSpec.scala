@@ -115,6 +115,20 @@ class ScaleLintSpec extends SparkSpec {
         max(col("l_tax")).as("t"), min(col("l_extendedprice")).as("p"))
       .agg(count_distinct(col("q")), count_distinct(col("d")),
         count_distinct(col("t")), count_distinct(col("p")))) shouldBe empty
+    // r17 (the r16 verdict's name-match hazard): a USER column literally
+    // named "gid" must neither false-fire nor suppress. False-fire side:
+    // a cube whose grouping column is called gid still plans the exempt
+    // spark_grouping_id Expand — the user's gid rides projections as a
+    // passthrough attribute, never as the rewrite's distinct-literal tag
+    val withGid = li.withColumn("gid", col("l_linenumber"))
+    lint(withGid.cube(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")))) shouldBe empty
+    // suppress side: the real multi-distinct rewrite over a table that
+    // ALSO carries a user gid column must still fire exactly once
+    val gidF = lint(withGid.agg(
+      count(lit(1)).as("n_rows"),
+      (cols :+ "gid").map(c => count_distinct(col(c)).as(s"nd_$c")): _*))
+    gidF.count(_.contains("multi-distinct Expand")) shouldBe 1
     // the auditable bless: stamping any input column clears the site
     val blessed = li.select(
       ScaleLint.expandExempt(col("l_orderkey"), "l_orderkey",

@@ -45,11 +45,16 @@ def main():
             fails += 1
             continue
         try:
-            otypes = {r[0]: r[1] for r in con.execute(
-                f"DESCRIBE ({sql})").fetchall()}
-            stypes = {r[0]: r[1] for r in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{pq}/*.parquet')").fetchall()}
-            ocols, scols = list(otypes), list(stypes)
+            orows = con.execute(f"DESCRIBE ({sql})").fetchall()
+            srows = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{pq}/*.parquet')"
+            ).fetchall()
+            otypes = {r[0]: r[1] for r in orows}
+            stypes = {r[0]: r[1] for r in srows}
+            # the name comparison runs over the RAW DESCRIBE rows, not the
+            # dicts: a duplicated column name collapses in a dict and
+            # would slip past the schema gate (r16 ADVICE)
+            ocols, scols = [r[0] for r in orows], [r[0] for r in srows]
             if sorted(scols) != sorted(ocols):
                 print(f"SCHEMA-DIFF   {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
                 fails += 1

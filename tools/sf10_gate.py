@@ -117,7 +117,11 @@ def main():
                      "SPARK-READ-ERR", "SCHEMA-DIFF", "ROWS-DIFF",
                      "VALUE-DIFF", "ROWS-ONLY-ERR")
 
-    def consume(proc_output):
+    def consume(proc_output, returncode, label):
+        # A comparator that CRASHES (traceback, import error, OOM-kill)
+        # emits no PASS/FAIL lines at all — without the returncode check
+        # its queries would vanish from the tally and the gate could go
+        # green having compared nothing (r16 ADVICE, medium).
         nonlocal n_pass, n_fail
         for line in proc_output.splitlines():
             if line.startswith("PASS"):
@@ -126,20 +130,32 @@ def main():
                 n_fail += 1
                 fails.append(line.strip())
             print(line)
+        if returncode not in (0, 1):
+            n_fail += 1
+            fails.append(f"COMPARATOR-CRASH {label} rc={returncode}")
 
     if light:
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "check.py"), sf_dir, out_dir]
             + light, capture_output=True, text=True, cwd=REPO)
-        consume(r.stdout + r.stderr)
+        consume(r.stdout + r.stderr, r.returncode, "check.py")
     for q in heavy:  # fresh allocator per heavy result (the r15 lesson)
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "check_except.py"), sf_dir,
              out_dir, q], capture_output=True, text=True, cwd=REPO)
-        consume(r.stdout + r.stderr)
+        consume(r.stdout + r.stderr, r.returncode, q)
     for q in missing:
         n_fail += 1
         fails.append(f"MISSING-SPARK {q}")
+
+    # every eligible query must have produced a counted verdict line:
+    # a silent shortfall (crashed comparator, truncated output) fails
+    # loudly instead of shrinking the denominator
+    attempted = len(light) + len(heavy) + len(missing)
+    if n_pass + n_fail < attempted:
+        short = attempted - n_pass - n_fail
+        n_fail += short
+        fails.append(f"TALLY-SHORTFALL {short} queries produced no verdict")
 
     record = {
         "gate": "sf_value_gate",
