@@ -61,12 +61,28 @@ object HammingBands {
     * Saturation math for real deployments: at n distinct hashes a
     * 16-bit band key holds n/2¹⁶ hashes in expectation, so past ~10⁷–10⁸
     * distinct hashes EVERY key crowds toward the cap and the right move
-    * is WIDER band keys (fewer, wider bands for the same maxHamming
-    * guarantee, or hash-prefix blocking), not a bigger cap — the cap is
-    * the guardrail that makes that saturation visible (overCapBandKeys /
-    * check-phash) instead of quadratic.
+    * is WIDER keys, not a bigger cap — the cap is the guardrail that
+    * makes saturation visible (overCapBandKeys / check-phash) instead of
+    * quadratic. The implemented widening (r17) is `keyArity`: composite
+    * keys over k-subsets of bands (see [[suggestKeyArity]]) stretch the
+    * effective key to k·64/bands bits while preserving the pigeonhole
+    * guarantee for maxHamming ≤ bands − k.
     */
   val DefaultMaxBandDf = 1024
+
+  /** Composite-key arity ≥ 2 repairs band-key saturation (r17 — the r16
+    * scaladoc named the move but the kernel couldn't express it): with B
+    * bands, a pair at hamming ≤ d has ≥ B − d bands EXACTLY equal (d
+    * flipped bits corrupt at most d bands), so any k ≤ B − d of the
+    * intact bands are simultaneously equal and the pair collides on at
+    * least one of the C(B,k) k-subset composite keys. Arity k widens the
+    * effective key from 64/B to k·64/B bits — e.g. bands=8, maxHamming=3,
+    * k=5 gives 40-bit keys (C(8,5)=56 keys/hash, expected df n/2⁴⁰:
+    * uncrowded past 10¹¹ distinct hashes) where the r16 kernel's best
+    * was 16 bits. Cost is C(B,k) banding rows per distinct hash —
+    * ids-only, paid once, and only when a caller opts past arity 1.
+    */
+  val DefaultKeyArity = 1
 
   /** Materialize a frame that feeds multiple consumers — but DON'T
     * re-copy one that is already a pinned RDD scan (modulo row-preserving
@@ -97,23 +113,65 @@ object HammingBands {
   private def pin(df: DataFrame): DataFrame =
     if (alreadyPinned(df.queryExecution.analyzed)) df else df.localCheckpoint()
 
-  private def checkParams(maxHamming: Int, bands: Int, maxBandDf: Int): Unit = {
+  private def checkParams(maxHamming: Int, bands: Int, maxBandDf: Int,
+      keyArity: Int = DefaultKeyArity): Unit = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 (2..32), got $bands")
-    require(maxHamming >= 0 && maxHamming <= bands - 1,
-      s"banding with $bands bands only guarantees candidate recall for " +
-        s"hamming <= ${bands - 1} (pigeonhole); got maxHamming=$maxHamming — " +
-        "raise bands or lower maxHamming")
+    require(keyArity >= 1 && keyArity <= bands - 1,
+      s"keyArity must be in [1, bands-1], got $keyArity with bands=$bands")
+    require(maxHamming >= 0 && maxHamming <= bands - keyArity,
+      s"banding with $bands bands at key arity $keyArity only guarantees " +
+        s"candidate recall for hamming <= ${bands - keyArity} (pigeonhole: " +
+        s"$maxHamming flipped bits can corrupt $maxHamming bands, leaving " +
+        s"${bands - maxHamming} intact — a $keyArity-subset of intact " +
+        "bands must exist); raise bands, lower keyArity or lower maxHamming")
     require(maxBandDf >= 2, s"maxBandDf must be >= 2, got $maxBandDf")
   }
 
-  /** (band, key) struct array for one 64-bit hash column. */
-  private def bandKeys(h: Column, bands: Int): Column = {
+  /** (band, key) struct array for one 64-bit hash column: one entry per
+    * k-subset of bands, `band` = the subset (the band index itself at
+    * arity 1 — bit-compatible with the pre-r17 kernel — a bitmask of
+    * member bands past it), `key` = the subset's band values packed
+    * little-endian (k·64/bands bits, ≤ 64 by construction).
+    */
+  private def bandKeys(h: Column, bands: Int,
+      keyArity: Int = DefaultKeyArity): Column = {
     val width = 64 / bands
     val mask = (1L << width) - 1L
-    array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(h, b * width).bitwiseAND(lit(mask)).as("key"))): _*)
+    def value(b: Int): Column =
+      shiftright(h, b * width).bitwiseAND(lit(mask))
+    array((0 until bands).combinations(keyArity).toSeq.map { s =>
+      val id = if (keyArity == 1) s.head else s.map(1 << _).sum
+      val key = s.zipWithIndex
+        .map { case (b, j) => shiftleft(value(b), j * width) }
+        .reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(id).as("band"), key.as("key"))
+    }: _*)
+  }
+
+  /** Smallest composite-key arity whose PROJECTED hottest-key df clears
+    * `maxBandDf`, clamped to the pigeonhole budget bands − maxHamming —
+    * the operational answer to a non-empty [[overCapBandKeys]] report.
+    * `hottestDf` is the report's max df at arity 1 (or the uniform
+    * expectation n/2^(64/bands) when planning ahead of measurement). The
+    * projection assumes cross-band independence of the hot values — each
+    * added band thins the hottest key's population by at most
+    * hottestDf/n — so it is a PLANNING heuristic: the authoritative
+    * check is re-measuring overCapBandKeys at the suggested arity
+    * (HammingBandsSpec pins exactly that loop).
+    */
+  def suggestKeyArity(distinctHashes: Long, hottestDf: Long,
+      maxHamming: Int = DefaultMaxHamming, bands: Int = DefaultBands,
+      maxBandDf: Int = DefaultMaxBandDf): Int = {
+    require(distinctHashes > 0 && hottestDf > 0 &&
+      hottestDf <= distinctHashes, s"need 0 < hottestDf <= distinctHashes")
+    val kMax = bands - maxHamming
+    require(kMax >= 1, s"bands=$bands cannot guarantee maxHamming=" +
+      s"$maxHamming at any arity — raise bands first")
+    val p = hottestDf.toDouble / distinctHashes
+    var k = 1
+    while (distinctHashes * math.pow(p, k) > maxBandDf && k < kMax) k += 1
+    k
   }
 
   /** Distinct hashes exploded to (h, band, key) rows, with over-cap band
@@ -122,9 +180,9 @@ object HammingBands {
     * a left-anti hash join — the banded rows never reshuffle for the cap.
     */
   private def cappedBanded(hashes: DataFrame, bands: Int,
-      maxBandDf: Int): DataFrame = {
+      maxBandDf: Int, keyArity: Int = DefaultKeyArity): DataFrame = {
     val banded = hashes.select(col("h"),
-      explode(bandKeys(col("h"), bands)).as("bk"))
+      explode(bandKeys(col("h"), bands, keyArity)).as("bk"))
       .select(col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
     val over = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("df"))
@@ -140,9 +198,10 @@ object HammingBands {
     * `hashed` is any (id, h) frame; df counts DISTINCT hashes.
     */
   def overCapBandKeys(hashed: DataFrame, bands: Int = DefaultBands,
-      maxBandDf: Int = DefaultMaxBandDf): DataFrame =
+      maxBandDf: Int = DefaultMaxBandDf,
+      keyArity: Int = DefaultKeyArity): DataFrame =
     hashed.select(col("h")).distinct()
-      .select(col("h"), explode(bandKeys(col("h"), bands)).as("bk"))
+      .select(col("h"), explode(bandKeys(col("h"), bands, keyArity)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBandDf)
@@ -156,9 +215,10 @@ object HammingBands {
     */
   def distinctHashPairs(hashes: DataFrame, maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
-      maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
-    checkParams(maxHamming, bands, maxBandDf)
-    val kept = cappedBanded(hashes, bands, maxBandDf)
+      maxBandDf: Int = DefaultMaxBandDf,
+      keyArity: Int = DefaultKeyArity): DataFrame = {
+    checkParams(maxHamming, bands, maxBandDf, keyArity)
+    val kept = cappedBanded(hashes, bands, maxBandDf, keyArity)
     val a = kept.select(col("band"), col("key"), col("h").as("h_a"))
     val b = kept.select(col("band").as("band2"), col("key").as("key2"),
       col("h").as("h_b"))
@@ -185,13 +245,14 @@ object HammingBands {
     */
   def pairs(hashed: DataFrame, maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
-      maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
-    checkParams(maxHamming, bands, maxBandDf)
+      maxBandDf: Int = DefaultMaxBandDf,
+      keyArity: Int = DefaultKeyArity): DataFrame = {
+    checkParams(maxHamming, bands, maxBandDf, keyArity)
     // one materialization; feeds the distinct-hash set, the exact-dup
     // self-join, and the two cross-class expansion joins
     val t = pin(hashed.select(col("id"), col("h")))
     val hp = distinctHashPairs(t.select(col("h")).distinct(),
-      maxHamming, bands, maxBandDf)
+      maxHamming, bands, maxBandDf, keyArity)
     // exact-hash members: equal hashes are pairs at hamming 0 by
     // identity — routed around banding entirely (cap-immune)
     val within = t.select(col("h"), col("id").as("id_a"))
@@ -232,15 +293,16 @@ object HammingBands {
   def clusterLabels(hashed: DataFrame, maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
       maxBandDf: Int = DefaultMaxBandDf,
-      maxIter: Int = DefaultClusterIters): DataFrame = {
-    checkParams(maxHamming, bands, maxBandDf)
+      maxIter: Int = DefaultClusterIters,
+      keyArity: Int = DefaultKeyArity): DataFrame = {
+    checkParams(maxHamming, bands, maxBandDf, keyArity)
     val t = pin(hashed.select(col("id"), col("h")))
     // one representative + class size per distinct hash
     val classes = t.groupBy(col("h"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("m"))
       .localCheckpoint()
     val hp = distinctHashPairs(classes.select(col("h")),
-      maxHamming, bands, maxBandDf)
+      maxHamming, bands, maxBandDf, keyArity)
     val repEdges = hp
       .join(classes.select(col("h").as("h_a"), col("rep").as("id_a")), "h_a")
       .join(classes.select(col("h").as("h_b"), col("rep").as("id_b")), "h_b")
@@ -267,8 +329,9 @@ object HammingBands {
   def clusterKeepers(hashed: DataFrame, maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
       maxBandDf: Int = DefaultMaxBandDf,
-      maxIter: Int = DefaultClusterIters): DataFrame =
-    clusterLabels(hashed, maxHamming, bands, maxBandDf, maxIter)
+      maxIter: Int = DefaultClusterIters,
+      keyArity: Int = DefaultKeyArity): DataFrame =
+    clusterLabels(hashed, maxHamming, bands, maxBandDf, maxIter, keyArity)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id"), col("cluster_id").as("keeper"),
@@ -286,8 +349,9 @@ object HammingBands {
   def probePairs(probe: DataFrame, corpus: DataFrame,
       maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
-      maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
-    checkParams(maxHamming, bands, maxBandDf)
+      maxBandDf: Int = DefaultMaxBandDf,
+      keyArity: Int = DefaultKeyArity): DataFrame = {
+    checkParams(maxHamming, bands, maxBandDf, keyArity)
     val p = pin(probe.select(col("id"), col("h")))
     val c = pin(corpus.select(col("id"), col("h")))
     val exact = p.select(col("h"), col("id"))
@@ -296,9 +360,10 @@ object HammingBands {
       .select(col("id"), col("matched_id"), lit(0).as("hamming"))
     val pb = p.select(col("h")).distinct()
       .select(col("h").as("h_p"),
-        explode(bandKeys(col("h"), bands)).as("bk"))
+        explode(bandKeys(col("h"), bands, keyArity)).as("bk"))
       .select(col("h_p"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cb = cappedBanded(c.select(col("h")).distinct(), bands, maxBandDf)
+    val cb = cappedBanded(c.select(col("h")).distinct(), bands, maxBandDf,
+      keyArity)
       .select(col("h").as("h_c"), col("band").as("band2"),
         col("key").as("key2"))
     val hp = pb.join(cb, col("band") === col("band2") &&

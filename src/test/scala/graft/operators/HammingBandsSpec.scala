@@ -173,4 +173,65 @@ class HammingBandsSpec extends SparkSpec {
     HammingBands.pairs(df(mixedRows), maxHamming = 7, bands = 8)
       .count() should be >= HammingBands.pairs(df(mixedRows)).count()
   }
+
+  test("band-key saturation: every arity-1 key over the cap loses recall; " +
+      "the overCapBandKeys-driven suggestKeyArity restores brute parity " +
+      "at maxHamming=3 (r17 escape hatch)") {
+    // Saturated corpus: 8 bands of 8 bits, each band drawing from an
+    // 8-value alphabet — every 8-bit band key holds ~n/8 distinct hashes,
+    // far over a 64 cap, which is the real-deployment shape past 10⁷–10⁸
+    // distinct hashes where EVERY 16-bit key crowds (scaled down to a
+    // spec via the tiny alphabet + tiny cap).
+    val bands = 8
+    val cap = 64
+    val alphabet = Array.tabulate(8, 8)((b, v) => mix(b * 31 + v) & 0xFFL)
+    def hash(seed: Long): Long =
+      (0 until 8).map(b => alphabet(b)((mix(seed * 8 + b) & 7L).toInt)
+        << (8 * b)).reduce(_ | _)
+    val base = (0 until 2000).map(i => (i.toLong, hash(i.toLong)))
+    // planted neighbors: ≤3 flipped bits off 30 of the base hashes
+    val planted = (0 until 30).map { i =>
+      val (_, h) = base(i * 61)
+      val flips = (1 to 1 + (mix(i + 900) & 3L).toInt.min(2)).map(j =>
+        1L << ((mix(i * 7 + j) & 63L).toInt)).reduce(_ | _)
+      (5000L + i, h ^ flips)
+    }
+    val rows = base ++ planted
+    val want = brutePairs(rows, 3).filter(_._3 > 0) // near pairs only
+    want.size should be >= 25 // the plant is real
+    def nearPairs(arity: Int) =
+      HammingBands.pairs(df(rows), maxHamming = 3, bands = bands,
+          maxBandDf = cap, keyArity = arity)
+        .filter(col("hamming") > 0).orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // arity 1: the trim report names the saturation and recall collapses
+    val over1 = HammingBands.overCapBandKeys(df(rows), bands, cap)
+      .agg(count(lit(1)), max(col("df"))).collect()(0)
+    val hottest = over1.getLong(1)
+    over1.getLong(0) should be >= (8L * 8) // every (band, alphabet) key
+    hottest should be >= 200L
+    nearPairs(1).size should be < want.size / 2
+    // the suggestion derived FROM the measured report clears the cap
+    val k = HammingBands.suggestKeyArity(
+      rows.map(_._2).distinct.size.toLong, hottest,
+      maxHamming = 3, bands = bands, maxBandDf = cap)
+    k should be >= 2
+    k should be <= bands - 3
+    HammingBands.overCapBandKeys(df(rows), bands, cap, k).count() shouldBe 0L
+    nearPairs(k) shouldBe want
+    // probe form under the same saturation: full parity too
+    val probe = df(planted)
+    val corpus = df(base)
+    val gotProbe = HammingBands.probePairs(probe, corpus, 3, bands, cap, k)
+      .filter(col("hamming") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantProbe = (for {
+      (ip, hp) <- planted; (ic, hc) <- base
+      d = ham(hp, hc) if d <= 3 && d > 0
+    } yield (ip, ic, d)).toSet
+    gotProbe shouldBe wantProbe
+    // the pigeonhole budget guard: arity past bands − maxHamming refused
+    an[IllegalArgumentException] should be thrownBy
+      HammingBands.pairs(df(rows), maxHamming = 3, bands = 4, keyArity = 2)
+  }
 }
