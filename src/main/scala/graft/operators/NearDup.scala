@@ -118,8 +118,25 @@ object NearDup {
     */
   private def exactSetClasses(d: DataFrame): (DataFrame, DataFrame) = {
     val keyed = d.select(col("doc_id"), col("ck")).localCheckpoint()
-    val repIds = keyed.groupBy(col("ck")).agg(min(col("doc_id")).as("doc_id"))
-    (keyed, d.join(repIds.select(col("doc_id")), "doc_id").drop("ck"))
+    (keyed, repsOf(d))
+  }
+
+  /** One representative row per class via a single groupBy(ck) aggregate
+    * (r17 task 4 — the r16 shape was an ids-only agg PLUS a re-join of
+    * the full shingle-array frame on doc_id: two exchanges, the array
+    * one unreduced). first() over any non-key column is exact because
+    * class members are set-identical by construction, and the partial
+    * (map-side) aggregate collapses a giant identical class to one
+    * array per input partition BEFORE the exchange — the skew win.
+    * Returned PINNED (first() must evaluate once) with ck still
+    * attached; callers drop or use it.
+    */
+  private def repsOf(d: DataFrame): DataFrame = {
+    val others = d.columns.filter(c => c != "doc_id" && c != "ck")
+    d.groupBy(col("ck"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        others.map(c => first(col(c)).as(c)): _*)
+      .localCheckpoint()
   }
 
   /** Exact-set pre-collapse for the CROSS-SET (incremental/probe) kernels
@@ -140,13 +157,12 @@ object NearDup {
     * both sides).
     */
   private def exactSetMembers(d: DataFrame): (DataFrame, DataFrame) = {
-    val repIds = d.groupBy(col("ck")).agg(min(col("doc_id")).as("rep_id"))
-    val members = d.select(col("doc_id"), col("ck")).join(repIds, "ck")
+    val reps = repsOf(d)
+    val members = d.select(col("doc_id"), col("ck"))
+      .join(reps.select(col("ck"), col("doc_id").as("rep_id")), "ck")
       .select(col("rep_id"), col("doc_id"))
       .localCheckpoint()
-    (members,
-      d.join(members.filter(col("rep_id") === col("doc_id"))
-        .select(col("doc_id")), "doc_id").drop("ck"))
+    (members, reps.drop("ck"))
   }
 
   /** Expand cross-set REP matches (doc_id = batch rep, matched_id =
@@ -317,7 +333,7 @@ object NearDup {
       .select(col("doc_id"), col("sh"), setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
     val (members, sReps) = exactSetMembers(s0)
-    val s = sReps.localCheckpoint() // reps: feeds banding, dict, encode
+    val s = sReps // pinned inside exactSetMembers
     val banded = withBandKeys(s, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
       .localCheckpoint()
@@ -348,7 +364,7 @@ object NearDup {
     // corpus-side collapse, once, at save time (r17): banded/docs/ids
     // hold one rep per identical-set class; members expands probe output
     val (members, sReps) = exactSetMembers(s0)
-    val s = sReps.localCheckpoint() // feeds banding, docs write + encode
+    val s = sReps // pinned inside exactSetMembers
     withBandKeys(s, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/banded")
@@ -488,7 +504,7 @@ object NearDup {
       .select(col("doc_id"), col("sh"), setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
     val (keyed, repDocs) = exactSetClasses(d0)
-    val d = repDocs.localCheckpoint()
+    val d = repDocs.drop("ck") // pinned inside exactSetClasses
     val banded = withBandKeys(d, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
     val a = banded.select(col("bandKey"), col("doc_id").as("id_a"))
@@ -540,7 +556,7 @@ object NearDup {
         setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
     val (keyed, repDocs) = exactSetClasses(d0)
-    val d = repDocs.localCheckpoint()
+    val d = repDocs.drop("ck") // pinned inside exactSetClasses
     // pass 1: global document frequency = the canonical shingle order.
     // Checkpointed: it feeds the prefix pass AND the verify dictionary
     // (and the uncheckpointed subtree would otherwise recompute once per
@@ -622,8 +638,8 @@ object NearDup {
       .localCheckpoint()
     val (bMembers, bReps) = exactSetMembers(b0)
     val (cMembers, cReps) = exactSetMembers(c0)
-    val b = bReps.localCheckpoint()
-    val c = cReps.localCheckpoint()
+    val b = bReps // pinned inside exactSetMembers
+    val c = cReps
     // checkpointed: feeds both prefix passes AND the verify dictionary
     val dfreq = b.select(explode(col("sh")).as("shingle"))
       .union(c.select(explode(col("sh")).as("shingle")))
@@ -684,7 +700,7 @@ object NearDup {
     // corpus-side collapse, once, at save time: every probe from now on
     // sees one rep per identical-set class (members expands its output)
     val (members, cReps) = exactSetMembers(c0)
-    val c = cReps.localCheckpoint()
+    val c = cReps // pinned inside exactSetMembers
     val dfreq = c.select(explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .localCheckpoint() // feeds the dfreq write, the prefix pass + dict
@@ -823,7 +839,7 @@ object NearDup {
         setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
     val (bMembers, bReps) = exactSetMembers(b0)
-    val b = bReps.localCheckpoint()
+    val b = bReps // pinned inside exactSetMembers
     val cand = rarePrefix(b, dfreq, tauBuild, frozenOrder = true)
       .join(cPrefix, col("shingle") === col("sh_c") &&
         col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
@@ -928,7 +944,7 @@ object NearDup {
       .select(col("doc_id"), col("sh"), setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
     val (bMembers, bReps) = exactSetMembers(b0)
-    val b = bReps.localCheckpoint() // feeds banding + the verify re-attach
+    val b = bReps // pinned inside exactSetMembers; feeds banding + verify
     val cand = withBandKeys(b, index.numHashes, index.bands,
         index.rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
@@ -1051,7 +1067,7 @@ object NearDup {
         setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
     val (keyed, repDocs) = exactSetClasses(d0)
-    val d = repDocs.localCheckpoint()
+    val d = repDocs.drop("ck") // pinned inside exactSetClasses
     val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
     // checkpointed: feeds the prefix pass AND the verify dictionary
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

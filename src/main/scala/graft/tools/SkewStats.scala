@@ -50,16 +50,42 @@ object SkewStats {
         if (maxDf.isNullAt(0)) 0L else maxDf.getLong(0))
     }
 
-    val docs = graft.Tables.documents(spark, dir)
-    val (simDistinct, simMaxClass, simMaxBandDf) = hashStats(
-      docs.select(col("doc_id").as("id"),
-        graft.functions.TextFunctions.simHash(col("text")).as("h")), 4)
+    // Trim-exposure budget (r17 task 7): the pair mass the df cap
+    // declines to generate — Σ df·(df−1)/2 over the over-cap keys, as a
+    // share of all distinct-hash pairs. An upper BOUND on recall
+    // exposure (a pair whose every shared band is trimmed can still
+    // surface through another band or the exact path); the gate asserts
+    // it stays below a declared fraction so a fixture change cannot
+    // silently trade recall for the cap.
+    def overCapExposure(hashed: org.apache.spark.sql.DataFrame,
+        bands: Int): (Long, Long, Double) = {
+      val n = hashed.select(col("h")).distinct().count()
+      val over = graft.operators.HammingBands.overCapBandKeys(hashed, bands)
+        .agg(count(lit(1)).as("k"),
+          sum(expr("df*(df-1)/2")).as("exposure")).collect()(0)
+      val keys = over.getLong(0)
+      val exposure = if (over.isNullAt(1)) 0L else over.getLong(1)
+      val totalPairs = n * (n - 1) / 2
+      (keys, exposure,
+        if (totalPairs == 0) 0.0 else exposure.toDouble / totalPairs)
+    }
 
-    val (phDistinct, phMaxClass, phMaxBandDf) = hashStats(
-      graft.operators.Multimodal.hashMedia(
-          graft.operators.Multimodal.pictureTable(spark, dir))
-        .select(col("media_id").as("id"), col("ph").as("h")),
+    val docs = graft.Tables.documents(spark, dir)
+    val simHashed = docs.select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.simHash(col("text")).as("h"))
+      .localCheckpoint()
+    val (simDistinct, simMaxClass, simMaxBandDf) = hashStats(simHashed, 4)
+    val (simOverKeys, simExposure, simExposureShare) =
+      overCapExposure(simHashed, 4)
+
+    val phHashed = graft.operators.Multimodal.hashMedia(
+        graft.operators.Multimodal.pictureTable(spark, dir))
+      .select(col("media_id").as("id"), col("ph").as("h"))
+      .localCheckpoint()
+    val (phDistinct, phMaxClass, phMaxBandDf) = hashStats(phHashed,
       graft.operators.Multimodal.PhashBands)
+    val (phOverKeys, phExposure, phExposureShare) = overCapExposure(
+      phHashed, graft.operators.Multimodal.PhashBands)
 
     val spanMaxDf = docs
       .select(explode(graft.functions.TextFunctions.wordShingles(
@@ -78,8 +104,14 @@ object SkewStats {
     println(s"""{"sf":"$dir","simhash_distinct":$simDistinct,""" +
       s""""simhash_max_class":$simMaxClass,""" +
       s""""simhash_max_band_df":$simMaxBandDf,""" +
+      s""""simhash_overcap_keys":$simOverKeys,""" +
+      s""""simhash_trim_exposure":$simExposure,""" +
+      s""""simhash_trim_exposure_share":${f"$simExposureShare%.6f"},""" +
       s""""phash_distinct":$phDistinct,"phash_max_class":$phMaxClass,""" +
       s""""phash_max_band_df":$phMaxBandDf,""" +
+      s""""phash_overcap_keys":$phOverKeys,""" +
+      s""""phash_trim_exposure":$phExposure,""" +
+      s""""phash_trim_exposure_share":${f"$phExposureShare%.6f"},""" +
       s""""span_max_df":$spanMaxDf,""" +
       s""""join_hot_key_share":${f"$hotShare%.4f"}}""")
     spark.stop()
