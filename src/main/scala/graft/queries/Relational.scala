@@ -274,10 +274,22 @@ object Relational extends QueryModule {
       val ships = Tables.lineitem(s, d)
         .select(col("l_quantity"),
           datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+      // Aggregation pushdown BELOW the range join (r17 — the skew gate's
+      // find on its first full run: the DATE domain is fixed while both
+      // sides densify it, so the per-bin product — and the raw match
+      // count — grows QUADRATICALLY with data; at skew-f40 the matched
+      // pairs cost 714 s wall / 228x bytes). This consumer only needs
+      // per-window count+sum, and those distribute over the per-DAY
+      // rollup, whose cardinality the date domain bounds (~2.4k rows at
+      // any data size) — the join becomes windows x days and every side
+      // stays linear. Exact: count and sum are day-partitionable.
+      val shipDays = ships.groupBy(col("ship_day"))
+        .agg(count(lit(1)).as("day_n"), sum(col("l_quantity")).as("day_qty"))
       graft.operators.BinnedRangeJoin
-        .pointInInterval(ships, "ship_day", windows, "lo", "hi", binWidth = 16L)
+        .pointInInterval(shipDays, "ship_day", windows, "lo", "hi", binWidth = 16L)
         .groupBy(col("win_id"))
-        .agg(count(lit(1)).as("n_ship"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(sum(col("day_n")).as("n_ship"),
+          round(sum(col("day_qty")), 2).as("sum_qty"))
         .orderBy(col("win_id"))
     },
     Some("""WITH iv AS (SELECT o_orderkey AS win_id,

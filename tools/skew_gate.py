@@ -27,7 +27,7 @@ Emits skew_gate_record.json into <outDir> and exits nonzero on any
 violation.
 
 Usage:
-  python3 tools/skew_gate.py <outDir> [--src /root/testdata/sf0.01]
+  python3 tools/skew_gate.py <outDir> [--src /root/testdata/sf0.1]
       [--f10 /tmp/skew10] [--f40 /tmp/skew40] [--skip-build]
 
   SPARK_GRAFT_CPUS / SPARK_DRIVER_MEM tune the JVM legs as usual.
@@ -76,6 +76,13 @@ PAIR_OUTPUT = {
     "q_dedup_jaccard_incr_appended", "q_dedup_jaccard_incr_deleted",
     "q_decontaminate_fuzzy", "q_decontaminate_fuzzy_loaded",
     "q_dedup_embedding_lsh", "q_dedup_embedding_semdedup",
+    # the 1% identical-VECTOR class: within-class assignments/matches are
+    # true output, quadratic in class size like the text families
+    "q_dedup_semdedup_incremental",
+    # shared-span pairs among the 2% boilerplate docs are true output
+    # (the planted span key itself is df-trimmed, but group pair counts
+    # still scale with group-size growth)
+    "q_dedup_span_maximal",
 }
 
 GROWTH = 4                       # f40 / f10 data and class ratio
@@ -97,8 +104,10 @@ def run(cmd, env=None, capture=False):
 
 
 def last_json_line(text, must_contain):
+    # sbt prefixes forked-JVM stdout with "[info] " — take everything
+    # from the first brace
     for line in reversed(text.splitlines()):
-        if must_contain in line and line.lstrip().startswith("{"):
+        if must_contain in line and "{" in line:
             return json.loads(line[line.index("{"):])
     raise RuntimeError(f"no JSON line containing {must_contain!r}")
 
@@ -127,6 +136,13 @@ def skew_stats(fixture):
 
 
 def bench_leg(fixture, out_path):
+    # reuse a leg this gate already ran (same fixture, same query set) —
+    # re-running the asserts over committed leg dumps is free
+    if os.path.exists(out_path):
+        j = json.load(open(out_path))
+        if j.get("sf") == fixture and j.get("n") == len(SKEW_QUERIES):
+            print(f"[skew-gate] reusing committed leg dump {out_path}")
+            return j
     env = {
         "SPARK_GRAFT_SF_DIR": fixture,
         "SPARK_GRAFT_BENCH_PASSES": "1",
@@ -138,7 +154,13 @@ def bench_leg(fixture, out_path):
         print(r.stdout[-4000:])
         print(f"GATE-ERR: bench leg {fixture} failed")
         sys.exit(1)
-    j = last_json_line(r.stdout, '"metric"')
+    # the printed metric line is the headline; the per-query byte/spill
+    # counters live in bench_full.json — capture it per leg before the
+    # next leg overwrites it
+    j = json.load(open(os.path.join(REPO, "bench_full.json")))
+    if j.get("sf") != fixture:
+        print(f"GATE-ERR: bench_full.json sf={j.get('sf')} != {fixture}")
+        sys.exit(1)
     with open(out_path, "w") as f:
         json.dump(j, f, indent=1)
     return j
@@ -154,7 +176,7 @@ def main():
         sys.exit(2)
     out_dir = args[0]
     os.makedirs(out_dir, exist_ok=True)
-    src = opts.get("src", "/root/testdata/sf0.01")
+    src = opts.get("src", "/root/testdata/sf0.1")
     f10 = opts.get("f10", "/tmp/skew10")
     f40 = opts.get("f40", "/tmp/skew40")
 
