@@ -503,18 +503,29 @@ object NearDup {
     val d0 = docs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
-    val (keyed, repDocs) = exactSetClasses(d0)
-    val d = repDocs.drop("ck") // pinned inside exactSetClasses
-    val banded = withBandKeys(d, numHashes, bands, rowsPerBand)
+    val keyed = d0.select(col("doc_id"), col("ck")).localCheckpoint()
+    val repIds = keyed.groupBy(col("ck")).agg(min(col("doc_id")).as("doc_id"))
+    // Sign EVERY doc and restrict the BAND rows to class reps by an
+    // ids-only join (r17 task 4, second cut): identical sets have
+    // identical signatures, so a rep's band rows ARE its class's band
+    // rows and the restriction is exact. Signing members costs one
+    // linear map pass (no worse than the pre-collapse r15 kernel at any
+    // skew), while restricting DOCS to reps first — the first-cut shape
+    // — forced a full shingle-array exchange through the rep aggregate;
+    // here nothing wider than (bandKey, doc_id) ever shuffles for the
+    // collapse. Candidate fan-out stays rep-level, which is the part
+    // that was quadratic in class size.
+    val banded = withBandKeys(d0, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
+      .join(repIds, "doc_id")
     val a = banded.select(col("bandKey"), col("doc_id").as("id_a"))
     val b = banded.select(col("bandKey").as("bk2"), col("doc_id").as("id_b"))
     val cand = a.join(b, col("bandKey") === col("bk2") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val repPairs = verifyJaccard(
       cand
-        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"),
+        .join(d0.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(d0.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"),
       "sh_a", "sh_b", threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     expandSetPairs(repPairs, keyed, "jaccard", lit(1.0))
