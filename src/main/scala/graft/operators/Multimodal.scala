@@ -642,22 +642,30 @@ object Multimodal {
     * leaves a torn index invisible to ArtifactPaths.exists — the
     * meta-last commit point holds for rebuilds, not just first writes.
     */
-  def savePhashIndex(media: Dataset[MediaRow], path: String): Unit =
+  def savePhashIndex(media: Dataset[MediaRow], path: String,
+      keyArity: Int = 1): Unit =
     savePhashIndexFromHashes(
-      phashHashes(media).toDF("media_id", "ph"), path)
+      phashHashes(media).toDF("media_id", "ph"), path, keyArity)
 
   /** Save from an already-hashed (media_id, ph) frame — the compact path
     * (re-hashing would need payloads the artifact never stored).
     */
-  def savePhashIndexFromHashes(hashes: DataFrame, path: String): Unit = {
+  def savePhashIndexFromHashes(hashes: DataFrame, path: String,
+      keyArity: Int = 1): Unit = {
     val spark = hashes.sparkSession
     import spark.implicits._
+    // keyArity is part of the banding contract like bands itself (r17 —
+    // the saturation escape hatch): a corpus whose check-phash report
+    // shows over-cap keys rebuilds at HammingBands.suggestKeyArity's
+    // recommendation, and every probe reads the arity from meta
+    require(keyArity >= 1 && keyArity <= PhashBands - 1,
+      s"keyArity must be in [1, ${PhashBands - 1}], got $keyArity")
     rmTree(new java.io.File(s"$path/meta")) // invalidate before touching data
     Tombstones.clear(path)
     rmTree(new java.io.File(s"$path/appends"))
     hashes.select(col("media_id"), col("ph"))
       .write.mode("overwrite").parquet(s"$path/hashes")
-    Seq(Tuple1(PhashBands)).toDF("bands")
+    Seq((PhashBands, keyArity)).toDF("bands", "keyArity")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta") // meta-last = commit
   }
@@ -723,9 +731,20 @@ object Multimodal {
     * maxHamming (a probe asking for more hamming than the artifact's
     * banding guarantees would silently lose pairs — refused instead).
     */
-  def loadPhashBands(spark: SparkSession, path: String): Int = {
+  def loadPhashBands(spark: SparkSession, path: String): Int =
+    loadPhashBanding(spark, path)._1
+
+  /** The artifact's full banding contract: (bands, keyArity). A
+    * pre-arity artifact (meta without the column) reads as arity 1 —
+    * loaded behavior degrades to the r16 kernel, never breaks.
+    */
+  def loadPhashBanding(spark: SparkSession, path: String): (Int, Int) = {
     require(ArtifactPaths.exists(path), s"no committed phash index at $path")
-    spark.read.parquet(s"$path/meta").collect()(0).getAs[Int]("bands")
+    val meta = spark.read.parquet(s"$path/meta")
+    val row = meta.collect()(0)
+    (row.getAs[Int]("bands"),
+      if (meta.columns.contains("keyArity")) row.getAs[Int]("keyArity")
+      else 1)
   }
 
   /** Incremental (batch-vs-corpus) image near-dup — the daily-ingest
@@ -741,15 +760,17 @@ object Multimodal {
   def matchAgainstPhashIndex(batch: Dataset[MediaRow],
       spark: SparkSession, path: String, maxHamming: Int = 3,
       maxBandDf: Int = HammingBands.DefaultMaxBandDf): DataFrame = {
-    val bands = loadPhashBands(spark, path)
-    require(maxHamming <= bands - 1,
-      s"phash index at $path was banded with bands=$bands, which only " +
-        s"guarantees candidate recall for hamming <= ${bands - 1}; got " +
-        s"maxHamming=$maxHamming — rebuild with more bands or lower maxHamming")
+    val (bands, keyArity) = loadPhashBanding(spark, path)
+    require(maxHamming <= bands - keyArity,
+      s"phash index at $path was banded with bands=$bands at key arity " +
+        s"$keyArity, which only guarantees candidate recall for hamming " +
+        s"<= ${bands - keyArity}; got maxHamming=$maxHamming — rebuild " +
+        "with more bands / lower arity, or lower maxHamming")
     val corpus = loadPhashHashes(spark, path)
       .select(col("media_id").as("id"), col("ph").as("h"))
     val probe = phashHashes(batch).toDF("id", "h")
-    HammingBands.probePairs(probe, corpus, maxHamming, bands, maxBandDf)
+    HammingBands.probePairs(probe, corpus, maxHamming, bands, maxBandDf,
+        keyArity)
       .select(col("id").as("media_id"), col("matched_id"), col("hamming"))
   }
 
@@ -759,7 +780,8 @@ object Multimodal {
     */
   def compactPhashIndex(spark: SparkSession, src: String,
       dest: String): Unit =
-    savePhashIndexFromHashes(loadPhashHashes(spark, src), dest)
+    savePhashIndexFromHashes(loadPhashHashes(spark, src), dest,
+      loadPhashBanding(spark, src)._2) // the arity is part of the contract
 
   /** Growth/trim report for the phash kind — the check-jaccard pattern:
     * appended subtrees and rows (per-probe listing + scan-union cost grows
@@ -773,7 +795,7 @@ object Multimodal {
 
   def phashStats(spark: SparkSession, path: String,
       maxBandDf: Int = HammingBands.DefaultMaxBandDf): PhashStats = {
-    val bands = loadPhashBands(spark, path)
+    val (bands, keyArity) = loadPhashBanding(spark, path)
     val base = spark.read.parquet(s"$path/hashes").count()
     val d = new java.io.File(s"$path/appends")
     val keyed =
@@ -791,7 +813,7 @@ object Multimodal {
       .collect()(0)
     val overCap = HammingBands.overCapBandKeys(
         live.select(col("media_id").as("id"), col("ph").as("h")),
-        bands, maxBandDf)
+        bands, maxBandDf, keyArity)
       .count()
     PhashStats(base, keyed.size, appended,
       if (classes.isNullAt(0)) 0L else classes.getLong(0),

@@ -220,20 +220,25 @@ object StreamingOps {
     import graft.operators.{HammingBands, Multimodal}
     var corpus: DataFrame = null
     var bands: Int = 0
+    var keyArity: Int = 1
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       if (corpus == null) { // first batch: load once, the corpus is frozen
-        bands = Multimodal.loadPhashBands(spark, indexPath)
-        require(maxHamming <= bands - 1,
-          s"phash index at $indexPath banded with bands=$bands only " +
-            s"guarantees recall for hamming <= ${bands - 1}; got $maxHamming")
+        val banding = Multimodal.loadPhashBanding(spark, indexPath)
+        bands = banding._1
+        keyArity = banding._2
+        require(maxHamming <= bands - keyArity,
+          s"phash index at $indexPath banded with bands=$bands at key " +
+            s"arity $keyArity only guarantees recall for hamming <= " +
+            s"${bands - keyArity}; got $maxHamming")
         corpus = Multimodal.loadPhashHashes(spark, indexPath)
           .select(col("media_id").as("id"), col("ph").as("h"))
           .localCheckpoint()
       }
       HammingBands.probePairs(
           batch.select(col("media_id").as("id"), col("ph").as("h")),
-          corpus, maxHamming, bands)
+          corpus, maxHamming, bands,
+          HammingBands.DefaultMaxBandDf, keyArity)
         .select(col("id").as("media_id"), col("matched_id"), col("hamming"))
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }

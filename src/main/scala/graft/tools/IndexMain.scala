@@ -284,7 +284,11 @@ object IndexMain {
         NearDup.saveSpanIndex(rawDocs("mod10gt1"), dir,
           num("spantokens", 15))
       case "build-phash" =>
-        graft.operators.Multimodal.savePhashIndex(pictures("mod40eq0"), dir)
+        // arity= is the saturation escape hatch (HammingBands.keyArity):
+        // rebuild at check-phash's suggestKeyArity recommendation when
+        // the over-cap report is non-empty
+        graft.operators.Multimodal.savePhashIndex(pictures("mod40eq0"), dir,
+          num("arity", 1))
 
       case "append-pq" | "append-ivfpq" =>
         PqIndex.append(spark, dir, vectors("mod10eq1"))

@@ -384,6 +384,60 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.matchAgainstPhashIndex(sp.createDataset(batch), sp, torn)
   }
 
+  test("phash artifact keyArity (r17 escape hatch): arity rides meta, " +
+      "probes validate against it, compaction preserves it, legacy " +
+      "meta reads as arity 1") {
+    val sp = spark; import sp.implicits._
+    val corpus = (0 until 12).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", png(noiseImg(i / 4)), 32, 32, 0))
+    val batch = (100 until 106).map { i =>
+      val img = noiseImg((i - 100) / 2)
+      img.setRGB(9, 1, ~img.getRGB(9, 1) & 0xFFFFFF)
+      Multimodal.MediaRow(i.toLong, "image", png(img), 32, 32, 0)
+    }
+    def probe(path: String, maxHam: Int) =
+      Multimodal.matchAgainstPhashIndex(sp.createDataset(batch), sp, path,
+          maxHamming = maxHam)
+        .orderBy("media_id", "matched_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // arity-2 artifact: 4 bands x arity 2 = 32-bit composite keys,
+    // pigeonhole budget maxHamming <= 2
+    val d2 = java.nio.file.Files.createTempDirectory("phash_a2").toString
+    Multimodal.savePhashIndex(sp.createDataset(corpus), d2, keyArity = 2)
+    Multimodal.loadPhashBanding(sp, d2) shouldBe ((Multimodal.PhashBands, 2))
+    val ch = corpus.map(m => m.media_id -> Multimodal.PHash.dHash(m.payload).get)
+    val bh = batch.map(m => m.media_id -> Multimodal.PHash.dHash(m.payload).get)
+    val want2 = (for {
+      (bi, bHash) <- bh; (ci, cHash) <- ch
+      d = ham(bHash, cHash) if d <= 2
+    } yield (bi, ci, d)).sortBy(p => (p._1, p._2))
+    probe(d2, maxHam = 2) shouldBe want2
+    // a probe past the arity-2 pigeonhole budget is refused loudly
+    an[IllegalArgumentException] should be thrownBy probe(d2, maxHam = 3)
+    // compaction carries the arity forward (it is part of the contract)
+    val dest = java.nio.file.Files.createTempDirectory("phash_a2c").toString
+    Multimodal.compactPhashIndex(sp, d2, dest)
+    Multimodal.loadPhashBanding(sp, dest)._2 shouldBe 2
+    // legacy meta (bands only): reads as arity 1, full maxHamming=3 OK
+    val legacy = java.nio.file.Files.createTempDirectory("phash_leg").toString
+    sp.createDataset(corpus).mapPartitions(rows =>
+        rows.flatMap(m => Multimodal.PHash.dHash(m.payload).map(h => (m.media_id, h))))
+      .toDF("media_id", "ph").write.parquet(s"$legacy/hashes")
+    Seq(Tuple1(Multimodal.PhashBands)).toDF("bands")
+      .coalesce(1).write.parquet(s"$legacy/meta")
+    Multimodal.loadPhashBanding(sp, legacy) shouldBe ((Multimodal.PhashBands, 1))
+    val want3 = (for {
+      (bi, bHash) <- bh; (ci, cHash) <- ch
+      d = ham(bHash, cHash) if d <= 3
+    } yield (bi, ci, d)).sortBy(p => (p._1, p._2))
+    probe(legacy, maxHam = 3) shouldBe want3
+    // invalid arity refused at save
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.savePhashIndex(sp.createDataset(corpus),
+        java.nio.file.Files.createTempDirectory("phash_bad").toString,
+        keyArity = Multimodal.PhashBands)
+  }
+
   test("dHash recall under real-world transforms: resize + JPEG re-encode " +
       "stay within maxHamming=3; unrelated images stay far (SCALE.md §phash-recall)") {
     // photo-like bases (smooth gradients + low-frequency structure + mild
