@@ -643,29 +643,33 @@ object Multimodal {
     * meta-last commit point holds for rebuilds, not just first writes.
     */
   def savePhashIndex(media: Dataset[MediaRow], path: String,
-      keyArity: Int = 1): Unit =
+      keyArity: Int = 1, bands: Int = PhashBands): Unit =
     savePhashIndexFromHashes(
-      phashHashes(media).toDF("media_id", "ph"), path, keyArity)
+      phashHashes(media).toDF("media_id", "ph"), path, keyArity, bands)
 
   /** Save from an already-hashed (media_id, ph) frame — the compact path
     * (re-hashing would need payloads the artifact never stored).
     */
   def savePhashIndexFromHashes(hashes: DataFrame, path: String,
-      keyArity: Int = 1): Unit = {
+      keyArity: Int = 1, bands: Int = PhashBands): Unit = {
     val spark = hashes.sparkSession
     import spark.implicits._
-    // keyArity is part of the banding contract like bands itself (r17 —
-    // the saturation escape hatch): a corpus whose check-phash report
-    // shows over-cap keys rebuilds at HammingBands.suggestKeyArity's
-    // recommendation, and every probe reads the arity from meta
-    require(keyArity >= 1 && keyArity <= PhashBands - 1,
-      s"keyArity must be in [1, ${PhashBands - 1}], got $keyArity")
+    // (bands, keyArity) is the persisted banding contract (r17 — the
+    // saturation escape hatch made actionable): a corpus whose
+    // check-phash report shows over-cap keys rebuilds at the suggested
+    // (bands=8, arity) — e.g. 8 bands at arity 5 gives 40-bit composite
+    // keys while preserving the maxHamming ≤ bands − arity = 3
+    // pigeonhole — and every probe reads both from meta
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
+      s"bands must divide 64 (2..32), got $bands")
+    require(keyArity >= 1 && keyArity <= bands - 1,
+      s"keyArity must be in [1, ${bands - 1}], got $keyArity")
     rmTree(new java.io.File(s"$path/meta")) // invalidate before touching data
     Tombstones.clear(path)
     rmTree(new java.io.File(s"$path/appends"))
     hashes.select(col("media_id"), col("ph"))
       .write.mode("overwrite").parquet(s"$path/hashes")
-    Seq((PhashBands, keyArity)).toDF("bands", "keyArity")
+    Seq((bands, keyArity)).toDF("bands", "keyArity")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta") // meta-last = commit
   }
@@ -779,9 +783,12 @@ object Multimodal {
     * base. The source stays readable throughout; dest commits meta-last.
     */
   def compactPhashIndex(spark: SparkSession, src: String,
-      dest: String): Unit =
-    savePhashIndexFromHashes(loadPhashHashes(spark, src), dest,
-      loadPhashBanding(spark, src)._2) // the arity is part of the contract
+      dest: String): Unit = {
+    val (bands, keyArity) = loadPhashBanding(spark, src)
+    // banding is part of the contract — compaction carries it forward
+    savePhashIndexFromHashes(loadPhashHashes(spark, src), dest, keyArity,
+      bands)
+  }
 
   /** Growth/trim report for the phash kind — the check-jaccard pattern:
     * appended subtrees and rows (per-probe listing + scan-union cost grows
@@ -789,9 +796,13 @@ object Multimodal {
     * skew the pre-collapse absorbs), and over-cap band keys (trimmed
     * near-dup recall — the re-band / investigate signal).
     */
+  /** `hottestBandDf` is the max distinct-hash df over ALL band keys at
+    * the artifact's banding — the input HammingBands.suggestKeyArity
+    * needs to turn a non-empty over-cap report into the rebuild arity.
+    */
   final case class PhashStats(baseRows: Long, appendSubtrees: Int,
       appendedRows: Long, distinctHashes: Long, maxClass: Long,
-      overCapBandKeys: Long, tombstones: Long)
+      overCapBandKeys: Long, hottestBandDf: Long, tombstones: Long)
 
   def phashStats(spark: SparkSession, path: String,
       maxBandDf: Int = HammingBands.DefaultMaxBandDf): PhashStats = {
@@ -811,14 +822,20 @@ object Multimodal {
     val classes = live.groupBy(col("ph")).agg(count(lit(1)).as("m"))
       .agg(count(lit(1)).as("distinct"), max(col("m")).as("maxm"))
       .collect()(0)
-    val overCap = HammingBands.overCapBandKeys(
+    // over-cap report + the hottest key's df in ONE pass (the df-0 cap
+    // makes overCapBandKeys return every key, so max(df) is global)
+    val overRow = HammingBands.overCapBandKeys(
         live.select(col("media_id").as("id"), col("ph").as("h")),
-        bands, maxBandDf, keyArity)
-      .count()
+        bands, 0, keyArity) // df > 0 = all keys; filter the cap below
+      .agg(count(when(col("df") > maxBandDf, 1)).as("over"),
+        max(col("df")).as("hot"))
+      .collect()(0)
     PhashStats(base, keyed.size, appended,
       if (classes.isNullAt(0)) 0L else classes.getLong(0),
       if (classes.isNullAt(1)) 0L else classes.getLong(1),
-      overCap, Tombstones.count(spark, path))
+      overRow.getLong(0),
+      if (overRow.isNullAt(1)) 0L else overRow.getLong(1),
+      Tombstones.count(spark, path))
   }
 
   /** The check-phash verdict (separated from IndexMain's exit wiring for

@@ -284,11 +284,11 @@ object IndexMain {
         NearDup.saveSpanIndex(rawDocs("mod10gt1"), dir,
           num("spantokens", 15))
       case "build-phash" =>
-        // arity= is the saturation escape hatch (HammingBands.keyArity):
-        // rebuild at check-phash's suggestKeyArity recommendation when
-        // the over-cap report is non-empty
+        // bands=/arity= are the saturation escape hatch (HammingBands
+        // composite keys): rebuild at check-phash's suggested (bands,
+        // arity) when the over-cap report is non-empty
         graft.operators.Multimodal.savePhashIndex(pictures("mod40eq0"), dir,
-          num("arity", 1))
+          num("arity", 1), num("bands", graft.operators.Multimodal.PhashBands))
 
       case "append-pq" | "append-ivfpq" =>
         PqIndex.append(spark, dir, vectors("mod10eq1"))
@@ -526,12 +526,31 @@ object IndexMain {
               s, num("maxsubtrees", 32))
             s""","status":"${if (degraded) "act" else "ok"}""""
           }
+        // a non-empty over-cap report comes with its REMEDY (r17 escape
+        // hatch): re-band at bands=8 (the widening that keeps the
+        // maxHamming=3 pigeonhole budget open) at the smallest composite
+        // arity whose projected hottest-key df clears the cap —
+        // `build-phash bands=8 arity=<k>` consumes it. The hottest-df
+        // input is a planning floor (max of the measured hottest key and
+        // the 8-bit uniform expectation); the authoritative check is
+        // re-measuring check-phash on the rebuilt artifact.
+        val arity =
+          if (s.overCapBandKeys == 0 || s.distinctHashes == 0 ||
+              s.hottestBandDf == 0) ""
+          else {
+            val hot8 = math.max(s.distinctHashes / 256L, s.hottestBandDf)
+            s""","suggested_bands":8,"suggested_arity":${
+              graft.operators.HammingBands.suggestKeyArity(s.distinctHashes,
+                math.min(hot8, s.distinctHashes), maxHamming = 3,
+                bands = 8)}"""
+          }
         println(s"""{"base_rows":${s.baseRows},""" +
           s""""append_subtrees":${s.appendSubtrees},""" +
           s""""appended_rows":${s.appendedRows},""" +
           s""""distinct_hashes":${s.distinctHashes},""" +
           s""""max_class":${s.maxClass},""" +
           s""""over_cap_band_keys":${s.overCapBandKeys},""" +
+          s""""hottest_band_df":${s.hottestBandDf}$arity,""" +
           s""""tombstones":${s.tombstones}$status}""")
         if (status.contains("\"act\"")) {
           spark.stop()

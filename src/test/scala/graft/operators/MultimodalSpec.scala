@@ -418,6 +418,18 @@ class MultimodalSpec extends SparkSpec {
     val dest = java.nio.file.Files.createTempDirectory("phash_a2c").toString
     Multimodal.compactPhashIndex(sp, d2, dest)
     Multimodal.loadPhashBanding(sp, dest)._2 shouldBe 2
+    // the actionable saturation remedy end-to-end: bands=8 at arity=5
+    // (40-bit composite keys) keeps the FULL maxHamming=3 budget and
+    // probes brute-exactly — the check-phash suggestion's shape
+    val d85 = java.nio.file.Files.createTempDirectory("phash_b8a5").toString
+    Multimodal.savePhashIndex(sp.createDataset(corpus), d85,
+      keyArity = 5, bands = 8)
+    Multimodal.loadPhashBanding(sp, d85) shouldBe ((8, 5))
+    val want3full = (for {
+      (bi, bHash) <- bh; (ci, cHash) <- ch
+      d = ham(bHash, cHash) if d <= 3
+    } yield (bi, ci, d)).sortBy(p => (p._1, p._2))
+    probe(d85, maxHam = 3) shouldBe want3full
     // legacy meta (bands only): reads as arity 1, full maxHamming=3 OK
     val legacy = java.nio.file.Files.createTempDirectory("phash_leg").toString
     sp.createDataset(corpus).mapPartitions(rows =>
