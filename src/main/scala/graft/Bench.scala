@@ -384,6 +384,9 @@ object Bench {
         s""""cpu_total_sec":$totalCpu,"spill_total_b":$spillTotal,""" +
         s""""prestaged":{$prestageJson},""" +
         s""""cpus":$cpus,"sf":"$sfDir","mode":"median$passes",""" +
+        // the gate's leg-reuse check needs the EFFECTIVE lint mode (r17
+        // ADVICE: a stale lint-off dump must not pass as gate evidence)
+        s""""lint_mode":"${spark.conf.get("spark.graft.scalelint", "warn")}",""" +
         s""""anchors":"${if (anchors.isEmpty) "" else anchorsPath}",""" +
         s""""prev_anchors":"${if (prevAnchors.isEmpty) "" else prevPath}",""" +
         s""""prev_median":$prevMedian,"prev_total":$prevTotal,""" +

@@ -113,12 +113,38 @@ object HammingBands {
   private def pin(df: DataFrame): DataFrame =
     if (alreadyPinned(df.queryExecution.analyzed)) df else df.localCheckpoint()
 
+  /** Hard ceiling on C(bands, keyArity) — the per-hash banding fan-out.
+    * Every legal (bands ≤ 32) arity the remedy path suggests stays far
+    * below it (bands=8 peaks at C(8,4)=70); without the ceiling a legal-
+    * looking call like bands=32, keyArity=16 would materialize ~6·10⁸
+    * struct entries PER HASH and OOM instead of being refused (r17
+    * ADVICE).
+    */
+  val MaxKeysPerHash = 4096L
+
+  /** C(n, k) with early bail past MaxKeysPerHash (exact while ≤ cap; the
+    * multiply-then-divide walk is integer-exact at every step and cannot
+    * overflow once capped — intermediates stay ≤ cap·n).
+    */
+  private def cappedBinomial(n: Int, k: Int): Long = {
+    val kk = math.min(k, n - k)
+    var acc = 1L
+    var i = 1
+    while (i <= kk && acc <= MaxKeysPerHash) { acc = acc * (n - kk + i) / i; i += 1 }
+    acc
+  }
+
   private def checkParams(maxHamming: Int, bands: Int, maxBandDf: Int,
       keyArity: Int = DefaultKeyArity): Unit = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 (2..32), got $bands")
     require(keyArity >= 1 && keyArity <= bands - 1,
       s"keyArity must be in [1, bands-1], got $keyArity with bands=$bands")
+    require(cappedBinomial(bands, keyArity) <= MaxKeysPerHash,
+      s"C($bands, $keyArity) composite keys per hash exceeds the " +
+        s"$MaxKeysPerHash banding fan-out ceiling — use MORE bands at a " +
+        "SMALLER arity (wider sub-bands need fewer of them composed: " +
+        "bands=8 at arity<=5 covers maxHamming<=3 with <=56 keys/hash)")
     require(maxHamming >= 0 && maxHamming <= bands - keyArity,
       s"banding with $bands bands at key arity $keyArity only guarantees " +
         s"candidate recall for hamming <= ${bands - keyArity} (pigeonhole: " +
@@ -136,6 +162,12 @@ object HammingBands {
     */
   private def bandKeys(h: Column, bands: Int,
       keyArity: Int = DefaultKeyArity): Column = {
+    // re-assert the fan-out ceiling here too: overCapBandKeys reaches
+    // bandKeys without checkParams, and the ceiling is the OOM guard
+    require(cappedBinomial(bands, keyArity) <= MaxKeysPerHash,
+      s"C($bands, $keyArity) composite keys per hash exceeds the " +
+        s"$MaxKeysPerHash banding fan-out ceiling — use more bands at a " +
+        "smaller arity")
     val width = 64 / bands
     val mask = (1L << width) - 1L
     def value(b: Int): Column =
@@ -205,6 +237,31 @@ object HammingBands {
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBandDf)
+
+  /** Trim-exposure budget (the skew gate's recall guardrail): the pair
+    * mass the df cap declines to generate — Σ df·(df−1)/2 over the
+    * over-cap keys — as (overCapKeys, exposurePairs, share of all
+    * distinct-hash pairs). An upper BOUND on recall exposure (a pair
+    * whose every shared band is trimmed can still surface through
+    * another band or the exact path). The pair sum uses integer `div`:
+    * SQL `/` on longs yields DOUBLE and the getLong read would crash on
+    * the first fixture with a non-empty over-cap set — exactly the
+    * regime the budget exists to measure (r17 ADVICE; the planted case
+    * lives in HammingBandsSpec).
+    */
+  def trimExposure(hashed: DataFrame, bands: Int = DefaultBands,
+      maxBandDf: Int = DefaultMaxBandDf,
+      keyArity: Int = DefaultKeyArity): (Long, Long, Double) = {
+    val n = hashed.select(col("h")).distinct().count()
+    val over = overCapBandKeys(hashed, bands, maxBandDf, keyArity)
+      .agg(count(lit(1)).as("k"),
+        sum(expr("df*(df-1) div 2")).as("exposure")).collect()(0)
+    val keys = over.getLong(0)
+    val exposure = if (over.isNullAt(1)) 0L else over.getLong(1)
+    val totalPairs = n * (n - 1) / 2
+    (keys, exposure,
+      if (totalPairs == 0) 0.0 else exposure.toDouble / totalPairs)
+  }
 
   /** Verified near-dup pairs between DISTINCT hashes: (h_a, h_b, hamming)
     * with h_a < h_b and 1 ≤ hamming ≤ maxHamming. Input `hashes` must be

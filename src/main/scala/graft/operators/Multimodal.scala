@@ -797,12 +797,19 @@ object Multimodal {
     * near-dup recall — the re-band / investigate signal).
     */
   /** `hottestBandDf` is the max distinct-hash df over ALL band keys at
-    * the artifact's banding — the input HammingBands.suggestKeyArity
-    * needs to turn a non-empty over-cap report into the rebuild arity.
+    * the artifact's banding. `hottestBandDf8` is the same measure at the
+    * REMEDY banding (bands=8, arity 1) — the input
+    * HammingBands.suggestKeyArity needs: a df measured at the artifact's
+    * own (possibly wider-key) banding aggregates differently than the
+    * 8-bit keys the suggestion projects from, and under clustered hashes
+    * the true hottest 8-bit key can exceed both the current-banding df
+    * and the uniform n/256 floor, undershooting the suggested arity
+    * (r17 ADVICE).
     */
   final case class PhashStats(baseRows: Long, appendSubtrees: Int,
       appendedRows: Long, distinctHashes: Long, maxClass: Long,
-      overCapBandKeys: Long, hottestBandDf: Long, tombstones: Long)
+      overCapBandKeys: Long, hottestBandDf: Long, tombstones: Long,
+      hottestBandDf8: Long)
 
   def phashStats(spark: SparkSession, path: String,
       maxBandDf: Int = HammingBands.DefaultMaxBandDf): PhashStats = {
@@ -818,24 +825,35 @@ object Multimodal {
       if (keyed.isEmpty) 0L
       else spark.read.parquet(keyed.map(k => s"$path/appends/$k/hashes"): _*)
         .count()
-    val live = loadPhashHashes(spark, path)
+    // hashes feed three aggregations (classes, current-banding over-cap,
+    // remedy-banding hottest df) — pin the load once
+    val live = loadPhashHashes(spark, path).localCheckpoint()
     val classes = live.groupBy(col("ph")).agg(count(lit(1)).as("m"))
       .agg(count(lit(1)).as("distinct"), max(col("m")).as("maxm"))
       .collect()(0)
+    val liveIdH = live.select(col("media_id").as("id"), col("ph").as("h"))
     // over-cap report + the hottest key's df in ONE pass (the df-0 cap
     // makes overCapBandKeys return every key, so max(df) is global)
-    val overRow = HammingBands.overCapBandKeys(
-        live.select(col("media_id").as("id"), col("ph").as("h")),
+    val overRow = HammingBands.overCapBandKeys(liveIdH,
         bands, 0, keyArity) // df > 0 = all keys; filter the cap below
       .agg(count(when(col("df") > maxBandDf, 1)).as("over"),
         max(col("df")).as("hot"))
       .collect()(0)
+    val hot = if (overRow.isNullAt(1)) 0L else overRow.getLong(1)
+    // the remedy-banding measurement (bands=8, arity 1) — reused from the
+    // pass above when the artifact is already banded that way
+    val hot8 =
+      if (bands == 8 && keyArity == 1) hot
+      else {
+        val r = HammingBands.overCapBandKeys(liveIdH, 8, 0, 1)
+          .agg(max(col("df"))).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
     PhashStats(base, keyed.size, appended,
       if (classes.isNullAt(0)) 0L else classes.getLong(0),
       if (classes.isNullAt(1)) 0L else classes.getLong(1),
-      overRow.getLong(0),
-      if (overRow.isNullAt(1)) 0L else overRow.getLong(1),
-      Tombstones.count(spark, path))
+      overRow.getLong(0), hot,
+      Tombstones.count(spark, path), hot8)
   }
 
   /** The check-phash verdict (separated from IndexMain's exit wiring for
@@ -846,6 +864,40 @@ object Multimodal {
     */
   def phashDegraded(s: PhashStats, maxSubtrees: Int): Boolean =
     s.overCapBandKeys > 0 || s.appendSubtrees > maxSubtrees
+
+  /** The saturation remedy check-phash prints and rebuild-phash applies
+    * (one function so they can never diverge): bands=8 — the widening
+    * that keeps the maxHamming=3 pigeonhole budget open — at the
+    * smallest composite arity whose projected hottest-key df clears the
+    * cap, from the hottest df MEASURED at the target bands=8 banding
+    * (r17 ADVICE: a df measured at the artifact's own banding aggregates
+    * differently and can undershoot), floored by the 8-bit uniform
+    * expectation. The authoritative check is re-measuring check-phash on
+    * the rebuilt artifact.
+    */
+  def suggestedPhashBanding(s: PhashStats,
+      maxBandDf: Int = HammingBands.DefaultMaxBandDf): (Int, Int) = {
+    require(s.distinctHashes > 0 && s.hottestBandDf8 > 0,
+      "suggestion needs a measured non-empty hash table")
+    val hot8 = math.max(s.distinctHashes / 256L, s.hottestBandDf8)
+    (8, HammingBands.suggestKeyArity(s.distinctHashes,
+      math.min(hot8, s.distinctHashes), maxHamming = 3, bands = 8,
+      maxBandDf = maxBandDf))
+  }
+
+  /** One-command saturation remediation (r18 task 4): rebuild the
+    * artifact IN PLACE from its own live member hashes at the given
+    * banding. Safe without a dest dir, unlike compact-phash: the live
+    * hashes pin into executor blocks (localCheckpoint) BEFORE the save
+    * deletes anything, and the save's meta-first delete keeps a crash
+    * mid-rebuild invisible to ArtifactPaths.exists. Folds appends and
+    * drops tombstones like any rebuild.
+    */
+  def rebuildPhashIndex(spark: SparkSession, path: String, bands: Int,
+      keyArity: Int): Unit = {
+    val live = loadPhashHashes(spark, path).localCheckpoint()
+    savePhashIndexFromHashes(live, path, keyArity, bands)
+  }
 
   /** Deterministic PICTURE table derived from the documents fixture (the
     * mediaTable convention — multimodal payloads are a pure function of

@@ -142,14 +142,26 @@ object NearDup {
   /** Exact-set pre-collapse for the CROSS-SET (incremental/probe) kernels
     * — the §jaccard-collapse doctrine applied to the batch-vs-corpus
     * family (r17: the judge's carried weak — probe verify bytes used to
-    * scale with corpus-class size). `d` must be pinned and carry a
-    * precomputed `ck` column. Returns
+    * scale with corpus-class size). `d` is the UNPINNED (doc_id, …, ck)
+    * projection; this is its only consumer and it reads the input exactly
+    * ONCE (r18 task 3 — the r17 shape pinned `d` and then read its
+    * full-array blocks twice more: once for the rep aggregate and once
+    * for a members re-join, doubling the kernel's input bytes at sf10;
+    * now the member list rides the SAME single aggregate as the rep row
+    * via collect_list and explodes out of the pinned result). Returns
     *   - `members` (rep_id, doc_id): every doc mapped to its class
     *     representative (min doc_id; reps map to themselves) — ids-only,
-    *     checkpointed (it feeds the rep restriction AND the post-verify
-    *     expansion), and
-    *   - `repDocs`: `d` restricted to one representative per class — the
-    *     only rows the candidates+verify kernel sees.
+    *     checkpointed (it feeds the post-verify expansion), and
+    *   - `repDocs`: one representative row per class (ck dropped) — the
+    *     only rows the candidates+verify kernel sees, a deterministic
+    *     projection over the pinned aggregate.
+    * first() over non-key columns is exact (class members are
+    * set-identical by construction) and the partial aggregate collapses
+    * a giant class map-side before the exchange. The per-class member
+    * list materializes as ONE array row — 8 B per member, bounded by the
+    * largest exact-dup class (16 KB at the skew gate's planted 2000;
+    * ~1 GB only past 10⁸ identical docs, where a corpus needs the
+    * artifact path's save-time collapse anyway).
     * Identical sets have identical prefixes/signatures and identical
     * jaccard/containment against any third set, so probing reps and
     * expanding match rows by one linear ids-only member join per side is
@@ -157,12 +169,16 @@ object NearDup {
     * both sides).
     */
   private def exactSetMembers(d: DataFrame): (DataFrame, DataFrame) = {
-    val reps = repsOf(d)
-    val members = d.select(col("doc_id"), col("ck"))
-      .join(reps.select(col("ck"), col("doc_id").as("rep_id")), "ck")
-      .select(col("rep_id"), col("doc_id"))
+    val others = d.columns.filter(c => c != "doc_id" && c != "ck")
+    val agg = d.groupBy(col("ck"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        (collect_list(col("doc_id")).as("member_ids") +:
+          others.toSeq.map(c => first(col(c)).as(c))): _*)
       .localCheckpoint()
-    (members, reps.drop("ck"))
+    val members = agg.select(col("doc_id").as("rep_id"),
+        explode(col("member_ids")).as("doc_id"))
+      .localCheckpoint()
+    (members, agg.drop("member_ids", "ck"))
   }
 
   /** Expand cross-set REP matches (doc_id = batch rep, matched_id =
@@ -639,17 +655,20 @@ object NearDup {
     // join per side. Computing the union df over REPS is a valid
     // canonical order (the prefix lemma needs only SOME fixed order
     // common to both sides).
+    // each side is consumed ONLY by its one-pass collapse aggregate
+    // (exactSetMembers reads the input exactly once — r18 task 3: the
+    // r17 per-side pins here doubled the kernel's input bytes at sf10),
+    // so the raw projections stay unpinned and the parquet scan below
+    // them keeps its column pruning
     val b0 = batch.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
         setClassKey(col("sh")).as("ck"))
-      .localCheckpoint()
     val c0 = corpus.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
         setClassKey(col("sh")).as("ck"))
-      .localCheckpoint()
     val (bMembers, bReps) = exactSetMembers(b0)
     val (cMembers, cReps) = exactSetMembers(c0)
-    val b = bReps // pinned inside exactSetMembers
+    val b = bReps // deterministic view over the pinned collapse aggregate
     val c = cReps
     // checkpointed: feeds both prefix passes AND the verify dictionary
     val dfreq = b.select(explode(col("sh")).as("shingle"))
@@ -707,11 +726,12 @@ object NearDup {
     val c0 = corpus.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
         setClassKey(col("sh")).as("ck"))
-      .localCheckpoint()
     // corpus-side collapse, once, at save time: every probe from now on
-    // sees one rep per identical-set class (members expands its output)
+    // sees one rep per identical-set class (members expands its output).
+    // c0 stays unpinned — exactSetMembers is its only consumer and reads
+    // it exactly once (r18 task 3)
     val (members, cReps) = exactSetMembers(c0)
-    val c = cReps // pinned inside exactSetMembers
+    val c = cReps // view over the pinned collapse aggregate
     val dfreq = c.select(explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .localCheckpoint() // feeds the dfreq write, the prefix pass + dict
@@ -844,13 +864,13 @@ object NearDup {
           Seq.empty[(Long, Int, Seq[Long])].toDF("doc_id", "n", "ids"),
           baseDocs.select(col("doc_id"), col("sh"))
             .unionByName(appendedDocs))
-    // batch-side collapse, per run (the batch is this run's input)
+    // batch-side collapse, per run (the batch is this run's input);
+    // unpinned — exactSetMembers reads it exactly once (r18 task 3)
     val b0 = batch.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
         setClassKey(col("sh")).as("ck"))
-      .localCheckpoint()
     val (bMembers, bReps) = exactSetMembers(b0)
-    val b = bReps // pinned inside exactSetMembers
+    val b = bReps // view over the pinned collapse aggregate
     val cand = rarePrefix(b, dfreq, tauBuild, frozenOrder = true)
       .join(cPrefix, col("shingle") === col("sh_c") &&
         col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
@@ -913,7 +933,40 @@ object NearDup {
     */
   final case class ProbeStats(batchDocs: Long, candidates: Long,
       verified: Long, matches: Long, indexedDocs: Long, prefixRows: Long,
-      vocab: Long)
+      vocab: Long, phantomReps: Long, indexedReps: Long) {
+    /** Share of persisted reps that are phantoms — dead candidate weight
+      * every probe pays until a rebuild.
+      */
+    def phantomShare: Double =
+      if (indexedReps == 0) 0.0 else phantomReps.toDouble / indexedReps
+  }
+
+  /** Phantom-rep report for a collapsed artifact (r18 task 6): reps in
+    * the persisted member table whose EVERY member is tombstoned. The
+    * member-level exclusion contract deliberately loads the rep halves
+    * unfiltered (a dead rep must not hide live members), so a fully-dead
+    * class keeps its rep in prefix/banded — every probe still pays its
+    * candidate + verify work, then expands to zero rows. Bounded waste,
+    * but invisible until now; check-jaccard/check-band trip past a share
+    * threshold and compact-* clears it (the fresh save re-collapses from
+    * live members only). Returns (phantomReps, totalReps); (0, 0) for a
+    * pre-members artifact (doc-level exclusion — no phantoms possible).
+    * Works for both the jaccard and band kinds: both persist `members`
+    * (rep_id, doc_id) with doc_id-keyed tombstones.
+    */
+  def phantomRepStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    if (!new java.io.File(s"$path/members/_SUCCESS").isFile) return (0L, 0L)
+    val raw = spark.read.parquet(s"$path/members")
+      .select(col("rep_id")).distinct().localCheckpoint()
+    val live = Tombstones.exclude(spark.read.parquet(s"$path/members"),
+      spark, path, "doc_id")
+    val phantom = raw
+      .join(live.select(col("rep_id")).distinct(), Seq("rep_id"),
+        "left_anti")
+      .count()
+    (phantom, raw.count())
+  }
 
   def jaccardProbeStats(batch: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -924,6 +977,7 @@ object NearDup {
         l.b.select(col("doc_id"), col("sh")), l.cIds, l.dict, l.unencoded,
         threshold)
       .localCheckpoint() // counted AND expanded
+    val (phantom, totalReps) = phantomRepStats(spark, path)
     ProbeStats(
       batchDocs = l.bMembers.count(),
       candidates = l.cand.count(),
@@ -932,7 +986,9 @@ object NearDup {
         Seq("jaccard")).count(),
       indexedDocs = l.cMembers.count(),
       prefixRows = spark.read.parquet(s"$path/prefix").count(),
-      vocab = spark.read.parquet(s"$path/dfreq").count())
+      vocab = spark.read.parquet(s"$path/dfreq").count(),
+      phantomReps = phantom,
+      indexedReps = totalReps)
   }
 
   /** Batch probe of a band index (the non-streaming sibling of
@@ -951,11 +1007,11 @@ object NearDup {
     // banding reps emits EXACTLY the band keys of every member — the
     // LSH-approximate output is unchanged row-for-row, it just travels
     // rep-level until the final ids-only member expansion.
+    // unpinned — exactSetMembers reads it exactly once (r18 task 3)
     val b0 = batch.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), setClassKey(col("sh")).as("ck"))
-      .localCheckpoint()
     val (bMembers, bReps) = exactSetMembers(b0)
-    val b = bReps // pinned inside exactSetMembers; feeds banding + verify
+    val b = bReps // pinned aggregate view; feeds banding + verify
     val cand = withBandKeys(b, index.numHashes, index.bands,
         index.rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
@@ -1183,6 +1239,55 @@ object NearDup {
         col("wh") === col("wh_b") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Trim-exposure budget for the token-span family (r18 — the
+    * HammingBands.trimExposure discipline applied to [[tokenSpanPairs]]'
+    * window-key df cap): the candidate-pair mass the cap declines to
+    * generate — Σ df·(df−1)/2 over window keys with df > maxDf — as
+    * (overCapKeys, exposurePairs, share of all distinct-text pairs).
+    * Exactly the simhash/phash convention transplanted:
+    *   - df counts DISTINCT TEXTS per window key, mirroring the hamming
+    *     family's distinct-hash df. Members of an exact-duplicate text
+    *     class share EVERY window, so raw-doc dfs would charge the cap
+    *     with pairs that are the exact-dedup family's output (the
+    *     spanMaximalPairs scaladoc's contract: short exact twins are not
+    *     span recall) — a planted 1%-identical class must not drown the
+    *     signal the budget exists to see (a genuinely-shared span among
+    *     DISTINCT texts being trimmed).
+    *   - the share denominator is all distinct-text pairs n·(n−1)/2 (the
+    *     trimExposure denominator, not the shared-window mass — the
+    *     budget bounds exposure against the corpus, and a healthy corpus
+    *     has almost no shared-window mass for a ratio to be stable over).
+    * An upper bound on recall exposure (a pair sharing an over-cap window
+    * can still surface through any other shared window ≤ maxDf); the skew
+    * gate asserts ≤ 1% on both planted fixtures so a fixture change
+    * cannot silently trade span recall for the cap. Integer `div` keeps
+    * the sums LongType (SQL `/` on longs is DOUBLE — the r17 SkewStats
+    * crash shape).
+    */
+  def spanTrimExposure(docs: DataFrame, spanTokens: Int = DefaultSpanTokens,
+      maxDf: Int = 20): (Long, Long, Double) = {
+    // one representative doc per exact-text class (the windows of
+    // identical texts are identical, so any member stands for the class)
+    val distinctTexts = docs.select(col("text"))
+      .groupBy(xxhash64(col("text")).as("tk"))
+      .agg(first(col("text")).as("text"))
+      .localCheckpoint() // feeds the count AND the window-df pass
+    val n = distinctTexts.count()
+    val row = distinctTexts
+      .select(explode(wordShingles(col("text"), spanTokens)).as("w"))
+      .select(struct(xxhash64(col("w")).as("h1"),
+        xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+      .groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(count(lit(1)).as("overKeys"),
+        sum(expr("df*(df-1) div 2")).as("exposure")).collect()(0)
+    val keys = row.getLong(0)
+    val exposure = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val totalPairs = n * (n - 1) / 2
+    (keys, exposure,
+      if (totalPairs == 0) 0.0 else exposure.toDouble / totalPairs)
   }
 
   /** MAXIMAL shared-span width per document pair — the other half of Lee

@@ -61,7 +61,8 @@ import graft.operators.{ArtifactPaths, BloomGate, BpeTrainer, IvfIndex, NearDup,
   *     crash shape), query probes the held-out batch at maxdf=
   *     (default 20), compact folds appends and drops tombstones.)
   *   build-phash | append-phash | query-phash | delete-phash |
-  *     compact-phash | stats-phash | check-phash   (the tenth kind:
+  *     compact-phash | stats-phash | check-phash | rebuild-phash
+  *     (the tenth kind:
   *     perceptual-hash image dedup — 16 B/image corpus hash table probed
   *     through the HammingBands kernel. Pictures derive
   *     deterministically from the documents fixture (pictureTable);
@@ -72,7 +73,10 @@ import graft.operators.{ArtifactPaths, BloomGate, BpeTrainer, IvfIndex, NearDup,
   *     compact folds appends and drops tombstones. stats-/check-phash
   *     is the growth/trim gate: exit 1 when over-cap band keys exist
   *     (trimmed near-dup recall — see HammingBands) or committed append
-  *     subtrees exceed maxsubtrees= (default 32).)
+  *     subtrees exceed maxsubtrees= (default 32); rebuild-phash acts on
+  *     the check's remedy in one command — re-band the artifact from its
+  *     own live hashes at bands=/arity= (omitted = auto-apply the
+  *     suggestion), in place.)
   *   train-quality | score-quality   (classifier lifecycle, r13:
   *     train-quality learns hashed-trigram weights + intercept by
   *     deterministic batch logistic regression (adagrad; k= iterations,
@@ -135,11 +139,16 @@ object IndexMain {
     *     still paying for a near-unfiltered join).
     */
   def jaccardDegraded(s: graft.operators.NearDup.ProbeStats,
-      maxRatio: Double, maxCand: Double): Boolean = {
+      maxRatio: Double, maxCand: Double,
+      maxPhantom: Double = 0.2): Boolean = {
     val candPerDoc =
       if (s.batchDocs == 0) 0.0 else s.candidates.toDouble / s.batchDocs
     (s.verified > 0 && s.candidates.toDouble / s.verified > maxRatio) ||
-      candPerDoc > maxCand
+      candPerDoc > maxCand ||
+      // phantom reps (r18 task 6): classes whose every member died keep
+      // their rep in the prefix index — dead candidate+verify weight on
+      // every probe until a rebuild re-collapses from live members
+      s.phantomShare > maxPhantom
   }
 
   /** The check-semdedup verdict (r12 task 5): the streaming SemDeDup
@@ -289,6 +298,35 @@ object IndexMain {
         // arity) when the over-cap report is non-empty
         graft.operators.Multimodal.savePhashIndex(pictures("mod40eq0"), dir,
           num("arity", 1), num("bands", graft.operators.Multimodal.PhashBands))
+
+      case "rebuild-phash" =>
+        // one-command saturation remediation (r18 task 4): act on
+        // check-phash's remedy — rebuild the artifact from its own live
+        // member hashes at bands=/arity= (or, when omitted, the SAME
+        // suggestion check-phash prints: bands=8 at the smallest arity
+        // whose projected hottest-key df clears the cap, from the
+        // hottest df MEASURED at the target banding). In-place is safe
+        // here, unlike compact-* (which rewrites into dest=): the live
+        // hashes pin into executor blocks (localCheckpoint) BEFORE the
+        // save deletes anything, and the save's meta-first delete keeps
+        // a crash mid-rebuild invisible to ArtifactPaths.exists.
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val (rbBands, rbArity) =
+          if (kv.contains("bands") || kv.contains("arity"))
+            (num("bands", 8), num("arity", 1))
+          else {
+            val s = graft.operators.Multimodal.phashStats(spark, dir)
+            if (s.overCapBandKeys == 0) fail(
+              "rebuild-phash without bands=/arity=: check-phash reports " +
+                "no over-cap band keys, so there is no saturation to " +
+                "remedy — pass explicit bands=/arity= to re-band anyway")
+            graft.operators.Multimodal.suggestedPhashBanding(s)
+          }
+        graft.operators.Multimodal.rebuildPhashIndex(spark, dir, rbBands,
+          rbArity)
+        println(s"""{"rebuilt":"$dir","bands":$rbBands,""" +
+          s""""arity":$rbArity,"rows":${
+            spark.read.parquet(s"$dir/hashes").count()}}""")
 
       case "append-pq" | "append-ivfpq" =>
         PqIndex.append(spark, dir, vectors("mod10eq1"))
@@ -530,19 +568,18 @@ object IndexMain {
         // hatch): re-band at bands=8 (the widening that keeps the
         // maxHamming=3 pigeonhole budget open) at the smallest composite
         // arity whose projected hottest-key df clears the cap —
-        // `build-phash bands=8 arity=<k>` consumes it. The hottest-df
-        // input is a planning floor (max of the measured hottest key and
-        // the 8-bit uniform expectation); the authoritative check is
-        // re-measuring check-phash on the rebuilt artifact.
+        // `rebuild-phash` (r18) consumes it. The hottest-df input is
+        // MEASURED AT THE TARGET bands=8 banding (hottestBandDf8 — the
+        // current-banding df aggregates ~2^(64/bands−8) 8-bit keys per
+        // key and can undershoot under clustered hashes; r17 ADVICE),
+        // floored by the 8-bit uniform expectation; the authoritative
+        // check is re-measuring check-phash on the rebuilt artifact.
         val arity =
           if (s.overCapBandKeys == 0 || s.distinctHashes == 0 ||
-              s.hottestBandDf == 0) ""
+              s.hottestBandDf8 == 0) ""
           else {
-            val hot8 = math.max(s.distinctHashes / 256L, s.hottestBandDf)
-            s""","suggested_bands":8,"suggested_arity":${
-              graft.operators.HammingBands.suggestKeyArity(s.distinctHashes,
-                math.min(hot8, s.distinctHashes), maxHamming = 3,
-                bands = 8)}"""
+            val (sb, sa) = graft.operators.Multimodal.suggestedPhashBanding(s)
+            s""","suggested_bands":$sb,"suggested_arity":$sa"""
           }
         println(s"""{"base_rows":${s.baseRows},""" +
           s""""append_subtrees":${s.appendSubtrees},""" +
@@ -550,7 +587,8 @@ object IndexMain {
           s""""distinct_hashes":${s.distinctHashes},""" +
           s""""max_class":${s.maxClass},""" +
           s""""over_cap_band_keys":${s.overCapBandKeys},""" +
-          s""""hottest_band_df":${s.hottestBandDf}$arity,""" +
+          s""""hottest_band_df":${s.hottestBandDf},""" +
+          s""""hottest_band_df8":${s.hottestBandDf8}$arity,""" +
           s""""tombstones":${s.tombstones}$status}""")
         if (status.contains("\"act\"")) {
           spark.stop()
@@ -574,7 +612,7 @@ object IndexMain {
           if (cmd == "stats-jaccard") ""
           else {
             val degraded = jaccardDegraded(s, dbl("maxratio", 50.0),
-              dbl("maxcand", 20.0))
+              dbl("maxcand", 20.0), dbl("maxphantom", 0.2))
             s""","cand_per_batch_doc":${f"$candPerDoc%.2f"}""" +
               s""","status":"${if (degraded) "rebuild" else "ok"}""""
           }
@@ -582,8 +620,31 @@ object IndexMain {
           s""""candidates":${s.candidates},"verified":${s.verified},""" +
           s""""matches":${s.matches},""" +
           s""""cand_per_verified":$ratio,"indexed_docs":${s.indexedDocs},""" +
-          s""""prefix_rows":${s.prefixRows},"vocab":${s.vocab}$status}""")
+          s""""prefix_rows":${s.prefixRows},"vocab":${s.vocab},""" +
+          s""""phantom_reps":${s.phantomReps},""" +
+          s""""indexed_reps":${s.indexedReps},""" +
+          s""""phantom_share":${f"${s.phantomShare}%.4f"}$status}""")
         if (status.contains("\"rebuild\"")) {
+          spark.stop()
+          sys.exit(1)
+        }
+
+      case "stats-band" | "check-band" =>
+        // phantom-rep gate for the band kind (r18 task 6 — the jaccard
+        // pattern): a fully-tombstoned class keeps its rep banded until
+        // compact-band re-collapses; exit 1 = compact now
+        if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
+        val (phantom, totalReps) = NearDup.phantomRepStats(spark, dir)
+        val share =
+          if (totalReps == 0) 0.0 else phantom.toDouble / totalReps
+        val status =
+          if (cmd == "stats-band") ""
+          else s""","status":"${
+            if (share > dbl("maxphantom", 0.2)) "compact" else "ok"}""""
+        println(s"""{"phantom_reps":$phantom,"indexed_reps":$totalReps,""" +
+          s""""phantom_share":${f"$share%.4f"},""" +
+          s""""tombstones":${Tombstones.count(spark, dir)}$status}""")
+        if (status.contains("\"compact\"")) {
           spark.stop()
           sys.exit(1)
         }

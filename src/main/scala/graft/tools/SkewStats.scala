@@ -51,24 +51,16 @@ object SkewStats {
     }
 
     // Trim-exposure budget (r17 task 7): the pair mass the df cap
-    // declines to generate — Σ df·(df−1)/2 over the over-cap keys, as a
-    // share of all distinct-hash pairs. An upper BOUND on recall
-    // exposure (a pair whose every shared band is trimmed can still
-    // surface through another band or the exact path); the gate asserts
-    // it stays below a declared fraction so a fixture change cannot
-    // silently trade recall for the cap.
+    // declines to generate, as a share of all distinct-hash pairs — the
+    // gate asserts it stays below a declared fraction so a fixture
+    // change cannot silently trade recall for the cap. Lives in
+    // HammingBands.trimExposure (r18 — the in-main copy crashed on a
+    // non-empty over-cap set: long `/` is DOUBLE in Spark SQL; the
+    // shared kernel uses integer `div` and is spec-pinned on a
+    // saturated fixture).
     def overCapExposure(hashed: org.apache.spark.sql.DataFrame,
-        bands: Int): (Long, Long, Double) = {
-      val n = hashed.select(col("h")).distinct().count()
-      val over = graft.operators.HammingBands.overCapBandKeys(hashed, bands)
-        .agg(count(lit(1)).as("k"),
-          sum(expr("df*(df-1)/2")).as("exposure")).collect()(0)
-      val keys = over.getLong(0)
-      val exposure = if (over.isNullAt(1)) 0L else over.getLong(1)
-      val totalPairs = n * (n - 1) / 2
-      (keys, exposure,
-        if (totalPairs == 0) 0.0 else exposure.toDouble / totalPairs)
-    }
+        bands: Int): (Long, Long, Double) =
+      graft.operators.HammingBands.trimExposure(hashed, bands)
 
     val docs = graft.Tables.documents(spark, dir)
     val simHashed = docs.select(col("doc_id").as("id"),
@@ -95,6 +87,10 @@ object SkewStats {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
+    // span-family trim-exposure (r18 task 5): the window-key df cap gets
+    // the same ≤1% budget simhash/phash already carry
+    val (spanOverKeys, spanExposure, spanExposureShare) =
+      graft.operators.NearDup.spanTrimExposure(docs)
 
     val li = graft.Tables.lineitem(spark, dir)
     val joinHot = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
@@ -113,6 +109,9 @@ object SkewStats {
       s""""phash_trim_exposure":$phExposure,""" +
       s""""phash_trim_exposure_share":${f"$phExposureShare%.6f"},""" +
       s""""span_max_df":$spanMaxDf,""" +
+      s""""span_overcap_keys":$spanOverKeys,""" +
+      s""""span_trim_exposure":$spanExposure,""" +
+      s""""span_trim_exposure_share":${f"$spanExposureShare%.6f"},""" +
       s""""join_hot_key_share":${f"$hotShare%.4f"}}""")
     spark.stop()
   }

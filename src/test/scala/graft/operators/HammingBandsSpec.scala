@@ -174,6 +174,40 @@ class HammingBandsSpec extends SparkSpec {
       .count() should be >= HammingBands.pairs(df(mixedRows)).count()
   }
 
+  test("trimExposure on a saturated fixture: the NON-EMPTY over-cap " +
+      "branch returns exact long pair mass (r17 ADVICE: the SQL / on " +
+      "longs yields double and the old getLong read crashed here)") {
+    // 10 distinct hashes all sharing the band-0 key (low 16 bits fixed),
+    // every other band value unique — ONE over-cap key at cap 4
+    val lowBits = 0xBEEFL
+    val rows = (0 until 10).map(i =>
+      (i.toLong, (mix(i.toLong + 3000) << 16) | lowBits)) ++
+      // duplicate-id rows re-using hash 0: df counts DISTINCT hashes
+      (0 until 3).map(i => (100L + i, (mix(3000L) << 16) | lowBits))
+    val (keys, exposure, share) =
+      HammingBands.trimExposure(df(rows), bands = 4, maxBandDf = 4)
+    keys shouldBe 1L
+    exposure shouldBe 45L // C(10,2) over the one over-cap key
+    share shouldBe 1.0 // all 45 distinct-hash pairs sit behind the key
+    // healthy fixture: empty over-cap set stays (0, 0, 0.0)
+    HammingBands.trimExposure(df(mixedRows)) shouldBe ((0L, 0L, 0.0))
+  }
+
+  test("banding fan-out ceiling: C(bands, keyArity) past MaxKeysPerHash " +
+      "is refused, not materialized (r17 ADVICE: bands=32 arity=16 is " +
+      "~6e8 struct entries per hash)") {
+    an[IllegalArgumentException] should be thrownBy
+      HammingBands.pairs(df(mixedRows), maxHamming = 3, bands = 32,
+        keyArity = 16)
+    an[IllegalArgumentException] should be thrownBy
+      HammingBands.overCapBandKeys(df(mixedRows), bands = 32,
+        maxBandDf = 64, keyArity = 16)
+    // the remedy path's own suggestions stay far under the ceiling
+    noException should be thrownBy
+      HammingBands.overCapBandKeys(df(mixedRows), bands = 8,
+        maxBandDf = 64, keyArity = 5).count()
+  }
+
   test("band-key saturation: every arity-1 key over the cap loses recall; " +
       "the overCapBandKeys-driven suggestKeyArity restores brute parity " +
       "at maxHamming=3 (r17 escape hatch)") {

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Pins the multimodal plumbing: schema, deterministic stub decode,
@@ -675,6 +677,75 @@ class MultimodalSpec extends SparkSpec {
         spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     got shouldBe want
+  }
+
+  test("rebuild-phash remediation loop (r18 task 4): plant saturation -> " +
+      "check reports the suggestion -> rebuild at it, in place -> check " +
+      "green + probe brute-parity at maxHamming=3") {
+    val sp = spark; import sp.implicits._
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // saturated corpus: 8 eight-bit sub-bands, each drawing from a
+    // 2-value alphabet selected by one bit of the id — 256 EXACTLY even
+    // distinct hashes, so every 16-bit key at the artifact's bands=4
+    // holds 64 distinct hashes (over a 32 cap) and every arity-3
+    // composite 24-bit key at bands=8 holds exactly 32 (at the cap, not
+    // over it)
+    // distinct-per-band by construction: low bit carries the value index
+    val alphabet = Array.tabulate(8, 2)((b, v) =>
+      ((mix(b.toLong) & 0x7FL) << 1) | v)
+    def hash(i: Int): Long =
+      (0 until 8).map(b => alphabet(b)(((i >> b) & 1)) << (8 * b))
+        .reduce(_ | _)
+    val corpus = (0 until 256).map(i => (i.toLong, hash(i)))
+    corpus.map(_._2).distinct.size shouldBe 256
+    val cap = 32
+    val dir = tmpDir("phash_rebuild").toString
+    Multimodal.savePhashIndexFromHashes(
+      corpus.toDF("media_id", "ph"), dir) // bands=4, arity 1
+    Multimodal.loadPhashBanding(sp, dir) shouldBe ((4, 1))
+    // the check: saturation is real, and the suggestion comes from the
+    // hottest df measured AT the target bands=8 banding (r17 ADVICE)
+    val s = Multimodal.phashStats(sp, dir, maxBandDf = cap)
+    s.overCapBandKeys shouldBe 16L // 4 bands x 4 two-band combos
+    s.hottestBandDf8 shouldBe 128L // each 8-bit alphabet value: n/2
+    Multimodal.phashDegraded(s, maxSubtrees = 32) shouldBe true
+    val (sb, sa) = Multimodal.suggestedPhashBanding(s, maxBandDf = cap)
+    sb shouldBe 8
+    sa shouldBe 3 // 256 x (1/2)^3 = 32 = cap, first arity that clears
+    // the probe set: <=3 flipped bits off planted corpus hashes
+    val probes = (0 until 20).map { i =>
+      val h = corpus(i * 12)._2
+      val flips = (0 to (i % 3)).map(j =>
+        1L << ((mix(i * 7L + j) & 63L).toInt)).reduce(_ | _)
+      (9000L + i, h ^ flips)
+    }
+    def probeMatches(): Set[(Long, Long, Int)] = {
+      val (bands, arity) = Multimodal.loadPhashBanding(sp, dir)
+      HammingBands.probePairs(probes.toDF("id", "h"),
+          Multimodal.loadPhashHashes(sp, dir)
+            .select(col("media_id").as("id"), col("ph").as("h")),
+          maxHamming = 3, bands, cap, arity)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val want = (for {
+      (ip, hp) <- probes; (ic, hc) <- corpus
+      d = java.lang.Long.bitCount(hp ^ hc) if d <= 3
+    } yield (ip, ic, d)).toSet
+    // saturated arity-1 artifact: every banded key trimmed, so only the
+    // exact-hash path answers — near-dup recall has collapsed
+    probeMatches().size should be < want.size
+    // one command applies the suggestion in place
+    Multimodal.rebuildPhashIndex(sp, dir, sb, sa)
+    Multimodal.loadPhashBanding(sp, dir) shouldBe ((sb, sa))
+    val s2 = Multimodal.phashStats(sp, dir, maxBandDf = cap)
+    s2.overCapBandKeys shouldBe 0L
+    Multimodal.phashDegraded(s2, maxSubtrees = 32) shouldBe false
+    probeMatches() shouldBe want // full brute parity at maxHamming=3
   }
 
   test("q_dedup_image_phash: deterministic planted pairs; payloads never shuffle") {

@@ -309,6 +309,30 @@ class DedupSpec extends SparkSpec {
     NearDup.tokenSpanPairs(docsDf(boiler: _*)).count() shouldBe 15L
   }
 
+  test("spanTrimExposure: a planted over-cap boilerplate window reports " +
+      "exact long pair mass over distinct texts; identical-doc classes " +
+      "never charge the budget (r18 task 5)") {
+    import graft.operators.NearDup
+    // 30 DISTINCT docs sharing one 50-token boilerplate span: 10 unique
+    // lead tokens + the span = 60 tokens/doc = 11 windows, of which
+    // exactly ONE (the pure span window) is shared — df 30 > maxDf 20
+    val span = (1 to 50).map(i => s"legal$i").mkString(" ")
+    val boiler = (1L to 30L).map(i =>
+      (i, (1 to 10).map(j => s"uniq${i}_$j").mkString(" ") + " " + span))
+    // plus a 40-member IDENTICAL class: its windows are shared by 40
+    // member DOCS but only ONE distinct text — must not count
+    val dupText = (1 to 60).map(i => s"chrome$i").mkString(" ")
+    val dups = (100L until 140L).map(i => (i, dupText))
+    val docs = docsDf((boiler ++ dups): _*)
+    val (keys, exposure, share) = NearDup.spanTrimExposure(docs)
+    keys shouldBe 1L
+    exposure shouldBe 435L // C(30,2) behind the one over-cap window key
+    // 31 distinct texts (30 boilerplate + the collapsed class)
+    share shouldBe (435.0 / (31L * 30L / 2)) +- 1e-9
+    // cap above the plant's df: empty report
+    NearDup.spanTrimExposure(docs, maxDf = 40) shouldBe ((0L, 0L, 0.0))
+  }
+
   test("maximal span ladder: a 200-token overlap reports the 4k rung, " +
       "a 50-token overlap the base rung; short exact twins never inflate") {
     import graft.operators.NearDup

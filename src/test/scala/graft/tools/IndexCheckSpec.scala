@@ -76,6 +76,66 @@ class IndexCheckSpec extends SparkSpec {
     IndexMain.jaccardDegraded(s2, maxRatio = 50.0, maxCand = 20.0) shouldBe false
   }
 
+  test("phantom reps (r18 task 6): deleting every member of a collapsed " +
+      "class is reported, trips the verdict, and compaction clears it") {
+    val sp = spark; import sp.implicits._
+    // 4 exact-set classes: one 20-member identical class + 3 singletons
+    def phrase(i: Int) = (1 to 25).map(k => s"cls${i}w$k").mkString(" ")
+    val corpus = docsDf(
+      (1 to 20).map(i => (i.toLong, phrase(0))) ++
+        (1 to 3).map(i => (100L + i, phrase(i))))
+    val dir = tmpDir("graft_check_phantom").toString
+    NearDup.saveJaccardIndex(corpus, dir)
+    NearDup.phantomRepStats(spark, dir) shouldBe ((0L, 4L))
+    val batch = docsDf(Seq((500L, phrase(0)), (501L, phrase(2))))
+    val s0 = NearDup.jaccardProbeStats(batch, spark, dir)
+    s0.phantomReps shouldBe 0L
+    s0.matches shouldBe 21L // 20 class members + 1 singleton
+    IndexMain.jaccardDegraded(s0, maxRatio = 50.0, maxCand = 20.0) shouldBe false
+
+    // kill the whole 20-member class: its rep stays in prefix/docs (the
+    // member-level exclusion contract) but every probe's expansion now
+    // finds nothing — the phantom the stats must name
+    graft.operators.Tombstones.deleteIds(dir, (1L to 20L).toDF("id"))
+    NearDup.phantomRepStats(spark, dir) shouldBe ((1L, 4L))
+    val s1 = NearDup.jaccardProbeStats(batch, spark, dir)
+    s1.phantomReps shouldBe 1L
+    s1.indexedReps shouldBe 4L
+    s1.phantomShare shouldBe 0.25 +- 1e-9
+    s1.matches shouldBe 1L // the class expands to zero rows
+    // the phantom axis trips at maxPhantom below the share...
+    IndexMain.jaccardDegraded(s1, maxRatio = 50.0, maxCand = 20.0,
+      maxPhantom = 0.2) shouldBe true
+    // ...and the other axes alone stay quiet
+    IndexMain.jaccardDegraded(s1, maxRatio = 50.0, maxCand = 20.0,
+      maxPhantom = 0.5) shouldBe false
+
+    // compact re-collapses from live members only: phantom gone, probe
+    // output unchanged
+    val dest = tmpDir("graft_check_phantom_c").toString
+    val thr = spark.read.parquet(s"$dir/meta").collect()(0).getDouble(0)
+    NearDup.saveJaccardIndex(NearDup.loadJaccardDocs(spark, dir), dest, thr)
+    NearDup.phantomRepStats(spark, dest) shouldBe ((0L, 3L))
+    val s2 = NearDup.jaccardProbeStats(batch, spark, dest)
+    s2.phantomReps shouldBe 0L
+    s2.matches shouldBe 1L
+    IndexMain.jaccardDegraded(s2, maxRatio = 50.0, maxCand = 20.0,
+      maxPhantom = 0.2) shouldBe false
+
+    // the band kind shares the member layout — same loop through
+    // phantomRepStats (the stats-band/check-band surface)
+    val bdir = tmpDir("graft_check_phantom_band").toString
+    NearDup.saveBandIndex(corpus, bdir)
+    NearDup.phantomRepStats(spark, bdir) shouldBe ((0L, 4L))
+    graft.operators.Tombstones.deleteIds(bdir, (1L to 20L).toDF("id"))
+    NearDup.phantomRepStats(spark, bdir) shouldBe ((1L, 4L))
+    val bdest = tmpDir("graft_check_phantom_band_c").toString
+    val idx = NearDup.loadBandIndex(spark, bdir)
+    NearDup.saveBandIndex(idx.docs, bdest, idx.numHashes, idx.bands,
+      idx.rowsPerBand)
+    NearDup.phantomRepStats(spark, bdest) shouldBe ((0L, 3L))
+  }
+
   test("check-semdedup: a many-batch stream trips the growth gate; " +
       "compaction restores health (r12 task 5)") {
     import graft.operators.SemDedup

@@ -136,13 +136,19 @@ def skew_stats(fixture):
 
 
 def bench_leg(fixture, out_path):
-    # reuse a leg this gate already ran (same fixture, same query set) —
-    # re-running the asserts over committed leg dumps is free
+    # reuse a leg this gate already ran — only when the dump provably ran
+    # the SAME query set under lint=fail (r17 ADVICE: a stale dump from a
+    # different 35-query set, or a lint-off run, must not be accepted as
+    # gate evidence on a count match alone)
     if os.path.exists(out_path):
         j = json.load(open(out_path))
-        if j.get("sf") == fixture and j.get("n") == len(SKEW_QUERIES):
+        if (j.get("sf") == fixture
+                and set(j.get("task_metrics", {})) == set(SKEW_QUERIES)
+                and j.get("lint_mode") == "fail"):
             print(f"[skew-gate] reusing committed leg dump {out_path}")
             return j
+        print(f"[skew-gate] stale leg dump {out_path} "
+              f"(sf/queries/lint mismatch) — re-running")
     env = {
         "SPARK_GRAFT_SF_DIR": fixture,
         "SPARK_GRAFT_BENCH_PASSES": "1",
@@ -199,12 +205,20 @@ def main():
     if s10["join_hot_key_share"] < 0.08 or s40["join_hot_key_share"] < 0.08:
         fails.append("PLANT-MISSING hot join key share < 8%")
     for leg, s in (("f10", s10), ("f40", s40)):
-        for fam in ("simhash", "phash"):
+        # span joined the budget in r18 (task 5): window-key df over
+        # DISTINCT texts, share over all distinct-text pairs — the same
+        # convention as the hamming families' distinct-hash measure
+        for fam in ("simhash", "phash", "span"):
             share = s[f"{fam}_trim_exposure_share"]
             if share > MAX_TRIM_EXPOSURE:
                 fails.append(
                     f"TRIM-EXPOSURE {leg} {fam}: trimmed pair mass "
                     f"{share:.4f} of corpus pairs > declared {MAX_TRIM_EXPOSURE}")
+        # the span plant must be REAL (a fixture change silently removing
+        # the boilerplate span would make the budget vacuous)
+        if s["span_overcap_keys"] < 1:
+            fails.append(f"PLANT-MISSING {leg}: no over-cap span window key "
+                         "(the 2% boilerplate span plant is gone)")
 
     # --- 2. the two bench legs, lint in FAIL mode ---
     b10 = bench_leg(f10, os.path.join(out_dir, "skew_bench_f10.json"))
@@ -250,6 +264,10 @@ def main():
             "simhash_f40": s40["simhash_trim_exposure_share"],
             "phash_f10": s10["phash_trim_exposure_share"],
             "phash_f40": s40["phash_trim_exposure_share"],
+            "span_f10": s10["span_trim_exposure_share"],
+            "span_f40": s40["span_trim_exposure_share"],
+            "span_overcap_keys_f10": s10["span_overcap_keys"],
+            "span_overcap_keys_f40": s40["span_overcap_keys"],
         },
         "fails": fails,
         "pass": not fails,
