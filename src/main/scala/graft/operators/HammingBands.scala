@@ -110,7 +110,7 @@ object HammingBands {
       case _ => false
     }
 
-  private def pin(df: DataFrame): DataFrame =
+  private[operators] def pin(df: DataFrame): DataFrame =
     if (alreadyPinned(df.queryExecution.analyzed)) df else df.localCheckpoint()
 
   /** Hard ceiling on C(bands, keyArity) — the per-hash banding fan-out.

@@ -139,65 +139,115 @@ object NearDup {
       .localCheckpoint()
   }
 
+  /** Ceiling on the duplicate-member id set the collapse will broadcast
+    * (8 B/id ⇒ ~32 MB at the cap). Corpora with more exact-duplicate
+    * docs than this take the aggregate path, where the collapse's array
+    * exchange is repaid many times over by the dup arrays it removes
+    * from every downstream pass.
+    */
+  private val MaxBroadcastDupIds = 4L * 1000 * 1000
+
+  /** One side's exact-set collapse: `members` (rep_id, doc_id) maps every
+    * doc to its class representative (reps map to themselves), `reps` is
+    * the rep-restricted doc view the kernel runs over, and `trivial`
+    * marks a duplicate-free side — members is the identity map and the
+    * post-verify expansion join can be skipped outright.
+    */
+  private final case class SetCollapse(members: DataFrame, reps: DataFrame,
+      trivial: Boolean)
+
   /** Exact-set pre-collapse for the CROSS-SET (incremental/probe) kernels
     * — the §jaccard-collapse doctrine applied to the batch-vs-corpus
     * family (r17: the judge's carried weak — probe verify bytes used to
     * scale with corpus-class size). `d` is the UNPINNED (doc_id, …, ck)
-    * projection; this is its only consumer and it reads the input exactly
-    * ONCE (r18 task 3 — the r17 shape pinned `d` and then read its
-    * full-array blocks twice more: once for the rep aggregate and once
-    * for a members re-join, doubling the kernel's input bytes at sf10;
-    * now the member list rides the SAME single aggregate as the rep row
-    * via collect_list and explodes out of the pinned result). Returns
-    *   - `members` (rep_id, doc_id): every doc mapped to its class
-    *     representative (min doc_id; reps map to themselves) — ids-only,
-    *     checkpointed (it feeds the post-verify expansion), and
-    *   - `repDocs`: one representative row per class (ck dropped) — the
-    *     only rows the candidates+verify kernel sees, a deterministic
-    *     projection over the pinned aggregate.
-    * first() over non-key columns is exact (class members are
-    * set-identical by construction) and the partial aggregate collapses
-    * a giant class map-side before the exchange. The per-class member
-    * list materializes as ONE array row — 8 B per member, bounded by the
-    * largest exact-dup class (16 KB at the skew gate's planted 2000;
-    * ~1 GB only past 10⁸ identical docs, where a corpus needs the
-    * artifact path's save-time collapse anyway).
-    * Identical sets have identical prefixes/signatures and identical
-    * jaccard/containment against any third set, so probing reps and
-    * expanding match rows by one linear ids-only member join per side is
-    * EXACT (DedupSpec pins probe == brute on planted identical classes on
-    * both sides).
+    * projection; it is evaluated ONCE into the pin.
+    *
+    * The collapse machinery is sized by the MEASURED dup mass (r18 task
+    * 3 — the r17 shape pinned the input and then aggregated + re-joined
+    * its full-array blocks, paying 1.76× input bytes and 1.6× CPU on
+    * every corpus, duplicated or not):
+    *   - class census: ONE ids-only aggregate over the pinned blocks
+    *     (the array bytes are never read again for collapse purposes);
+    *     members, the dup-id set, and the census scalar all derive from
+    *     its small pinned result;
+    *   - duplicate-free side: reps IS the pinned input, members the
+    *     identity view, and `trivial` lets every consumer skip the
+    *     expansion join;
+    *   - dup mass ≤ [[MaxBroadcastDupIds]]: reps = pinned input MINUS
+    *     the non-rep dup ids via broadcast anti-join (no array ever
+    *     shuffles);
+    *   - past the ceiling: the declarative rep aggregate (repsOf) —
+    *     map-side partial collapses the dup arrays BEFORE its exchange,
+    *     which the removed dup arrays repay many times over.
+    * All paths produce identical reps rows (first() is exact: class
+    * members are set-identical by construction). Identical sets have
+    * identical prefixes/signatures and identical jaccard/containment
+    * against any third set, so probing reps and expanding match rows by
+    * one linear ids-only member join per side is EXACT (DedupSpec pins
+    * probe == brute on planted identical classes on both sides).
     */
-  private def exactSetMembers(d: DataFrame): (DataFrame, DataFrame) = {
-    val others = d.columns.filter(c => c != "doc_id" && c != "ck")
-    val agg = d.groupBy(col("ck"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        (collect_list(col("doc_id")).as("member_ids") +:
-          others.toSeq.map(c => first(col(c)).as(c))): _*)
+  private def exactSetMembers(d: DataFrame): SetCollapse = {
+    // ONE evaluation of shingles + class key (no re-copy when the caller
+    // already pinned — buildBandIndex shares its pin with the docs view)
+    val d0 = HammingBands.pin(d)
+    // the class census: ONE aggregate over the slim (doc_id, ck)
+    // projection of the pinned blocks — fixed-width field copies, the
+    // array bytes are never touched; collect_list here is over IDS ONLY,
+    // so ObjectHashAggregate's sort-based fallback sorts 24 B rows
+    // (collect_list over the full array rows is what cost 1.4× CPU).
+    // Everything below (members, dup ids, the census scalar) derives
+    // from this ONE pinned result — no further read of the array blocks
+    // beyond the kernel core's own three.
+    val classes = d0.select(col("doc_id"), col("ck"))
+      .groupBy(col("ck"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        collect_list(col("doc_id")).as("ids"),
+        count(lit(1)).as("m"))
       .localCheckpoint()
-    val members = agg.select(col("doc_id").as("rep_id"),
-        explode(col("member_ids")).as("doc_id"))
-      .localCheckpoint()
-    (members, agg.drop("member_ids", "ck"))
+    val dupExtra = classes.agg(sum(col("m")) - count(lit(1))).collect()(0)
+      .getLong(0)
+    val reps0 = d0.drop("ck")
+    if (dupExtra == 0)
+      SetCollapse(
+        reps0.select(col("doc_id").as("rep_id"), col("doc_id")),
+        reps0, trivial = true)
+    else {
+      val members = classes.select(col("rep_id"),
+        explode(col("ids")).as("doc_id"))
+      val reps =
+        if (dupExtra <= MaxBroadcastDupIds)
+          reps0.join(broadcast(
+              members.filter(col("doc_id") =!= col("rep_id"))
+                .select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+        else repsOf(d0).drop("ck")
+      SetCollapse(members, reps, trivial = false)
+    }
   }
 
   /** Expand cross-set REP matches (doc_id = batch rep, matched_id =
     * corpus rep) back to member matches: one linear ids-only equi-join
-    * per side. Identical sets carry identical match values, so the value
-    * columns copy through unchanged — the m members of an identical
-    * corpus class each cost 24 B on the wire instead of a re-attached
-    * shingle array per pair.
+    * per side, skipped outright for a side whose collapse is trivial
+    * (members is the identity map there — r18). Identical sets carry
+    * identical match values, so the value columns copy through unchanged
+    * — the m members of an identical corpus class each cost 24 B on the
+    * wire instead of a re-attached shingle array per pair.
     */
   private def expandCrossMatches(repMatches: DataFrame,
       batchMembers: DataFrame, corpusMembers: DataFrame,
-      valueCols: Seq[String]): DataFrame =
-    repMatches
-      .join(batchMembers.select(col("rep_id").as("doc_id"),
+      valueCols: Seq[String], bTrivial: Boolean = false,
+      cTrivial: Boolean = false): DataFrame = {
+    val b =
+      if (bTrivial) repMatches.withColumn("b_member", col("doc_id"))
+      else repMatches.join(batchMembers.select(col("rep_id").as("doc_id"),
         col("doc_id").as("b_member")), "doc_id")
-      .join(corpusMembers.select(col("rep_id").as("matched_id"),
+    val bc =
+      if (cTrivial) b.withColumn("c_member", col("matched_id"))
+      else b.join(corpusMembers.select(col("rep_id").as("matched_id"),
         col("doc_id").as("c_member")), "matched_id")
-      .select(col("b_member").as("doc_id") +:
-        col("c_member").as("matched_id") +: valueCols.map(col): _*)
+    bc.select(col("b_member").as("doc_id") +:
+      col("c_member").as("matched_id") +: valueCols.map(col): _*)
+  }
 
   /** Expand verified REP pairs back to member pairs (symmetric-value
     * functions — jaccard): within-class pairs carry `withinValue`
@@ -348,8 +398,9 @@ object NearDup {
     val s0 = staticDocs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
-    val (members, sReps) = exactSetMembers(s0)
-    val s = sReps // pinned inside exactSetMembers
+    val sC = exactSetMembers(s0)
+    val members = sC.members
+    val s = sC.reps // pinned inside exactSetMembers
     val banded = withBandKeys(s, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
       .localCheckpoint()
@@ -379,8 +430,9 @@ object NearDup {
       .localCheckpoint()
     // corpus-side collapse, once, at save time (r17): banded/docs/ids
     // hold one rep per identical-set class; members expands probe output
-    val (members, sReps) = exactSetMembers(s0)
-    val s = sReps // pinned inside exactSetMembers
+    val sC = exactSetMembers(s0)
+    val members = sC.members
+    val s = sC.reps // pinned inside exactSetMembers
     withBandKeys(s, numHashes, bands, rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/banded")
@@ -655,21 +707,21 @@ object NearDup {
     // join per side. Computing the union df over REPS is a valid
     // canonical order (the prefix lemma needs only SOME fixed order
     // common to both sides).
-    // each side is consumed ONLY by its one-pass collapse aggregate
-    // (exactSetMembers reads the input exactly once — r18 task 3: the
-    // r17 per-side pins here doubled the kernel's input bytes at sf10),
-    // so the raw projections stay unpinned and the parquet scan below
-    // them keeps its column pruning
+    // each side is consumed ONLY by its collapse (exactSetMembers pins
+    // internally and sizes the rep restriction by measured dup mass —
+    // r18 task 3: the r17 per-side pins here doubled the kernel's input
+    // bytes at sf10), so the raw projections stay unpinned and the
+    // parquet scan below them keeps its column pruning
     val b0 = batch.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
         setClassKey(col("sh")).as("ck"))
     val c0 = corpus.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
         setClassKey(col("sh")).as("ck"))
-    val (bMembers, bReps) = exactSetMembers(b0)
-    val (cMembers, cReps) = exactSetMembers(c0)
-    val b = bReps // deterministic view over the pinned collapse aggregate
-    val c = cReps
+    val bC = exactSetMembers(b0)
+    val cC = exactSetMembers(c0)
+    val b = bC.reps // pinned (or a view over the pin) inside exactSetMembers
+    val c = cC.reps
     // checkpointed: feeds both prefix passes AND the verify dictionary
     val dfreq = b.select(explode(col("sh")).as("shingle"))
       .union(c.select(explode(col("sh")).as("shingle")))
@@ -688,7 +740,8 @@ object NearDup {
     val repMatches = verifySplit(cand, b.select(col("doc_id"), col("sh")),
       encodeDocs(c, dict), dict, c.select(col("doc_id"), col("sh")).limit(0),
       threshold)
-    expandCrossMatches(repMatches, bMembers, cMembers, Seq("jaccard"))
+    expandCrossMatches(repMatches, bC.members, cC.members, Seq("jaccard"),
+      bC.trivial, cC.trivial)
   }
 
   /** Build-once probe-many artifact for the incremental near-dup (the
@@ -728,10 +781,11 @@ object NearDup {
         setClassKey(col("sh")).as("ck"))
     // corpus-side collapse, once, at save time: every probe from now on
     // sees one rep per identical-set class (members expands its output).
-    // c0 stays unpinned — exactSetMembers is its only consumer and reads
-    // it exactly once (r18 task 3)
-    val (members, cReps) = exactSetMembers(c0)
-    val c = cReps // view over the pinned collapse aggregate
+    // c0 stays unpinned — exactSetMembers is its only consumer and pins
+    // internally (r18 task 3)
+    val cC = exactSetMembers(c0)
+    val members = cC.members
+    val c = cC.reps // pinned (or a view over the pin) inside exactSetMembers
     val dfreq = c.select(explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .localCheckpoint() // feeds the dfreq write, the prefix pass + dict
@@ -794,7 +848,7 @@ object NearDup {
     */
   private final case class LoadedJaccard(cand: DataFrame, b: DataFrame,
       cIds: DataFrame, dict: DataFrame, unencoded: DataFrame,
-      bMembers: DataFrame, cMembers: DataFrame)
+      bMembers: DataFrame, cMembers: DataFrame, bTrivial: Boolean)
 
   /** The candidate half of the loaded probe — shared by the matcher and
     * the selectivity report so the two can never measure different
@@ -865,18 +919,19 @@ object NearDup {
           baseDocs.select(col("doc_id"), col("sh"))
             .unionByName(appendedDocs))
     // batch-side collapse, per run (the batch is this run's input);
-    // unpinned — exactSetMembers reads it exactly once (r18 task 3)
+    // unpinned — exactSetMembers pins internally (r18 task 3)
     val b0 = batch.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
         setClassKey(col("sh")).as("ck"))
-    val (bMembers, bReps) = exactSetMembers(b0)
-    val b = bReps // view over the pinned collapse aggregate
+    val bC = exactSetMembers(b0)
+    val b = bC.reps // pinned (or a view over the pin) inside exactSetMembers
     val cand = rarePrefix(b, dfreq, tauBuild, frozenOrder = true)
       .join(cPrefix, col("shingle") === col("sh_c") &&
         col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
         col("n") >= lit(tau) * col("n_c") - lit(1e-9))
       .select(col("doc_id"), col("matched_id")).distinct()
-    LoadedJaccard(cand, b, cIds, dict, unencoded, bMembers, cMembers)
+    LoadedJaccard(cand, b, cIds, dict, unencoded, bC.members, cMembers,
+      bC.trivial)
   }
 
   private def verifiedLoadedMatches(l: LoadedJaccard,
@@ -884,7 +939,7 @@ object NearDup {
     expandCrossMatches(
       verifySplit(l.cand, l.b.select(col("doc_id"), col("sh")), l.cIds,
         l.dict, l.unencoded, threshold),
-      l.bMembers, l.cMembers, Seq("jaccard"))
+      l.bMembers, l.cMembers, Seq("jaccard"), l.bTrivial)
 
   /** The FULL live docs view of a persisted jaccard index — every live
     * member (class-collapsed base expanded through the member table,
@@ -983,7 +1038,7 @@ object NearDup {
       candidates = l.cand.count(),
       verified = repVerified.count(),
       matches = expandCrossMatches(repVerified, l.bMembers, l.cMembers,
-        Seq("jaccard")).count(),
+        Seq("jaccard"), l.bTrivial).count(),
       indexedDocs = l.cMembers.count(),
       prefixRows = spark.read.parquet(s"$path/prefix").count(),
       vocab = spark.read.parquet(s"$path/dfreq").count(),
@@ -1007,11 +1062,11 @@ object NearDup {
     // banding reps emits EXACTLY the band keys of every member — the
     // LSH-approximate output is unchanged row-for-row, it just travels
     // rep-level until the final ids-only member expansion.
-    // unpinned — exactSetMembers reads it exactly once (r18 task 3)
+    // unpinned — exactSetMembers pins internally (r18 task 3)
     val b0 = batch.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), setClassKey(col("sh")).as("ck"))
-    val (bMembers, bReps) = exactSetMembers(b0)
-    val b = bReps // pinned aggregate view; feeds banding + verify
+    val bC = exactSetMembers(b0)
+    val b = bC.reps // pinned inside exactSetMembers; feeds banding + verify
     val cand = withBandKeys(b, index.numHashes, index.bands,
         index.rowsPerBand)
       .select(col("bandKey"), col("doc_id"))
@@ -1021,7 +1076,7 @@ object NearDup {
     expandCrossMatches(
       verifySplit(cand, b, index.ids, index.dict, index.unencoded,
         threshold),
-      bMembers, index.members, Seq("jaccard"))
+      bC.members, index.members, Seq("jaccard"), bC.trivial)
   }
 
   /** Incremental index maintenance: append `newDocs` (doc_id, sh) to a
