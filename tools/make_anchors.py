@@ -7,27 +7,72 @@ reads per-query anchors from this flat TSV so it needs no JSON parser.
 Run after a round's bench artifact is accepted as the new anchor set:
 
     python3 tools/make_anchors.py [bench_full.json] [ANCHORS.tsv]
+
+Hot-leg acceptance guard (r18 task 2): a row whose CPU exceeds 1.3x its
+PRIOR anchor while shuffle bytes stay within +/-10% has an identical
+plan on a contended box -- accepting the inflated reading would let a
+genuine ~2x regression on that row read as ~1.0x next round. Such rows
+carry the in-artifact solo re-run value when the bench took one,
+otherwise the prior anchor, and the carried set is printed + recorded
+as a trailing comment in the TSV. Bytes always come from the new
+artifact (plan-pure).
 """
 import json, os, shutil, sys
 
+HOT_CPU_RATIO = 1.3
+BYTE_BAND = 0.10
+
 src = sys.argv[1] if len(sys.argv) > 1 else "bench_full.json"
 dst = sys.argv[2] if len(sys.argv) > 2 else "ANCHORS.tsv"
-# Cross-round continuity: snapshot the anchors being replaced so the
-# NEXT bench can emit a second ratio set against the PRIOR round's
-# committed numbers (graft.Bench reads <dst base>_prev.tsv) -- the
-# regenerated-per-round primary gate is self-referential by itself.
+
+# prior anchors, for the hot-leg guard AND the _prev continuity snapshot
+prior = {}
 if os.path.exists(dst):
+    for line in open(dst):
+        parts = line.strip().split("\t")
+        if len(parts) >= 3 and not line.startswith("#"):
+            try:
+                prior[parts[0]] = (float(parts[1]), int(parts[2]))
+            except ValueError:
+                pass
     base, ext = os.path.splitext(dst)
     shutil.copyfile(dst, f"{base}_prev{ext}")
     print(f"snapshotted {dst} -> {base}_prev{ext}")
-tm = json.load(open(src))["task_metrics"]
+
+j = json.load(open(src))
+tm = j["task_metrics"]
+solo = j.get("solo", {})
+carried = {}
+rows = {}
+for name in sorted(tm):
+    m = tm[name]
+    cpu, shr = m["cpu_sec"], m["shr_b"]
+    if name in prior:
+        pcpu, pshr = prior[name]
+        byte_flat = pshr == shr == 0 or (
+            pshr > 0 and abs(shr / pshr - 1.0) <= BYTE_BAND)
+        if pcpu > 0 and cpu / pcpu > HOT_CPU_RATIO and byte_flat:
+            # identical plan, contended reading: prefer the quiet solo
+            # re-run if the bench took one, else keep the prior anchor
+            fallback = solo.get(name, {}).get("cpu_sec", pcpu)
+            carried[name] = (cpu, fallback)
+            cpu = fallback
+    rows[name] = (cpu, shr)
+
 with open(dst, "w") as f:
     f.write("# Per-query adjudication anchors (local[32]): median executor\n")
     f.write("# CPU seconds + median shuffle-read bytes from the committed\n")
     f.write(f"# full-registry artifact ({src}). Regenerate after any\n")
     f.write("# accepted plan change:  python3 tools/make_anchors.py\n")
     f.write("# name\tcpu_sec\tshr_b\n")
-    for name in sorted(tm):
-        m = tm[name]
-        f.write(f"{name}\t{m['cpu_sec']:.6f}\t{m['shr_b']}\n")
-print(f"wrote {dst}: {len(tm)} anchors from {src}")
+    for name, (cpu, shr) in rows.items():
+        f.write(f"{name}\t{cpu:.6f}\t{shr}\n")
+    if carried:
+        f.write("# hot-leg rows NOT accepted at their in-leg CPU "
+                "(byte-flat, >1.3x prior; kept solo/prior value):\n")
+        for name, (hot, kept) in carried.items():
+            f.write(f"# carried\t{name}\thot={hot:.3f}\tkept={kept:.3f}\n")
+
+for name, (hot, kept) in carried.items():
+    print(f"HOT-LEG CARRY {name}: in-leg cpu {hot:.3f} -> kept {kept:.3f}")
+print(f"wrote {dst}: {len(rows)} anchors from {src}, {len(carried)} carried")
