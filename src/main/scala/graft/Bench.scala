@@ -14,7 +14,7 @@ import java.util.concurrent.atomic.AtomicLongArray
   * accumulated artifact) changed. The 2x gate is adjudicable from CPU
   * time alone, from a single contended run.
   */
-private final class TaskMetricsTap extends SparkListener {
+private[graft] final class TaskMetricsTap extends SparkListener {
   // idx: 0=cpuNs 1=runMs 2=shufReadB 3=shufWriteB 4=inputB 5=spillB 6=tasks
   private val acc = new AtomicLongArray(7)
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {

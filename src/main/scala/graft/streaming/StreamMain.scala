@@ -349,6 +349,39 @@ object StreamMain {
         null
     }
 
+    // Per-batch duty-cycle telemetry (r18 task 1 — the streaming-scale
+    // gate's raw feed): every foreachBatch sink is wrapped so each
+    // micro-batch prints ONE JSON line of wall/CPU/shuffle/input/spill
+    // deltas (the Bench counters, drained around the batch body) plus
+    // the batch's row count and the artifact's committed append-subtree
+    // count (the standing-state growth proxy). The gate asserts per-batch
+    // work stays FLAT as the artifact accumulates appends — the property
+    // fixture-scale e2e cannot see.
+    val tap = new graft.TaskMetricsTap
+    spark.sparkContext.addSparkListener(tap)
+    def drainBus(): Unit =
+      try org.apache.spark.graft.ListenerFlush
+        .waitUntilEmpty(spark.sparkContext, 30000)
+      catch { case _: Throwable => () }
+    def appendSubtrees(): Int = kvArgs.get("index").map { idx =>
+      val d = new java.io.File(s"$idx/appends")
+      if (!d.isDirectory) 0 else d.listFiles().count(_.isDirectory)
+    }.getOrElse(0)
+    def metered(f: (org.apache.spark.sql.DataFrame, Long) => Unit)
+        : (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
+      drainBus(); val s0 = tap.snapshot()
+      val t0 = System.nanoTime()
+      f(df, id)
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainBus(); val s1 = tap.snapshot()
+      val rows = df.count() // post-snapshot: excluded from the counters
+      println(f"""{"batch":$id,"rows":$rows,"wall_sec":$wall%.3f,""" +
+        f""""cpu_sec":${(s1(0) - s0(0)) / 1e9}%.3f,""" +
+        s""""shr_b":${s1(2) - s0(2)},"shw_b":${s1(3) - s0(3)},""" +
+        s""""inp_b":${s1(4) - s0(4)},"spill_b":${s1(5) - s0(5)},""" +
+        s""""append_subtrees":${appendSubtrees()}}""")
+    }
+
     val q =
       if (op == "ann") {
         import graft.functions.VectorFunctions.normSq
@@ -356,8 +389,8 @@ object StreamMain {
           .select(col("vec_id"), col("embedding"),
             normSq(col("embedding")).as("n2"))
         out.writeStream
-          .foreachBatch(StreamingOps.annTopKSink(kvArgs("index"), corpus,
-            s"$outDir/data", k = 5, pool = 25) _)
+          .foreachBatch(metered(StreamingOps.annTopKSink(kvArgs("index"), corpus,
+            s"$outDir/data", k = 5, pool = 25) _))
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       } else if (op == "bloomdedup") {
@@ -368,26 +401,26 @@ object StreamMain {
             .getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
         out.writeStream
-          .foreachBatch(StreamingOps.bloomDedupSink(
-            kvArgs("index"), s"$outDir/data", "doc_id", "key", jobKey) _)
+          .foreachBatch(metered(StreamingOps.bloomDedupSink(
+            kvArgs("index"), s"$outDir/data", "doc_id", "key", jobKey) _))
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       } else if (op == "quality") {
         out.writeStream
-          .foreachBatch(StreamingOps.qualityScoreSink(kvArgs("index"),
-            s"$outDir/data") _)
+          .foreachBatch(metered(StreamingOps.qualityScoreSink(kvArgs("index"),
+            s"$outDir/data") _))
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       } else if (op == "decontaminate") {
         out.writeStream
-          .foreachBatch(StreamingOps.decontaminateSink(kvArgs("index"),
-            s"$outDir/data"))
+          .foreachBatch(metered(StreamingOps.decontaminateSink(kvArgs("index"),
+            s"$outDir/data")))
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       } else if (op == "imagededup") {
         out.writeStream
-          .foreachBatch(StreamingOps.imageDedupSink(kvArgs("index"),
-            s"$outDir/data"))
+          .foreachBatch(metered(StreamingOps.imageDedupSink(kvArgs("index"),
+            s"$outDir/data")))
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       } else if (op == "spandedup" || op == "semdedup") {
@@ -412,14 +445,14 @@ object StreamMain {
               jobKey, emptyFloats) _
           }
         out.writeStream
-          .foreachBatch(sink)
+          .foreachBatch(metered(sink))
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       }
       else if (kvArgs.contains("maintain"))
         out.writeStream
-          .foreachBatch(StreamingOps.nearDupMaintainingSink(
-            kvArgs("index"), s"$outDir/data") _)
+          .foreachBatch(metered(StreamingOps.nearDupMaintainingSink(
+            kvArgs("index"), s"$outDir/data") _))
           .option("checkpointLocation", s"$outDir/checkpoint")
           .start()
       else

@@ -441,6 +441,47 @@ class StreamingSpec extends SparkSpec {
   private def matchRowsOf(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  test("maintaining sink under a planted identical class ARRIVING on the " +
+      "stream: keyed appends do not resurrect the quadratic — output is " +
+      "exact across batches and replay-idempotent (r18 task 8)") {
+    val sp = spark; import sp.implicits._
+    import graft.operators.NearDup
+    // the skew-gate plant shape, streamed: an identical shingle-set class
+    // arrives 30 members per micro-batch; distinct bystanders ride along
+    val cls = (0 until 20).map(i => s"hot$i")
+    val other = (0 until 20).map(i => s"cold$i")
+    val dir = tmpDir("graft_maint_skew_idx").toString
+    val outDir = tmpDir("graft_maint_skew_out").toString
+    NearDup.saveBandIndex(Seq((1000L, other)).toDF("doc_id", "sh"), dir)
+    def classBatch(from: Long, n: Int) =
+      ((from until from + n).map(i => (i, cls)) :+
+        (5000L + from, (0 until 20).map(i => s"uniq${from}_$i")))
+        .toDF("doc_id", "sh")
+    val sink = nearDupMaintainingSink(dir, s"$outDir/data") _
+    sink(classBatch(0L, 30), 0L)   // 30 class members probe: corpus has none
+    sink(classBatch(100L, 30), 1L) // 30 more probe the 30 appended ones
+    sink(classBatch(200L, 30), 2L) // 30 more probe 60
+    val out = spark.read.parquet(s"$outDir/data")
+    // batch 0 finds nothing (class absent from the initial corpus);
+    // batch 1: 30 new x 30 standing = 900 exact J=1.0 matches; batch 2:
+    // 30 x 60 = 1800 — the TRUE cross-batch output of an identical class,
+    // all at jaccard 1.0, nothing else
+    out.count() shouldBe (900L + 1800L)
+    out.select(col("jaccard")).distinct().collect()
+      .map(_.getDouble(0)).toSeq shouldBe Seq(1.0)
+    out.filter(col("doc_id") >= 5000L || col("matched_id") >= 5000L)
+      .count() shouldBe 0L // bystanders never match
+    // replaying batch 2 (at-least-once delivery) rewrites its own keyed
+    // subtree: no duplicate members, and a later probe sees each class
+    // member exactly once — the quadratic cannot be resurrected by replay
+    sink(classBatch(200L, 30), 2L)
+    val idx = NearDup.loadBandIndex(spark, dir)
+    idx.docs.filter(col("doc_id") < 1000L).count() shouldBe 90L // 3x30
+    NearDup.matchAgainstBandIndex(
+        Seq((9999L, cls)).toDF("doc_id", "sh"), idx)
+      .count() shouldBe 90L // one row per live class member, exactly
+  }
+
   test("crash recovery: kill after docs write but before commit marker — " +
       "index serves pre-crash state, checkpoint restart converges") {
     val sp = spark; import sp.implicits._
