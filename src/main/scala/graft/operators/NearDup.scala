@@ -17,6 +17,75 @@ object NearDup {
   val DefaultRowsPerBand = 4
   val DefaultThreshold = 0.8
 
+  /** Default rep-df cap per MinHash band key — the HammingBands /
+    * tokenSpanPairs maxDf doctrine applied to the LSH family (r18: the
+    * skew gate caught the uncapped self-join going quadratic in the
+    * size of a planted MODERATE-similarity clique — 2% of docs sharing
+    * one boilerplate span collide in band keys at sub-threshold J, and
+    * a key attracting f reps fans out f²/2 candidate rows that all
+    * verify-and-fail; measured 45× candidate-byte growth on 4× data,
+    * top key df 452 at skew-f40 vs ≤16 for every healthy key). A
+    * 64-bit band key over K minhash slots is uncrowded at ANY corpus
+    * size unless a real clique collides in it, so past the cap the key
+    * carries no ≥τ near-dup signal — declared trim semantics, exactly
+    * the HammingBands contract: pairs whose every colliding band is
+    * trimmed are not reported (the LSH family is approximate-by-banding
+    * by contract; exact-duplicate classes are immune — they collapse to
+    * one rep before banding), and [[minhashTrimExposure]] reports the
+    * trimmed pair mass for the skew gate's ≤1% budget.
+    */
+  val DefaultBandMaxDf = 256
+
+  /** Trim over-cap band keys from a (bandKey, doc_id) rep-level banded
+    * set: the over-cap key list is ≤ rows/maxBandDf long by construction
+    * and broadcasts into a left-anti join — banded rows never reshuffle
+    * for the cap (the HammingBands.cappedBanded shape).
+    */
+  private def capBanded(banded: DataFrame, maxBandDf: Int): DataFrame = {
+    require(maxBandDf >= 2, s"maxBandDf must be >= 2, got $maxBandDf")
+    val over = banded.groupBy(col("bandKey"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBandDf)
+      .select(col("bandKey"))
+    banded.join(broadcast(over), Seq("bandKey"), "left_anti")
+  }
+
+  /** Trim-exposure budget for the MinHash band-key cap (the
+    * HammingBands.trimExposure convention): Σ df·(df−1)/2 over band keys
+    * whose rep-level df exceeds maxBandDf, as (overCapKeys,
+    * exposurePairs, share of all rep pairs). df counts one REP per
+    * exact-set class (the kernel's own pre-collapse order), so identical
+    * classes never charge the budget. The share is an UPPER bound twice
+    * over: a trimmed pair can still surface through any uncrowded band,
+    * and a pair colliding in several over-cap bands counts once per
+    * band. Integer `div` keeps the sums LongType (the r17 SkewStats
+    * crash shape).
+    */
+  def minhashTrimExposure(docs: DataFrame,
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand,
+      maxBandDf: Int = DefaultBandMaxDf): (Long, Long, Double) = {
+    val d0 = docs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), setClassKey(col("sh")).as("ck"))
+      .localCheckpoint()
+    val repIds = d0.select(col("doc_id"), col("ck"))
+      .groupBy(col("ck")).agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint() // feeds the rep count AND the banded restriction
+    val n = repIds.count()
+    val row = withBandKeys(d0, numHashes, bands, rowsPerBand)
+      .select(col("bandKey"), col("doc_id"))
+      .join(repIds.select(col("doc_id")), "doc_id")
+      .groupBy(col("bandKey")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBandDf)
+      .agg(count(lit(1)).as("overKeys"),
+        sum(expr("df*(df-1) div 2")).as("exposure")).collect()(0)
+    val keys = row.getLong(0)
+    val exposure = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val totalPairs = n * (n - 1) / 2
+    (keys, exposure,
+      if (totalPairs == 0) 0.0 else exposure.toDouble / totalPairs)
+  }
+
   /** Append exploded LSH band keys to `docs` (requires a `sh` shingle
     * column): one output row per (input row, band), every input column
     * preserved plus `bandKey`. The ONE banding implementation — the batch
@@ -394,15 +463,21 @@ object NearDup {
   def buildBandIndex(staticDocs: DataFrame,
       numHashes: Int = DefaultNumHashes,
       bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): BandIndex = {
+      rowsPerBand: Int = DefaultRowsPerBand,
+      maxBandDf: Int = DefaultBandMaxDf): BandIndex = {
     val s0 = staticDocs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
     val sC = exactSetMembers(s0)
     val members = sC.members
     val s = sC.reps // pinned inside exactSetMembers
-    val banded = withBandKeys(s, numHashes, bands, rowsPerBand)
-      .select(col("bandKey"), col("doc_id"))
+    // corpus-side band-key df cap (r18, the verifiedPairs trim rule): an
+    // over-cap key in the STANDING half would fan out df_batch·df rows
+    // on every probe, forever
+    val banded = capBanded(
+        withBandKeys(s, numHashes, bands, rowsPerBand)
+          .select(col("bandKey"), col("doc_id")),
+        maxBandDf)
       .localCheckpoint()
     val dict = dictFromShingles(
       s.select(explode(col("sh")).as("shingle")).distinct())
@@ -420,7 +495,8 @@ object NearDup {
   def saveBandIndex(staticDocs: DataFrame, path: String,
       numHashes: Int = DefaultNumHashes,
       bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): Unit = {
+      rowsPerBand: Int = DefaultRowsPerBand,
+      maxBandDf: Int = DefaultBandMaxDf): Unit = {
     val spark = staticDocs.sparkSession
     import spark.implicits._
     Tombstones.clear(path) // rebuild compacts deletes (see Tombstones)
@@ -433,8 +509,11 @@ object NearDup {
     val sC = exactSetMembers(s0)
     val members = sC.members
     val s = sC.reps // pinned inside exactSetMembers
-    withBandKeys(s, numHashes, bands, rowsPerBand)
-      .select(col("bandKey"), col("doc_id"))
+    // band-key df cap persists with the artifact (r18 — see
+    // buildBandIndex): trimmed at build, so every future probe is safe
+    capBanded(withBandKeys(s, numHashes, bands, rowsPerBand)
+        .select(col("bandKey"), col("doc_id")),
+      maxBandDf)
       .write.mode("overwrite").parquet(s"$path/banded")
     s.write.mode("overwrite").parquet(s"$path/docs")
     members.write.mode("overwrite").parquet(s"$path/members")
@@ -550,7 +629,8 @@ object NearDup {
       numHashes: Int = DefaultNumHashes,
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
-      threshold: Double = DefaultThreshold): DataFrame = {
+      threshold: Double = DefaultThreshold,
+      maxBandDf: Int = DefaultBandMaxDf): DataFrame = {
     // One materialization of the shingle projection (the dominant cost):
     // the input feeds banding PLUS two verification re-attach joins, and
     // without a checkpoint each consumer would recompute WordShingles
@@ -583,18 +663,37 @@ object NearDup {
     // here nothing wider than (bandKey, doc_id) ever shuffles for the
     // collapse. Candidate fan-out stays rep-level, which is the part
     // that was quadratic in class size.
-    val banded = withBandKeys(d0, numHashes, bands, rowsPerBand)
-      .select(col("bandKey"), col("doc_id"))
-      .join(repIds, "doc_id")
+    // Band-key df cap (r18 — the skew gate's find): a key attracting
+    // more than maxBandDf REPS is a sub-threshold moderate-similarity
+    // clique (shared boilerplate) colliding in that band, and the
+    // self-join below would fan out df²/2 candidate rows that verify
+    // and fail; trimmed keys carry no ≥τ signal (declared semantics,
+    // the HammingBands contract — minhashTrimExposure budgets it)
+    val banded = capBanded(
+      withBandKeys(d0, numHashes, bands, rowsPerBand)
+        .select(col("bandKey"), col("doc_id"))
+        .join(repIds, "doc_id"),
+      maxBandDf)
     val a = banded.select(col("bandKey"), col("doc_id").as("id_a"))
     val b = banded.select(col("bandKey").as("bk2"), col("doc_id").as("id_b"))
     val cand = a.join(b, col("bandKey") === col("bk2") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val repPairs = verifyJaccard(
+    // dictionary-encoded verification (r18 — the jaccardPairs discipline,
+    // applied to the last kernel that still re-attached raw shingle
+    // STRINGS per candidate: candidate multiplicity amplifies every byte
+    // on these two exchanges, and 8-byte tokens beat 3-gram strings
+    // severalfold; the dictionary covers d0's own shingles completely so
+    // encoding is exact at any positive threshold)
+    val dict = dictFromShingles(
+      d0.select(explode(col("sh")).as("shingle")).distinct())
+    val dIds = encodeDocs(d0, dict).localCheckpoint()
+    val repPairs = verifyJaccardIds(
       cand
-        .join(d0.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(d0.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"),
-      "sh_a", "sh_b", threshold)
+        .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),
+          col("n").as("n_a")), "id_a")
+        .join(dIds.select(col("doc_id").as("id_b"), col("ids").as("ids_b"),
+          col("n").as("n_b")), "id_b"),
+      threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     expandSetPairs(repPairs, keyed, "jaccard", lit(1.0))
   }

@@ -91,6 +91,11 @@ object SkewStats {
     // the same ≤1% budget simhash/phash already carry
     val (spanOverKeys, spanExposure, spanExposureShare) =
       graft.operators.NearDup.spanTrimExposure(docs)
+    // minhash band-key trim-exposure (r18 — the skew gate's clique find):
+    // the LSH family's new df cap, budgeted like the rest
+    val (mhOverKeys, mhExposure, mhExposureShare) =
+      graft.operators.NearDup.minhashTrimExposure(docs.select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh")))
 
     val li = graft.Tables.lineitem(spark, dir)
     val joinHot = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
@@ -112,6 +117,9 @@ object SkewStats {
       s""""span_overcap_keys":$spanOverKeys,""" +
       s""""span_trim_exposure":$spanExposure,""" +
       s""""span_trim_exposure_share":${f"$spanExposureShare%.6f"},""" +
+      s""""minhash_overcap_keys":$mhOverKeys,""" +
+      s""""minhash_trim_exposure":$mhExposure,""" +
+      s""""minhash_trim_exposure_share":${f"$mhExposureShare%.6f"},""" +
       s""""join_hot_key_share":${f"$hotShare%.4f"}}""")
     spark.stop()
   }

@@ -309,6 +309,44 @@ class DedupSpec extends SparkSpec {
     NearDup.tokenSpanPairs(docsDf(boiler: _*)).count() shouldBe 15L
   }
 
+  test("minhash band-key df cap: a sub-threshold boilerplate clique is " +
+      "trimmed (bounded candidates, budget reported); true near-dup " +
+      "pairs survive through their own uncrowded keys (r18 skew-gate " +
+      "find)") {
+    import graft.operators.NearDup
+    // 40 docs sharing a 50-token boilerplate + 10 unique tail tokens:
+    // pairwise J ~ 0.67 (sub-threshold — pure candidate waste), but ~80%
+    // of the clique shares each minhash slot's value, so band keys crowd
+    // far past a small cap
+    val boiler = (1 to 50).map(i => s"legal$i").mkString(" ")
+    def member(i: Long, tail: String) = (i, s"$boiler $tail")
+    val clique = (1L to 40L).map(i =>
+      member(i, (1 to 10).map(j => s"t${i}_$j").mkString(" ")))
+    // one TRUE near-dup pair inside the clique: same tail up to one token
+    val tpA = member(500L, (1 to 10).map(j => s"same$j").mkString(" "))
+    val tpB = member(501L, ((1 to 9).map(j => s"same$j") :+ "DIFF").mkString(" "))
+    // and one true pair in a disjoint vocabulary (away from the clique)
+    val far1 = (600L, (1 to 60).map(i => s"x$i").mkString(" "))
+    val far2 = (601L, ((1 to 59).map(i => s"x$i") :+ "y").mkString(" "))
+    val docs = docsDf((clique ++ Seq(tpA, tpB, far1, far2)): _*)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+    val (overKeys, exposure, share) =
+      NearDup.minhashTrimExposure(docs, maxBandDf = 8)
+    overKeys should be >= 1L // the clique crowds keys past the cap
+    exposure should be >= 36L // at least one key holding >8 clique reps
+    // the share is an UPPER bound (a pair counts once per over-cap band,
+    // and this tiny fixture is clique-dominated) — positive is the pin
+    share should be > 0.0
+    def pairs(cap: Int) = NearDup.verifiedPairs(docs, maxBandDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(8)
+    // the true pairs survive: their tails give them uncrowded keys
+    capped should contain allOf ((500L, 501L), (600L, 601L))
+    // the sub-threshold clique contributes nothing either way — capped
+    // output equals the uncapped output on this fixture
+    capped shouldBe pairs(1024)
+  }
+
   test("spanTrimExposure: a planted over-cap boilerplate window reports " +
       "exact long pair mass over distinct texts; identical-doc classes " +
       "never charge the budget (r18 task 5)") {
