@@ -53,8 +53,12 @@ for name in sorted(tm):
             pshr > 0 and abs(shr / pshr - 1.0) <= BYTE_BAND)
         if pcpu > 0 and cpu / pcpu > HOT_CPU_RATIO and byte_flat:
             # identical plan, contended reading: prefer the quiet solo
-            # re-run if the bench took one, else keep the prior anchor
-            fallback = solo.get(name, {}).get("cpu_sec", pcpu)
+            # re-run if the bench took one AND the solo itself clears the
+            # hot test (a solo taken on the same contended box is no
+            # quieter than the leg); else keep the prior anchor
+            s = solo.get(name, {}).get("cpu_sec")
+            fallback = s if s is not None and s / pcpu <= HOT_CPU_RATIO \
+                else pcpu
             carried[name] = (cpu, fallback)
             cpu = fallback
     rows[name] = (cpu, shr)
