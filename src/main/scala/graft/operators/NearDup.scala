@@ -261,19 +261,27 @@ object NearDup {
     val d0 = HammingBands.pin(d)
     // the class census: ONE aggregate over the slim (doc_id, ck)
     // projection of the pinned blocks — fixed-width field copies, the
-    // array bytes are never touched; collect_list here is over IDS ONLY,
-    // so ObjectHashAggregate's sort-based fallback sorts 24 B rows
-    // (collect_list over the full array rows is what cost 1.4× CPU).
-    // Everything below (members, dup ids, the census scalar) derives
-    // from this ONE pinned result — no further read of the array blocks
-    // beyond the kernel core's own three.
-    val classes = d0.select(col("doc_id"), col("ck"))
+    // array bytes are never touched. BUCKETED (r19): the r18 shape
+    // collect_listed each class's full id list into ONE row, so a
+    // planted giant identical class (the skew gate's 1%-clique shape)
+    // made one ~8·m-byte array row — census row width is now bounded at
+    // any class size because a class's ids spread over ≤ CensusBuckets
+    // chunk rows (see classCensusChunks). Everything below (the per-class
+    // roll-up, members, dup ids, the census scalar) derives from this ONE
+    // pinned result — no further read of the array blocks beyond the
+    // kernel core's own three.
+    val chunks = classCensusChunks(d0.select(col("doc_id"), col("ck")))
+    val classes = chunks
       .groupBy(col("ck"))
-      .agg(min(col("doc_id")).as("rep_id"),
-        collect_list(col("doc_id")).as("ids"),
-        count(lit(1)).as("m"))
+      .agg(min(col("rep_b")).as("rep_id"), sum(col("mb")).as("m"))
       .localCheckpoint()
-    val dupExtra = classes.agg(sum(col("m")) - count(lit(1))).collect()(0)
+    // null-safe scalar: an EMPTY side (every doc filtered upstream, e.g.
+    // an all-empty-shingle micro-batch) aggregates to sum(m)=NULL and the
+    // r18 .getLong crashed the streaming sink on every replay of that
+    // poison-pill batch (r18 ADVICE); coalesce folds it to the trivial
+    // collapse instead.
+    val dupExtra = classes
+      .agg(coalesce(sum(col("m")) - count(lit(1)), lit(0L))).collect()(0)
       .getLong(0)
     val reps0 = d0.drop("ck")
     if (dupExtra == 0)
@@ -281,10 +289,22 @@ object NearDup {
         reps0.select(col("doc_id").as("rep_id"), col("doc_id")),
         reps0, trivial = true)
     else {
-      val members = classes.select(col("rep_id"),
-        explode(col("ids")).as("doc_id"))
+      // members: explode the bucketed chunks and attach the per-class rep
+      // by a ck left join against the DUP classes only (a class absent
+      // from dupClasses is a singleton — its own id is the rep, which
+      // coalesce supplies without shipping singleton classes through the
+      // join side at all). ≤ dupExtra dup classes exist, so the small-dup
+      // regime broadcasts: no shuffle anywhere in the collapse.
+      val dupClasses = classes.filter(col("m") > 1)
+        .select(col("ck"), col("rep_id"))
+      val small = dupExtra <= MaxBroadcastDupIds
+      val members = chunks.select(col("ck"), explode(col("ids")).as("doc_id"))
+        .join(if (small) broadcast(dupClasses) else dupClasses,
+          Seq("ck"), "left")
+        .select(coalesce(col("rep_id"), col("doc_id")).as("rep_id"),
+          col("doc_id"))
       val reps =
-        if (dupExtra <= MaxBroadcastDupIds)
+        if (small)
           reps0.join(broadcast(
               members.filter(col("doc_id") =!= col("rep_id"))
                 .select(col("doc_id"))),
@@ -292,6 +312,47 @@ object NearDup {
         else repsOf(d0).drop("ck")
       SetCollapse(members, reps, trivial = false)
     }
+  }
+
+  /** Census bucket fanout: a class's member ids spread over at most this
+    * many census chunk rows, so the widest census row holds ~⌈m /
+    * CensusBuckets⌉ ids (~31 KB for a 10⁶-member class) instead of the
+    * whole class — the bound that keeps a planted giant identical class
+    * from materializing one multi-GB array row (r19; the 2 GB single-row
+    * limit and executor heap are the hard walls at 100 TB).
+    */
+  private[operators] val CensusBuckets = 256
+
+  /** Bucketed ids-only class census over a slim (doc_id, ck) projection:
+    * one row per (class, id-hash bucket) with that bucket's member ids,
+    * its min id `rep_b` and its count `mb`. Row width is bounded at any
+    * class size (ids ≤ ~⌈m/CensusBuckets⌉ under hash uniformity —
+    * CensusBoundSpec plants a 10⁶-member class and pins the bound); the
+    * per-class roll-up (global rep = min rep_b, m = Σ mb) and the member
+    * expansion both derive from this one checkpointed result.
+    */
+  private[operators] def classCensusChunks(slim: DataFrame): DataFrame =
+    slim
+      .withColumn("bkt", pmod(xxhash64(col("doc_id")), lit(CensusBuckets)))
+      .groupBy(col("ck"), col("bkt"))
+      .agg(min(col("doc_id")).as("rep_b"),
+        collect_list(col("doc_id")).as("ids"),
+        count(lit(1)).as("mb"))
+      .localCheckpoint()
+
+  /** Census chunk-width probe for the skew gate: (widest chunk's id
+    * count, chunk rows) over the exact-set census of `docs` (doc_id, sh)
+    * — the number SkewStats prints so a fixture change that grows the
+    * giant-class census row past its declared bound is visible in the
+    * gate record.
+    */
+  def censusChunkStats(docs: DataFrame): (Long, Long) = {
+    val slim = docs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), setClassKey(col("sh")).as("ck"))
+    val row = classCensusChunks(slim)
+      .agg(coalesce(max(size(col("ids"))).cast("long"), lit(0L)),
+        count(lit(1))).collect()(0)
+    (row.getLong(0), row.getLong(1))
   }
 
   /** Expand cross-set REP matches (doc_id = batch rep, matched_id =
@@ -1111,10 +1172,32 @@ object NearDup {
   def phantomRepStats(spark: org.apache.spark.sql.SparkSession,
       path: String): (Long, Long) = {
     if (!new java.io.File(s"$path/members/_SUCCESS").isFile) return (0L, 0L)
-    val raw = spark.read.parquet(s"$path/members")
-      .select(col("rep_id")).distinct().localCheckpoint()
-    val live = Tombstones.exclude(spark.read.parquet(s"$path/members"),
-      spark, path, "doc_id")
+    // Appended docs are identity members (rep_id = doc_id) in the live
+    // member assembly of both loaders, and their banded/docs rows are
+    // just as dead once tombstoned — r18 read only the base member table,
+    // so long-streamed artifacts undercounted dead candidate weight and
+    // the stats-band/check-band compaction signal fired late (r18
+    // ADVICE). Union the COMMITTED append docs (band kind:
+    // appends/<key>/docs; jaccard kind: docs_appends) into both sides,
+    // mirroring loadBandIndex/loadedProbeCandidates' members assembly.
+    import spark.implicits._
+    val bandKeys = committedAppendKeys(path)
+    val appendIds: DataFrame = {
+      val parts =
+        bandKeys.map(k => s"$path/appends/$k/docs") ++
+          (if (new java.io.File(s"$path/docs_appends").isDirectory)
+            Seq(s"$path/docs_appends")
+          else Seq.empty)
+      if (parts.isEmpty) Seq.empty[Long].toDF("doc_id")
+      else spark.read.parquet(parts: _*).select(col("doc_id"))
+    }
+    val allMembers = spark.read.parquet(s"$path/members")
+      .select(col("rep_id"), col("doc_id"))
+      .unionByName(appendIds
+        .select(col("doc_id").as("rep_id"), col("doc_id")))
+      .localCheckpoint()
+    val raw = allMembers.select(col("rep_id")).distinct().localCheckpoint()
+    val live = Tombstones.exclude(allMembers, spark, path, "doc_id")
     val phantom = raw
       .join(live.select(col("rep_id")).distinct(), Seq("rep_id"),
         "left_anti")
@@ -1246,16 +1329,44 @@ object NearDup {
     */
   def appendToBandIndexKeyed(newDocs: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
-      key: String): Unit = {
+      key: String, maxBandDf: Int = DefaultBandMaxDf): Unit = {
     require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_' ||
       c == '-' || c == '='), s"append key '$key' must be a filesystem-safe token")
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val s = newDocs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .localCheckpoint() // feeds both the banding pass and the docs write
-    withBandKeys(s, meta.getAs[Int]("numHashes"), meta.getAs[Int]("bands"),
-        meta.getAs[Int]("rowsPerBand"))
+    val banded = withBandKeys(s, meta.getAs[Int]("numHashes"),
+        meta.getAs[Int]("bands"), meta.getAs[Int]("rowsPerBand"))
       .select(col("bandKey"), col("doc_id"))
+      .localCheckpoint() // feeds its own df count AND the trimmed write
+    // STANDING-df cap (r19, r18 ADVICE): the build/save-time cap bounds
+    // the base, but a moderate-similarity clique arriving THROUGH THE
+    // STREAM accumulates exactly the over-cap standing band keys the
+    // build cap exists to prevent — each batch is under the streaming
+    // gate's linear bound while lifetime probe work goes quadratic. Trim
+    // this batch's banded rows for any key whose ACCUMULATED df (base +
+    // OTHER committed appends + this batch) exceeds the cap. Cost per
+    // batch: one bandKey-column scan of the standing halves, restricted
+    // by a broadcast semi-join to the batch's own keys. Replay safety:
+    // the key's own prior subtree is excluded, so an at-least-once
+    // replay counts itself once. Same declared trim semantics as the
+    // build cap — a doc whose every colliding band is trimmed is matched
+    // through its other bands or not at all.
+    val others = committedAppendKeys(path).filterNot(_ == key)
+    val standing = spark.read.parquet(
+        (s"$path/banded" +: others.map(k => s"$path/appends/$k/banded")): _*)
+      .select(col("bandKey"))
+    val batchDf = banded.groupBy(col("bandKey"))
+      .agg(count(lit(1)).as("bdf"))
+    val standingDf = standing
+      .join(broadcast(batchDf.select(col("bandKey"))), Seq("bandKey"))
+      .groupBy(col("bandKey")).agg(count(lit(1)).as("sdf"))
+    val over = batchDf
+      .join(standingDf, Seq("bandKey"), "left")
+      .filter(coalesce(col("sdf"), lit(0L)) + col("bdf") > maxBandDf)
+      .select(col("bandKey"))
+    banded.join(broadcast(over), Seq("bandKey"), "left_anti")
       .write.mode("overwrite").parquet(s"$path/appends/$key/banded")
     s.write.mode("overwrite").parquet(s"$path/appends/$key/docs")
   }

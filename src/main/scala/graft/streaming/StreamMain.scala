@@ -255,7 +255,7 @@ object StreamMain {
         // foreachBatch (started below) — this branch only returns the
         // projected query stream.
         import graft.functions.VectorFunctions.normSq
-        import graft.operators.{ArtifactPaths, PqIndex}
+        import graft.operators.{ArtifactPaths, IvfIndex, PqIndex}
         val idxPath = kvArgs.getOrElse("index",
           { System.err.println("op=ann requires index=<dir>"); sys.exit(2) })
         if (!ArtifactPaths.exists(idxPath)) {
@@ -263,8 +263,15 @@ object StreamMain {
             .select(col("vec_id"), col("embedding"),
               normSq(col("embedding")).as("n2"))
             .localCheckpoint()
+          // IVF-PQ (r19): cells ≈ √n so the sink's per-batch ADC pass is
+          // nProbe·√n per query instead of O(corpus) — the r18 gate
+          // measured the flat artifact at 160–185 CPU-s/batch, ~40×
+          // every other sink
+          val cells = math.max(16, math.sqrt(e.count().toDouble).toInt)
+          val cents = IvfIndex.centroids(spark, e, cells)
           val books = PqIndex.train(spark, e, dim = 64, m = 8, k = 16)
-          PqIndex.save(idxPath, books, PqIndex.encode(e, books))
+          PqIndex.save(idxPath, books,
+            PqIndex.encode(IvfIndex.assign(e, cents), books), Some(cents))
         }
         raw.select(col("vec_id").as("qid"), col("embedding").as("qv"),
           normSq(col("embedding")).as("qn2"))

@@ -393,15 +393,33 @@ object StreamingOps {
     * survivors.
     */
   def annTopKSink(indexPath: String, corpus: DataFrame, outDir: String,
-      k: Int, pool: Int)(batch: DataFrame, batchId: Long): Unit = {
+      k: Int, pool: Int, nProbe: Int = DefaultAnnNProbe)
+      (batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.PqIndex
     val spark = batch.sparkSession
     val idx = PqIndex.load(spark, indexPath)
-    PqIndex.topKFrom(batch.select(col("qid"), col("qv"), col("qn2"))
-        .localCheckpoint(),
-        idx.codes, corpus, idx.books, k, pool)
-      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val queries = batch.select(col("qid"), col("qv"), col("qn2"))
+      .localCheckpoint()
+    // IVF-routed when the artifact carries cells (r19 — the r18 verdict's
+    // one standing scale-killer: the flat ADC scan is O(corpus) per
+    // micro-batch, 160–185 CPU-s/batch at the 10× gate vs <10 for every
+    // other sink; cell probes make it nProbe·√n per query). A legacy flat
+    // artifact still probes flat — recall posture unchanged either way:
+    // ADC pool + exact re-rank, LSH-class approximate by contract.
+    (idx.cents match {
+      case Some(cents) => PqIndex.topKIvfFrom(queries, idx.codes, corpus,
+        idx.books, cents, k, pool, nProbe)
+      case None => PqIndex.topKFrom(queries, idx.codes, corpus, idx.books,
+        k, pool)
+    }).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
   }
+
+  /** Cell probes per streaming ANN query (annTopKSink): with cells ≈ √n
+    * (the IvfIndex sizing doctrine) the per-batch ADC pass touches
+    * ~nProbe·√n codes per query instead of the whole corpus; recall at
+    * this width is pinned by StreamingSpec against the flat scan.
+    */
+  val DefaultAnnNProbe = 8
 
   /** Streaming quality scoring — the train→serve loop closed in
     * streaming (r13 verdict task 8): each micro-batch of documents

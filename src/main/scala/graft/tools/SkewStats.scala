@@ -97,6 +97,13 @@ object SkewStats {
       graft.operators.NearDup.minhashTrimExposure(docs.select(col("doc_id"),
         graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh")))
 
+    // exact-set census chunk width (r19): the bucketed census bounds the
+    // giant-class array row; the gate records the fixture's actual widest
+    // chunk so a fixture change that breaks the bound is visible
+    val (censusMaxChunk, censusChunks) = graft.operators.NearDup
+      .censusChunkStats(docs.select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh")))
+
     val li = graft.Tables.lineitem(spark, dir)
     val joinHot = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("maxn"), sum(col("n")).as("total")).collect()(0)
@@ -120,6 +127,8 @@ object SkewStats {
       s""""minhash_overcap_keys":$mhOverKeys,""" +
       s""""minhash_trim_exposure":$mhExposure,""" +
       s""""minhash_trim_exposure_share":${f"$mhExposureShare%.6f"},""" +
+      s""""census_max_chunk":$censusMaxChunk,""" +
+      s""""census_chunks":$censusChunks,""" +
       s""""join_hot_key_share":${f"$hotShare%.4f"}}""")
     spark.stop()
   }

@@ -828,6 +828,51 @@ class StreamingSpec extends SparkSpec {
       out: String)(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
     annTopKSink(dir, corpus, out, k = 5, pool = 25)(b, id)
 
+  test("IVF-PQ-routed streaming ANN sink equals the batch IVF probe; recall vs flat clears the floor") {
+    val sp = spark; import sp.implicits._
+    import graft.operators.{IvfIndex, PqIndex}
+    import graft.functions.VectorFunctions.normSq
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
+      .localCheckpoint()
+    // an IVF-PQ artifact (cells + centroids persisted): the r19 sink
+    // routing — a micro-batch ADC-scans only nProbe cells' codes
+    val cents = IvfIndex.centroids(spark, e, 16)
+    val books = PqIndex.train(spark, e, dim = 64, m = 8, k = 16)
+    val dir = tmpDir("graft_ivfpq_stream").toString
+    PqIndex.save(dir, books,
+      PqIndex.encode(IvfIndex.assign(e, cents), books), Some(cents))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("n2").as("qn2"))
+      .localCheckpoint()
+    val out = tmpDir("graft_ivfpq_stream_out").toString
+    annTopKSink(dir, e, out, k = 5, pool = 25, nProbe = 6)(queries, 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val got = rows(spark.read.parquet(s"$out/batch=0")
+      .orderBy(col("qid"), col("rn")))
+    // the sink IS the batch IVF-PQ probe over the loaded artifact
+    val idx = PqIndex.load(spark, dir)
+    idx.cents should not be empty
+    val want = rows(PqIndex.topKIvfFrom(queries, idx.codes, e, idx.books,
+      idx.cents.get, k = 5, pool = 25, nProbe = 6).orderBy(col("qid"), col("rn")))
+    got shouldBe want
+    // recall-parity vs the flat ADC scan the sink used to run: nProbe=6
+    // of 16 cells keeps well above the random floor (PqIndexSpec floor)
+    val flat = rows(PqIndex.topKFrom(queries, idx.codes, e, idx.books,
+      k = 5, pool = 25))
+    val flatTop = flat.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ivfTop = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    ivfTop.keySet shouldBe flatTop.keySet
+    val recall = ivfTop.keysIterator.map(q =>
+      (ivfTop(q) & flatTop(q)).size.toDouble / flatTop(q).size).sum / ivfTop.size
+    recall should be >= 0.2
+  }
+
   test("stream-static join enriches from a broadcast dimension") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext

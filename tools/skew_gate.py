@@ -91,6 +91,18 @@ PAIR_OUTPUT = {
 GROWTH = 4                       # f40 / f10 data and class ratio
 LINEAR_BOUND = GROWTH * 2.0      # linear families: 4x data, 2x slack
 PAIR_BOUND = GROWTH * GROWTH * 1.6  # pair-output families: 16x, 1.6x slack
+# r19 (r18 ADVICE): the regime-flip demotion's CPU corroboration is
+# STRICTER than the byte bound. The demotion exists for plans whose true
+# work stays linear while the byte RATIO crosses the bound (broadcast ->
+# shuffle flip), so the CPU test asks "is CPU still linear-ish (plus the
+# serialization cost a flip legitimately adds)", not "is CPU under the
+# same generous byte slack". A genuine near-bound quadratic (cpu just
+# under the byte bound) now FAILS instead of being silently recorded as
+# a flip. 1.75x covers the measured legit flip (r18
+# q_dedup_jaccard_incr_appended: cpu 6.1x on 4x data = 1.53x over linear
+# with 4.0x candidate corroboration) with headroom, and the min() keeps
+# the corroboration bound from ever exceeding the byte bound itself.
+CPU_FLIP_SLACK = 1.75
 ABS_SHUFFLE_CEIL = 16 * 2**30    # f40 per-query byte backstop
 SPILL_FLOOR = 128 * 2**20        # per-leg total spill floor ("zero spill")
 MAX_TRIM_EXPOSURE = 0.01         # task 7: trimmed pair mass / all pairs
@@ -259,18 +271,22 @@ def main():
         if shr40 < MIN_BYTES_FOR_RATIO:
             continue  # too small for a meaningful growth verdict
         bound = PAIR_BOUND if q in PAIR_OUTPUT else LINEAR_BOUND
+        expected = GROWTH * GROWTH if q in PAIR_OUTPUT else GROWTH
+        cpu_bound = min(expected * CPU_FLIP_SLACK, bound)
         r = shr40 / max(1, shr10)
         cpu_r = m40[q]["cpu_sec"] / max(1e-3, m10[q]["cpu_sec"])
         ratios[q] = round(r, 2)
         if r > bound:
-            if cpu_r > bound:
+            if cpu_r > cpu_bound:
                 fails.append(
-                    f"WORK-NONLINEAR {q}: shr f40/f10 = {r:.1f}x AND cpu "
-                    f"{cpu_r:.1f}x > {bound:.1f}x "
-                    f"({'pair-output' if q in PAIR_OUTPUT else 'linear'} bound)")
+                    f"WORK-NONLINEAR {q}: shr f40/f10 = {r:.1f}x > {bound:.1f}x "
+                    f"AND cpu {cpu_r:.1f}x > {cpu_bound:.1f}x "
+                    f"({'pair-output' if q in PAIR_OUTPUT else 'linear'} "
+                    f"cpu-corroboration bound)")
             else:
                 regime_flips[q] = {"shr_ratio": round(r, 2),
-                                   "cpu_ratio": round(cpu_r, 2)}
+                                   "cpu_ratio": round(cpu_r, 2),
+                                   "cpu_bound": round(cpu_bound, 2)}
 
     record = {
         "gate": "skew_gate",
