@@ -74,6 +74,24 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => Map.empty }
 
+  /** Anchored fixture fingerprint from the anchors TSV: `# fp <table>
+    * <rows> <bytes>` comment rows written by tools/make_anchors.py.
+    * Returns table -> data-file bytes (the side Bench can recompute
+    * without reading footers). Missing rows → empty map → no check.
+    */
+  private def loadFingerprint(path: String): Map[String, Long] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().flatMap { l =>
+        val p = l.trim.split("\\s+")
+        if (p.length >= 5 && p(0) == "#" && p(1) == "fp")
+          try Some((p(2), p(4).toLong))
+          catch { case _: Throwable => None }
+        else None
+      }.toMap
+      finally src.close()
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     // Before anything Spark: the WindowExec warning demotion must win
     // even in harness environments whose logging config is applied at
@@ -102,7 +120,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.graft.scalelint", "warn")
+      // lint=fail by default (r19 task 6): the sf10 legs and the skew
+      // gate have run fail-mode since r17, the registry has been
+      // lint-clean for two rounds, and a new scale-killer plan shape
+      // should abort the bench loudly rather than ride a warn line
+      // nobody reads. SPARK_GRAFT_EXTRA_CONF can still demote per run.
+      .config("spark.graft.scalelint", "fail")
       .withExtensions(new graft.plans.GraftExtensions)
     // Stress-run conf pass-through (e.g. spark.graft.lsh.bits=7 at a
     // scaled fixture): comma-separated k=v pairs, applied in order.
@@ -250,6 +273,30 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_ANCHORS_PREV") || sf.contains(0.1))
         loadAnchors(prevPath)
       else Map.empty[String, (Double, Long)]
+    // Testdata fingerprint check (r19 task 4): the anchors TSV records
+    // the per-table byte sizes of the fixture its numbers were measured
+    // on (`# fp` rows, tools/make_anchors.py); the driver regenerates
+    // /root/testdata each round, and that level shift produced 8 of the
+    // 12 r18 byte-drift flags. Comparing CURRENT table bytes against the
+    // anchored fingerprint makes fixture-shift drift machine-separable
+    // from plan drift: a nonzero `fixture_drift` says "expect byte_drift
+    // rows on fixture-sensitive queries; adjudicate against the shifted
+    // tables, not the plan".
+    val anchoredFp =
+      if (anchors.nonEmpty) loadFingerprint(anchorsPath)
+      else Map.empty[String, Long]
+    val fixtureDrift = anchoredFp.flatMap { case (table, aBytes) =>
+      val p = new java.io.File(s"$sfDir/$table.parquet")
+      val nowBytes =
+        if (p.isFile) p.length
+        else if (p.isDirectory)
+          p.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.length).sum
+        else -1L
+      if (nowBytes != aBytes)
+        Some(table -> (aBytes, nowBytes))
+      else None
+    }
     // Absolute floor on the drift flag (r10 verdict #3): a percentage
     // band alone cries wolf on near-empty exchanges — q5's flagged
     // "1.15×" was 184 BYTES of AQE-coalesce jitter on a broadcast-heavy
@@ -393,6 +440,9 @@ object Bench {
         s""""prev_n":${prevRatios.size},""" +
         s""""skipped":$skippedJson,"errors":{$errJson},""" +
         s""""solo":{$soloJson},"byte_drift":{$driftJson},""" +
+        s""""fixture_drift":{${fixtureDrift.map { case (t, (a, n)) =>
+          s""""$t":{"anchor_b":$a,"now_b":$n}"""
+        }.mkString(",")}},""" +
         s""""cpu_vs_prev":{$prevJson},""" +
         s""""queries":{$meds},"cpu":{$cpu},""" +
         s""""task_metrics":{$metrics},"raw_bytes":{$rawBytes},"raw":{$raw}}"""

@@ -239,7 +239,12 @@ object SemDedup {
     grid.lo.indices.map(i => (i, grid.lo(i), grid.step(i)))
       .toDF("pos", "lo", "step")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/grid")
+    // cell-clustered layout (r19): row groups hold contiguous cell
+    // ranges, so the streaming probe's matched-cell filter prunes at the
+    // parquet scan instead of after it — build-once cost, every batch
+    // benefits
     assignWithCodes(indexVectors, cents, grid, nProbe)
+      .repartition(col("cell")).sortWithinPartitions(col("cell"))
       .write.mode("overwrite").parquet(s"$path/assign")
     Seq((k, nProbe, grid.lo.length)).toDF("k", "n_probe", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -360,7 +365,10 @@ object SemDedup {
     m.grid.lo.indices.map(i => (i, m.grid.lo(i), m.grid.step(i)))
       .toDF("pos", "lo", "step")
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/grid")
-    m.assign.write.mode("overwrite").parquet(s"$dest/assign")
+    // same cell-clustered layout as saveWith: compaction re-establishes
+    // the scan-prunable order the streamed appends dilute
+    m.assign.repartition(col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$dest/assign")
     // streamed float subtrees fold into dest's floats/ base — later
     // batches must still be able to exact-verify against them
     storedFloats(spark, src).foreach(
@@ -459,7 +467,21 @@ object SemDedup {
 
   private def batchPairs(m: LoadedModel, batchAssign: DataFrame,
       floats: DataFrame, threshold: Double): DataFrame = {
-    val uni = m.assign.withColumn("is_batch", lit(false))
+    // Centroid-pruned standing slice (r19, r18 verdict task 7): the
+    // within-cell join can only match standing rows in the BATCH's own
+    // cells, so rows outside them are filtered before the join — the
+    // per-batch assign-side bytes follow the matched-cell volume, not
+    // the full standing index. The cell list is a driver-side collect
+    // bounded by |batch|·nProbe (micro-batches are trigger-bounded, the
+    // annTopKSink |Q| contract) and caps at the frozen cell count; with
+    // a cell-clustered assign layout the isin pushes into the parquet
+    // scan as row-group pruning.
+    val batchCells = batchAssign.select(col("cell")).distinct()
+      .collect().map(_.getAs[Any]("cell"))
+    val standing =
+      if (batchCells.isEmpty) m.assign.limit(0)
+      else m.assign.filter(col("cell").isin(batchCells: _*))
+    val uni = standing.withColumn("is_batch", lit(false))
       .unionAll(batchAssign.withColumn("is_batch", lit(true)))
     val aSide = batchAssign.select(col("vec_id").as("id_a"), col("cell"),
       col("bcode").as("code_a"), col("an2").as("an2_a"))

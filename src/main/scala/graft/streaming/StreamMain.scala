@@ -374,6 +374,16 @@ object StreamMain {
       val d = new java.io.File(s"$idx/appends")
       if (!d.isDirectory) 0 else d.listFiles().count(_.isDirectory)
     }.getOrElse(0)
+    // standing artifact bytes on disk after the batch (r19 task 7): the
+    // accumulating sinks' per-batch cost claims are about work vs STATE
+    // SIZE, so the gate needs both sides of that curve in one line
+    def indexBytes(): Long = kvArgs.get("index").map { idx =>
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else if (f.isDirectory) f.listFiles().map(du).sum
+        else 0L
+      du(new java.io.File(idx))
+    }.getOrElse(0L)
     def metered(f: (org.apache.spark.sql.DataFrame, Long) => Unit)
         : (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
       drainBus(); val s0 = tap.snapshot()
@@ -386,7 +396,8 @@ object StreamMain {
         f""""cpu_sec":${(s1(0) - s0(0)) / 1e9}%.3f,""" +
         s""""shr_b":${s1(2) - s0(2)},"shw_b":${s1(3) - s0(3)},""" +
         s""""inp_b":${s1(4) - s0(4)},"spill_b":${s1(5) - s0(5)},""" +
-        s""""append_subtrees":${appendSubtrees()}}""")
+        s""""append_subtrees":${appendSubtrees()},""" +
+        s""""index_b":${indexBytes()}}""")
     }
 
     val q =

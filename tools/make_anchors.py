@@ -63,6 +63,35 @@ for name in sorted(tm):
             cpu = fallback
     rows[name] = (cpu, shr)
 
+def fixture_fingerprint(sfdir):
+    """Per-table (rows, bytes) of the benched fixture -- rows from the
+    parquet footer only (pyarrow), bytes as the sum of data-file sizes
+    (matches what Bench can cheaply recompute). A table is either a
+    single .parquet file (the driver's testdata) or a directory of
+    part files (ScaleUp fixtures)."""
+    out = []
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        pq = None
+    for t in sorted(os.listdir(sfdir)):
+        if not t.endswith(".parquet"):
+            continue
+        p = os.path.join(sfdir, t)
+        files = [p] if os.path.isfile(p) else sorted(
+            os.path.join(p, x) for x in os.listdir(p)
+            if x.endswith(".parquet"))
+        nbytes = sum(os.path.getsize(x) for x in files)
+        nrows = -1
+        if pq is not None:
+            try:
+                nrows = sum(pq.ParquetFile(x).metadata.num_rows
+                            for x in files)
+            except Exception:
+                pass
+        out.append((t[:-len(".parquet")], nrows, nbytes))
+    return out
+
 with open(dst, "w") as f:
     f.write("# Per-query adjudication anchors (local[32]): median executor\n")
     f.write("# CPU seconds + median shuffle-read bytes from the committed\n")
@@ -76,6 +105,18 @@ with open(dst, "w") as f:
                 "(byte-flat, >1.3x prior; kept solo/prior value):\n")
         for name, (hot, kept) in carried.items():
             f.write(f"# carried\t{name}\thot={hot:.3f}\tkept={kept:.3f}\n")
+    # Testdata fingerprint (r19 task 4): the driver regenerates
+    # /root/testdata every round, and 8 of the 12 r18 byte-drift flags
+    # were that level shift, not plan drift. Record per-table rows +
+    # data-file bytes of the fixture these anchors were measured on;
+    # Bench re-reads the byte side per run and emits `fixture_drift`,
+    # so fixture-shift drift is machine-separable from plan drift.
+    sfdir = j.get("sf", "")
+    if sfdir and os.path.isdir(sfdir):
+        f.write("# testdata fingerprint of the anchored fixture "
+                "(rows from parquet footers, bytes = data files):\n")
+        for t, nrows, nbytes in fixture_fingerprint(sfdir):
+            f.write(f"# fp\t{t}\t{nrows}\t{nbytes}\n")
 
 for name, (hot, kept) in carried.items():
     print(f"HOT-LEG CARRY {name}: in-leg cpu {hot:.3f} -> kept {kept:.3f}")

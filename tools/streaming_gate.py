@@ -156,6 +156,17 @@ def check_leg(name, batches, accumulating, fails):
         "bytes_per_batch": bts,
         "append_subtrees": batches[-1]["append_subtrees"],
     }
+    # bytes-vs-state curve (r19 task 7): per-batch work bytes divided by
+    # the standing artifact's on-disk size after the batch (StreamMain's
+    # index_b). For a sink whose probe is pinned to the matched slice the
+    # ratio FALLS as state grows; a flat ratio is the declared
+    # linear-in-state contract; a RISING ratio is super-linear probe work
+    # and the thing this field exists to expose.
+    if all("index_b" in b for b in mid) and any(b["index_b"] > 0 for b in mid):
+        stats["index_b_per_batch"] = [b["index_b"] for b in mid]
+        stats["bytes_over_state"] = [
+            round(bt / max(1, b["index_b"]), 4)
+            for bt, b in zip(bts, mid)]
     def ratio(vals):
         lo = max(vals[k0], 1e-3 if isinstance(vals[k0], float) else 1)
         return vals[k1] / lo
