@@ -315,12 +315,14 @@ object IndexMain {
           if (kv.contains("bands") || kv.contains("arity"))
             (num("bands", 8), num("arity", 1))
           else {
-            val s = graft.operators.Multimodal.phashStats(spark, dir)
+            val phMaxDf = num("maxdf",
+              graft.operators.HammingBands.DefaultMaxBandDf)
+            val s = graft.operators.Multimodal.phashStats(spark, dir, phMaxDf)
             if (s.overCapBandKeys == 0) fail(
               "rebuild-phash without bands=/arity=: check-phash reports " +
                 "no over-cap band keys, so there is no saturation to " +
                 "remedy — pass explicit bands=/arity= to re-band anyway")
-            graft.operators.Multimodal.suggestedPhashBanding(s)
+            graft.operators.Multimodal.suggestedPhashBanding(s, phMaxDf)
           }
         graft.operators.Multimodal.rebuildPhashIndex(spark, dir, rbBands,
           rbArity)
@@ -556,7 +558,13 @@ object IndexMain {
         // listing + scan-union cost until compact-phash) and over-cap
         // band keys (trimmed near-dup recall); exit 1 = act now
         if (!ArtifactPaths.exists(dir)) fail(s"no complete index at $dir")
-        val s = graft.operators.Multimodal.phashStats(spark, dir)
+        // maxdf= (r19): stats/check/suggestion all at the SAME cap —
+        // default production cap, or a lowered one to exercise the
+        // saturation-remediation loop against a fixture whose real
+        // hottest df sits below the default (the sf10 loop record)
+        val phMaxDf = num("maxdf",
+          graft.operators.HammingBands.DefaultMaxBandDf)
+        val s = graft.operators.Multimodal.phashStats(spark, dir, phMaxDf)
         val status =
           if (cmd == "stats-phash") ""
           else {
@@ -578,7 +586,8 @@ object IndexMain {
           if (s.overCapBandKeys == 0 || s.distinctHashes == 0 ||
               s.hottestBandDf8 == 0) ""
           else {
-            val (sb, sa) = graft.operators.Multimodal.suggestedPhashBanding(s)
+            val (sb, sa) = graft.operators.Multimodal.suggestedPhashBanding(
+              s, phMaxDf)
             s""","suggested_bands":$sb,"suggested_arity":$sa"""
           }
         println(s"""{"base_rows":${s.baseRows},""" +
