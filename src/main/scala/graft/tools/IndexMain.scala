@@ -191,7 +191,7 @@ object IndexMain {
     val known = Set("split", "m", "k", "dim", "cells", "tau", "topk",
       "pool", "nprobe", "ids", "maxratio", "maxcand", "dest", "fpp",
       "maxfpp", "saturation", "spantokens", "maxdf", "key",
-      "maxsubtrees", "maxgrowth", "lr", "maxham")
+      "maxsubtrees", "maxgrowth", "lr", "maxham", "bands", "arity")
     keys.filterNot(known).foreach(k => fail(s"unknown option '$k'"))
     val kv = split0.map(a => (a(0), a(1))).toMap
     def num(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
