@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Iterations the most recent [[components]] call ran (driver-side
+    * debug telemetry for the profiling tool — the loop count is the
+    * whole cost model of this operator, so regressions need it
+    * attributable without log spelunking).
+    */
+  @volatile private[graft] var lastIterations: Int = 0
+
+  /** Edge-count ceiling for the single-task union-find fast path (~16 MB
+    * of (u,v) longs through one repartition(1) exchange; union-find over
+    * 1M edges runs in ~100 ms inside one task). Past it, component
+    * labeling runs the distributed pointer-jumping loop — the 100 TB
+    * path. The MaxBroadcastDupIds convention: a measured bound, not a
+    * scale assumption.
+    */
+  val MaxLocalEdges: Long = 1L << 20
+
   /** pairs(id_a, id_b) → (doc_id, cluster_id = min doc_id of component).
     * Only docs appearing in some pair are returned (singletons are their
     * own cluster by definition — callers union them in if needed).
@@ -30,31 +46,30 @@ object DedupClusters {
     * downstream join/group key, the exchange does double duty (the join
     * reuses it instead of planning its own).
     */
-  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // Materialize the PAIR KERNEL exactly once before the two-branch
-    // union below references it twice. The pairs input is typically the
-    // expensive tail of a candidates-then-verify kernel (prefix join +
-    // exact-jaccard verify); without this pin, evaluating it once per
-    // union branch is only avoided when ReuseExchange happens to unify
-    // the two branch plans — the same fragile dependence the r14
-    // GlobalIndex work replaced with an explicit pin (SCALE.md
-    // §pin-shuffle). Dup-pair sets are O(duplicates) — a sliver of the
-    // corpus — so this extra materialization is O(|pairs|) rows, while
-    // the kernel it protects is O(corpus) work.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val edgesRaw = p.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
+  def components(pairs: DataFrame, maxIter: Int = 10,
+      localEdgeCap: Long = MaxLocalEdges): DataFrame = {
+    // Symmetrize in ONE scan of the pairs input (r19 opt, guide §1.2):
+    // the r18 shape eagerly pinned `pairs` (one extra materialization
+    // job) purely so the (u,v)/(v,u) UNION's two branches would not
+    // re-evaluate the expensive candidates-then-verify kernel feeding
+    // this operator. An explode over the two orientations references
+    // the input exactly once, so the kernel evaluates once INSIDE the
+    // edge materialization itself and the standalone pin job disappears.
+    val edgesRaw = pairs
+      .select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .localCheckpoint() // materialize once; iterations re-join it
     // NOTE on unpersist() here and below: a localCheckpoint's blocks are
     // NOT freed synchronously by Dataset.unpersist (CacheManager has
     // nothing cached for them) — they are reclaimed by the ContextCleaner
     // once the checkpointed RDD is garbage-collected, i.e. when the local
-    // `p`/`labels` generation reference drops out of scope at the end of
+    // `labels` generation reference drops out of scope at the end of
     // this method / loop iteration. The calls are kept as intent markers
     // ("this generation is superseded") and to cover any caller-side
     // cache; actual memory pressure relief is GC-deferred by design.
-    p.unpersist()
     // Size the ITERATION parallelism to the materialized edge count, not
     // the session default: dup-pair graphs are usually a sliver of the
     // corpus (a 500-doc fixture yields ~50 edges; even 100 TB of text
@@ -63,6 +78,50 @@ object DedupClusters {
     // fixed per-shuffle overhead the dominant cost. The count is free —
     // the localCheckpoint above already materialized the edges.
     val nEdges = edgesRaw.count()
+    // SINGLE-TASK union-find fast path (r19 opt, guide §1.2 "the
+    // distributed algorithm"): dup-pair graphs are a sliver of the
+    // corpus, and below MaxLocalEdges (16 MB of long pairs) the entire
+    // component labeling fits one executor task — path-compressed
+    // union-find over the materialized edges, ZERO iteration loop,
+    // zero per-iteration shuffles/checkpoints (the loop's fixed cost
+    // was the #1 wall item of every cluster query at fixture scale,
+    // 10 iterations on the chained simhash graph). min-id roots make
+    // the labels EXACTLY the loop's fixed point, pinned against the
+    // distributed path by DedupClustersSpec. Edges stay on executors
+    // (one repartition(1) of ≤ the cap — never a driver collect); past
+    // the cap the pointer-jumping loop below is unchanged.
+    if (nEdges <= localEdgeCap) {
+      val spark = edgesRaw.sparkSession
+      import spark.implicits._
+      val out = edgesRaw.select(col("u"), col("v")).as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val parent = new scala.collection.mutable.LongMap[Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent.getOrElse(c, c); parent(c) = r; c = n
+            }
+            r
+          }
+          it.foreach { case (u, v) =>
+            parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+            val ru = find(u); val rv = find(v)
+            // attach the LARGER root under the smaller: the component's
+            // root is always its min id, so labels are min-id exact
+            if (ru < rv) parent(rv) = ru
+            else if (rv < ru) parent(ru) = rv
+          }
+          val ks = parent.keys.toArray // find() mutates; freeze keys first
+          ks.iterator.map(k => (k, find(k)))
+        }
+        .toDF("doc_id", "cluster_id")
+      lastIterations = 0
+      edgesRaw.unpersist()
+      return out
+    }
     val parts = math.max(1L, math.min(
       edgesRaw.sparkSession.sparkContext.defaultParallelism.toLong,
       nEdges / 50000 + 1)).toInt
@@ -80,12 +139,24 @@ object DedupClusters {
       .localCheckpoint()
     var converged = false
     var i = 0
-    // Convergence is checked every SECOND iteration (and on the last):
-    // labels only decrease, so a no-change step is a fixed point forever
-    // and a batched check detects it at most one (cheap, no-op) iteration
-    // late — halving the per-round driver actions from 2 (checkpoint job +
-    // count job) to ~1.5, which at fixture scale is the dominant cost of
-    // the #1 wall-time query (VERDICT r6 #5).
+    // Convergence check (r19 opt): each generation CARRIES its
+    // iteration-start label (`prev`, 8 B/row) through the propagate +
+    // jump joins, and a counter accumulator rides the final projection
+    // of the checkpoint job itself — so "did anything change" costs ZERO
+    // extra jobs. The r18 shape re-JOINED the new generation against the
+    // old one in a separate count job every second iteration (a full
+    // extra shuffle per check); deep chained graphs run 10+ iterations
+    // (measured on the simhash fixture graph), so the per-iteration
+    // job count is the whole cost model here. Accumulator safety: a
+    // retried/speculated task can only OVER-count (extra no-op
+    // iteration, labels already a fixed point), never under-count to a
+    // false convergence.
+    val changedAcc = edges.sparkSession.sparkContext
+      .longAccumulator("dedupClustersChanged")
+    val markChanged = udf((label: Long, prev: Long) => {
+      if (label != prev) changedAcc.add(1L)
+      label
+    })
     while (!converged && i < maxIter) {
       // (a) propagate: each node takes min(own label, neighbors' labels).
       // edges is checkpointed partitioned on v; the labels side repartitions
@@ -97,27 +168,29 @@ object DedupClusters {
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
       val stepped = labels.join(neighborLabels, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .repartition(parts, col("label"))
       // (b) pointer jump: label := label's label (labels only decrease)
+      changedAcc.reset()
       val next = stepped.alias("s")
         .join(stepped.select(col("doc_id").as("l2"), col("label").as("ll"))
           .repartition(parts, col("l2")).alias("t"),
           col("s.label") === col("l2"), "left_outer")
         .select(col("s.doc_id").as("doc_id"),
-          least(col("s.label"), coalesce(col("ll"), col("s.label"))).as("label"))
+          markChanged(
+            least(col("s.label"), coalesce(col("ll"), col("s.label"))),
+            col("s.prev")).as("label"))
         .repartition(parts, col("doc_id"))
-        .localCheckpoint()
-      if (i % 2 == 1 || i == maxIter - 1) {
-        val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old")).count()
-        converged = changed == 0
-      }
+        .localCheckpoint() // eager: the accumulator is final once this returns
+      // labels only decrease, so label == prev everywhere is a fixed
+      // point forever
+      converged = changedAcc.value == 0
       labels.unpersist() // superseded generation
       labels = next
       i += 1
     }
+    lastIterations = i
     edges.unpersist()
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

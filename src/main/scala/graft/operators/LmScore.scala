@@ -41,11 +41,18 @@ object LmScore {
     * with ≥1 token: (doc_id, n_tokens, nll), nll rounded to 4 decimals.
     */
   def nll(docs: DataFrame): DataFrame = {
-    val tokStream = docs.select(col("doc_id"), explode(col("toks")).as("token"))
-    val freq = tokStream.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val totals = freq.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
-    val tf = tokStream.groupBy(col("doc_id"), col("token"))
+    // ONE tokenize+explode pass (r19 opt, guide §1.2): the corpus-wide
+    // token frequency is derivable from the per-doc term frequencies
+    // (cnt = Σ_docs tf, exactly — both count token occurrences), so the
+    // (doc_id, token) aggregate is computed first, pinned, and the vocab
+    // table + totals fold over ITS compact rows instead of re-exploding
+    // every document a second time.
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val freq = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val totals = freq.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
     val contrib = tf.join(freq, "token").crossJoin(broadcast(totals))
       .withColumn("c",
         col("tf").cast("double") *

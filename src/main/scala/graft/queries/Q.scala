@@ -29,3 +29,20 @@ final case class Q(
 trait QueryModule {
   def queries: Seq[Q]
 }
+
+/** Shared query-plan helpers. */
+object QueryUtil {
+  /** Spread a scan across the session's cores when the file layout
+    * undersupplies parallelism (r19 opt, guide §2.6/§2.5 "input skew"):
+    * a KB-scale parquet table plans as ONE input split, so a compute-
+    * heavy verify stage fed by it (all-pairs cosine, blocked edit
+    * distance) runs single-threaded while 31 cores idle. The round-robin
+    * repartition only fires when the current partition count is below
+    * `defaultParallelism` — a production-scale table has thousands of
+    * input splits and this is the identity (no exchange added at scale).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+}

@@ -1228,25 +1228,38 @@ object TextQueries extends QueryModule {
       val toks = docs.select(col("doc_id"), col("lang"),
         tokens(lower(col("text"))).as("t"))
       val nm1 = greatest(size(col("t")) - 1, lit(0))
+      // ONE materialized pass over the exploded features (r19 opt,
+      // guide §1.2/§2.3): the un-pinned form re-ran tokenize + explode +
+      // md5 over the whole corpus once per consumer (target counts, raw
+      // counts, totals, contributions — 4 full passes, and md5-per-
+      // feature dominates the query's CPU). The checkpoint pins the
+      // NARROW (doc_id, lang, b) projection — the feature string never
+      // materializes past the bucket hash — and every aggregate below
+      // derives from it or from the 1024-row bucket table.
       val feats = toks.select(col("doc_id"), col("lang"),
           explode(concat(col("t"),
             zip_with(slice(col("t"), lit(1), nm1), slice(col("t"), lit(2), nm1),
               (a, b) => concat_ws(" ", a, b)))).as("f"))
-        .withColumn("b",
+        .select(col("doc_id"), col("lang"),
           pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
-            lit(B.toLong)))
-      val tgtC = feats.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val rawC = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tot = feats.agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double").as("tt"),
-        count(lit(1)).cast("double").as("tr"))
+            lit(B.toLong)).as("b"))
+        .localCheckpoint()
+      // per-bucket target/raw counts in ONE aggregate (≤ B rows): the
+      // conditional sum equals the old filtered-count + left-join form —
+      // a bucket with no target rows gets ct = 0, exactly what
+      // coalesce(ct, 0) produced; every feature row's own bucket has
+      // cr ≥ 1 so the raw join side is never missing.
+      val bucketC = feats.groupBy(col("b")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      val tot = bucketC.agg(
+        sum(col("ct")).cast("double").as("tt"),
+        sum(col("cr")).cast("double").as("tr"))
       val contrib = feats
-        .join(broadcast(tgtC), Seq("b"), "left")
-        .join(broadcast(rawC), Seq("b"))
+        .join(broadcast(bucketC), Seq("b"))
         .crossJoin(broadcast(tot))
         .withColumn("c",
-          log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + B)) -
+          log((col("ct") + lit(1.0)) / (col("tt") + B)) -
             log((col("cr") + lit(1.0)) / (col("tr") + B)))
       // fixed-point contribution fold (the LmScore.FixedPointScale
       // device): integer sums are order-independent across any
@@ -1407,14 +1420,15 @@ object TextQueries extends QueryModule {
   // scale path: shuffle is on (bandKey) only; O(n·bands) rows.
   private val qDedupMinhash = Q(
     "q_dedup_minhash_lsh",
+    // In-session build on every run (r19 optimization round: a plainly-
+    // timed query must not load persisted intermediates keyed on the
+    // fixture — that convention is reserved for the *_loaded registry
+    // rows whose DECLARED semantics is probe-a-prebuilt-artifact). The
+    // per-run dictionary cost is attacked inside verifiedPairs instead:
+    // the dictionary + encode are restricted to candidate docs.
     (s, d) => graft.operators.NearDup.verifiedPairs(
         Tables.documents(s, d)
-          .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")),
-        // content-keyed verify dictionary (r19): the vocab distinct +
-        // dictionary-encode build is a fixed per-corpus cost, not a
-        // per-run one — persisted like every other *_loaded artifact
-        dictPath = Some(graft.operators.ArtifactPaths.keyed("mhdict",
-          s"$d/documents.parquet", "shingle=3,v=1")))
+          .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")))
       .orderBy(col("id_a"), col("id_b")))
 
   // SimHash near-dup: 64-bit sketch, candidates = equal 16-bit sub-band
@@ -1563,8 +1577,12 @@ object TextQueries extends QueryModule {
     (s, d) => {
       val p = Tables.part(s, d)
         .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
-      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-        col("p_type").as("type_a"), col("p_size").as("size_a"))
+      // spread the probe side: the fixture part table is one input
+      // split, so the O(len²) levenshtein verify otherwise runs as one
+      // task (r19 opt; identity at scale — QueryUtil.spread)
+      val a = QueryUtil.spread(
+        p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+          col("p_type").as("type_a"), col("p_size").as("size_a")))
       val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
         col("p_type").as("type_b"), col("p_size").as("size_b"))
       a.join(b, col("type_a") === col("type_b") &&

@@ -41,7 +41,17 @@ object VectorQueries extends QueryModule {
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("n2").as("n2_a"))
+      // Spread the STREAMED side of the nested-loop join: the fixture
+      // scan is one split, so the O(n²) dot-product verify otherwise
+      // runs as a single task (r19 opt — measured 2.3 CPU-s all on one
+      // core). Only the IDS ride the spreading exchange (the engine's
+      // own ScaleLint forbids float vectors on a shuffle); the vectors
+      // re-attach by broadcast, which is in-bounds here BY CONTRACT —
+      // this query is scaleBound-fenced to oracle scale, where the
+      // corpus always fits a broadcast.
+      val a = QueryUtil.spread(e.select(col("vec_id").as("id_a")))
+        .join(broadcast(e.select(col("vec_id").as("id_a"),
+          col("embedding").as("v_a"), col("n2").as("n2_a"))), "id_a")
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"), col("n2").as("n2_b"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("cos",
@@ -79,8 +89,11 @@ object VectorQueries extends QueryModule {
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("n2"))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
-        col("n2").as("n2_a"))
+      // same ids-spread + broadcast re-attach as q_dedup_embedding_cosine
+      // (r19 opt; scaleBound-fenced, so the broadcast is in-bounds)
+      val a = QueryUtil.spread(e.select(col("vec_id").as("id_a")))
+        .join(broadcast(e.select(col("vec_id").as("id_a"),
+          col("embedding").as("v_a"), col("n2").as("n2_a"))), "id_a")
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
         col("n2").as("n2_b"))
       val pairs = a.join(b, col("id_a") < col("id_b"))
@@ -518,20 +531,14 @@ object VectorQueries extends QueryModule {
       // the quantized scorer sees only cross-label candidates. Labels
       // re-attach LAST, to the ≤ 3·|Q| final rows — broadcast the tiny
       // result, stream the ids+labels projection of the corpus.
-      // r19: the SQ8 grid + codes load from the SAME content-keyed
-      // artifact q_sim_topk_sq8_loaded builds (identical key), so the
-      // per-run train+encode cost the r18 verdict flagged is paid once
-      // per corpus version
-      import graft.operators.{ArtifactPaths, Sq8Index}
-      val sq8Path = ArtifactPaths.keyed("sq8", s"$d/embeddings.parquet",
-        "dim=64,v=1")
-      if (!ArtifactPaths.exists(sq8Path)) {
-        val g = Sq8Index.train(e)
-        Sq8Index.save(sq8Path, g, Sq8Index.encode(e, g))
-      }
-      val (grid, codes) = Sq8Index.load(s, sq8Path)
+      // In-session SQ8 train+encode on every run (r19 optimization
+      // round: a plainly-timed query must not load persisted
+      // intermediates keyed on the fixture — the artifact route is the
+      // *_loaded rows' declared semantics, not this query's).
+      import graft.operators.Sq8Index
+      val grid = Sq8Index.train(e)
       val topk = Sq8Index.prefilterRerank(pairIds, annQueries(e),
-        codes, e, grid, k = 3, pool = 15)
+        Sq8Index.encode(e, grid), e, grid, k = 3, pool = 15)
       val labels = e.select(col("vec_id"), col("label"))
       broadcast(topk)
         .join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")

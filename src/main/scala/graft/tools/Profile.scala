@@ -52,6 +52,14 @@ object Profile {
     time("full minhash query") {
       graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, d).count()
     }
+    // CC loop depth per cluster query (the iteration count IS the cost
+    // model of DedupClusters.components — r19 opt attribution)
+    Seq("q_dedup_simhash_clusters", "q_dedup_clusters",
+        "q_dedup_image_clusters", "q_dedup_token_clusters").foreach { q =>
+      time(s"$q (full)") { graft.SparkEntry.queries(q)(spark, d).count() }
+      println(s"[profile] $q CC iterations: " +
+        graft.operators.DedupClusters.lastIterations)
+    }
     spark.stop()
   }
 }

@@ -84,6 +84,23 @@ class DedupClustersSpec extends SparkSpec {
     sp.conf.get("spark.sql.shuffle.partitions") shouldBe confBefore
   }
 
+  test("single-task union-find path == forced distributed loop (r19 opt)") {
+    val sp = spark; import sp.implicits._
+    // chain + star + two singleton-pair components, mixed orientations —
+    // the default path (edges under MaxLocalEdges → one-task union-find)
+    // must label identically to the pointer-jumping loop, which
+    // localEdgeCap = 0 forces
+    val pairs = ((1L until 25L).map(i => (i + 1, i)) ++
+      Seq((100L, 101L), (100L, 102L), (103L, 100L), (200L, 201L), (301L, 300L)))
+      .toDF("id_a", "id_b")
+    val fast = DedupClusters.components(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = DedupClusters.components(pairs, localEdgeCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    fast shouldBe dist
+    fast.filter(_._1 >= 100L).filter(_._1 < 200L).foreach(_._2 shouldBe 100L)
+  }
+
   test("end-to-end: minhash pairs on the fixture collapse into clusters") {
     val pairs = graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfDir)
       .select("id_a", "id_b")
