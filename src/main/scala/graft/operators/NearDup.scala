@@ -271,6 +271,10 @@ object NearDup {
     // pinned result — no further read of the array blocks beyond the
     // kernel core's own three.
     val chunks = classCensusChunks(d0.select(col("doc_id"), col("ck")))
+    // (r19 note: computing dupExtra in one pass over the chunk rows via
+    // countDistinct(ck) was tried and measured +0.2 CPU-s per call at
+    // sf0.1 — distinct over a STRUCT key plans the interpreted expand
+    // path — so the per-class roll-up keeps its own materialization.)
     val classes = chunks
       .groupBy(col("ck"))
       .agg(min(col("rep_b")).as("rep_id"), sum(col("mb")).as("m"))
@@ -427,6 +431,25 @@ object NearDup {
     distinctShingles.select(col("shingle"))
       .withColumn("tok", monotonically_increasing_id())
       .localCheckpoint()
+
+  /** Dictionary-encode exactly the docs appearing in a pinned candidate
+    * pair set (r19 opt — the self-join kernels' verify joins read no
+    * other doc's encoding, so building the dictionary and the encoded
+    * arrays over the whole corpus was fixed per-call work thrown away;
+    * restricting both to candidate docs keeps every verified value
+    * unchanged because the restricted vocab contains EVERY shingle of
+    * every candidate doc by construction — no candidate doc loses a
+    * shingle in encoding). `docs` must carry (doc_id, sh); returns the
+    * pinned (doc_id, n, ids) verify table.
+    */
+  private def encodeCandidateDocs(cand: DataFrame, docs: DataFrame): DataFrame = {
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val dv = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val dict = dictFromShingles(
+      dv.select(explode(col("sh")).as("shingle")).distinct())
+    encodeDocs(dv, dict).localCheckpoint()
+  }
 
   /** Encode (doc_id, sh) docs against a dictionary: (doc_id, n, ids) with
     * n = |sh| — the FULL pre-encode cardinality, which keeps the
@@ -691,8 +714,7 @@ object NearDup {
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
       threshold: Double = DefaultThreshold,
-      maxBandDf: Int = DefaultBandMaxDf,
-      dictPath: Option[String] = None): DataFrame = {
+      maxBandDf: Int = DefaultBandMaxDf): DataFrame = {
     // One materialization of the shingle projection (the dominant cost):
     // the input feeds banding PLUS two verification re-attach joins, and
     // without a checkpoint each consumer would recompute WordShingles
@@ -738,41 +760,25 @@ object NearDup {
       maxBandDf)
     val a = banded.select(col("bandKey"), col("doc_id").as("id_a"))
     val b = banded.select(col("bandKey").as("bk2"), col("doc_id").as("id_b"))
+    // Candidates pinned: they feed the candidate-doc id set AND the
+    // verify join below — unpinned, the banding self-join would run
+    // twice (ids-only rows, a sliver of the corpus).
     val cand = a.join(b, col("bandKey") === col("bk2") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // dictionary-encoded verification (r18 — the jaccardPairs discipline,
-    // applied to the last kernel that still re-attached raw shingle
-    // STRINGS per candidate: candidate multiplicity amplifies every byte
-    // on these two exchanges, and 8-byte tokens beat 3-gram strings
-    // severalfold; the dictionary covers d0's own shingles completely so
-    // encoding is exact at any positive threshold).
-    // r19: `dictPath` persists the dictionary + encoded docs as a
-    // content-keyed artifact (the ArtifactPaths convention) — the r18
-    // verdict traced these two queries' >2× anchor cost to this fixed
-    // per-call build; a caller that keys the path on the docs source
-    // (see q_dedup_minhash_lsh) pays the vocab distinct + encode shuffle
-    // ONCE per corpus version instead of per run. Existence of the
-    // artifact implies it was built from an identical frame (the key
-    // embeds source identity), so encode coverage stays complete.
-    val (dict, dIds) = dictPath match {
-      case Some(p) =>
-        val spark = docs.sparkSession
-        import spark.implicits._
-        if (!ArtifactPaths.exists(p)) {
-          val dict0 = dictFromShingles(
-            d0.select(explode(col("sh")).as("shingle")).distinct())
-          dict0.write.mode("overwrite").parquet(s"$p/dict")
-          encodeDocs(d0, dict0).write.mode("overwrite").parquet(s"$p/ids")
-          // meta LAST: its _SUCCESS is the artifact commit marker
-          Seq(1).toDF("v").coalesce(1)
-            .write.mode("overwrite").parquet(s"$p/meta")
-        }
-        (spark.read.parquet(s"$p/dict"), spark.read.parquet(s"$p/ids"))
-      case None =>
-        val dict0 = dictFromShingles(
-          d0.select(explode(col("sh")).as("shingle")).distinct())
-        (dict0, encodeDocs(d0, dict0).localCheckpoint())
-    }
+      .localCheckpoint()
+    // dictionary-encoded verification (r18 — the jaccardPairs discipline:
+    // candidate multiplicity amplifies every byte on the two re-attach
+    // exchanges, and 8-byte tokens beat 3-gram strings severalfold).
+    // r19 opt (guide §1.2 "don't compute things you throw away"): the
+    // dictionary and the encoded docs are built over CANDIDATE DOCS
+    // ONLY — the verify joins read no other doc's encoding, and the
+    // restricted vocab contains EVERY shingle of every candidate doc by
+    // construction, so no candidate doc loses a shingle in encoding and
+    // every verified intersection/denominator is unchanged. The vocab
+    // distinct + encode shuffle shrink from O(corpus) to O(candidate
+    // docs) — the fixed per-call cost the r18 verdict flagged on this
+    // kernel, removed instead of cached.
+    val dIds = encodeCandidateDocs(cand, d0)
     val repPairs = verifyJaccardIds(
       cand
         .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),
@@ -822,16 +828,19 @@ object NearDup {
     val (keyed, repDocs) = exactSetClasses(d0)
     val d = repDocs.drop("ck") // pinned inside exactSetClasses
     // pass 1: global document frequency = the canonical shingle order.
-    // Checkpointed: it feeds the prefix pass AND the verify dictionary
-    // (and the uncheckpointed subtree would otherwise recompute once per
-    // prefix consumer).
+    // Checkpointed: it feeds the prefix pass AND the verify dictionary.
     val dfreq = d.select(explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .localCheckpoint()
     // pass 2: keep each doc's p rarest shingles. ⌈(1−τ)n⌉+1 dominates the
     // tight n−⌈τn⌉+1 bound even under fp noise in the multiply (one spare
     // indexed shingle per doc, never one short).
-    val prefix = rarePrefix(d, dfreq, tau)
+    // r19 opt: the prefix carries its OWN pin — both self-join sides
+    // reference it, and without the pin each side re-ran the full
+    // explode + df-join + per-doc ranking window (the before plan shows
+    // two Window nodes and no ReusedExchange); now the ranking pass runs
+    // once.
+    val prefix = rarePrefix(d, dfreq, tau).localCheckpoint()
     val a = prefix.select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
     val b = prefix.select(col("shingle").as("sh_b"), col("doc_id").as("id_b"),
       col("n").as("n_b"))
@@ -843,7 +852,11 @@ object NearDup {
       .select(col("id_a"), col("id_b")).distinct()
     // verification over dictionary-encoded arrays (dfreq's key set IS the
     // corpus vocabulary): candidate multiplicity amplifies re-attach
-    // bytes, so 8-byte tokens beat raw shingle strings on both exchanges
+    // bytes, so 8-byte tokens beat raw shingle strings on both exchanges.
+    // r19 note: a candidate-restricted encode (the verifiedPairs move)
+    // was measured here and REVERTED — the prefix self-join's candidate
+    // docs ≈ the corpus at fixture scale, so pinning the candidate set
+    // plus the id restriction cost more than the encode it saved.
     val dict = dictFromShingles(dfreq)
     val dIds = encodeDocs(d, dict).localCheckpoint()
     val repPairs = verifyJaccardIds(
@@ -912,6 +925,8 @@ object NearDup {
       .union(c.select(explode(col("sh")).as("shingle")))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .localCheckpoint()
+    // Candidates pinned: they feed the candidate-id restrictions AND the
+    // verify joins (unpinned, the two-sided prefix join would re-run).
     val cand = rarePrefix(b, dfreq, tau)
       .join(rarePrefix(c, dfreq, tau).select(col("shingle").as("sh_c"),
           col("doc_id").as("matched_id"), col("n").as("n_c")),
@@ -919,12 +934,22 @@ object NearDup {
           col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
           col("n") >= lit(tau) * col("n_c") - lit(1e-9))
       .select(col("doc_id"), col("matched_id")).distinct()
+      .localCheckpoint()
     // union dfreq covers BOTH sides' vocabularies, so every doc encodes
-    // completely and the string branch of verifySplit is statically empty
+    // completely and the string branch of verifySplit is statically empty.
+    // r19 opt: only CANDIDATE docs encode/verify on either side — the
+    // verify joins read no other doc's rows, and the union dictionary is
+    // a superset of any doc's shingles, so encode coverage (hence every
+    // verified value) is unchanged while the corpus-side encode shrinks
+    // from O(corpus) to O(candidate docs).
     val dict = dictFromShingles(dfreq)
-    val repMatches = verifySplit(cand, b.select(col("doc_id"), col("sh")),
-      encodeDocs(c, dict), dict, c.select(col("doc_id"), col("sh")).limit(0),
-      threshold)
+    val bCand = b.join(cand.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val cCand = c.join(cand.select(col("matched_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val repMatches = verifySplit(cand, bCand.select(col("doc_id"), col("sh")),
+      encodeDocs(cCand, dict), dict,
+      c.select(col("doc_id"), col("sh")).limit(0), threshold)
     expandCrossMatches(repMatches, bC.members, cC.members, Seq("jaccard"),
       bC.trivial, cC.trivial)
   }
@@ -1440,7 +1465,12 @@ object NearDup {
     // dictionary-encoded verification (see verifyJaccardIds): n_a is the
     // exact pre-encode cardinality, so the containment denominator is
     // exact; the containment-heavy candidate sets amplify re-attach bytes
-    // hardest of the whole family
+    // hardest of the whole family.
+    // r19 note: this kernel deliberately KEEPS the corpus-wide encode —
+    // the jaccardPairs candidate-restriction was measured here (+63%
+    // CPU at sf0.1): containment's probe side is the FULL inverted
+    // index, so candidate docs ≈ the corpus at any τ and pinning the
+    // large candidate set costs more than the restriction saves.
     val dict = dictFromShingles(dfreq)
     val dIds = encodeDocs(d, dict).localCheckpoint()
     val repPairs = cand
