@@ -77,10 +77,6 @@ object BpeTrainer {
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum(col("freq")).as("pair_freq"))
 
-  private def hasAdjacent(seq: Column, a: String, b: String): Column =
-    size(seq) >= 2 && exists(sequence(lit(1), size(seq) - 1), i =>
-      element_at(seq, i) === a && element_at(seq, i + 1) === b)
-
   /** Greedy left-to-right non-overlapping rewrite of adjacent (a,b) into
     * a+b (see scaladoc for the equivalence argument).
     */
@@ -112,15 +108,23 @@ object BpeTrainer {
         val (a, b, f) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(step, a, b, f)
-        // incremental stats: only words containing (a,b) change
-        val affected = syms.filter(hasAdjacent(col("seq"), a, b))
-        val untouched = syms.filter(!hasAdjacent(col("seq"), a, b))
-        val rewritten = affected
-          .select(col("freq"), mergeSeq(col("seq"), a, b).as("seq"))
-        val delta = pairCounts(rewritten).union(
-          pairCounts(affected)
+        // incremental stats: only words containing (a,b) change.
+        // r19 opt: ONE rewrite pass — the r18 shape evaluated
+        // hasAdjacent twice (affected + untouched filters) and mergeSeq
+        // in two separate jobs (the syms checkpoint and the stats
+        // delta); here the rewritten sequence is materialized once
+        // beside the old one, and "affected" is seq2 ≠ seq — exactly
+        // hasAdjacent, since the greedy rewrite changes a sequence iff
+        // the pair occurs. Old pair counts subtract from the SAME
+        // pinned rows the new ones add from.
+        val merged = syms.select(col("freq"), col("seq"),
+            mergeSeq(col("seq"), a, b).as("seq2"))
+          .localCheckpoint(true)
+        val changed = merged.filter(!(col("seq2") === col("seq")))
+        val delta = pairCounts(changed.select(col("freq"), col("seq2").as("seq")))
+          .union(pairCounts(changed.select(col("freq"), col("seq")))
             .withColumn("pair_freq", -col("pair_freq")))
-        syms = untouched.union(rewritten).localCheckpoint(true)
+        syms = merged.select(col("freq"), col("seq2").as("seq"))
         stats = stats.union(delta)
           .groupBy(col("lhs"), col("rhs"))
           .agg(sum(col("pair_freq")).as("pair_freq"))

@@ -135,25 +135,43 @@ object PqIndex {
       .orderBy(col("vec_id")).limit(64 * k)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
-    (0 until m).toArray.map { s =>
-      val sub = sample.select(col("vec_id"),
-        slice(col("embedding"), s * subDim + 1, subDim).as("sv"))
-      val seedRows = sub.orderBy(col("vec_id")).limit(k).collect()
-      val seeds = seedRows.map(_.getSeq[Float](1).toArray)
-      val cells = seeds.indices.toArray
-      val n2s = seeds.map(w => w.map(x => x.toDouble * x).sum)
-      val assigned = sub.withColumn("code", nearestCell(col("sv"), cells, seeds, n2s))
-      val means = assigned
-        .select(col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("code"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("mv"))
-        .collect()
-      val words = seeds.map(_.clone()) // empty cells keep their seed word
-      means.foreach { r =>
-        words(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
-      }
-      words
+    // ONE seeds collect + ONE all-subspace mean pass (r19 opt, guide
+    // §1.2): every subspace's seed rows are the SAME first-k sample rows
+    // by vec_id, sliced — collecting them once and slicing driver-side
+    // replaces m seed jobs; and the Lloyd means for all m subspaces ride
+    // one aggregate over the posexploded full vectors (s = pos/subDim,
+    // subpos = pos%subDim, code looked up from the per-subspace code
+    // array computed map-side), replacing m mean jobs. Identical
+    // arithmetic per (subspace, code, position) group → identical
+    // codebooks; was 2·m driver jobs over the checkpointed sample.
+    val seedVecs = sample.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val seedBooks = (0 until m).toArray.map { s =>
+      seedVecs.map(v => v.slice(s * subDim, (s + 1) * subDim))
     }
+    val codeCols = (0 until m).map { s =>
+      val words = seedBooks(s)
+      nearestCell(slice(col("embedding"), s * subDim + 1, subDim),
+        words.indices.toArray, words,
+        words.map(w => w.map(x => x.toDouble * x).sum))
+    }
+    val sCol = (col("pos") / lit(subDim)).cast("int")
+    val means = sample
+      .select(array(codeCols: _*).as("codes"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(sCol.as("s"),
+        element_at(col("codes"), sCol + 1).as("code"),
+        pmod(col("pos"), lit(subDim)).cast("int").as("subpos"),
+        col("x"))
+      .groupBy(col("s"), col("code"), col("subpos"))
+      .agg(avg(col("x").cast("double")).as("mv"))
+      .collect()
+    val words = seedBooks.map(_.map(_.clone())) // empty cells keep their seed
+    means.foreach { r =>
+      words(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+    }
+    words
   }
 
   /** Map-side encode: appends `code ARRAY<INT>` — one native-argmin column
