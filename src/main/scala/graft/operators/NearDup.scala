@@ -170,25 +170,12 @@ object NearDup {
     struct(xxhash64(sorted).as("k1"), xxhash64(lit(1), sorted).as("k2"))
   }
 
-  /** Exact-set pre-collapse for the self-join pair generators (SCALE.md
-    * §skew: the planted-skew stress caught the un-collapsed family
-    * spilling 8.8 GB on a 2000-member identical class — the same
-    * quadratic class the HammingBands kernel already collapses for the
-    * hamming family). Returns
-    *   - `keyed` (doc_id, ck): the ids-only doc→class map (24 B/row,
-    *     localCheckpoint-pinned — it feeds the rep selection, the
-    *     within-class expansion and both cross-class expansions), and
-    *   - `repDocs`: `d` restricted to one representative (min doc_id)
-    *     per class — the ONLY rows the candidates+verify kernel sees.
-    * Identical sets have identical signatures, prefixes and jaccard/
-    * containment values against any third set, so running the kernel
-    * over reps and expanding members afterwards is EXACT — pinned
-    * against brute force in DedupSpec (planted identical classes).
-    */
-  private def exactSetClasses(d: DataFrame): (DataFrame, DataFrame) = {
-    val keyed = d.select(col("doc_id"), col("ck")).localCheckpoint()
-    (keyed, repsOf(d))
-  }
+  // (r19: exactSetClasses — the unconditional keyed-pin + repsOf
+  // collapse the self-join kernels used — is gone; jaccardPairs and
+  // containmentPairs run the measured-dup-mass census collapse
+  // (exactSetMembers) like every cross-set kernel, so a duplicate-free
+  // corpus skips collapse and expansion outright and the small-dup
+  // regime never shuffles a shingle array for the collapse.)
 
   /** One representative row per class via a single groupBy(ck) aggregate
     * (r17 task 4 — the r16 shape was an ids-only agg PLUS a re-join of
@@ -405,6 +392,32 @@ object NearDup {
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col(valueCol))
     within.unionByName(cross)
+  }
+
+  /** Expand verified REP pairs to member pairs through a MEMBERS map
+    * (rep_id, doc_id) — the [[exactSetMembers]] twin of
+    * [[expandSetPairs]] (r19): two equi-joins on LONG rep ids replace
+    * the four-join ck-struct chain, within-class pairs self-join the
+    * member map, and a trivial collapse (duplicate-free corpus) skips
+    * expansion outright — rep pairs ARE the member pairs there.
+    */
+  private def expandSetPairsM(repPairs: DataFrame, members: DataFrame,
+      trivial: Boolean, valueCol: String, withinValue: Column): DataFrame = {
+    if (trivial) repPairs.select(col("id_a"), col("id_b"), col(valueCol))
+    else {
+      val within = members.select(col("rep_id"), col("doc_id").as("id_a"))
+        .join(members.select(col("rep_id").as("r2"), col("doc_id").as("id_b")),
+          col("rep_id") === col("r2") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), withinValue.as(valueCol))
+      val cross = repPairs
+        .join(members.select(col("rep_id").as("id_a"), col("doc_id").as("ma")),
+          "id_a")
+        .join(members.select(col("rep_id").as("id_b"), col("doc_id").as("mb")),
+          "id_b")
+        .select(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"), col(valueCol))
+      within.unionByName(cross)
+    }
   }
 
   /** Shingle→long dictionary over the distinct shingles of `d` (any frame
@@ -825,8 +838,14 @@ object NearDup {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
         setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
-    val (keyed, repDocs) = exactSetClasses(d0)
-    val d = repDocs.drop("ck") // pinned inside exactSetClasses
+    // r19: the measured-dup-mass census collapse (exactSetMembers — the
+    // r18 machinery the cross-set kernels already run) replaces the
+    // unconditional repsOf array aggregate: a duplicate-free corpus
+    // skips collapse AND expansion outright, and the small-dup regime
+    // derives reps by an ids-only broadcast anti-join — no shingle
+    // array ever shuffles for the collapse.
+    val sC = exactSetMembers(d0)
+    val d = sC.reps // pinned (or a view over the pin) inside exactSetMembers
     // pass 1: global document frequency = the canonical shingle order.
     // Checkpointed: it feeds the prefix pass AND the verify dictionary.
     val dfreq = d.select(explode(col("sh")).as("shingle"))
@@ -867,7 +886,7 @@ object NearDup {
           col("n").as("n_b")), "id_b"),
       threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    expandSetPairs(repPairs, keyed, "jaccard", lit(1.0))
+    expandSetPairsM(repPairs, sC.members, sC.trivial, "jaccard", lit(1.0))
   }
 
   /** Exact n-gram Jaccard matches of an INGEST batch against an existing
@@ -1448,8 +1467,10 @@ object NearDup {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
         setClassKey(col("sh")).as("ck"))
       .localCheckpoint()
-    val (keyed, repDocs) = exactSetClasses(d0)
-    val d = repDocs.drop("ck") // pinned inside exactSetClasses
+    // r19: measured-dup-mass census collapse (exactSetMembers — see the
+    // jaccardPairs note; trivial corpora skip collapse AND expansion).
+    val sC = exactSetMembers(d0)
+    val d = sC.reps // pinned (or a view over the pin) inside exactSetMembers
     val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
     // checkpointed: feeds the prefix pass AND the verify dictionary
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -1490,23 +1511,29 @@ object NearDup {
     // Expansion with the family's DIRECTION rule: a strict pair's id_a
     // side is the smaller SET (class-level — member ids inherit it); a
     // tie pair (equal sizes, different sets) orders each member pair by
-    // id, like the within-class 1.0-clique does.
-    val within = keyed.select(col("ck"), col("doc_id").as("id_a"))
-      .join(keyed.select(col("ck").as("ck2"), col("doc_id").as("id_b")),
-        col("ck") === col("ck2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("containment"))
-      .filter(lit(1.0) >= threshold)
-    val cross = repPairs
-      .join(keyed.select(col("doc_id").as("id_a"), col("ck").as("ck_a")), "id_a")
-      .join(keyed.select(col("doc_id").as("id_b"), col("ck").as("ck_b")), "id_b")
-      .select(col("ck_a"), col("ck_b"), col("containment"), col("tie"))
-      .join(keyed.select(col("ck").as("ck_a"), col("doc_id").as("ma")), "ck_a")
-      .join(keyed.select(col("ck").as("ck_b"), col("doc_id").as("mb")), "ck_b")
-      .select(
-        when(col("tie"), least(col("ma"), col("mb"))).otherwise(col("ma")).as("id_a"),
-        when(col("tie"), greatest(col("ma"), col("mb"))).otherwise(col("mb")).as("id_b"),
-        col("containment"))
-    within.unionByName(cross)
+    // id, like the within-class 1.0-clique does. r19: two long-keyed
+    // member joins (the expandSetPairsM shape) with the tie rule kept;
+    // a trivial collapse skips expansion outright.
+    if (sC.trivial)
+      repPairs.select(col("id_a"), col("id_b"), col("containment"))
+    else {
+      val members = sC.members
+      val within = members.select(col("rep_id"), col("doc_id").as("id_a"))
+        .join(members.select(col("rep_id").as("r2"), col("doc_id").as("id_b")),
+          col("rep_id") === col("r2") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("containment"))
+        .filter(lit(1.0) >= threshold)
+      val cross = repPairs
+        .join(members.select(col("rep_id").as("id_a"), col("doc_id").as("ma")),
+          "id_a")
+        .join(members.select(col("rep_id").as("id_b"), col("doc_id").as("mb")),
+          "id_b")
+        .select(
+          when(col("tie"), least(col("ma"), col("mb"))).otherwise(col("ma")).as("id_a"),
+          when(col("tie"), greatest(col("ma"), col("mb"))).otherwise(col("mb")).as("id_b"),
+          col("containment"))
+      within.unionByName(cross)
+    }
   }
 
   /** Document pairs sharing at least one duplicated k-token window — the
