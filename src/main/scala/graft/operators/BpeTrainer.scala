@@ -156,7 +156,10 @@ object BpeTrainer {
       split(substring(enc, 2, Int.MaxValue), E + S) // drop lead ; trailing  folds into last split
     flatten(transform(
       filter(split(lower(text), "\\s+"), w => length(w) > 0 && !w.rlike("[-]")),
-      w => transform(decode(applied(encode(w))), s => regexp_replace(s, E, ""))))
+      // literal replace, not regexp_replace: E is a literal control
+      // char and StringReplace stays in codegen with no regex engine
+      // per symbol (r19 opt)
+      w => transform(decode(applied(encode(w))), s => replace(s, lit(E), lit("")))))
   }
 
   // ---------------------------------------------------------------------
