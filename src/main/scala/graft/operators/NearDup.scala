@@ -246,25 +246,20 @@ object NearDup {
     // ONE evaluation of shingles + class key (no re-copy when the caller
     // already pinned — buildBandIndex shares its pin with the docs view)
     val d0 = HammingBands.pin(d)
-    // the class census: ONE aggregate over the slim (doc_id, ck)
-    // projection of the pinned blocks — fixed-width field copies, the
-    // array bytes are never touched. BUCKETED (r19): the r18 shape
-    // collect_listed each class's full id list into ONE row, so a
-    // planted giant identical class (the skew gate's 1%-clique shape)
-    // made one ~8·m-byte array row — census row width is now bounded at
-    // any class size because a class's ids spread over ≤ CensusBuckets
-    // chunk rows (see classCensusChunks). Everything below (the per-class
-    // roll-up, members, dup ids, the census scalar) derives from this ONE
-    // pinned result — no further read of the array blocks beyond the
-    // kernel core's own three.
-    val chunks = classCensusChunks(d0.select(col("doc_id"), col("ck")))
-    // (r19 note: computing dupExtra in one pass over the chunk rows via
-    // countDistinct(ck) was tried and measured +0.2 CPU-s per call at
-    // sf0.1 — distinct over a STRUCT key plans the interpreted expand
-    // path — so the per-class roll-up keeps its own materialization.)
-    val classes = chunks
+    // COUNT-ONLY class census (r20 — the r19 verdict's q_decontaminate_
+    // fuzzy regression was exactly this kernel's fixed cost): ONE
+    // fixed-width aggregate over the slim (doc_id, ck) projection of the
+    // pinned blocks decides the regime, and id LISTS never materialize
+    // unless duplicate evidence exists. min/count are fixed width, so the
+    // partial (map-side) aggregate bounds census row width at ANY class
+    // size with no bucket fanout — the r19 bucketed collect_list census
+    // (classCensusChunks) paid its pmod hashing, (ck, bkt) group fanout
+    // and a second roll-up aggregate + checkpoint job on EVERY corpus,
+    // duplicated or not; skew machinery should cost nothing on unskewed
+    // data (guide §2.5).
+    val classes = d0.select(col("doc_id"), col("ck"))
       .groupBy(col("ck"))
-      .agg(min(col("rep_b")).as("rep_id"), sum(col("mb")).as("m"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
       .localCheckpoint()
     // null-safe scalar: an EMPTY side (every doc filtered upstream, e.g.
     // an all-empty-shingle micro-batch) aggregates to sum(m)=NULL and the
@@ -280,20 +275,23 @@ object NearDup {
         reps0.select(col("doc_id").as("rep_id"), col("doc_id")),
         reps0, trivial = true)
     else {
-      // members: explode the bucketed chunks and attach the per-class rep
-      // by a ck left join against the DUP classes only (a class absent
-      // from dupClasses is a singleton — its own id is the rep, which
-      // coalesce supplies without shipping singleton classes through the
-      // join side at all). ≤ dupExtra dup classes exist, so the small-dup
-      // regime broadcasts: no shuffle anywhere in the collapse.
+      // members: re-key the slim projection against the DUP classes only
+      // (a class absent from dupClasses is a singleton — its own id is
+      // the rep, which coalesce supplies without shipping singleton
+      // classes through the join side at all). ≤ dupExtra dup classes
+      // exist, so the small-dup regime broadcasts: no shuffle anywhere
+      // in the collapse. PINNED: downstream consumers reference members
+      // up to four times (expandSetPairsM) and each unpinned reference
+      // would re-scan the array-bearing d0 blocks.
       val dupClasses = classes.filter(col("m") > 1)
         .select(col("ck"), col("rep_id"))
       val small = dupExtra <= MaxBroadcastDupIds
-      val members = chunks.select(col("ck"), explode(col("ids")).as("doc_id"))
+      val members = d0.select(col("doc_id"), col("ck"))
         .join(if (small) broadcast(dupClasses) else dupClasses,
           Seq("ck"), "left")
         .select(coalesce(col("rep_id"), col("doc_id")).as("rep_id"),
           col("doc_id"))
+        .localCheckpoint()
       val reps =
         if (small)
           reps0.join(broadcast(
@@ -305,44 +303,20 @@ object NearDup {
     }
   }
 
-  /** Census bucket fanout: a class's member ids spread over at most this
-    * many census chunk rows, so the widest census row holds ~⌈m /
-    * CensusBuckets⌉ ids (~31 KB for a 10⁶-member class) instead of the
-    * whole class — the bound that keeps a planted giant identical class
-    * from materializing one multi-GB array row (r19; the 2 GB single-row
-    * limit and executor heap are the hard walls at 100 TB).
+  /** Count-only census probe for the skew gate: (largest class's member
+    * count, class rows) over the exact-set census of `docs` (doc_id, sh)
+    * — the number SkewStats prints so a fixture change that plants a
+    * giant identical class is visible in the gate record. Mirrors the
+    * production census in [[exactSetMembers]] (r20): min/count per class
+    * key, fixed-width rows at ANY class size — the r19 bucketed
+    * collect_list census (and its chunk-width bound) is gone because the
+    * production path no longer materializes id lists at all.
     */
-  private[operators] val CensusBuckets = 256
-
-  /** Bucketed ids-only class census over a slim (doc_id, ck) projection:
-    * one row per (class, id-hash bucket) with that bucket's member ids,
-    * its min id `rep_b` and its count `mb`. Row width is bounded at any
-    * class size (ids ≤ ~⌈m/CensusBuckets⌉ under hash uniformity —
-    * CensusBoundSpec plants a 10⁶-member class and pins the bound); the
-    * per-class roll-up (global rep = min rep_b, m = Σ mb) and the member
-    * expansion both derive from this one checkpointed result.
-    */
-  private[operators] def classCensusChunks(slim: DataFrame): DataFrame =
-    slim
-      .withColumn("bkt", pmod(xxhash64(col("doc_id")), lit(CensusBuckets)))
-      .groupBy(col("ck"), col("bkt"))
-      .agg(min(col("doc_id")).as("rep_b"),
-        collect_list(col("doc_id")).as("ids"),
-        count(lit(1)).as("mb"))
-      .localCheckpoint()
-
-  /** Census chunk-width probe for the skew gate: (widest chunk's id
-    * count, chunk rows) over the exact-set census of `docs` (doc_id, sh)
-    * — the number SkewStats prints so a fixture change that grows the
-    * giant-class census row past its declared bound is visible in the
-    * gate record.
-    */
-  def censusChunkStats(docs: DataFrame): (Long, Long) = {
+  def censusStats(docs: DataFrame): (Long, Long) = {
     val slim = docs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), setClassKey(col("sh")).as("ck"))
-    val row = classCensusChunks(slim)
-      .agg(coalesce(max(size(col("ids"))).cast("long"), lit(0L)),
-        count(lit(1))).collect()(0)
+    val row = slim.groupBy(col("ck")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(max(col("m")), lit(0L)), count(lit(1))).collect()(0)
     (row.getLong(0), row.getLong(1))
   }
 
@@ -551,7 +525,8 @@ object NearDup {
   final case class BandIndex(banded: DataFrame, docs: DataFrame,
       ids: DataFrame, dict: DataFrame, unencoded: DataFrame,
       members: DataFrame, repDocs: DataFrame,
-      numHashes: Int, bands: Int, rowsPerBand: Int)
+      numHashes: Int, bands: Int, rowsPerBand: Int,
+      lazyEncode: Boolean = false)
 
   /** Build the banded static index in memory (localCheckpoint-backed) —
     * the per-run path; saveBandIndex/loadBandIndex is the build-once
@@ -576,11 +551,24 @@ object NearDup {
           .select(col("bandKey"), col("doc_id")),
         maxBandDf)
       .localCheckpoint()
-    val dict = dictFromShingles(
-      s.select(explode(col("sh")).as("shingle")).distinct())
-    val ids = encodeDocs(s, dict).localCheckpoint()
-    BandIndex(banded, s0.drop("ck"), ids, dict, s.limit(0), members, s,
-      numHashes, bands, rowsPerBand)
+    // PROBE-TIME LAZY ENCODE (r20, the r19 verdict's lead): the eager
+    // build paid a full-corpus vocabulary distinct + a full-corpus encode
+    // checkpoint here, but the only consumer of dict/ids is
+    // matchAgainstBandIndex's verify stage, which reads no encoding
+    // beyond its surviving candidates' — so the in-memory index defers
+    // encoding entirely and the probe builds a CANDIDATE-RESTRICTED
+    // dictionary + encode per call (see matchAgainstBandIndex). The
+    // streaming matcher (StreamingOps.nearDupMatches) never reads
+    // dict/ids from a built index — it verifies over repDocs strings —
+    // and the persisted artifact (saveBandIndex) keeps its eager encoded
+    // halves, where build cost amortizes over every future probe.
+    val spark = staticDocs.sparkSession
+    import spark.implicits._
+    BandIndex(banded, s0.drop("ck"),
+      Seq.empty[(Long, Int, Seq[Long])].toDF("doc_id", "n", "ids"),
+      Seq.empty[(String, Long)].toDF("shingle", "tok"),
+      s.limit(0), members, s,
+      numHashes, bands, rowsPerBand, lazyEncode = true)
   }
 
   /** Persist the banded static index under `path` (`banded`, `docs`,
@@ -1324,9 +1312,38 @@ object NearDup {
       .join(index.banded.select(col("bandKey"),
         col("doc_id").as("matched_id")), "bandKey")
       .select(col("doc_id"), col("matched_id")).distinct()
-    expandCrossMatches(
-      verifySplit(cand, b, index.ids, index.dict, index.unencoded,
-        threshold),
+    val repMatches =
+      if (index.lazyEncode) {
+        // PROBE-TIME candidate-restricted encode (r20): the in-memory
+        // index (buildBandIndex) carries no eager dict/ids — build both
+        // here over exactly the docs the verify joins will read. The
+        // dictionary covers EVERY shingle of every candidate CORPUS doc
+        // by construction, so a batch shingle outside it cannot appear
+        // in any candidate corpus doc and dropping it from the encoded
+        // batch array changes no intersection — verified values are
+        // exact (the encodeCandidateDocs argument, one-sided). Pinned
+        // candidates: they feed the corpus/batch restrictions AND the
+        // verify join.
+        val candP = cand.localCheckpoint()
+        // ids-only BROADCAST semi-joins: the restriction sides are
+        // candidate ids (8 B each, ≤ |batch|·bands·maxBandDf by the
+        // band-df cap — batch-bounded, never corpus-bounded), while the
+        // stream sides carry shingle arrays; an un-hinted planner
+        // sort-merge-joins the pinned RDD scans and shuffles the ARRAY
+        // side (measured +2.8 MB shuffle on q_decontaminate_fuzzy).
+        val cv = index.repDocs.join(
+          broadcast(candP.select(col("matched_id").as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        val bv = b.join(broadcast(candP.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        val dict = dictFromShingles(
+          cv.select(explode(col("sh")).as("shingle")).distinct())
+        verifySplit(candP, bv, encodeDocs(cv, dict), dict,
+          index.unencoded, threshold)
+      } else
+        verifySplit(cand, b, index.ids, index.dict, index.unencoded,
+          threshold)
+    expandCrossMatches(repMatches,
       bC.members, index.members, Seq("jaccard"), bC.trivial)
   }
 

@@ -97,11 +97,12 @@ object SkewStats {
       graft.operators.NearDup.minhashTrimExposure(docs.select(col("doc_id"),
         graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh")))
 
-    // exact-set census chunk width (r19): the bucketed census bounds the
-    // giant-class array row; the gate records the fixture's actual widest
-    // chunk so a fixture change that breaks the bound is visible
-    val (censusMaxChunk, censusChunks) = graft.operators.NearDup
-      .censusChunkStats(docs.select(col("doc_id"),
+    // exact-set census (r20): the production census is count-only
+    // (fixed-width rows at any class size); the gate records the
+    // fixture's largest identical-set class and class count so a fixture
+    // change that plants a giant class is visible
+    val (censusMaxClass, censusClasses) = graft.operators.NearDup
+      .censusStats(docs.select(col("doc_id"),
         graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh")))
 
     val li = graft.Tables.lineitem(spark, dir)
@@ -127,8 +128,8 @@ object SkewStats {
       s""""minhash_overcap_keys":$mhOverKeys,""" +
       s""""minhash_trim_exposure":$mhExposure,""" +
       s""""minhash_trim_exposure_share":${f"$mhExposureShare%.6f"},""" +
-      s""""census_max_chunk":$censusMaxChunk,""" +
-      s""""census_chunks":$censusChunks,""" +
+      s""""census_max_class":$censusMaxClass,""" +
+      s""""census_classes":$censusClasses,""" +
       s""""join_hot_key_share":${f"$hotShare%.4f"}}""")
     spark.stop()
   }

@@ -11,22 +11,21 @@ import graft.SparkSpec
   */
 class CensusBoundSpec extends SparkSpec {
 
-  test("census row width stays bounded on a planted 10^6-member identical class") {
+  test("count-only census stays exact on a planted 10^6-member identical class") {
     val sp = spark; import sp.implicits._
     val m = 1000 * 1000
-    // 10^6 byte-identical docs (one giant exact-set class) + a distinct tail
+    // 10^6 byte-identical docs (one giant exact-set class) + a distinct
+    // tail. The r20 census is count-only (min/count per class key): row
+    // width is fixed at ANY class size by construction — no id list ever
+    // materializes — so the pin is exact counts, not a chunk-width bound.
     val sh = (0 until 12).map(i => s"giant$i")
     val docs = spark.range(m)
       .select(col("id").as("doc_id"), typedLit(sh).as("sh"))
       .unionByName(Seq((5000000L, (0 until 12).map(i => s"tail$i")))
         .toDF("doc_id", "sh"))
-    val (maxChunk, chunks) = NearDup.censusChunkStats(docs)
-    // hash-uniform bucketing: widest chunk ~ m/CensusBuckets (3906); the
-    // bound the giant class must never break is a single full-class row
-    maxChunk should be >= (m / NearDup.CensusBuckets / 2).toLong
-    maxChunk should be <= (2L * m / NearDup.CensusBuckets)
-    // the giant class spreads over <= CensusBuckets chunk rows; + 1 tail
-    chunks should be <= (NearDup.CensusBuckets + 1).toLong
+    val (maxClass, classes) = NearDup.censusStats(docs)
+    maxClass shouldBe m.toLong
+    classes shouldBe 2L
   }
 
   test("census bucketing keeps collapse exact: pairs on a planted class match brute expectations") {
