@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * `expr("percentile(v, p)")` is an ObjectHashAggregate whose buffer
   * holds EVERY value of the group on one executor — a single 100 TB
   * lineitem returnflag group OOMs it. This operator range-partitions by
-  * (group, column-tag, value) instead — memory O(rows/partition),
-  * spill-safe — and reduces the percentile to "fetch the values at two
-  * ranks per (group, p)".
+  * (key = dictionary-encoded group · ntags + column-tag, value) instead
+  * — memory O(rows/partition), spill-safe — and reduces the percentile
+  * to "fetch the values at two ranks per (group, p)".
   *
   * r13 task 4 (the constant-factor pass): the whole computation runs
   * over ONE physical shuffle with NO row materialization. The r12 form
@@ -67,15 +67,41 @@ object ExactPercentile {
     }
     val spark = df.sparkSession
     val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val ntags = specs.length
+    // Dictionary-encode the group into a dense gid and fold (gid, tag)
+    // into ONE long sort key (r20, guide §2.3 narrower types): the range
+    // exchange and the probe sort previously carried (g: any type, tag:
+    // int, v: double) and compared the group value — a string for the
+    // TPC-H callers — per range-partitioner binary-search step and per
+    // sort comparison. The distinct-group set is broadcast-bounded by
+    // contract (the boundary-address list below already broadcasts one
+    // row per (group, tag, p)), so the dictionary is a tiny broadcast
+    // join on both ends and everything between the scan and the final
+    // decode is purely numeric: key = gid·ntags + tag orders exactly as
+    // (g ASC NULLS FIRST, tag ASC) because row_number ranks g ascending
+    // nulls-first. Null groups ride the null-safe encode join (<=>) and
+    // keep their rows (the r13 ADVICE pin).
+    val gCol = "__graft_pct_g"
+    val gidC = "__graft_pct_gid"
+    val gidDict = df.select(col(groupCol).as(gCol)).distinct()
+      .withColumn(gidC,
+        (row_number().over(Window.orderBy(col(gCol))) - 1).cast("long"))
+    val keyed = df.join(broadcast(gidDict), col(groupCol) <=> col(gCol))
     // EXPLODE, not a per-column union: one scan reads every value column.
     // Tags are the spec INDEX (an int sort key, not the column-name
     // string) and map back to names on the tiny result.
     val entries = specs.zipWithIndex.map { case ((c, _), i) =>
       struct(lit(i).as("tag"), col(c).cast("double").as("v"))
     }
-    val t = df
-      .select(col(groupCol).as("g"), explode(array(entries: _*)).as("e"))
-      .select(col("g"), col("e.tag").as("tag"), col("e.v").as("v"))
+    // (r20 note: pinning t so the range partitioner's reservoir-sample
+    // pass reads materialized blocks instead of re-running the scan +
+    // dictionary join + explode was measured — wall UP ~0.2 s at sf0.1
+    // from the extra job, CPU flat, and a localCheckpoint of the full
+    // exploded fact is the wrong memory posture at 100 TB. Reverted.)
+    val t = keyed
+      .select(col(gidC), explode(array(entries: _*)).as("e"))
+      .select((col(gidC) * lit(ntags.toLong) +
+        col("e.tag").cast("long")).as("key"), col("e.v").as("v"))
       .filter(col("v").isNotNull)
     // THE one exchange, PINNED at the RDD level (DatasetBridge
     // .pinShuffle): both branches below consume one frozen RDD, so the
@@ -87,25 +113,26 @@ object ExactPercentile {
     // (partition, local index) addresses point at the wrong probe rows
     // (the r14 GlobalIndex regression class, caught by the value gate).
     val exchanged = org.apache.spark.sql.graft.DatasetBridge.pinShuffle(
-      t.repartitionByRange(n, col("g"), col("tag"), col("v")))
+      t.repartitionByRange(n, col("key"), col("v")))
 
     // --- counts branch: run-segment sizes, O(partitions + groups) rows
     val segs = exchanged
-      .groupBy(spark_partition_id().as("pid"), col("g"), col("tag"))
+      .groupBy(spark_partition_id().as("pid"), col("key"))
       .agg(count(lit(1)).as("cnt"))
-    // within-partition run start = rows of EARLIER (g, tag) runs in this
-    // partition (window order matches the range sort: asc, nulls first);
+    // within-partition run start = rows of EARLIER key runs in this
+    // partition (window order matches the range sort: asc);
     // crossBefore = this run's rows in earlier partitions; nRun = run
     // total. All windows are over the tiny segment set and partitioned
     // (by pid / by run) — never global, never wider than O(partitions).
-    val wPid = Window.partitionBy("pid").orderBy("g", "tag")
+    val wPid = Window.partitionBy("pid").orderBy("key")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wRun = Window.partitionBy("g", "tag").orderBy("pid")
+    val wRun = Window.partitionBy("key").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val annotated = segs
+      .withColumn("tag", pmod(col("key"), lit(ntags.toLong)).cast("int"))
       .withColumn("localStart", sum("cnt").over(wPid) - col("cnt"))
       .withColumn("crossBefore", sum("cnt").over(wRun) - col("cnt"))
-      .withColumn("nRun", sum("cnt").over(Window.partitionBy("g", "tag")))
+      .withColumn("nRun", sum("cnt").over(Window.partitionBy("key")))
       // the probe's local index comes off monotonically_increasing_id's
       // 33 per-partition bits — a partition beyond 2^33 rows would wrap
       // and corrupt addresses; fail loudly (same bound as GlobalIndex)
@@ -143,7 +170,7 @@ object ExactPercentile {
         .withColumn("hi_r", ceil(col("position")).cast("long"))
     def address(rank: Column, isLo: Boolean) = ranked
       .filter(rank >= col("crossBefore") && rank < col("crossBefore") + col("cnt"))
-      .select(col("g"), col("tag"), col("p"), col("position"),
+      .select(col("key"), col("p"), col("position"),
         col("pid").as("pidT"),
         (col("localStart") + rank - col("crossBefore")).as("idxT"),
         lit(isLo).as("isLo"),
@@ -156,20 +183,26 @@ object ExactPercentile {
     // --- probe branch: sorted rows join the broadcast address list on
     // (partition id, local index) — two long keys, one scan
     val rows = exchanged
-      .sortWithinPartitions(col("g"), col("tag"), col("v"))
+      .sortWithinPartitions(col("key"), col("v"))
       .select(col("v"), spark_partition_id().as("pidP"),
         monotonically_increasing_id().bitwiseAND(lit(LocalIdxMask)).as("idxP"))
     rows.join(broadcast(targets),
         col("pidP") === col("pidT") && col("idxP") === col("idxT"))
-      .groupBy(col("g"), col("tag"), col("p"))
+      .groupBy(col("key"), col("p"))
       .agg(
         first(col("position")).as("position"),
         first(col("integral")).as("integral"),
         min(when(col("isLo"), col("v"))).as("v_lo"),
         min(when(!col("isLo"), col("v"))).as("v_hi"))
-      // PercentileBase.getPercentile's exact arithmetic, fp-for-fp;
-      // tag index maps back to the spec'd column name on the tiny result
-      .select(col("g"),
+      // decode the key on the tiny result: gid maps back to the group
+      // value through the broadcast dictionary, the tag index back to
+      // the spec'd column name; PercentileBase.getPercentile's exact
+      // arithmetic, fp-for-fp
+      .withColumn("tag", pmod(col("key"), lit(ntags.toLong)).cast("int"))
+      .join(broadcast(gidDict),
+        ((col("key") - col("tag")) / lit(ntags.toLong)).cast("long") ===
+          col(gidC))
+      .select(col(gCol).as("g"),
         specs.indices.tail.foldLeft(
             when(col("tag") === 0, lit(specs.head._1))) {
           case (acc, i) => acc.when(col("tag") === i, lit(specs(i)._1))
