@@ -139,24 +139,22 @@ object DedupClusters {
       .localCheckpoint()
     var converged = false
     var i = 0
-    // Convergence check (r19 opt): each generation CARRIES its
+    // Convergence check (r19 opt, r20 form): each generation CARRIES its
     // iteration-start label (`prev`, 8 B/row) through the propagate +
-    // jump joins, and a counter accumulator rides the final projection
-    // of the checkpoint job itself — so "did anything change" costs ZERO
-    // extra jobs. The r18 shape re-JOINED the new generation against the
-    // old one in a separate count job every second iteration (a full
-    // extra shuffle per check); deep chained graphs run 10+ iterations
-    // (measured on the simhash fixture graph), so the per-iteration
-    // job count is the whole cost model here. Accumulator safety: a
-    // retried/speculated task can only OVER-count (extra no-op
+    // jump joins, and a `Dataset.observe` metric rides the checkpoint
+    // job itself — so "did anything change" costs ZERO extra jobs. The
+    // r18 shape re-JOINED the new generation against the old one in a
+    // separate count job every second iteration (a full extra shuffle
+    // per check); deep chained graphs run 10+ iterations (measured on
+    // the simhash fixture graph), so the per-iteration job count is the
+    // whole cost model here. r20 (r19 verdict task 5): the r19 counter
+    // was an accumulator bumped inside a ScalaUDF — an interpreted
+    // per-row black-box call in the distributed path's final projection;
+    // observe(count(when(label =!= prev))) is the same zero-extra-job
+    // signal as a codegen-native expression. Safety direction unchanged:
+    // a retried/speculated task can only OVER-count (extra no-op
     // iteration, labels already a fixed point), never under-count to a
     // false convergence.
-    val changedAcc = edges.sparkSession.sparkContext
-      .longAccumulator("dedupClustersChanged")
-    val markChanged = udf((label: Long, prev: Long) => {
-      if (label != prev) changedAcc.add(1L)
-      label
-    })
     while (!converged && i < maxIter) {
       // (a) propagate: each node takes min(own label, neighbors' labels).
       // edges is checkpointed partitioned on v; the labels side repartitions
@@ -172,20 +170,22 @@ object DedupClusters {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .repartition(parts, col("label"))
       // (b) pointer jump: label := label's label (labels only decrease)
-      changedAcc.reset()
+      val obs = org.apache.spark.sql.Observation(s"dedupClustersChanged_$i")
       val next = stepped.alias("s")
         .join(stepped.select(col("doc_id").as("l2"), col("label").as("ll"))
           .repartition(parts, col("l2")).alias("t"),
           col("s.label") === col("l2"), "left_outer")
-        .select(col("s.doc_id").as("doc_id"),
-          markChanged(
-            least(col("s.label"), coalesce(col("ll"), col("s.label"))),
-            col("s.prev")).as("label"))
+        .select(col("s.doc_id").as("doc_id"), col("s.prev").as("prev"),
+          least(col("s.label"), coalesce(col("ll"), col("s.label")))
+            .as("label"))
+        .observe(obs,
+          count(when(col("label") =!= col("prev"), lit(1))).as("changed"))
+        .select(col("doc_id"), col("label"))
         .repartition(parts, col("doc_id"))
-        .localCheckpoint() // eager: the accumulator is final once this returns
+        .localCheckpoint() // eager: the observed metric is final once this returns
       // labels only decrease, so label == prev everywhere is a fixed
       // point forever
-      converged = changedAcc.value == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels.unpersist() // superseded generation
       labels = next
       i += 1
