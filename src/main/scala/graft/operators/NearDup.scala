@@ -419,6 +419,39 @@ object NearDup {
       .withColumn("tok", monotonically_increasing_id())
       .localCheckpoint()
 
+  /** ORDER-PRESERVING dictionary over a (shingle, df) frame (r20): tok
+    * increases with (df ASC, shingle ASC) — the rarePrefix canonical
+    * order — so a doc's p rarest shingles are exactly the p SMALLEST
+    * tokens of its encoded array, and the self-join kernels derive their
+    * prefixes by `slice(sorted ids, 1, p)` off the verify encode instead
+    * of a second explode + df-join + per-doc ranking window over the
+    * whole corpus (the measured hotspot of the family: 2.7 of
+    * jaccardPairs' ~6.5 CPU-s at sf0.1). Order preservation is
+    * scale-safe: the global orderBy is a parallel range sort and
+    * monotonically_increasing_id is (partition-index << 33 | local row)
+    * — ascending across range partitions and within each — never a
+    * single-task pass. Pinned like dictFromShingles (the id expression
+    * must evaluate exactly once).
+    */
+  private[operators] def dictFromShinglesOrdered(dfreq: DataFrame): DataFrame =
+    dfreq.orderBy(col("df"), col("shingle"))
+      .select(col("shingle"))
+      .withColumn("tok", monotonically_increasing_id())
+      .localCheckpoint()
+
+  /** [[encodeDocs]] with the token array sorted ascending — the form the
+    * tok-prefix kernels consume (prefix = slice(ids, 1, p) needs the
+    * array in canonical order; array_intersect downstream is
+    * order-insensitive, so verify semantics are unchanged).
+    */
+  private def encodeDocsSorted(d: DataFrame, dict: DataFrame): DataFrame =
+    d.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      .join(dict, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"),
+        sort_array(collect_list(col("tok"))).as("ids"))
+
   /** Dictionary-encode exactly the docs appearing in a pinned candidate
     * pair set (r19 opt — the self-join kernels' verify joins read no
     * other doc's encoding, so building the dictionary and the encoded
@@ -835,37 +868,47 @@ object NearDup {
     val sC = exactSetMembers(d0)
     val d = sC.reps // pinned (or a view over the pin) inside exactSetMembers
     // pass 1: global document frequency = the canonical shingle order.
-    // Checkpointed: it feeds the prefix pass AND the verify dictionary.
+    // It feeds only the ORDERED dictionary below (one consumer — no pin).
     val dfreq = d.select(explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
-    // pass 2: keep each doc's p rarest shingles. ⌈(1−τ)n⌉+1 dominates the
-    // tight n−⌈τn⌉+1 bound even under fp noise in the multiply (one spare
-    // indexed shingle per doc, never one short).
-    // r19 opt: the prefix carries its OWN pin — both self-join sides
-    // reference it, and without the pin each side re-ran the full
-    // explode + df-join + per-doc ranking window (the before plan shows
-    // two Window nodes and no ReusedExchange); now the ranking pass runs
-    // once.
-    val prefix = rarePrefix(d, dfreq, tau).localCheckpoint()
-    val a = prefix.select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
-    val b = prefix.select(col("shingle").as("sh_b"), col("doc_id").as("id_b"),
+    // TOK-PREFIX (r20, guide §1.2/§2.3 — the prefix ranking window was
+    // the family's measured hotspot: 2.7 of ~6.5 CPU-s and a 5.4 MB
+    // (doc_id, n, shingle, df) exchange at sf0.1): the dictionary is
+    // assigned in (df, shingle) order, so tok order IS the canonical
+    // rarePrefix order and each doc's p = ⌈(1−τ)n⌉+1 rarest shingles are
+    // the first p elements of its SORTED encoded array — the prefix
+    // derives from the verify encode by slice(ids, 1, p), and the
+    // explode + df-join + per-doc row_number window pass is gone
+    // entirely. The prefix lemma needs only SOME fixed total order
+    // common to all sides; an order-preserving injective token map keeps
+    // exactly the (df, shingle) order, and the candidate equi-join on
+    // tok equals the join on shingle (injectivity), so candidates — and
+    // verified output — are unchanged row-for-row (DedupSpec brute
+    // parity). ⌈(1−τ)n⌉+1 dominates the tight n−⌈τn⌉+1 bound even under
+    // fp noise in the multiply (one spare indexed shingle per doc, never
+    // one short). |ids| = n here: the dictionary covers the corpus's own
+    // vocabulary by construction.
+    val dict = dictFromShinglesOrdered(dfreq)
+    val dIds = encodeDocsSorted(d, dict).localCheckpoint()
+    val prefix = dIds.select(col("doc_id"), col("n"),
+      explode(slice(col("ids"), lit(1),
+        (ceil(lit(1.0 - tau) * col("n")) + 1).cast("int"))).as("tok"))
+    val a = prefix.select(col("tok"), col("doc_id").as("id_a"), col("n").as("n_a"))
+    val b = prefix.select(col("tok").as("tok_b"), col("doc_id").as("id_b"),
       col("n").as("n_b"))
     // length pruning: J ≥ τ ⇒ τ·|A| ≤ |B| ≤ |A|/τ (fp-safe margin)
     val cand = a.join(b,
-        col("shingle") === col("sh_b") && col("id_a") < col("id_b") &&
+        col("tok") === col("tok_b") && col("id_a") < col("id_b") &&
           col("n_b") >= lit(tau) * col("n_a") - lit(1e-9) &&
           col("n_a") >= lit(tau) * col("n_b") - lit(1e-9))
       .select(col("id_a"), col("id_b")).distinct()
-    // verification over dictionary-encoded arrays (dfreq's key set IS the
-    // corpus vocabulary): candidate multiplicity amplifies re-attach
-    // bytes, so 8-byte tokens beat raw shingle strings on both exchanges.
+    // verification over the same dictionary-encoded arrays: candidate
+    // multiplicity amplifies re-attach bytes, so 8-byte tokens beat raw
+    // shingle strings on both exchanges.
     // r19 note: a candidate-restricted encode (the verifiedPairs move)
     // was measured here and REVERTED — the prefix self-join's candidate
     // docs ≈ the corpus at fixture scale, so pinning the candidate set
     // plus the id restriction cost more than the encode it saved.
-    val dict = dictFromShingles(dfreq)
-    val dIds = encodeDocs(d, dict).localCheckpoint()
     val repPairs = verifyJaccardIds(
       cand
         .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),
@@ -927,36 +970,44 @@ object NearDup {
     val cC = exactSetMembers(c0)
     val b = bC.reps // pinned (or a view over the pin) inside exactSetMembers
     val c = cC.reps
-    // checkpointed: feeds both prefix passes AND the verify dictionary
+    // union df = the one canonical order common to both sides; feeds
+    // only the ORDERED dictionary (no pin — dictFromShinglesOrdered pins)
     val dfreq = b.select(explode(col("sh")).as("shingle"))
       .union(c.select(explode(col("sh")).as("shingle")))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
-    // Candidates pinned: they feed the candidate-id restrictions AND the
-    // verify joins (unpinned, the two-sided prefix join would re-run).
-    val cand = rarePrefix(b, dfreq, tau)
-      .join(rarePrefix(c, dfreq, tau).select(col("shingle").as("sh_c"),
+    // TOK-PREFIX (r20 — see jaccardPairs): the union dictionary is
+    // assigned in (df, shingle) order, both sides encode against it
+    // (full coverage — |ids| = n on both sides, the string branch is
+    // gone), and each side's rare prefix is slice(sorted ids, 1, p) off
+    // its encode — the two explode + df-join + per-doc ranking window
+    // passes (the family's measured hotspot) disappear and the candidate
+    // join runs on longs. This supersedes the r19 candidate-restricted
+    // encode here: the encode is now the PREFIX SOURCE (paid before
+    // candidates exist), but it replaces the strictly more expensive
+    // rarePrefix passes over the same exploded rows, and verify reads
+    // the same pinned encode. Encodes pinned: each feeds its prefix
+    // slice AND a verify re-attach join.
+    val dict = dictFromShinglesOrdered(dfreq)
+    val bIds = encodeDocsSorted(b, dict).localCheckpoint()
+    val cIds = encodeDocsSorted(c, dict).localCheckpoint()
+    def prefixOf(ids: DataFrame) = ids.select(col("doc_id"), col("n"),
+      explode(slice(col("ids"), lit(1),
+        (ceil(lit(1.0 - tau) * col("n")) + 1).cast("int"))).as("tok"))
+    val cand = prefixOf(bIds)
+      .join(prefixOf(cIds).select(col("tok").as("tok_c"),
           col("doc_id").as("matched_id"), col("n").as("n_c")),
-        col("shingle") === col("sh_c") &&
+        col("tok") === col("tok_c") &&
           col("n_c") >= lit(tau) * col("n") - lit(1e-9) &&
           col("n") >= lit(tau) * col("n_c") - lit(1e-9))
       .select(col("doc_id"), col("matched_id")).distinct()
-      .localCheckpoint()
-    // union dfreq covers BOTH sides' vocabularies, so every doc encodes
-    // completely and the string branch of verifySplit is statically empty.
-    // r19 opt: only CANDIDATE docs encode/verify on either side — the
-    // verify joins read no other doc's rows, and the union dictionary is
-    // a superset of any doc's shingles, so encode coverage (hence every
-    // verified value) is unchanged while the corpus-side encode shrinks
-    // from O(corpus) to O(candidate docs).
-    val dict = dictFromShingles(dfreq)
-    val bCand = b.join(cand.select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val cCand = c.join(cand.select(col("matched_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val repMatches = verifySplit(cand, bCand.select(col("doc_id"), col("sh")),
-      encodeDocs(cCand, dict), dict,
-      c.select(col("doc_id"), col("sh")).limit(0), threshold)
+    val repMatches = verifyJaccardIds(
+        cand
+          .join(cIds.select(col("doc_id").as("matched_id"),
+            col("ids").as("ids_b"), col("n").as("n_b")), "matched_id")
+          .join(bIds.select(col("doc_id"), col("ids").as("ids_a"),
+            col("n").as("n_a")), "doc_id"),
+        threshold)
+      .select(col("doc_id"), col("matched_id"), col("jaccard"))
     expandCrossMatches(repMatches, bC.members, cC.members, Seq("jaccard"),
       bC.trivial, cC.trivial)
   }
@@ -1488,17 +1539,30 @@ object NearDup {
     // jaccardPairs note; trivial corpora skip collapse AND expansion).
     val sC = exactSetMembers(d0)
     val d = sC.reps // pinned (or a view over the pin) inside exactSetMembers
-    val inv = d.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-    // checkpointed: feeds the prefix pass AND the verify dictionary
-    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
-    val prefix = rarePrefix(d, dfreq, tau)
-      .select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
-    val full = inv.select(col("shingle").as("sh_b"), col("doc_id").as("id_b"),
-      col("n").as("n_b"))
+    // pass 1: document frequency — feeds only the ORDERED dictionary.
+    val dfreq = d.select(explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // TOK-PREFIX (r20 — see jaccardPairs): the ordered dictionary makes
+    // each doc's A-side prefix the first p elements of its sorted
+    // encoded array, and the FULL inverted-index side is the explode of
+    // the same encode — the rarePrefix window pass AND the separate
+    // string inverted index are gone; the candidate join runs on longs.
+    val dict = dictFromShinglesOrdered(dfreq)
+    val dIds = encodeDocsSorted(d, dict).localCheckpoint()
+    val prefix = dIds.select(col("doc_id").as("id_a"), col("n").as("n_a"),
+      explode(slice(col("ids"), lit(1),
+        (ceil(lit(1.0 - tau) * col("n")) + 1).cast("int"))).as("tok"))
+    val full = dIds.select(col("doc_id").as("id_b"), col("n").as("n_b"),
+      explode(col("ids")).as("tok_b"))
+    // DIRECTION pushed into the candidate join (r20 — the r19 shape
+    // admitted both orientations of every equal-size pair through the
+    // distinct and both verify re-attach joins, then dropped half):
+    // smaller-in-larger only, ties once by id — exactly the post-verify
+    // rule, on the same exact n values.
     val cand = prefix.join(full,
-        col("shingle") === col("sh_b") && col("id_a") =!= col("id_b") &&
-          col("n_a") <= col("n_b"))
+        col("tok") === col("tok_b") &&
+          (col("n_a") < col("n_b") ||
+            (col("n_a") === col("n_b") && col("id_a") < col("id_b"))))
       .select(col("id_a"), col("id_b")).distinct()
     // dictionary-encoded verification (see verifyJaccardIds): n_a is the
     // exact pre-encode cardinality, so the containment denominator is
@@ -1509,16 +1573,11 @@ object NearDup {
     // CPU at sf0.1): containment's probe side is the FULL inverted
     // index, so candidate docs ≈ the corpus at any τ and pinning the
     // large candidate set costs more than the restriction saves.
-    val dict = dictFromShingles(dfreq)
-    val dIds = encodeDocs(d, dict).localCheckpoint()
     val repPairs = cand
       .join(dIds.select(col("doc_id").as("id_a"), col("ids").as("ids_a"),
         col("n").as("n_a")), "id_a")
       .join(dIds.select(col("doc_id").as("id_b"), col("ids").as("ids_b"),
         col("n").as("n_b")), "id_b")
-      // direction: smaller-in-larger only; equal sizes report once
-      .filter(col("n_a") < col("n_b") ||
-        (col("n_a") === col("n_b") && col("id_a") < col("id_b")))
       .withColumn("inter", size(array_intersect(col("ids_a"), col("ids_b"))))
       .withColumn("containment",
         round(col("inter").cast("double") / col("n_a").cast("double"), 4))
