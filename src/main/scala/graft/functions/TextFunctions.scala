@@ -46,6 +46,16 @@ object TextFunctions {
   def wordShingles(text: Column, k: Int): Column =
     native(graft.plans.WordShingles(exprOf(text), k))
 
+  /** Distinct 128-bit k-token window keys (struct<h1,h2> per window) in
+    * one pass — bit-identical to `explode(wordShingles(text, k))` →
+    * `struct(xxhash64(w), xxhash64(lit(1), w))` without materializing a
+    * window string per position. Accepts the raw text OR a pre-tokenized
+    * array<string> (the spanMaximalPairs ladder tokenizes once and
+    * reuses). See graft.plans.SpanKeys.
+    */
+  def spanKeys(textOrToks: Column, k: Int): Column =
+    native(graft.plans.SpanKeys(exprOf(textOrToks), k))
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum seeded 64-bit hash over the doc's shingles (Broder '97).
     * Native single-pass expression (graft.plans.MinHashSig): one scan of

@@ -1646,11 +1646,15 @@ object NearDup {
       maxDf: Int = 20): DataFrame = {
     require(spanTokens > 0 && maxDf >= 2,
       s"bad span params: spanTokens=$spanTokens maxDf=$maxDf")
+    // one-pass native window keys (r20): bit-identical 128-bit keys to
+    // the explode(wordShingles) → double-xxhash pipeline, without a
+    // window string per position (graft.plans.SpanKeys). Accepts text or
+    // a pre-tokenized array (the spanMaximalPairs ladder passes toks).
+    val winSrc = if (docs.columns.contains("toks")) col("toks") else col("text")
     val wins = docs
-      .select(col("doc_id"), explode(wordShingles(col("text"), spanTokens)).as("w"))
       .select(col("doc_id"),
-        struct(xxhash64(col("w")).as("h1"),
-          xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+        explode(graft.functions.TextFunctions.spanKeys(winSrc, spanTokens))
+          .as("wh"))
     val shared = wins.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= maxDf)
       .select(col("wh"))
@@ -1699,9 +1703,8 @@ object NearDup {
       .localCheckpoint() // feeds the count AND the window-df pass
     val n = distinctTexts.count()
     val row = distinctTexts
-      .select(explode(wordShingles(col("text"), spanTokens)).as("w"))
-      .select(struct(xxhash64(col("w")).as("h1"),
-        xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+      .select(explode(graft.functions.TextFunctions
+        .spanKeys(col("text"), spanTokens)).as("wh"))
       .groupBy(col("wh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .agg(count(lit(1)).as("overKeys"),
@@ -1737,14 +1740,21 @@ object NearDup {
   def spanMaximalPairs(docs: DataFrame, baseTokens: Int = DefaultSpanTokens,
       levels: Int = 3, maxDf: Int = 20): DataFrame = {
     require(levels >= 1, s"need at least one ladder rung: levels=$levels")
-    // token count under the SAME tokenization as wordShingles (whitespace
-    // split, empty tokens dropped), so the ≥ w rung filter and the window
-    // builder can never disagree on a boundary-length document
-    val nTokens = size(filter(split(col("text"), "\\s+"),
-      t => length(t) > lit(0)))
+    // tokenization matches SpanKeys' own (whitespace split, empty tokens
+    // dropped), so the ≥ w rung filter and the window builder can never
+    // disagree on a boundary-length document.
+    // tokenize ONCE for the whole ladder (r20): each rung previously
+    // re-split the text and re-built its windows from scratch; the
+    // pinned (doc_id, toks) projection feeds every rung's SpanKeys pass
+    // and the ≥ w filter reads size(toks) off the same pin.
+    val toksDf = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => length(t) > lit(0)).as("toks"))
+      .localCheckpoint()
     val rungs = (0 until levels).map { l =>
       val w = baseTokens << l
-      tokenSpanPairs(docs.filter(nTokens >= w), spanTokens = w, maxDf = maxDf)
+      tokenSpanPairs(toksDf.filter(size(col("toks")) >= w), spanTokens = w,
+          maxDf = maxDf)
         .select(col("id_a"), col("id_b"), lit(w).as("w"), col("n_shared"))
     }
     rungs.reduce(_.unionAll(_))
@@ -1772,12 +1782,12 @@ object NearDup {
     * probe can never sign with different windows than the index holds.
     */
   private def spanWindowKeys(docs: DataFrame, spanTokens: Int): DataFrame =
-    docs
-      .select(col("doc_id"),
-        explode(wordShingles(col("text"), spanTokens)).as("w"))
-      .select(col("doc_id"),
-        struct(xxhash64(col("w")).as("h1"),
-          xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+    // SpanKeys emits bit-identical keys to the previous wordShingles →
+    // double-xxhash pipeline, so indexes persisted before r20 keep
+    // probing identically — no artifact version bump.
+    docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.spanKeys(col("text"), spanTokens))
+        .as("wh"))
 
   def saveSpanIndex(docs: DataFrame, path: String,
       spanTokens: Int = DefaultSpanTokens): Unit = {

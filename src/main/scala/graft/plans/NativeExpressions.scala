@@ -471,6 +471,114 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Distinct 128-bit window keys of the k-token sliding windows of a
+  * document, in one pass (r20): tokenize (or take a pre-tokenized
+  * array), and for each window hash the joined-by-space UTF8 bytes TWICE
+  * — seed 42 (Spark's `xxhash64(w)`) and seed `XXH64.hashInt(1, 42)`
+  * (Spark's `xxhash64(lit(1), w)`) — into `struct<h1,h2>` rows. The hash
+  * VALUES are bit-identical to the previous
+  * `explode(word_shingles(text, k))` → `struct(xxhash64(w),
+  * xxhash64(1, w))` pipeline (same bytes, same seeds), so persisted span
+  * indexes and every declared output are unchanged; what disappears is
+  * the per-window work that pipeline paid — StringBuilder → String →
+  * UTF8String materialization of every window, a LinkedHashSet of full
+  * window STRINGS, and two per-row catalyst hash calls over them. Here
+  * token bytes are extracted once per document and each window is
+  * assembled in one reused byte buffer (window bytes = concat of token
+  * UTF8 bytes with 0x20 separators = the joined string's bytes).
+  * Same fallback contract as [[WordShingles]]: shorter-than-k documents
+  * yield their whole token sequence as the one window, zero-token
+  * documents yield the empty set, duplicates (by 128-bit key — the
+  * tokenSpanPairs "≈ declared exact" convention) drop in
+  * first-occurrence order.
+  *
+  * CodegenFallback like [[WordShingles]]: the cost IS the internal
+  * window loop, once per row.
+  */
+case class SpanKeys(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "span_keys"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if k > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) if k > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs a string or array<string> input and k > 0, " +
+            s"got ${t.simpleString}")
+    }
+
+  // seed of Spark's xxhash64(lit(1), w): the int 1 folded into seed 42
+  private val seed2 =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(1, 42L)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks: Array[Array[Byte]] = child.dataType match {
+      case StringType =>
+        input.asInstanceOf[UTF8String].toString
+          .split("\\s+").withFilter(_.nonEmpty)
+          .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ =>
+        val arr = input.asInstanceOf[ArrayData]
+        Array.tabulate(arr.numElements()) { i =>
+          arr.getUTF8String(i).getBytes
+        }
+    }
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val w = math.min(k, toks.length)
+    val nWin = toks.length - w + 1
+    // reused window buffer, sized once to the widest window
+    var maxLen = 0
+    var i = 0
+    while (i < nWin) {
+      var len = w - 1; var j = 0
+      while (j < w) { len += toks(i + j).length; j += 1 }
+      if (len > maxLen) maxLen = len
+      i += 1
+    }
+    val buf = new Array[Byte](maxLen)
+    val seen = new java.util.LinkedHashSet[(Long, Long)]()
+    i = 0
+    while (i < nWin) {
+      var pos = 0; var j = 0
+      while (j < w) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val t = toks(i + j)
+        System.arraycopy(t, 0, buf, pos, t.length)
+        pos += t.length
+        j += 1
+      }
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, seed2)
+      seen.add((h1, h2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      val p = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](p._1, p._2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SpanKeys =
+    copy(child = c)
+}
+
 /** Map-side IVF cell assignment: argmin of squared L2 distance over a
   * small driver-collected centroid matrix (`cells(i)`, `cvecs(i)`,
   * `cn2s(i) = |c_i|²`). The row's own |v|² is constant across cells, so

@@ -251,4 +251,39 @@ class NativeExprPropertySpec extends SparkSpec {
       .collect()(0).isNullAt(0) shouldBe true
   }
 
+  test("SpanKeys is bit-identical to wordShingles + double-xxhash64 (r20)") {
+    val sp = spark; import sp.implicits._
+    import graft.functions.TextFunctions.{spanKeys, wordShingles}
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "longword",
+      "Ωmega", "a b".replace(" ", ""), "ζeta")
+    val texts = (1L to 60L).map { i =>
+      val n = (rnd.nextInt(30) + (if (i % 7 == 0) 0 else 10))
+      // leading/trailing/multiple whitespace + repeated windows
+      val body = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString("  ")
+      (i, if (i % 5 == 0) s"  $body\t" else body)
+    } :+ (100L, "") :+ (101L, "   ") :+ (102L, "one two three") // short docs
+    val df = texts.toDF("doc_id", "text")
+    for (k <- Seq(3, 15)) {
+      val legacy = df.select(col("doc_id"),
+          explode(wordShingles(col("text"), k)).as("w"))
+        .select(col("doc_id"), struct(xxhash64(col("w")).as("h1"),
+          xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+        .collect().map(r => (r.getLong(0), r.getStruct(1).getLong(0),
+          r.getStruct(1).getLong(1))).toSet
+      val native = df.select(col("doc_id"),
+          explode(spanKeys(col("text"), k)).as("wh"))
+        .collect().map(r => (r.getLong(0), r.getStruct(1).getLong(0),
+          r.getStruct(1).getLong(1))).toSet
+      native shouldBe legacy
+      // pre-tokenized array input agrees with the text input
+      val fromToks = df.select(col("doc_id"),
+          explode(spanKeys(filter(split(col("text"), "\\s+"),
+            t => org.apache.spark.sql.functions.length(t) > lit(0)), k))
+            .as("wh"))
+        .collect().map(r => (r.getLong(0), r.getStruct(1).getLong(0),
+          r.getStruct(1).getLong(1))).toSet
+      fromToks shouldBe legacy
+    }
+  }
+
 }
