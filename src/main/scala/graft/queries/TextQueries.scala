@@ -903,11 +903,12 @@ object TextQueries extends QueryModule {
   private val qDedupSubstring = Q(
     "q_dedup_substring",
     (s, d) => {
+      // one-pass native window keys (r20): bit-identical to the explode
+      // (wordShingles) → double-xxhash shape — see graft.plans.SpanKeys
       val wins = Tables.documents(s, d)
-        .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("w"))
         .select(col("doc_id"),
-          struct(xxhash64(col("w")).as("h1"),
-            xxhash64(lit(1), col("w")).as("h2")).as("wh"))
+          explode(graft.functions.TextFunctions.spanKeys(col("text"), 8))
+            .as("wh"))
       val counts = wins.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
       wins.join(counts, "wh")
         .groupBy(col("doc_id"))
