@@ -55,12 +55,16 @@ object DedupClusters {
     // this operator. An explode over the two orientations references
     // the input exactly once, so the kernel evaluates once INSIDE the
     // edge materialization itself and the standalone pin job disappears.
+    // the edge count rides the materialization job via observe (r20) —
+    // the r19 shape ran a separate count() job over the pinned blocks
+    val edgeObs = org.apache.spark.sql.Observation()
     val edgesRaw = pairs
       .select(explode(array(
         struct(col("id_a").as("u"), col("id_b").as("v")),
         struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
+      .observe(edgeObs, count(lit(1)).as("n"))
       .localCheckpoint() // materialize once; iterations re-join it
     // NOTE on unpersist() here and below: a localCheckpoint's blocks are
     // NOT freed synchronously by Dataset.unpersist (CacheManager has
@@ -75,9 +79,9 @@ object DedupClusters {
     // corpus (a 500-doc fixture yields ~50 edges; even 100 TB of text
     // rarely yields more than ~1% dup pairs), and running a handful of
     // rows through 32-partition shuffles × 3 joins × k iterations makes
-    // fixed per-shuffle overhead the dominant cost. The count is free —
-    // the localCheckpoint above already materialized the edges.
-    val nEdges = edgesRaw.count()
+    // fixed per-shuffle overhead the dominant cost. The count rode the
+    // materialization job above.
+    val nEdges = edgeObs.get("n").asInstanceOf[Long]
     // SINGLE-TASK union-find fast path (r19 opt, guide §1.2 "the
     // distributed algorithm"): dup-pair graphs are a sliver of the
     // corpus, and below MaxLocalEdges (16 MB of long pairs) the entire

@@ -257,18 +257,20 @@ object NearDup {
     // and a second roll-up aggregate + checkpoint job on EVERY corpus,
     // duplicated or not; skew machinery should cost nothing on unskewed
     // data (guide §2.5).
+    // the dup-mass scalar rides the census pin job via observe (r20) —
+    // no separate driver-blocking count job. Null-safe: an EMPTY side
+    // (every doc filtered upstream, e.g. an all-empty-shingle
+    // micro-batch) sums to NULL and the r18 .getLong crashed the
+    // streaming sink on every replay of that poison-pill batch (r18
+    // ADVICE); coalesce folds it to the trivial collapse instead.
+    val obs = org.apache.spark.sql.Observation()
     val classes = d0.select(col("doc_id"), col("ck"))
       .groupBy(col("ck"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
+      .observe(obs,
+        coalesce(sum(col("m")) - count(lit(1)), lit(0L)).as("dupExtra"))
       .localCheckpoint()
-    // null-safe scalar: an EMPTY side (every doc filtered upstream, e.g.
-    // an all-empty-shingle micro-batch) aggregates to sum(m)=NULL and the
-    // r18 .getLong crashed the streaming sink on every replay of that
-    // poison-pill batch (r18 ADVICE); coalesce folds it to the trivial
-    // collapse instead.
-    val dupExtra = classes
-      .agg(coalesce(sum(col("m")) - count(lit(1)), lit(0L))).collect()(0)
-      .getLong(0)
+    val dupExtra = obs.get("dupExtra").asInstanceOf[Long]
     val reps0 = d0.drop("ck")
     if (dupExtra == 0)
       SetCollapse(
