@@ -447,11 +447,18 @@ object Bench {
         s""""queries":{$meds},"cpu":{$cpu},""" +
         s""""task_metrics":{$metrics},"raw_bytes":{$rawBytes},"raw":{$raw}}"""
     }
-    val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
+    // SPARK_GRAFT_BENCH_FULL overrides the full-artifact path (r20,
+    // additions-only, off the timed region): heavy/scale legs write
+    // their own artifact instead of clobbering the registry's
+    // bench_full.json — the r19 sf10 leg overwrote it and needed a
+    // restore commit.
+    val fullName = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "bench_full.json")
+    val fullPath = java.nio.file.Paths.get(fullName).toAbsolutePath
     java.nio.file.Files.write(fullPath,
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val budget = 1500 // chars for the whole line; tail capture is 2000
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"spill_total_b":$spillTotal,"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"errors":${errors.size},"solo":${solo.size},"byte_drift":${byteDrift.size},"prev_median":${fmt(prevMedian)},"prev_total":${fmt(prevTotal)},"prev2x":${prevRatios.count(_._2 > 2.0)},"full":"bench_full.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_sec":${fmt(totalCpu)},"spill_total_b":$spillTotal,"n":${results.size},"mode":"median$passes","skipped":${excluded.size},"errors":${errors.size},"solo":${solo.size},"byte_drift":${byteDrift.size},"prev_median":${fmt(prevMedian)},"prev_total":${fmt(prevTotal)},"prev2x":${prevRatios.count(_._2 > 2.0)},"full":"$fullName","sf":"$sfDir","queries":{"""
     val slowestFirst = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 2 // closing "}}"
